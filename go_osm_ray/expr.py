@@ -1,0 +1,257 @@
+"""DFL-subset expression filter compiler (vectorized + SQL-mirrored).
+
+The reference delegates row filtering to the Dynamic Filter Language
+(spatialcurrent/go-dfl), compiled once and evaluated per element against a
+context of tag values + element attrs (/root/reference/osm/Filter.go:29-37,
+EvaluateExpression.go:19-42; examples ``@craft like brewery`` and
+``(@craft like brewery) or (@craft like distillery)`` at
+/root/reference/README.md:105,114).
+
+Here the expression is parsed ONCE on the driver into an AST that can be
+
+- ``compile()``d to a vectorized evaluator ``fn(batch: pa.Table) -> bool
+  ndarray`` (closure-captured by ``map_batches`` tasks; ``@key`` falls back
+  to a tags-column lookup when no physical column named ``key`` exists), and
+- rendered ``to_sql()`` for the DuckDB oracle, guaranteeing the engine and
+  the oracle agree on semantics by construction.
+
+Supported grammar (the subset the reference's examples exercise, plus the
+standard comparators): ``@attr``, string/number literals, ``[a, b]`` lists,
+``== != < <= > >= like ilike in``, ``and or not``, parentheses. NULL
+semantics are SQL three-valued (Kleene) with a final NULL->False filter.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import tags as tagops
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+      (?P<lparen>\() | (?P<rparen>\)) | (?P<lbrack>\[) | (?P<rbrack>\]) |
+      (?P<comma>,) |
+      (?P<op>==|!=|<=|>=|<|>) |
+      (?P<attr>@[A-Za-z_][A-Za-z0-9_:]*) |
+      (?P<num>-?\d+(?:\.\d+)?) |
+      (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*") |
+      (?P<word>[A-Za-z_][A-Za-z0-9_:%.]*)
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"and", "or", "not", "like", "ilike", "in"}
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"bad token at {s[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "word" and text.lower() in _KEYWORDS:
+            out.append((text.lower(), text))
+        else:
+            out.append((kind, text))
+    return out
+
+
+@dataclass
+class Node:
+    kind: str          # attr | lit | list | cmp | and | or | not
+    value: object = None
+    left: "Node | None" = None
+    right: "Node | None" = None
+    op: str | None = None
+
+
+class Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks, self.i = toks, 0
+
+    def peek(self):
+        return self.toks[self.i][0] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        n = self.or_expr()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return n
+
+    def or_expr(self) -> Node:
+        n = self.and_expr()
+        while self.peek() == "or":
+            self.next()
+            n = Node("or", left=n, right=self.and_expr())
+        return n
+
+    def and_expr(self) -> Node:
+        n = self.not_expr()
+        while self.peek() == "and":
+            self.next()
+            n = Node("and", left=n, right=self.not_expr())
+        return n
+
+    def not_expr(self) -> Node:
+        if self.peek() == "not":
+            self.next()
+            return Node("not", left=self.not_expr())
+        return self.cmp()
+
+    def cmp(self) -> Node:
+        left = self.operand()
+        k = self.peek()
+        if k in ("op", "like", "ilike", "in"):
+            kind, text = self.next()
+            op = text.lower() if kind in ("like", "ilike", "in") else text
+            right = self.operand()
+            return Node("cmp", left=left, right=right, op=op)
+        return left
+
+    def operand(self) -> Node:
+        k, text = self.next()
+        if k == "lparen":
+            n = self.or_expr()
+            if self.next()[0] != "rparen":
+                raise ValueError("expected )")
+            return n
+        if k == "lbrack":
+            items = []
+            while self.peek() != "rbrack":
+                kk, tt = self.next()
+                if kk == "comma":
+                    continue
+                items.append(_lit_value(kk, tt))
+            self.next()
+            return Node("list", value=items)
+        if k == "attr":
+            return Node("attr", value=text[1:])
+        if k in ("num", "str", "word"):
+            return Node("lit", value=_lit_value(k, text))
+        raise ValueError(f"unexpected token {text!r}")
+
+
+def _lit_value(kind: str, text: str):
+    if kind == "num":
+        return float(text) if "." in text else int(text)
+    if kind == "str":
+        return re.sub(r"\\(.)", r"\1", text[1:-1])
+    return text  # bare word -> string literal (DFL style: @craft like brewery)
+
+
+# --------------------------------------------------------------- evaluation
+
+def _attr_array(batch: pa.Table, name: str, tags_col: str) -> pa.Array:
+    if name in batch.column_names:
+        col = batch[name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if tags_col in batch.column_names:
+        return tagops.value_of(batch[tags_col], name)
+    raise KeyError(f"attribute {name!r}: no column and no {tags_col!r} column")
+
+
+def _eval(node: Node, batch: pa.Table, tags_col: str):
+    if node.kind == "and":
+        return pc.and_kleene(_eval(node.left, batch, tags_col),
+                             _eval(node.right, batch, tags_col))
+    if node.kind == "or":
+        return pc.or_kleene(_eval(node.left, batch, tags_col),
+                            _eval(node.right, batch, tags_col))
+    if node.kind == "not":
+        return pc.invert(_eval(node.left, batch, tags_col))
+    if node.kind == "cmp":
+        return _eval_cmp(node, batch, tags_col)
+    raise ValueError(f"cannot evaluate bare {node.kind} as predicate")
+
+
+def _eval_cmp(node: Node, batch: pa.Table, tags_col: str):
+    op = node.op
+    lhs = node.left
+    rhs = node.right
+    if lhs.kind != "attr":
+        raise ValueError("comparison left side must be @attr")
+    arr = _attr_array(batch, lhs.value, tags_col)
+    if op == "in":
+        vals = rhs.value if rhs.kind == "list" else [rhs.value]
+        return pc.is_in(arr, value_set=pa.array([str(v) if pa.types.is_string(arr.type) else v
+                                                 for v in vals]))
+    if op in ("like", "ilike"):
+        return pc.match_like(arr, str(rhs.value), ignore_case=(op == "ilike"))
+    lit = rhs.value
+    if pa.types.is_string(arr.type) and not isinstance(lit, str):
+        lit = str(lit)
+    elif not pa.types.is_string(arr.type) and isinstance(lit, str):
+        arr = pc.cast(arr, pa.string())
+    fns = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    return fns[op](arr, pa.scalar(lit))
+
+
+# --------------------------------------------------------------- SQL mirror
+
+def _sql_attr(name: str, columns: set[str], tags_col: str) -> str:
+    if name in columns:
+        return name
+    # first value of the key in the tags list<struct> column (tags.value_of)
+    return (f"(list_filter({tags_col}, _t -> _t.key = '{name}')[1]).value"
+            if tags_col else name)
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _to_sql(node: Node, columns: set[str], tags_col: str) -> str:
+    if node.kind == "and":
+        return f"({_to_sql(node.left, columns, tags_col)} AND {_to_sql(node.right, columns, tags_col)})"
+    if node.kind == "or":
+        return f"({_to_sql(node.left, columns, tags_col)} OR {_to_sql(node.right, columns, tags_col)})"
+    if node.kind == "not":
+        return f"(NOT {_to_sql(node.left, columns, tags_col)})"
+    if node.kind == "cmp":
+        lhs = _sql_attr(node.left.value, columns, tags_col)
+        op = node.op
+        if op == "in":
+            vals = node.right.value if node.right.kind == "list" else [node.right.value]
+            return f"({lhs} IN ({', '.join(_sql_lit(v) for v in vals)}))"
+        if op in ("like", "ilike"):
+            return f"({lhs} {op.upper()} {_sql_lit(str(node.right.value))})"
+        sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+        return f"({lhs} {sql_op} {_sql_lit(node.right.value)})"
+    raise ValueError(node.kind)
+
+
+class Expression:
+    """A compiled filter expression: vectorized evaluator + SQL renderer."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.ast = Parser(_tokenize(text)).parse()
+
+    def mask(self, batch: pa.Table, tags_col: str = "tags") -> np.ndarray:
+        """Boolean numpy mask; SQL WHERE semantics (NULL -> dropped)."""
+        res = _eval(self.ast, batch, tags_col)
+        if isinstance(res, pa.ChunkedArray):
+            res = res.combine_chunks()
+        return np.asarray(pc.fill_null(res, False))
+
+    def filter(self, batch: pa.Table, tags_col: str = "tags") -> pa.Table:
+        return batch.filter(pa.array(self.mask(batch, tags_col)))
+
+    def to_sql(self, columns: set[str] | None = None, tags_col: str = "tags") -> str:
+        return _to_sql(self.ast, columns or set(), tags_col)

@@ -1,0 +1,122 @@
+"""Slippy-map tiles and hierarchical quadtree geocells (vectorized).
+
+Realizes the reference's declared-but-unused tiling ambition: ``Node.Tile``
+(/root/reference/osm/Node.go:26-33) computes a single z/x/y Web-Mercator
+tile per node and is never called.  Here the same math is a vectorized
+numpy kernel applied per Arrow batch, plus a packed hierarchical cell id
+("geocell") that plays the role H3 cells play in BASELINE.json's
+north_star: a prefix-hierarchical spatial key for co-partitioning,
+shuffles and polygon sharding.
+
+Tile math (identical to the reference formula, corrected clamping):
+
+    n = 2^z
+    x = floor((lon + 180) / 360 * n)
+    y = floor((1 - ln(tan(lat) + 1/cos(lat)) / pi) / 2 * n)      (lat in radians)
+    both clamped to [0, n-1]
+
+Geocell id packing (res <= 29, x,y < 2^29, fits int64 without sign bit):
+
+    cell = (res << 58) | (x << 29) | y
+
+``parent(cell)`` drops one resolution level (x >> 1, y >> 1), giving the
+prefix hierarchy used for polygon-shard keys and hot-cell salting.
+Every formula is mirrored as ANSI SQL by the ``sql_*`` helpers so the
+DuckDB oracle computes identical assignments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RES_SHIFT = 58
+XY_BITS = 29
+
+
+def tile_xy(lon: np.ndarray, lat: np.ndarray, z: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized slippy tile (x, y) at zoom z; int64 outputs."""
+    n = 1 << z
+    lon = np.asarray(lon, np.float64)
+    lat_r = np.radians(np.asarray(lat, np.float64))
+    x = np.floor((lon + 180.0) / 360.0 * n)
+    # ln(tan+sec) kept in this exact form (not asinh) so DuckDB's
+    # ln(tan(r)+1/cos(r)) reproduces it bit-for-bit.
+    y = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n)
+    x = np.clip(x, 0, n - 1).astype(np.int64)
+    y = np.clip(y, 0, n - 1).astype(np.int64)
+    return x, y
+
+
+def cell_id(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Hierarchical quadtree cell id at resolution ``res`` (= zoom level)."""
+    if not 0 <= res <= 29:
+        raise ValueError(f"res must be in [0, 29], got {res}")
+    x, y = tile_xy(lon, lat, res)
+    return (np.int64(res) << np.int64(RES_SHIFT)) | (x << np.int64(XY_BITS)) | y
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Ancestor of each cell at ``parent_res`` (prefix truncation)."""
+    cell = np.asarray(cell, np.int64)
+    res = (cell >> np.int64(RES_SHIFT)).astype(np.int64)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= cell res")
+    shift = (res - parent_res).astype(np.int64)
+    x = (cell >> np.int64(XY_BITS)) & np.int64((1 << XY_BITS) - 1)
+    y = cell & np.int64((1 << XY_BITS) - 1)
+    return (np.int64(parent_res) << np.int64(RES_SHIFT)) | ((x >> shift) << np.int64(XY_BITS)) | (y >> shift)
+
+
+def cell_res(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, np.int64) >> np.int64(RES_SHIFT)).astype(np.int64)
+
+
+def cell_to_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, np.int64)
+    res = cell >> np.int64(RES_SHIFT)
+    x = (cell >> np.int64(XY_BITS)) & np.int64((1 << XY_BITS) - 1)
+    y = cell & np.int64((1 << XY_BITS) - 1)
+    return res, x, y
+
+
+def cell_bounds(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(min_lon, min_lat, max_lon, max_lat) of each cell (Web-Mercator tile bounds)."""
+    res, x, y = cell_to_xy(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    min_lon = x / n * 360.0 - 180.0
+    max_lon = (x + 1) / n * 360.0 - 180.0
+    max_lat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * y / n))))
+    min_lat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * (y + 1) / n))))
+    return min_lon, min_lat, max_lon, max_lat
+
+
+def cells_covering_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+                        res: int) -> np.ndarray:
+    """All cell ids at ``res`` intersecting the bbox (polygon shard covering)."""
+    n = 1 << res
+    x0, y1 = tile_xy(np.array([min_lon]), np.array([min_lat]), res)  # south-west: max y
+    x1, y0 = tile_xy(np.array([max_lon]), np.array([max_lat]), res)  # north-east: min y
+    xs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
+    ys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return ((np.int64(res) << np.int64(RES_SHIFT))
+            | (gx.ravel() << np.int64(XY_BITS)) | gy.ravel())
+
+
+# ---------------------------------------------------------------- SQL mirrors
+
+def sql_tile_x(lon_expr: str, z: int) -> str:
+    n = 1 << z
+    return (f"CAST(LEAST(GREATEST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)")
+
+
+def sql_tile_y(lat_expr: str, z: int) -> str:
+    n = 1 << z
+    return ("CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS({lat})) + 1.0/COS(RADIANS({lat}))) / PI()) "
+            "/ 2.0 * {n}), 0), {nm1}) AS BIGINT)").format(lat=lat_expr, n=n, nm1=n - 1)
+
+
+def sql_cell_id(lon_expr: str, lat_expr: str, res: int) -> str:
+    x = sql_tile_x(lon_expr, res)
+    y = sql_tile_y(lat_expr, res)
+    return f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + ({x}) * {1 << XY_BITS} + ({y}))"
