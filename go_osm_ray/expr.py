@@ -81,6 +81,9 @@ class Parser:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
 
     def next(self):
+        if self.i >= len(self.toks):
+            raise ValueError(f"unexpected end of expression after {self.toks[-1][1]!r}"
+                             if self.toks else "empty expression")
         t = self.toks[self.i]
         self.i += 1
         return t

@@ -1,0 +1,319 @@
+"""DuckDB oracle SQL for every SQL-expressible query in __ray_entry__.
+
+Each SQL string is the independent ground-truth computation the driver
+runs side-by-side with the Ray pipeline (CORRECTNESS gate). Where the
+engine and the oracle share non-trivial math (morton decode, tile/cell
+assignment, expression filters, rounding) the SQL is GENERATED from the
+same source fragments (geo/morton.sql_decode_exprs, geo/tiles.sql_*,
+expr.Expression.to_sql, util.sql_round) so both sides agree by
+construction.
+
+The ten driver testdata tables are referenced by their pre-registered
+view names; the synthetic graft tables (images / osm_*) are referenced
+by absolute read_parquet paths for the given scale factor.
+"""
+
+from __future__ import annotations
+
+from . import datagen
+from .expr import Expression
+from .geo import morton, tiles
+from .pipelines.text import LANGS, STOPLISTS
+from .util import sql_round
+
+# Filter/parameter constants shared with __ray_entry__ (single source).
+KEEP_KEYS = ["amenity", "craft"]
+DROP_KEY = "name"
+SUB_BBOX = (-77.05, 38.85, -76.95, 38.95)
+EXPR_FILTER = "(@craft like brewery) or (@craft like distillery)"
+RETENTION_EXPR = "@building like yes or @amenity like cafe"
+PROJECT_KEYS = ["amenity", "name"]
+PER_KEY_KEYS = ["amenity", "craft", "building", "name"]
+CELL_RESOLUTIONS = (7, 8, 9, 10, 11)
+TILE_ZOOMS = (10, 12, 14)
+KNN_FEATURE_KEY = "amenity"
+ANN_QUERY_MAX_ID = 8   # vec_id < 8 are queries; >= 8 are candidates
+ANN_K = 3
+STOPWORDS = ["the", "a", "and", "of", "to"]
+SESSION_GAP_MIN = 30
+TOKEN_RE = "[A-Za-z]+|[0-9]+|\\S"
+
+
+def _paths(sf: float) -> dict[str, str]:
+    d = datagen.scale_dir(sf)
+    return {n: f"read_parquet('{d}/{n}.parquet')"
+            for n in ("images", "osm_nodes", "osm_ways", "osm_relations")}
+
+
+def _has_key(col: str, key: str) -> str:
+    return f"len(list_filter({col}, _t -> _t.key = '{key}')) > 0"
+
+
+def _pts_cte(images: str) -> str:
+    lon_e, lat_e = morton.sql_decode_exprs("phash")
+    return (f"pts AS (SELECT image_id, {lon_e} AS lon, {lat_e} AS lat "
+            f"FROM {images})")
+
+
+def build(sf: float = 0.01) -> dict[str, str]:
+    p = _paths(sf)
+    nodes, ways, rels, images = (p["osm_nodes"], p["osm_ways"],
+                                 p["osm_relations"], p["images"])
+    q: dict[str, str] = {}
+
+    # ---- reference-parity: filters / projections -------------------------
+    keys_in = ", ".join(f"'{k}'" for k in KEEP_KEYS)
+    q["osm_keep_keys"] = f"""
+        SELECT id, uid, version FROM {nodes}
+        WHERE len(list_filter(tags, _t -> _t.key IN ({keys_in}))) > 0"""
+
+    q["osm_drop_keys"] = f"""
+        SELECT id FROM {nodes}
+        WHERE len(list_filter(tags, _t -> _t.key = '{DROP_KEY}')) = 0"""
+
+    x0, y0, x1, y1 = SUB_BBOX
+    q["osm_bbox"] = f"""
+        SELECT id, {sql_round('lon', 7)} AS lon7, {sql_round('lat', 7)} AS lat7
+        FROM {nodes}
+        WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1}"""
+
+    e = Expression(EXPR_FILTER)
+    q["osm_expr_filter"] = f"""
+        SELECT id, (list_filter(tags, _t -> _t.key = 'craft')[1]).value AS craft
+        FROM {nodes} WHERE {e.to_sql({'id', 'uid', 'version'})}"""
+
+    proj_in = ", ".join(f"'{k}'" for k in PROJECT_KEYS)
+    q["osm_tag_project"] = f"""
+        SELECT id, _t.key AS key, _t.value AS value FROM (
+          SELECT id, unnest(list_filter(tags, _t -> _t.key IN ({proj_in}))) AS _t
+          FROM {nodes})"""
+
+    # ---- reference-parity: joins / conversions ---------------------------
+    q["osm_ways_to_nodes"] = f"""
+        WITH mx AS (SELECT greatest((SELECT max(id) FROM {nodes}),
+                                    (SELECT max(id) FROM {ways})) AS m),
+        mw AS (SELECT min(id) AS v FROM {ways}),
+        exp AS (SELECT w.id AS way_id, unnest(w.refs) AS ref FROM {ways} w),
+        cent AS (SELECT e.way_id, avg(n.lon) AS ml, avg(n.lat) AS mla,
+                        count(*) AS n_refs
+                 FROM exp e JOIN {nodes} n ON n.id = e.ref GROUP BY e.way_id)
+        SELECT (SELECT m FROM mx) + 1 + (c.way_id - (SELECT v FROM mw)) AS new_id,
+               c.way_id, {sql_round('c.ml', 7)} AS lon_c,
+               {sql_round('c.mla', 7)} AS lat_c,
+               CAST(c.n_refs AS BIGINT) AS n_refs,
+               w.version, w.uid, w."user" AS "user"
+        FROM cent c JOIN {ways} w ON w.id = c.way_id"""
+
+    q["osm_way_geometry"] = f"""
+        SELECT w.id AS way_id,
+               CASE WHEN len(w.refs) >= 4 AND w.refs[1] = w.refs[len(w.refs)]
+                    THEN 'polygon' ELSE 'line' END AS kind,
+               CAST(len(w.refs) AS BIGINT) AS n_points,
+               {sql_round('n.lon', 7)} AS x0, {sql_round('n.lat', 7)} AS y0
+        FROM {ways} w JOIN {nodes} n ON n.id = w.refs[1]"""
+
+    er = Expression(RETENTION_EXPR)
+    cols = {"id", "uid", "version"}
+    q["osm_semi_join_retention"] = f"""
+        SELECT DISTINCT id FROM (
+          SELECT unnest(refs) AS id FROM {ways} WHERE {er.to_sql(cols)}
+          UNION ALL
+          SELECT id FROM {nodes} WHERE {er.to_sql(cols)})"""
+
+    q["osm_ref_degree"] = f"""
+        SELECT ref AS id, CAST(count(*) AS BIGINT) AS n_refs_to
+        FROM (SELECT unnest(refs) AS ref FROM {ways})
+        GROUP BY ref HAVING count(*) >= 2"""
+
+    # ---- reference-parity: aggregations ----------------------------------
+    kv_union = (f"SELECT unnest(tags) AS t FROM {nodes} UNION ALL "
+                f"SELECT unnest(tags) AS t FROM {ways} UNION ALL "
+                f"SELECT unnest(tags) AS t FROM {rels}")
+    uid_union = (f"SELECT uid FROM {nodes} UNION ALL SELECT uid FROM {ways} "
+                 f"UNION ALL SELECT uid FROM {rels}")
+    q["osm_summarize"] = f"""
+        SELECT
+          (SELECT count(*) FROM {nodes}) AS n_nodes,
+          (SELECT count(*) FROM {ways}) AS n_ways,
+          (SELECT count(*) FROM {rels}) AS n_relations,
+          (SELECT count(DISTINCT uid) FROM ({uid_union})) AS n_users,
+          (SELECT count(DISTINCT t.key) FROM ({kv_union})) AS n_keys,
+          (SELECT count(*) FROM (SELECT DISTINCT t.key, t.value FROM ({kv_union}))) AS n_tags,
+          (SELECT {sql_round('min(lon)', 7)} FROM {nodes}) AS min_lon,
+          (SELECT {sql_round('min(lat)', 7)} FROM {nodes}) AS min_lat,
+          (SELECT {sql_round('max(lon)', 7)} FROM {nodes}) AS max_lon,
+          (SELECT {sql_round('max(lat)', 7)} FROM {nodes}) AS max_lat"""
+
+    pk_in = ", ".join(f"'{k}'" for k in PER_KEY_KEYS)
+    pk_vals = ", ".join(f"('{k}')" for k in PER_KEY_KEYS)
+    q["osm_per_key_counts"] = f"""
+        WITH ks(key) AS (VALUES {pk_vals}),
+        allkv AS (
+          SELECT 'n' AS src, id, unnest(tags) AS t FROM {nodes} UNION ALL
+          SELECT 'w' AS src, id, unnest(tags) AS t FROM {ways} UNION ALL
+          SELECT 'r' AS src, id, unnest(tags) AS t FROM {rels}),
+        agg AS (
+          SELECT t.key AS key,
+                 count(DISTINCT CASE WHEN src = 'n' THEN id END) AS nodes_n,
+                 count(DISTINCT CASE WHEN src = 'w' THEN id END) AS ways_n,
+                 count(DISTINCT CASE WHEN src = 'r' THEN id END) AS rels_n
+          FROM allkv WHERE t.key IN ({pk_in}) GROUP BY t.key)
+        SELECT ks.key, CAST(COALESCE(agg.nodes_n, 0) AS BIGINT) AS nodes_n,
+               CAST(COALESCE(agg.ways_n, 0) AS BIGINT) AS ways_n,
+               CAST(COALESCE(agg.rels_n, 0) AS BIGINT) AS rels_n
+        FROM ks LEFT JOIN agg ON agg.key = ks.key"""
+
+    # ---- graft: cells / tiles --------------------------------------------
+    cell_cols = ", ".join(
+        f"{tiles.sql_cell_id('lon', 'lat', r)} AS cell_r{r}" for r in CELL_RESOLUTIONS)
+    q["images_cells"] = f"WITH {_pts_cte(images)} SELECT image_id, {cell_cols} FROM pts"
+
+    tile_cols = ", ".join(
+        f"{tiles.sql_tile_x('lon', z)} AS tile{z}_x, {tiles.sql_tile_y('lat', z)} AS tile{z}_y"
+        for z in TILE_ZOOMS)
+    q["images_tiles"] = f"WITH {_pts_cte(images)} SELECT image_id, {tile_cols} FROM pts"
+
+    q["cell_histogram"] = f"""
+        WITH {_pts_cte(images)}
+        SELECT cell_r7, CAST(count(*) AS BIGINT) AS n FROM
+          (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell_r7 FROM pts)
+        GROUP BY cell_r7"""
+
+    # ---- graft: spatial joins --------------------------------------------
+    pip_core = f"""
+        {_pts_cte(images)},
+        cw AS (SELECT id AS feature_id, refs FROM {ways}
+               WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),
+        vert AS (SELECT cw.feature_id, unnest(cw.refs) AS ref,
+                        generate_subscripts(cw.refs, 1) AS pos FROM cw),
+        vc AS (SELECT v.feature_id, v.pos, n.lon AS x, n.lat AS y
+               FROM vert v JOIN {nodes} n ON n.id = v.ref),
+        edges AS (SELECT feature_id, x AS x1, y AS y1,
+                         lead(x) OVER (PARTITION BY feature_id ORDER BY pos) AS x2,
+                         lead(y) OVER (PARTITION BY feature_id ORDER BY pos) AS y2
+                  FROM vc),
+        e2 AS (SELECT * FROM edges WHERE x2 IS NOT NULL),
+        hits AS (
+          SELECT p.image_id, e.feature_id
+          FROM pts p, e2 e
+          WHERE ((e.y1 > p.lat) <> (e.y2 > p.lat))
+            AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+          GROUP BY p.image_id, e.feature_id
+          HAVING count(*) % 2 = 1)"""
+    q["pip_join"] = f"WITH {pip_core} SELECT image_id, feature_id FROM hits"
+    q["pip_feature_counts"] = f"""
+        WITH {pip_core}
+        SELECT feature_id, CAST(count(*) AS BIGINT) AS n_images
+        FROM hits GROUP BY feature_id"""
+
+    q["knn_nearest"] = f"""
+        WITH {_pts_cte(images)},
+        feats AS (SELECT id AS feature_id, lon, lat FROM {nodes}
+                  WHERE {_has_key('tags', KNN_FEATURE_KEY)}),
+        d AS (SELECT p.image_id, f.feature_id,
+                     (p.lon - f.lon) * (p.lon - f.lon)
+                     + (p.lat - f.lat) * (p.lat - f.lat) AS d2
+              FROM pts p CROSS JOIN feats f),
+        r AS (SELECT image_id, feature_id,
+                     row_number() OVER (PARTITION BY image_id
+                                        ORDER BY d2, feature_id) AS rn FROM d)
+        SELECT image_id, feature_id FROM r WHERE rn = 1"""
+
+    # ---- vectors ----------------------------------------------------------
+    q["ann_topk"] = f"""
+        WITH qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                    WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        cv AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id >= {ANN_QUERY_MAX_ID}),
+        s AS (SELECT qv.query_id, cv.vec_id,
+                     list_cosine_similarity(qv.embedding, cv.embedding) AS sim
+              FROM qv CROSS JOIN cv),
+        r AS (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+        FROM r WHERE rank <= {ANN_K}"""
+
+    # ---- documents ---------------------------------------------------------
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    q["exact_dedup_docs"] = f"""
+        SELECT md5({norm}) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+               CAST(count(*) AS BIGINT) AS group_n
+        FROM documents GROUP BY 1"""
+
+    q["doc_fingerprint"] = f"SELECT doc_id, md5({norm}) AS fp FROM documents"
+
+    score_cols = []
+    for lang in LANGS:
+        lst = ", ".join(f"'{w}'" for w in STOPLISTS[lang])
+        score_cols.append(
+            f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), [{lst}])) AS s_{lang}")
+    max_expr = "greatest(" + ", ".join(f"s_{lang}" for lang in LANGS) + ")"
+    pred_cases = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANGS)
+    q["langid"] = f"""
+        WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
+        m AS (SELECT s.*, {max_expr} AS m FROM s)
+        SELECT doc_id, CASE WHEN m = 0 THEN 'und' {pred_cases} END AS pred_lang
+        FROM m"""
+
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    q["doc_quality"] = f"""
+        WITH b AS (SELECT doc_id, text,
+                          len(string_split(text, ' ')) AS nw,
+                          length(text) AS nc FROM documents)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(nc AS BIGINT) AS n_chars,
+               {sql_round('(nc - (nw - 1)) / CAST(nw AS DOUBLE)', 6)} AS avg_word_len,
+               {sql_round(f"len(list_filter(string_split(lower(text), ' '), _w -> _w IN ({stop_in}))) / CAST(nw AS DOUBLE)", 6)} AS stop_ratio
+        FROM b"""
+
+    q["token_count"] = f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+        FROM documents"""
+
+    # ---- relational --------------------------------------------------------
+    q["q1_pricing"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_round('sum(l_quantity)', 2)} AS sum_qty,
+               {sql_round('sum(l_extendedprice)', 2)} AS sum_base_price,
+               {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+               {sql_round('avg(l_quantity)', 4)} AS avg_qty,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    q["top_revenue_orders"] = f"""
+        WITH s AS (SELECT l_orderkey,
+                          {sql_round('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT l_orderkey, revenue FROM s
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    q["nation_revenue"] = f"""
+        SELECT n.n_name,
+               {sql_round('sum(o.o_totalprice)', 2)} AS total_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name"""
+
+    q["events_window"] = f"""
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_round('sum(value)', 4)} AS sum_value
+        FROM events GROUP BY event_type, 2"""
+
+    q["sessionize"] = f"""
+        WITH o AS (SELECT user_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                   FROM events)
+        SELECT user_id,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                                  AND ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM o GROUP BY user_id"""
+
+    return {k: " ".join(v.split()) for k, v in q.items()}

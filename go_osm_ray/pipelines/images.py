@@ -1,0 +1,171 @@
+"""Multimodal (image) pipelines: decode / verify / resize / fingerprint.
+
+Image payloads are opaque ``binary`` columns with typed metadata
+(w/h/fmt), per BASELINE.json ``input_hint``. Decode and feature
+extraction are stateful actor-pool stages (codec registry per actor);
+batches are sized by BYTES not rows for wide binary payloads. The codecs
+are real pure-python implementations (codecs.py) — no external image
+libraries exist in this container.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .. import codecs
+from ..geo import tiles
+from ..stages.assign import decode_geotag, make_cell_assigner, make_tile_assigner
+
+
+class DecodeStats:
+    """Actor-pool stage: decode each image and emit pixel statistics.
+
+    __init__ binds the codec registry once per actor; __call__ decodes a
+    batch and emits (image_id, ok, w_px, h_px, mean_px6). Decode errors
+    become ok=false rows (error-as-data), never task failures.
+    """
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, wpx, hpx, mean = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                ok.append(True)
+                hpx.append(px.shape[0])
+                wpx.append(px.shape[1])
+                mean.append(round(float(px.mean()), 6))
+            except Exception:
+                ok.append(False)
+                hpx.append(0)
+                wpx.append(0)
+                mean.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "w_px": pa.array(wpx, pa.int32()),
+            "h_px": pa.array(hpx, pa.int32()),
+            "mean_px6": pa.array(mean, pa.float64()),
+        })
+
+
+class DecodeVerify:
+    """Decode-verify stage for the per-row invariant (input_hint): decoded
+    dims must equal the metadata columns; lossy formats must reconstruct a
+    reference rendition at PSNR >= ``min_psnr``. Emits one row per image
+    with the checks' outcomes; the reference rendition is recomputed from
+    the deterministic generator recipe (datagen._image_pixels)."""
+
+    def __init__(self, min_psnr: float = 40.0):
+        self.min_psnr = min_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..datagen import _image_pixels
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        rows = {"image_id": [], "dims_ok": [], "pixels_ok": [], "psnr6": []}
+        for iid, f, b, w, h in zip(ids, fmts, blobs, ws, hs):
+            px = codecs.decode(b, f)
+            i = int(iid[3:])
+            ref = _image_pixels(i, w, h)
+            dims_ok = px.shape == (h, w, 3)
+            p = codecs.psnr(ref, px)
+            pixels_ok = bool(np.array_equal(ref, px)) if codecs.is_lossless(f) \
+                else bool(p >= self.min_psnr)
+            rows["image_id"].append(iid)
+            rows["dims_ok"].append(dims_ok)
+            rows["pixels_ok"].append(pixels_ok)
+            rows["psnr6"].append(round(min(p, 999.0), 6))
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+class ResizeAHash:
+    """Actor-pool stage: decode -> nearest-neighbor resize to ``side`` x
+    ``side`` -> average-hash fingerprint (64-bit). The decode/resize path
+    any multimodal training pipeline needs, on real codecs."""
+
+    def __init__(self, side: int = 8):
+        self.side = side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out = []
+        for f, b in zip(fmts, blobs):
+            px = codecs.decode(b, f)
+            h, w, _ = px.shape
+            yi = (np.arange(self.side) * h // self.side)
+            xi = (np.arange(self.side) * w // self.side)
+            small = px[yi][:, xi].mean(axis=2)
+            bits = (small > small.mean()).ravel()
+            acc = np.bitwise_or.reduce(
+                np.where(bits, np.uint64(1) << np.arange(64, dtype=np.uint64), np.uint64(0)))
+            v = int(acc)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's-complement int64
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "ahash": pa.array(out, pa.int64())})
+
+
+def image_stats(images: ray.data.Dataset, concurrency=(2, 8),
+                batch_size: int = 1024) -> ray.data.Dataset:
+    return images.map_batches(DecodeStats, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+
+
+def image_verify(images: ray.data.Dataset, concurrency=(2, 8),
+                 batch_size: int = 1024) -> ray.data.Dataset:
+    return images.map_batches(DecodeVerify, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+
+
+def image_ahash(images: ray.data.Dataset, concurrency=(2, 8),
+                batch_size: int = 1024) -> ray.data.Dataset:
+    return images.map_batches(ResizeAHash, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+
+
+def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
+             resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),
+             pip_concurrency=(2, 8)) -> ray.data.Dataset:
+    """The headline spatial-join + tiling pipeline (BASELINE.json metric):
+    decode geotag -> H-cell + S2-analog + slippy-tile assignment
+    (stateless vectorized tasks) -> point-in-polygon tagging (left join:
+    every image kept, feature_id = -1 when outside all polygons) via the
+    broadcast polygon index in an actor pool."""
+    from ..geo.pip import PolygonIndex
+
+    pts = (images
+           .map_batches(decode_geotag, batch_format="pyarrow")
+           .map_batches(make_cell_assigner(resolutions), batch_format="pyarrow")
+           .map_batches(make_tile_assigner(zooms), batch_format="pyarrow"))
+
+    class PIPLeft:
+        def __init__(self):
+            self.index: PolygonIndex = ray.get(pip_index_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            px = batch["lon"].combine_chunks().to_numpy()
+            py = batch["lat"].combine_chunks().to_numpy()
+            pi, fids = self.index.query(px, py)
+            feat = np.full(len(batch), -1, np.int64)
+            if len(pi):  # smallest feature id wins when multiple contain
+                order = np.lexsort((fids, pi))[::-1]
+                feat[pi[order]] = fids[order]
+            return batch.append_column("feature_id", pa.array(feat))
+
+    return pts.map_batches(PIPLeft, batch_format="pyarrow",
+                           batch_size=8192, concurrency=pip_concurrency)

@@ -1,0 +1,247 @@
+"""Reference-semantics pipelines over the OSM-model tables, Ray-Data-first.
+
+Each pipeline re-expresses a go-osm transform (SURVEY.md §2) as a lazy
+Dataset graph; nothing materializes the big tables on the driver. Column
+names are stable and match the DuckDB oracle SQL in __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .. import tags as tagops
+from ..expr import Expression
+from ..relational import broadcast_table, round_half_away
+
+
+def explode_refs(ways: ray.data.Dataset, keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """ways(id, refs, ...) -> one row per (way_id, ref, pos).
+
+    The columnar form of the way->node foreign-key walk at
+    /root/reference/osm/Planet.go:214-225; duplicate closing refs are kept,
+    matching ConvertWayToNode's unweighted mean over w.NodeReferences.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, dtype=np.int64)
+        base = offsets[0]
+        counts = np.diff(offsets)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = refs.flatten()
+        cols = {
+            "way_id": pc.take(batch["id"].combine_chunks(), pa.array(idx)),
+            "ref": flat,
+            "pos": pa.array(np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+                            if len(counts) else np.empty(0, np.int64)),
+        }
+        for c in keep_cols:
+            cols[c] = pc.take(batch[c].combine_chunks(), pa.array(idx))
+        return pa.table(cols)
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
+def join_refs_to_coords(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                        broadcast_nodes: bool = True) -> ray.data.Dataset:
+    """(way_id, ref, pos, lon, lat): way refs resolved to coordinates.
+
+    Strategy: broadcast the (id, lon, lat) lookup when the node table fits
+    the object store comfortably (single ray.put, read per task — the
+    distributed nodesIndex of /root/reference/osm/Planet.go:63); else a
+    hash-partitioned Dataset.join keyed on node id.
+    """
+    exploded = explode_refs(ways)
+    if broadcast_nodes:
+        ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            ids = lk["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            sorted_ids = ids[order]
+            lon = lk["lon"].to_numpy()[order]
+            lat = lk["lat"].to_numpy()[order]
+            r = batch["ref"].combine_chunks().to_numpy()
+            j = np.searchsorted(sorted_ids, r)
+            j = np.clip(j, 0, len(sorted_ids) - 1)
+            found = sorted_ids[j] == r
+            if not found.all():
+                # reference hard-errors on unseen refs (Planet.go:216-218);
+                # we drop them and let the caller count (error-as-data).
+                batch = batch.filter(pa.array(found))
+                j = j[found]
+            return (batch.append_column("lon", pa.array(lon[j]))
+                         .append_column("lat", pa.array(lat[j])))
+        return exploded.map_batches(lookup, batch_format="pyarrow")
+    joined = exploded.join(nodes.select_columns(["id", "lon", "lat"]),
+                           join_type="inner", num_partitions=16,
+                           on=("ref",), right_on=("id",))
+    return joined
+
+
+def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                  max_all_id: int | None = None,
+                  min_way_id: int | None = None) -> ray.data.Dataset:
+    """ways -> synthetic centroid nodes (/root/reference/osm/Planet.go:209-244).
+
+    Centroid = unweighted mean of referenced node coords (closing duplicate
+    ref INCLUDED, as the reference iterates raw NodeReferences). The way's
+    element attrs are copied onto the new node. Synthetic ids: the
+    reference allocates maxId + a running counter (Planet.go:99,111-112) —
+    order-dependent and irreproducible under parallelism — so we assign
+    the deterministic, shuffle-free equivalent
+    ``new_id = max_all_id + 1 + (way_id - min_way_id)``.
+    """
+    if max_all_id is None:
+        max_all_id = int(max(nodes.max("id"), ways.max("id")))
+    if min_way_id is None:
+        min_way_id = int(ways.min("id"))
+    coords = join_refs_to_coords(ways, nodes)
+    cent = coords.groupby("way_id").aggregate(Mean("lon", alias_name="lon_c"),
+                                              Mean("lat", alias_name="lat_c"),
+                                              Count(alias_name="n_refs"))
+
+    attrs_ref = broadcast_table(ways, ["id", "version", "changeset", "uid", "user"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        at = ray.get(attrs_ref)
+        ids = at["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        w = batch["way_id"].combine_chunks().to_numpy()
+        j = np.searchsorted(sids, w)
+        new_id = max_all_id + 1 + (w - min_way_id)
+        out = pa.table({
+            "new_id": pa.array(new_id),
+            "way_id": batch["way_id"].combine_chunks(),
+            "lon_c": round_half_away(batch["lon_c"].combine_chunks(), 7),
+            "lat_c": round_half_away(batch["lat_c"].combine_chunks(), 7),
+            "n_refs": pc.cast(batch["n_refs"].combine_chunks(), pa.int64()),
+            "version": pc.take(at["version"], pa.array(order[j])),
+            "uid": pc.take(at["uid"], pa.array(order[j])),
+            "user": pc.take(at["user"], pa.array(order[j])),
+        })
+        return out
+    return cent.map_batches(attach, batch_format="pyarrow")
+
+
+def way_geometry(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Way -> geometry kind (/root/reference/osm/Planet.go:59-78).
+
+    Closed ring (first ref == last ref, >= 4 refs) -> 'polygon', else
+    'line' — the corrected form of the reference's off-by-one closed-ring
+    test (Planet.go:67 indexes coordinates[len], a latent panic; SURVEY
+    §2.3 P9). Emits (way_id, kind, n_points, x0, y0).
+    """
+    coords = join_refs_to_coords(ways, nodes)
+
+    from ..util import round_half_away as _rnd
+
+    def per_way(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("pos")
+        first = df.iloc[0]
+        closed = (df["ref"].iloc[0] == df["ref"].iloc[-1]) and len(df) >= 4
+        return pd.DataFrame({
+            "way_id": [df["way_id"].iloc[0]],
+            "kind": ["polygon" if closed else "line"],
+            "n_points": [np.int64(len(df))],
+            "x0": [_rnd(float(first["lon"]), 7)],
+            "y0": [_rnd(float(first["lat"]), 7)],
+        })
+    return coords.groupby("way_id").map_groups(per_way, batch_format="pandas")
+
+
+def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                        expression: str) -> ray.data.Dataset:
+    """The J2 retention rule (/root/reference/osm/MarshalPlanet.go:100-141):
+    a node is written iff it passes the filter itself OR is referenced by
+    any way that passed the filter (reference bypasses node filters for
+    referenced nodes). Returns the distinct kept node ids.
+    """
+    e = Expression(expression)
+    kept_ways = ways.map_batches(lambda t: e.filter(t), batch_format="pyarrow")
+    ref_ids = explode_refs(kept_ways).select_columns(["ref"]) \
+        .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
+    pass_nodes = nodes.map_batches(lambda t: e.filter(t), batch_format="pyarrow") \
+        .select_columns(["id"])
+    both = ref_ids.union(pass_nodes)
+    return both.groupby("id").aggregate(Count(alias_name="_n")).select_columns(["id"])
+
+
+def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:
+    """(id, n_refs_to) for node ids referenced >= min_degree times across all
+    ways — duplicate detection as data (vs error-on-dup ingest,
+    /root/reference/osm/Planet.go:160-163)."""
+    exploded = explode_refs(ways)
+    counts = exploded.groupby("ref").aggregate(Count(alias_name="n_refs_to"))
+    out = counts.map_batches(
+        lambda t: t.rename_columns(["id", "n_refs_to"]).filter(
+            pc.greater_equal(t["n_refs_to"], min_degree)),
+        batch_format="pyarrow")
+    return out
+
+
+def summarize(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+              relations: ray.data.Dataset) -> pd.DataFrame:
+    """Dataset summary (/root/reference/osm/Planet.go:497-520, Summary.go:8-40):
+    element counts, distinct users, distinct tag keys, distinct key=value
+    pairs, bounding box. The bbox is RECOMPUTED from node coords (the
+    reference passes through the input header, UnmarshalPlanet.go:64-69 —
+    documented improvement)."""
+    def kv_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            _, ks, vs = tagops.explode_keys(batch["tags"])
+            return pa.table({"key": ks, "value": vs})
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def uid_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.select_columns(["uid"])
+
+    n_nodes = nodes.count()
+    n_ways = ways.count()
+    n_rel = relations.count()
+    kv = kv_table(nodes).union(kv_table(ways)).union(kv_table(relations))
+    kv_counts = kv.groupby(["key", "value"]).aggregate(Count(alias_name="n"))
+    kv_pdf = kv_counts.to_pandas()
+    n_tags = len(kv_pdf)
+    n_keys = kv_pdf["key"].nunique()
+    uids = uid_table(nodes).union(uid_table(ways)).union(uid_table(relations))
+    n_users = len(uids.unique("uid"))
+    from ..util import round_half_away as _rnd
+    bbox = nodes.aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
+    return pd.DataFrame({
+        "n_nodes": [np.int64(n_nodes)], "n_ways": [np.int64(n_ways)],
+        "n_relations": [np.int64(n_rel)], "n_users": [np.int64(n_users)],
+        "n_keys": [np.int64(n_keys)], "n_tags": [np.int64(n_tags)],
+        "min_lon": [_rnd(bbox["min(lon)"], 7)], "min_lat": [_rnd(bbox["min(lat)"], 7)],
+        "max_lon": [_rnd(bbox["max(lon)"], 7)], "max_lat": [_rnd(bbox["max(lat)"], 7)],
+    })
+
+
+def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                   relations: ray.data.Dataset, keys: list[str]) -> pd.DataFrame:
+    """-summarize_keys (/root/reference/osm/Planet.go:418-453): per requested
+    key, how many nodes/ways/relations carry it."""
+    keyset = list(keys)
+
+    def count_table(ds: ray.data.Dataset) -> pd.DataFrame:
+        def fn(batch: pa.Table) -> pa.Table:
+            _, ks, _ = tagops.explode_keys(batch["tags"])
+            m = pc.is_in(ks, value_set=pa.array(keyset, pa.string()))
+            return pa.table({"key": ks.filter(m)})
+        agg = ds.map_batches(fn, batch_format="pyarrow") \
+                .groupby("key").aggregate(Count(alias_name="n"))
+        return agg.to_pandas()
+
+    out = pd.DataFrame({"key": sorted(keyset)})
+    for name, ds in (("nodes_n", nodes), ("ways_n", ways), ("rels_n", relations)):
+        c = count_table(ds).rename(columns={"n": name})
+        out = out.merge(c, on="key", how="left")
+    for c in ("nodes_n", "ways_n", "rels_n"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    return out

@@ -1,0 +1,142 @@
+"""General relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's generic operator surface (groupby/aggregate
+with combiner pre-aggregation, sort+limit top-k, hash join, broadcast
+join, windowed aggregation, sessionization) with direct SQL oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..relational import broadcast_table, round_half_away
+
+
+def q1_pricing(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """TPC-H Q1-shaped pricing summary with combiner pre-aggregation:
+    each block collapses to one partial row per key before the shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        # per-block combiner, vectorized in Arrow (pandas blocks would make
+        # the downstream Ray groupby ~10x slower — measured)
+        t = t.append_column("disc_price",
+                            pc.multiply(t["l_extendedprice"],
+                                        pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price", "sum_disc_price", "count_order"])
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(batch["sum_qty"], pc.cast(batch["count_order"], pa.float64()))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": round_half_away(batch["sum_qty"], 2),
+            "sum_base_price": round_half_away(batch["sum_base_price"], 2),
+            "sum_disc_price": round_half_away(batch["sum_disc_price"], 2),
+            "avg_qty": round_half_away(avg_qty, 4),
+            "count_order": pc.cast(batch["count_order"], pa.int64()),
+        })
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def top_revenue_orders(lineitem: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """Top-k orders by revenue: partial per-block order sums -> groupby ->
+    round -> global sort (desc, key asc tiebreak) -> limit."""
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev}) \
+            .group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue"])
+
+    sums = (lineitem.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
+    rounded = sums.map_batches(
+        lambda t: pa.table({"l_orderkey": t["l_orderkey"],
+                            "revenue": round_half_away(t["revenue"], 2)}),
+        batch_format="pyarrow")
+    return rounded.sort(key=["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                   nation: ray.data.Dataset) -> ray.data.Dataset:
+    """Revenue per nation: hash-partitioned Dataset.join for
+    orders ⨝ customer (both scale with sf), broadcast map join for the
+    25-row nation dimension (SURVEY §2.5 J3 pattern)."""
+    joined = orders.select_columns(["o_custkey", "o_totalprice"]).join(
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    nation_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nation_ref)
+        keys = nt["n_nationkey"].to_numpy()
+        order = np.argsort(keys)
+        idx = np.searchsorted(keys[order], batch["c_nationkey"].combine_chunks().to_numpy())
+        names = nt["n_name"].take(pa.array(order[idx]))
+        return batch.append_column("n_name", names)
+
+    named = joined.map_batches(add_name, batch_format="pyarrow")
+    agg = named.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "total_price": round_half_away(t["total_price"], 2),
+                            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (event_type, window_start_s) -> count,
+    sum(value). Window assignment is a vectorized epoch floor; Ray Data has
+    no event-time windows, so the window IS the groupby key (ray_guide
+    streaming-shaped pattern)."""
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # microseconds
+        win = (ts // (window_s * 1_000_000)) * window_s
+        return pa.table({"event_type": batch["event_type"].combine_chunks(),
+                         "window_start_s": pa.array(win.astype(np.int64)),
+                         "value": batch["value"].combine_chunks()})
+
+    agg = (events.map_batches(assign, batch_format="pyarrow")
+           .groupby(["event_type", "window_start_s"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "window_start_s": t["window_start_s"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_value": round_half_away(t["sum_value"], 4)}),
+        batch_format="pyarrow")
+
+
+def sessionize(events: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
+    """Per-user session counts (sessions split at ts gaps > gap_s). The
+    per-key ordered pass runs inside groupby(user).map_groups; ordering
+    assumption: within one user's group only (no global order needed)."""
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > gap_s * 1_000_000
+        return pd.DataFrame({
+            "user_id": [df["user_id"].iloc[0]],
+            "n_sessions": [np.int64(1 + gaps.sum())],
+            "n_events": [np.int64(len(ts))],
+        })
+    return (events.select_columns(["user_id", "ts"])
+            .groupby("user_id").map_groups(per_user, batch_format="pandas"))

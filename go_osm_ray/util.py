@@ -1,0 +1,44 @@
+"""Shared numeric/SQL helpers keeping engine and DuckDB oracle bit-identical.
+
+Rounding is the classic source of oracle drift: numpy's np.round is
+half-to-even while DuckDB's ROUND is half-away-from-zero, and both apply
+different internal scaling.  We sidestep both by defining ONE rounding
+formula and evaluating it with identical IEEE-double operations on both
+sides:
+
+    x >= 0:  floor(x * 10^nd + 0.5) / 10^nd
+    x <  0:  ceil(x * 10^nd - 0.5) / 10^nd
+
+``round_half_away`` (numpy/arrow) and ``sql_round`` (SQL text) are exact
+mirrors of each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def round_half_away(values, nd: int):
+    """Half-away-from-zero rounding; accepts numpy array / arrow array /
+    scalar, returns the same family (arrow in -> arrow out)."""
+    is_arrow = isinstance(values, (pa.Array, pa.ChunkedArray))
+    if is_arrow:
+        arr = values.combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(values, pa.ChunkedArray) else values.to_numpy(zero_copy_only=False)
+    else:
+        arr = values
+    scalar = np.isscalar(arr) or getattr(arr, "ndim", 1) == 0
+    x = np.asarray(arr, np.float64)
+    s = float(10 ** nd)
+    out = np.where(x >= 0, np.floor(x * s + 0.5) / s, np.ceil(x * s - 0.5) / s)
+    if is_arrow:
+        return pa.array(out)
+    return float(out) if scalar else out
+
+
+def sql_round(expr: str, nd: int) -> str:
+    """SQL mirror of ``round_half_away`` (same op order, same constants)."""
+    s = float(10 ** nd)
+    return (f"(CASE WHEN ({expr}) >= 0 THEN FLOOR(({expr}) * {s!r} + 0.5) / {s!r} "
+            f"ELSE CEIL(({expr}) * {s!r} - 0.5) / {s!r} END)")

@@ -1,0 +1,58 @@
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from go_osm_ray.expr import Expression
+
+
+@pytest.fixture()
+def table():
+    tags = pa.array([
+        [{"key": "craft", "value": "brewery"}],
+        [{"key": "craft", "value": "distillery"}, {"key": "name", "value": "x"}],
+        [{"key": "amenity", "value": "cafe"}],
+        [],
+        [{"key": "craft", "value": "pottery"}],
+    ], pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())])))
+    return pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "version": pa.array([1, 5, 3, 7, 2], pa.int64()),
+        "tags": tags,
+    })
+
+
+CASES = [
+    ("@craft like brewery", [1]),
+    ("(@craft like brewery) or (@craft like distillery)", [1, 2]),
+    ("@craft like '%ery'", [1, 2, 5]),
+    ("@craft ilike 'BREW%'", [1]),
+    ("not (@craft like brewery)", [2, 5]),  # NULL craft -> not NULL -> dropped (SQL semantics)
+    ("@version > 2 and @version <= 5", [2, 3]),
+    ("@amenity in [cafe, pub]", [3]),
+    ("@craft == pottery", [5]),
+    ("@craft != pottery", [1, 2]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CASES)
+def test_eval_matches_expected_and_duckdb(table, text, expected):
+    e = Expression(text)
+    got = table.filter(pa.array(e.mask(table)))["id"].to_pylist()
+    assert got == expected, text
+    con = duckdb.connect()
+    con.register("t", table)
+    sql = e.to_sql({"id", "version"})
+    oracle = [r[0] for r in con.execute(f"SELECT id FROM t WHERE {sql} ORDER BY id").fetchall()]
+    assert oracle == expected, (text, sql)
+
+
+def test_parse_errors():
+    for bad in ["@craft like", "(@a == 1", "== 3", "", "@a >< 2"]:
+        with pytest.raises(ValueError):
+            Expression(bad)
+
+
+def test_missing_attribute_raises(table):
+    with pytest.raises(KeyError):
+        Expression("@nope > 1").mask(table.select(["id"]))

@@ -1,0 +1,53 @@
+import numpy as np
+
+from go_osm_ray.geo.pip import PolygonIndex
+
+
+def _slow_inside(px, py, xs, ys):
+    """Obviously-correct scalar even-odd ray casting (the same edge rule)."""
+    inside = False
+    for i in range(len(xs) - 1):
+        x1, y1, x2, y2 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        if (y1 > py) != (y2 > py):
+            if px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+def _random_ring(rng, cx, cy, r, n):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    xs = cx + r * np.cos(ang) * rng.uniform(0.5, 1.0, n)
+    ys = cy + r * np.sin(ang) * rng.uniform(0.5, 1.0, n)
+    return np.append(xs, xs[0]), np.append(ys, ys[0])
+
+
+def test_index_matches_slow_oracle():
+    rng = np.random.RandomState(42)
+    xs_l, ys_l, fids = [], [], []
+    for i in range(30):
+        xs, ys = _random_ring(rng, rng.uniform(-1, 1), rng.uniform(-1, 1),
+                              rng.uniform(0.05, 0.3), rng.randint(3, 10))
+        xs_l.append(xs)
+        ys_l.append(ys)
+        fids.append(100 + i)
+    idx = PolygonIndex(np.array(fids), xs_l, ys_l, grid_res=8)
+    px = rng.uniform(-1.5, 1.5, 800)
+    py = rng.uniform(-1.5, 1.5, 800)
+    pi, fid = idx.query(px, py)
+    got = set(zip(pi.tolist(), fid.tolist()))
+    want = set()
+    for p in range(len(px)):
+        for g in range(len(fids)):
+            if _slow_inside(px[p], py[p], xs_l[g], ys_l[g]):
+                want.add((p, fids[g]))
+    assert got == want
+    assert len(want) > 50  # the test actually exercised hits
+
+
+def test_empty_and_miss():
+    idx = PolygonIndex(np.array([7]), [np.array([0.0, 1.0, 0.5, 0.0])],
+                       [np.array([0.0, 0.0, 1.0, 0.0])], grid_res=6)
+    pi, fid = idx.query(np.array([5.0]), np.array([5.0]))
+    assert len(pi) == 0
+    pi, fid = idx.query(np.array([0.5]), np.array([0.25]))
+    assert fid.tolist() == [7]

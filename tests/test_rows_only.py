@@ -1,0 +1,111 @@
+"""Python-oracle tests for the queries with no SQL oracle (rows-only at
+the driver gate): near-dup suites, multimodal decode, S2, winnowing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import parity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_pairs_against_bruteforce(ray_session):
+    import __ray_entry__ as E
+    from go_osm_ray.pipelines.text import jaccard
+    import pyarrow.parquet as pq
+    got = parity.to_pandas(E.queries()["minhash_pairs"](SF))
+    got_pairs = set(zip(got["a"], got["b"]))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pydict()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    # every reported pair truly has jaccard >= 0.5 (no false positives)
+    for a, b in got_pairs:
+        assert jaccard(texts[a], texts[b]) >= 0.5
+    # recall check on a slice: all true pairs among the first 120 docs found
+    ids = sorted(texts)[:120]
+    true_pairs = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if jaccard(texts[a], texts[b]) >= 0.5}
+    found = {(a, b) for a, b in got_pairs if a in set(ids) and b in set(ids)}
+    missed = true_pairs - found
+    # LSH with 16 bands of 4 rows at t=0.5: detection prob >= ~97%
+    assert len(missed) <= max(1, int(0.1 * len(true_pairs))), missed
+
+
+def test_simhash_pairs_verified(ray_session):
+    import __ray_entry__ as E
+    from go_osm_ray.pipelines.text import simhash64
+    import pyarrow.parquet as pq
+    got = parity.to_pandas(E.queries()["simhash_pairs"](SF))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pydict()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    sample = got.head(50)
+    for a, b, h in zip(sample["a"], sample["b"], sample["hamming"]):
+        real = bin(int(simhash64(texts[a]) ^ simhash64(texts[b]))).count("1")
+        assert real == h and real <= 3
+
+
+def test_embedding_neardup_planted(ray_session):
+    import ray.data as rd
+    from go_osm_ray.pipelines.text import embedding_neardup
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(40, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # plant 3 near-duplicates of vectors 0, 1, 2
+    for j in range(3):
+        v = base[j] + rng.normal(scale=0.01, size=32).astype(np.float32)
+        rows.append({"vec_id": 100 + j, "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    pairs = parity.to_pandas(embedding_neardup(ds, threshold=0.95))
+    found = set(zip(pairs["a"], pairs["b"]))
+    for j in range(3):
+        assert (j, 100 + j) in found
+    # no random pair should appear
+    assert all(b >= 100 for a, b in found)
+
+
+def test_image_verify_all_ok(ray_session):
+    import __ray_entry__ as E
+    df = parity.to_pandas(E.queries()["image_verify"](SF))
+    assert df["dims_ok"].all()
+    assert df["pixels_ok"].all()
+    lossy = df[df["psnr6"] < 999.0]
+    assert len(lossy) > 0 and (lossy["psnr6"] >= 40.0).all()
+
+
+def test_image_stats_and_ahash_deterministic(ray_session):
+    import __ray_entry__ as E
+    s1 = parity.canonicalize(parity.to_pandas(E.queries()["image_stats"](SF)))
+    assert s1["ok"].all()
+    a1 = parity.canonicalize(parity.to_pandas(E.queries()["image_ahash"](SF)))
+    a2 = parity.canonicalize(parity.to_pandas(E.queries()["image_ahash"](SF)))
+    pd.testing.assert_frame_equal(a1, a2)
+
+
+def test_images_s2_matches_direct_computation(ray_session):
+    import __ray_entry__ as E
+    from go_osm_ray.geo import morton, s2
+    import pyarrow.parquet as pq
+    from go_osm_ray import datagen
+    paths = datagen.ensure_tables_for_dir(SF)
+    df = parity.to_pandas(E.queries()["images_s2"](SF)).set_index("image_id")
+    t = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    lon, lat = morton.decode_lonlat(t["phash"].to_numpy())
+    want10 = s2.cell_id(lon, lat, 10)
+    ids = t["image_id"].to_pylist()
+    got10 = df.loc[ids, "s2_l10"].to_numpy()
+    assert np.array_equal(got10, want10)
+
+
+def test_winnow_fp_deterministic_and_shift_invariant(ray_session):
+    import __ray_entry__ as E
+    from go_osm_ray.pipelines.text import winnow_fingerprint_batch
+    import pyarrow as pa
+    a = parity.canonicalize(parity.to_pandas(E.queries()["winnow_fp"](SF)))
+    b = parity.canonicalize(parity.to_pandas(E.queries()["winnow_fp"](SF)))
+    pd.testing.assert_frame_equal(a, b)
+    # winnowing property: a shared long substring yields overlapping minima;
+    # identical text -> identical fingerprint
+    t1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": ["hello world common substring", "hello world common substring"]})
+    out = winnow_fingerprint_batch(t1)
+    assert out["winnow_fp"][0] == out["winnow_fp"][1]
