@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract: prints ONE JSON line, last on stdout).
+
+Headline: the flagship spatial-join + tile-assignment pipeline
+(BASELINE.json metric) over the synthetic images table at $GRAFT_SF_DIR's
+scale, consumed to completion. Per-query timings cover one representative
+pipeline per operator family.
+
+--scaling: runs the headline twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same (pre-generated, page-cache-warmed) input and
+reports throughput at both plus efficiency = (t8/t32)/4 (sandbox form of
+the north rule's N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _consume(result) -> int:
+    """Drive a query result to completion; return row count."""
+    import pandas as pd
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    return len(result)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from go_osm_ray import datagen
+    datagen.ensure_tables_for_dir(sf_dir)  # generation excluded from timing
+
+    import __ray_entry__ as E
+    qs = E.queries()
+
+    # warm the page cache + Ray worker pool with one untimed pass
+    _consume(qs["images_tiles"](sf_dir))
+
+    # headline: flagship spatial-join + tiling
+    import ray as _ray
+    from go_osm_ray.pipelines.images import flagship
+    from go_osm_ray.pipelines.spatial import build_polygon_index
+    t0 = time.perf_counter()
+    nodes = E._read_gen(sf_dir, "osm_nodes", ["id", "lon", "lat"])
+    ways = E._read_gen(sf_dir, "osm_ways", ["id", "refs"])
+    idx_ref = _ray.put(build_polygon_index(nodes, ways))
+    images = E._read_gen(sf_dir, "images", ["image_id", "phash"])
+    n_rows = flagship(images, idx_ref).count()
+    headline = time.perf_counter() - t0
+
+    bench_queries = [
+        "images_cells", "images_tiles", "cell_histogram", "pip_join",
+        "knn_nearest", "images_s2", "osm_ways_to_nodes", "osm_expr_filter",
+        "osm_semi_join_retention", "osm_summarize", "q1_pricing",
+        "top_revenue_orders", "nation_revenue", "events_window",
+        "exact_dedup_docs", "minhash_pairs", "langid", "token_count",
+        "ann_topk", "image_stats", "image_ahash",
+    ]
+    q_times = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship spatial-join + tile-assignment wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "rows": n_rows,
+        "rows_per_sec": round(n_rows / headline, 1),
+        "queries": q_times,
+        "sf": float(os.path.basename(os.path.normpath(sf_dir))[2:]),
+        "num_cpus": num_cpus,
+    }
+
+
+def _headline_only(sf_dir: str, num_cpus: int) -> dict:
+    """One fresh-process headline measurement (used by --scaling)."""
+    out = subprocess.run(
+        [sys.executable, __file__, "--headline-only"],
+        env=dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir),
+        capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    from go_osm_ray import datagen
+    datagen.ensure_tables_for_dir(sf_dir)
+    import __ray_entry__ as E
+    import ray as _ray
+    from go_osm_ray.pipelines.images import flagship
+    from go_osm_ray.pipelines.spatial import build_polygon_index
+    _consume(E.queries()["images_tiles"](sf_dir))  # warm
+    t0 = time.perf_counter()
+    nodes = E._read_gen(sf_dir, "osm_nodes", ["id", "lon", "lat"])
+    ways = E._read_gen(sf_dir, "osm_ways", ["id", "refs"])
+    idx_ref = _ray.put(build_polygon_index(nodes, ways))
+    images = E._read_gen(sf_dir, "images", ["image_id", "phash"])
+    n = flagship(images, idx_ref).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"value": round(dt, 3), "rows": n,
+            "rows_per_sec": round(n / dt, 1), "num_cpus": num_cpus}
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only(sf_dir, num_cpus)))
+        return
+    if "--scaling" in sys.argv:
+        from go_osm_ray import datagen
+        datagen.ensure_tables_for_dir(sf_dir)
+        lo = _headline_only(sf_dir, 8)
+        hi = _headline_only(sf_dir, 32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+            "sec_8": lo["value"], "sec_32": hi["value"],
+            "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
+            "scaling_efficiency": round(eff, 3), "rows": hi["rows"],
+            "sf": float(os.path.basename(os.path.normpath(sf_dir))[2:]),
+        }))
+        return
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

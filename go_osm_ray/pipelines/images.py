@@ -120,27 +120,36 @@ class ResizeAHash:
                          "ahash": pa.array(out, pa.int64())})
 
 
-def image_stats(images: ray.data.Dataset, concurrency=(2, 8),
+def image_stats(images: ray.data.Dataset, concurrency=None,
                 batch_size: int = 1024) -> ray.data.Dataset:
-    return images.map_batches(DecodeStats, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
+    from ..util import default_pool
+    pool = concurrency or default_pool(24)
+    return images.repartition(pool * 4).map_batches(
+        DecodeStats, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool)
 
 
-def image_verify(images: ray.data.Dataset, concurrency=(2, 8),
+def image_verify(images: ray.data.Dataset, concurrency=None,
                  batch_size: int = 1024) -> ray.data.Dataset:
-    return images.map_batches(DecodeVerify, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
+    from ..util import default_pool
+    pool = concurrency or default_pool(24)
+    return images.repartition(pool * 4).map_batches(
+        DecodeVerify, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool)
 
 
-def image_ahash(images: ray.data.Dataset, concurrency=(2, 8),
+def image_ahash(images: ray.data.Dataset, concurrency=None,
                 batch_size: int = 1024) -> ray.data.Dataset:
-    return images.map_batches(ResizeAHash, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency)
+    from ..util import default_pool
+    pool = concurrency or default_pool(24)
+    return images.repartition(pool * 4).map_batches(
+        ResizeAHash, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool)
 
 
 def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
              resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),
-             pip_concurrency=(2, 8)) -> ray.data.Dataset:
+             pip_concurrency=None) -> ray.data.Dataset:
     """The headline spatial-join + tiling pipeline (BASELINE.json metric):
     decode geotag -> H-cell + S2-analog + slippy-tile assignment
     (stateless vectorized tasks) -> point-in-polygon tagging (left join:
@@ -148,7 +157,9 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
     broadcast polygon index in an actor pool."""
     from ..geo.pip import PolygonIndex
 
+    from ..util import default_pool
     pts = (images
+           .repartition(default_pool() * 4)
            .map_batches(decode_geotag, batch_format="pyarrow")
            .map_batches(make_cell_assigner(resolutions), batch_format="pyarrow")
            .map_batches(make_tile_assigner(zooms), batch_format="pyarrow"))
@@ -167,5 +178,7 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
                 feat[pi[order]] = fids[order]
             return batch.append_column("feature_id", pa.array(feat))
 
-    return pts.map_batches(PIPLeft, batch_format="pyarrow",
-                           batch_size=8192, concurrency=pip_concurrency)
+    from ..util import default_pool
+    pool = pip_concurrency or default_pool()
+    return pts.map_batches(PIPLeft, batch_format="pyarrow", batch_size=8192,
+                           concurrency=pool)

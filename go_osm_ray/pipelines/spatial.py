@@ -24,6 +24,12 @@ from ..stages.assign import decode_geotag
 from .osm import join_refs_to_coords
 
 
+def _fanout(pool) -> int:
+    """Blocks to split a compute-heavy input into: ~4 waves per actor."""
+    n = pool if isinstance(pool, int) else pool[-1]
+    return n * 4
+
+
 def closed_ways(ways: ray.data.Dataset) -> ray.data.Dataset:
     """Ways forming closed rings (first ref == last ref, >= 4 refs) — the
     polygon half of /root/reference/osm/Planet.go:67-77, corrected."""
@@ -40,7 +46,7 @@ def closed_ways(ways: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def build_polygon_index(nodes: ray.data.Dataset, ways: ray.data.Dataset,
-                        grid_res: int = 12) -> PolygonIndex:
+                        grid_res: int | None = None) -> PolygonIndex:
     """Materialize the polygon layer (closed ways ⨝ nodes, ring order) into
     a PolygonIndex.
 
@@ -53,13 +59,16 @@ def build_polygon_index(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     """
     coords = join_refs_to_coords(closed_ways(ways), nodes)
     pdf = coords.to_pandas()
-    pdf = pdf.sort_values(["way_id", "pos"])
-    xs, ys, fids = [], [], []
-    for wid, g in pdf.groupby("way_id", sort=True):
-        fids.append(wid)
-        xs.append(g["lon"].to_numpy())
-        ys.append(g["lat"].to_numpy())
-    return PolygonIndex(np.array(fids, np.int64), xs, ys, grid_res=grid_res)
+    wid = pdf["way_id"].to_numpy()
+    order = np.lexsort((pdf["pos"].to_numpy(), wid))
+    wid_s = wid[order]
+    lon_s = pdf["lon"].to_numpy()[order]
+    lat_s = pdf["lat"].to_numpy()[order]
+    fids, starts = np.unique(wid_s, return_index=True)
+    bounds = np.append(starts, len(wid_s))
+    xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    return PolygonIndex(fids.astype(np.int64), xs, ys, grid_res=grid_res)
 
 
 class PIPTagger:
@@ -85,30 +94,43 @@ class PIPTagger:
 
 
 def pip_join(images: ray.data.Dataset, index_ref: ray.ObjectRef,
-             concurrency: int | tuple[int, int] = (2, 8),
+             concurrency: int | tuple[int, int] | None = None,
              batch_size: int = 8192) -> ray.data.Dataset:
     """(image_id, feature_id) for every image point inside a polygon."""
-    pts = images.map_batches(decode_geotag, batch_format="pyarrow")
+    from ..util import default_pool
+    pool = concurrency or default_pool()
+    # split blocks first: these inputs are byte-small but compute-heavy, so
+    # Ray's 128MB block targeting would otherwise produce 1-2 tasks total
+    pts = images.repartition(_fanout(pool)) \
+        .map_batches(decode_geotag, batch_format="pyarrow")
     return pts.map_batches(PIPTagger, fn_constructor_args=(index_ref,),
                            batch_format="pyarrow", batch_size=batch_size,
-                           concurrency=concurrency)
+                           concurrency=pool)
 
 
 class NearestFeature:
-    """Actor-pool stage: brute-force nearest feature per point against a
-    broadcast (id, lon, lat) feature table, chunked to bound memory.
+    """Actor-pool stage: EXACT nearest feature per point against a
+    broadcast (id, lon, lat) feature table.
 
-    Distance = squared euclidean in degrees, evaluated as
-    ``(px-fx)*(px-fx) + (py-fy)*(py-fy)`` (same op order as the SQL
-    oracle); ties broken toward the smallest feature id (features are
-    scanned in ascending-id order with a strict '<' running min).
+    Distance = squared euclidean in degrees, final ranking evaluated as
+    ``(px-fx)*(px-fx) + (py-fy)*(py-fy)`` in float64 (same op order as the
+    SQL oracle); ties broken toward the smallest feature id.
+
+    The scan runs the exact float64 formula over feature chunks with a
+    strict running minimum: chunks are visited in ascending-id order and
+    np.argmin returns the first (= lowest-id) occurrence within a chunk,
+    so the tie-break needs no extra pass. Feature chunks are small (512)
+    so the working buffers stay L2/L3-resident — large chunks saturate
+    DRAM bandwidth when many actors run (measured 5x slowdown at 8192). (A float32 GEMM
+    prefilter was measured SLOWER here: OpenBLAS sgemm with inner dim 2
+    is pathological, ~1 s for a 4096x8614 product.)
     At cluster scale this becomes per-cell-partition search with
-    neighbor-ring expansion; brute force is the correctness baseline
-    (SURVEY §2.5 J5).
+    neighbor-ring expansion (SURVEY §2.5 J5); the broadcast table is the
+    single-shard unit.
     """
 
     def __init__(self, feats_ref: ray.ObjectRef, id_col: str = "image_id",
-                 chunk: int = 8192):
+                 feat_chunk: int = 512):
         t: pa.Table = ray.get(feats_ref)
         fid = t["id"].to_numpy()
         order = np.argsort(fid, kind="stable")
@@ -116,22 +138,36 @@ class NearestFeature:
         self.fx = t["lon"].to_numpy()[order]
         self.fy = t["lat"].to_numpy()[order]
         self.id_col = id_col
-        self.chunk = chunk
+        self.feat_chunk = feat_chunk
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["lon"].combine_chunks().to_numpy()
         py = batch["lat"].combine_chunks().to_numpy()
         n = len(px)
+        m = len(self.fid)
+        if m == 0:
+            return pa.table({self.id_col: batch[self.id_col].combine_chunks(),
+                             "feature_id": pa.array(np.full(n, -1, np.int64))})
         best_d = np.full(n, np.inf)
         best_id = np.full(n, -1, np.int64)
-        for s in range(0, len(self.fid), self.chunk):
-            fx = self.fx[s:s + self.chunk]
-            fy = self.fy[s:s + self.chunk]
-            dx = px[:, None] - fx[None, :]
-            dy = py[:, None] - fy[None, :]
-            d2 = dx * dx + dy * dy
-            j = np.argmin(d2, axis=1)
-            dmin = d2[np.arange(n), j]
+        rows = np.arange(n)
+        ck = min(self.feat_chunk, m)
+        # preallocated buffers + explicit out= ufuncs: the plain broadcast
+        # expression `px[:,None] - fx[None,:]` is ~17x slower on this numpy
+        # build (fresh-allocation path); ops stay bit-identical
+        bx = np.empty((n, ck))
+        by = np.empty((n, ck))
+        for s in range(0, m, ck):
+            e = min(s + ck, m)
+            w = e - s
+            dx, dy = bx[:, :w], by[:, :w]
+            np.subtract(px[:, None], self.fx[None, s:e], out=dx)
+            np.subtract(py[:, None], self.fy[None, s:e], out=dy)
+            np.multiply(dx, dx, out=dx)
+            np.multiply(dy, dy, out=dy)
+            np.add(dx, dy, out=dx)  # d2
+            j = np.argmin(dx, axis=1)
+            dmin = dx[rows, j]
             upd = dmin < best_d  # strict: earlier (smaller-id) chunk wins ties
             best_d[upd] = dmin[upd]
             best_id[upd] = self.fid[s + j[upd]]
@@ -142,12 +178,15 @@ class NearestFeature:
 
 
 def knn_nearest(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
-                concurrency: int | tuple[int, int] = (2, 8),
-                batch_size: int = 4096) -> ray.data.Dataset:
-    pts = images.map_batches(decode_geotag, batch_format="pyarrow")
+                concurrency: int | tuple[int, int] | None = None,
+                batch_size: int = 2048) -> ray.data.Dataset:
+    from ..util import default_pool
+    pool = concurrency or default_pool()
+    pts = images.repartition(_fanout(pool)) \
+        .map_batches(decode_geotag, batch_format="pyarrow")
     return pts.map_batches(NearestFeature, fn_constructor_args=(feats_ref,),
                            batch_format="pyarrow", batch_size=batch_size,
-                           concurrency=concurrency)
+                           concurrency=pool)
 
 
 class TopKCosine:
@@ -188,13 +227,14 @@ class TopKCosine:
 
 
 def ann_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef, k: int,
-             concurrency: int | tuple[int, int] = (2, 8),
+             concurrency: int | tuple[int, int] | None = None,
              batch_size: int = 4096) -> ray.data.Dataset:
     """Exact top-k cosine neighbors per broadcast query (brute-force
     baseline; per-batch partials merged by a small groupby)."""
+    from ..util import default_pool
     partials = embeddings.map_batches(TopKCosine, fn_constructor_args=(queries_ref, k),
                                       batch_format="pyarrow", batch_size=batch_size,
-                                      concurrency=concurrency)
+                                      concurrency=concurrency or default_pool(8))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

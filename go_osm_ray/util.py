@@ -37,6 +37,19 @@ def round_half_away(values, nd: int):
     return float(out) if scalar else out
 
 
+def default_pool(cap: int = 16) -> int:
+    """Fixed actor-pool size for heavy stages: leave ~2 CPUs for the read
+    and driver, cap to ``cap``. Fixed pools beat (min, max) autoscaling
+    here — measured: autoscaling pools stayed near min and left the
+    machine idle."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus - 2))
+
+
 def sql_round(expr: str, nd: int) -> str:
     """SQL mirror of ``round_half_away`` (same op order, same constants)."""
     s = float(10 ** nd)
