@@ -148,27 +148,37 @@ def image_ahash(images: ray.data.Dataset, concurrency=None,
 
 
 def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
+             knn_feats_ref: ray.ObjectRef | None = None,
              resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),
-             pip_concurrency=None) -> ray.data.Dataset:
+             pip_concurrency=None, batch_size: int = 4096,
+             prepartition: bool | None = None) -> ray.data.Dataset:
     """The headline spatial-join + tiling pipeline (BASELINE.json metric):
-    decode geotag -> H-cell + S2-analog + slippy-tile assignment
-    (stateless vectorized tasks) -> point-in-polygon tagging (left join:
-    every image kept, feature_id = -1 when outside all polygons) via the
-    broadcast polygon index in an actor pool."""
+    geotag decode -> H-cell + S2-analog + slippy-tile assignment ->
+    point-in-polygon tagging (left join: every image kept,
+    pip_feature_id = -1 when outside all polygons) against the broadcast
+    polygon index -> kNN nearest-feature lookup against the broadcast
+    feature layer.
+
+    All stages are fused into ONE actor-pool pass: the cell/tile math is
+    cheap relative to the PIP/kNN scans, so extra operator boundaries
+    would only re-ship batches through the object store. Both spatial
+    kernels are L2-tiled so concurrent actors scale near-linearly
+    (NearestFeature docstring)."""
     from ..geo.pip import PolygonIndex
-
     from ..util import default_pool
-    pts = (images
-           .repartition(default_pool() * 4)
-           .map_batches(decode_geotag, batch_format="pyarrow")
-           .map_batches(make_cell_assigner(resolutions), batch_format="pyarrow")
-           .map_batches(make_tile_assigner(zooms), batch_format="pyarrow"))
 
-    class PIPLeft:
+    assign_cells = make_cell_assigner(resolutions)
+    assign_tiles = make_tile_assigner(zooms)
+
+    class FlagshipStage:
         def __init__(self):
             self.index: PolygonIndex = ray.get(pip_index_ref)
+            from .spatial import NearestFeature
+            self.knn = (NearestFeature(knn_feats_ref)
+                        if knn_feats_ref is not None else None)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = assign_tiles(assign_cells(decode_geotag(batch)))
             px = batch["lon"].combine_chunks().to_numpy()
             py = batch["lat"].combine_chunks().to_numpy()
             pi, fids = self.index.query(px, py)
@@ -176,9 +186,26 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
             if len(pi):  # smallest feature id wins when multiple contain
                 order = np.lexsort((fids, pi))[::-1]
                 feat[pi[order]] = fids[order]
-            return batch.append_column("feature_id", pa.array(feat))
+            batch = batch.append_column("pip_feature_id", pa.array(feat))
+            if self.knn is not None:
+                near = self.knn.nearest(px, py)
+                batch = batch.append_column("knn_feature_id", pa.array(near))
+            return batch
 
-    from ..util import default_pool
-    pool = pip_concurrency or default_pool()
-    return pts.map_batches(PIPLeft, batch_format="pyarrow", batch_size=8192,
-                           concurrency=pool)
+    pool = pip_concurrency or default_pool(24)
+    # Repartition only when the input can't already feed the pool: it is
+    # an all-to-all BARRIER (read fully materializes before actors start),
+    # so on inputs with enough files we skip it and let read/compute
+    # pipeline. NB input_files() DEDUPES repeated paths, so a replicated
+    # [path]*k read list still counts as 1 — callers doing that pass
+    # prepartition=False explicitly.
+    if prepartition is None:
+        try:
+            prepartition = len(images.input_files()) < pool
+        except Exception:
+            prepartition = True
+    if prepartition:
+        images = images.repartition(pool * 4)
+    return images.map_batches(
+        FlagshipStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool)

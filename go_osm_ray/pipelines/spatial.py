@@ -116,21 +116,23 @@ class NearestFeature:
     ``(px-fx)*(px-fx) + (py-fy)*(py-fy)`` in float64 (same op order as the
     SQL oracle); ties broken toward the smallest feature id.
 
-    The scan runs the exact float64 formula over feature chunks with a
-    strict running minimum: chunks are visited in ascending-id order and
-    np.argmin returns the first (= lowest-id) occurrence within a chunk,
-    so the tie-break needs no extra pass. Feature chunks are small (512)
-    so the working buffers stay L2/L3-resident — large chunks saturate
-    DRAM bandwidth when many actors run (measured 5x slowdown at 8192). (A float32 GEMM
-    prefilter was measured SLOWER here: OpenBLAS sgemm with inner dim 2
-    is pathological, ~1 s for a 4096x8614 product.)
+    The scan runs the exact float64 formula tiled over BOTH rows and
+    feature chunks with a strict running minimum: feature chunks are
+    visited in ascending-id order and np.argmin returns the first
+    (= lowest-id) occurrence within a chunk, so the tie-break needs no
+    extra pass. The (row_chunk x feat_chunk) working buffers are ~0.5 MB
+    — L2-resident, so 24+ concurrent actors scale near-linearly
+    (measured: untiled n x 512 buffers were 4x slower per process and
+    lost 2x more to shared-L3/DRAM contention at 24 procs). (A float32
+    GEMM prefilter was measured SLOWER here: OpenBLAS sgemm with inner
+    dim 2 is pathological, ~1 s for a 4096x8614 product.)
     At cluster scale this becomes per-cell-partition search with
     neighbor-ring expansion (SURVEY §2.5 J5); the broadcast table is the
     single-shard unit.
     """
 
     def __init__(self, feats_ref: ray.ObjectRef, id_col: str = "image_id",
-                 feat_chunk: int = 512):
+                 feat_chunk: int = 256, row_chunk: int = 256):
         t: pa.Table = ray.get(feats_ref)
         fid = t["id"].to_numpy()
         order = np.argsort(fid, kind="stable")
@@ -139,41 +141,52 @@ class NearestFeature:
         self.fy = t["lat"].to_numpy()[order]
         self.id_col = id_col
         self.feat_chunk = feat_chunk
+        self.row_chunk = row_chunk
+
+    def nearest(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        n, m = len(px), len(self.fid)
+        best_id = np.full(n, -1, np.int64)
+        if m == 0:
+            return best_id
+        best_d = np.full(n, np.inf)
+        fck = min(self.feat_chunk, m)
+        rck = min(self.row_chunk, max(n, 1))
+        # preallocated buffers + explicit out= ufuncs: the plain broadcast
+        # expression `px[:,None] - fx[None,:]` is ~17x slower on this numpy
+        # build (fresh-allocation path); ops stay bit-identical
+        bx = np.empty((rck, fck))
+        by = np.empty((rck, fck))
+        fx, fy, fid = self.fx, self.fy, self.fid
+        for rs in range(0, n, rck):
+            re_ = min(rs + rck, n)
+            rw = re_ - rs
+            rpx = px[rs:re_, None]
+            rpy = py[rs:re_, None]
+            bd = best_d[rs:re_]
+            bi = best_id[rs:re_]
+            rows = np.arange(rw)
+            for s in range(0, m, fck):
+                e = min(s + fck, m)
+                w = e - s
+                dx, dy = bx[:rw, :w], by[:rw, :w]
+                np.subtract(rpx, fx[None, s:e], out=dx)
+                np.subtract(rpy, fy[None, s:e], out=dy)
+                np.multiply(dx, dx, out=dx)
+                np.multiply(dy, dy, out=dy)
+                np.add(dx, dy, out=dx)  # d2
+                j = np.argmin(dx, axis=1)
+                dmin = dx[rows, j]
+                upd = dmin < bd  # strict: earlier (smaller-id) chunk wins ties
+                bd[upd] = dmin[upd]
+                bi[upd] = fid[s + j[upd]]
+        return best_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch["lon"].combine_chunks().to_numpy()
         py = batch["lat"].combine_chunks().to_numpy()
-        n = len(px)
-        m = len(self.fid)
-        if m == 0:
-            return pa.table({self.id_col: batch[self.id_col].combine_chunks(),
-                             "feature_id": pa.array(np.full(n, -1, np.int64))})
-        best_d = np.full(n, np.inf)
-        best_id = np.full(n, -1, np.int64)
-        rows = np.arange(n)
-        ck = min(self.feat_chunk, m)
-        # preallocated buffers + explicit out= ufuncs: the plain broadcast
-        # expression `px[:,None] - fx[None,:]` is ~17x slower on this numpy
-        # build (fresh-allocation path); ops stay bit-identical
-        bx = np.empty((n, ck))
-        by = np.empty((n, ck))
-        for s in range(0, m, ck):
-            e = min(s + ck, m)
-            w = e - s
-            dx, dy = bx[:, :w], by[:, :w]
-            np.subtract(px[:, None], self.fx[None, s:e], out=dx)
-            np.subtract(py[:, None], self.fy[None, s:e], out=dy)
-            np.multiply(dx, dx, out=dx)
-            np.multiply(dy, dy, out=dy)
-            np.add(dx, dy, out=dx)  # d2
-            j = np.argmin(dx, axis=1)
-            dmin = dx[rows, j]
-            upd = dmin < best_d  # strict: earlier (smaller-id) chunk wins ties
-            best_d[upd] = dmin[upd]
-            best_id[upd] = self.fid[s + j[upd]]
         return pa.table({
             self.id_col: batch[self.id_col].combine_chunks(),
-            "feature_id": pa.array(best_id),
+            "feature_id": pa.array(self.nearest(px, py)),
         })
 
 

@@ -43,5 +43,6 @@ def test_entry_smoke(ray_session):
     ds = E.entry()
     assert ds.count() > 0
     names = ds.schema().names
-    for col in ("image_id", "lon", "lat", "cell_r7", "tile14_x", "feature_id"):
+    for col in ("image_id", "lon", "lat", "cell_r7", "tile14_x",
+                "pip_feature_id", "knn_feature_id"):
         assert col in names
