@@ -333,6 +333,28 @@ def ensure_tables_for_dir(sf_dir: str) -> dict[str, str]:
     return ensure_tables(sf_of_dir(sf_dir))
 
 
+def ensure_osm_xml(sf: float, shards: int = 4) -> list[str]:
+    """Generate (once) sharded .osm.gz fixtures from the parquet tables —
+    the multi-file input layout the XML source parallelizes over."""
+    import pyarrow.parquet as pq
+    from .sources.osm_xml import write_osm_xml
+    d = scale_dir(sf)
+    xml_dir = d / "osm_xml"
+    done = xml_dir / ".done"
+    if not done.exists():
+        paths = ensure_tables(sf)
+        nodes = pq.read_table(paths["osm_nodes"])
+        ways = pq.read_table(paths["osm_ways"])
+        xml_dir.mkdir(parents=True, exist_ok=True)
+        for s in range(shards):
+            n0, n1 = (len(nodes) * s) // shards, (len(nodes) * (s + 1)) // shards
+            w0, w1 = (len(ways) * s) // shards, (len(ways) * (s + 1)) // shards
+            write_osm_xml(str(xml_dir / f"part-{s:03d}.osm.gz"),
+                          nodes.slice(n0, n1 - n0), ways.slice(w0, w1 - w0))
+        done.touch()
+    return sorted(str(p) for p in xml_dir.glob("part-*.osm.gz"))
+
+
 def reset_cache() -> None:
     if DATA_ROOT.exists():
         shutil.rmtree(DATA_ROOT)

@@ -61,6 +61,13 @@ def build(sf: float = 0.01) -> dict[str, str]:
                                  p["osm_relations"], p["images"])
     q: dict[str, str] = {}
 
+    # ---- reference-parity: XML source round-trip -------------------------
+    # the XML fixtures are serialized FROM these parquet tables, so the
+    # parquet is the independent ground truth for the XML parser
+    q["osm_xml_nodes"] = f"SELECT id, lon, lat, version, uid FROM {nodes}"
+    q["osm_xml_ways"] = (f"SELECT id, len(refs) AS nrefs, changeset "
+                         f"FROM {ways}")
+
     # ---- reference-parity: filters / projections -------------------------
     keys_in = ", ".join(f"'{k}'" for k in KEEP_KEYS)
     q["osm_keep_keys"] = f"""
@@ -178,6 +185,10 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT cell_r7, CAST(count(*) AS BIGINT) AS n FROM
           (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell_r7 FROM pts)
         GROUP BY cell_r7"""
+
+    # checkpointed partitioned write: manifest must account for every
+    # input row exactly once -> same ground truth as the histogram
+    q["checkpointed_write"] = q["cell_histogram"]
 
     # ---- graft: spatial joins --------------------------------------------
     pip_core = f"""
