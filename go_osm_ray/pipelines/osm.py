@@ -192,35 +192,72 @@ def summarize(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     element counts, distinct users, distinct tag keys, distinct key=value
     pairs, bounding box. The bbox is RECOMPUTED from node coords (the
     reference passes through the input header, UnmarshalPlanet.go:64-69 —
-    documented improvement)."""
-    def kv_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+    documented improvement).
+
+    ONE streaming pass: every block emits a small partial-summary table
+    (block count, block-distinct kv pairs and uids, block bbox) and a
+    single task merges them — the combiner pattern (SURVEY §4): distinct
+    sets shrink to the bounded tag/user vocabulary per block, so the
+    merge input stays tiny at any input scale.
+    """
+    def partial_of(name: str, has_geo: bool):
         def fn(batch: pa.Table) -> pa.Table:
+            kind, s1, s2, f1, f2 = [], [], [], [], []
             _, ks, vs = tagops.explode_keys(batch["tags"])
-            return pa.table({"key": ks, "value": vs})
-        return ds.map_batches(fn, batch_format="pyarrow")
+            if len(ks):
+                kv = pa.table({"k": ks, "v": vs}).group_by(["k", "v"]) \
+                       .aggregate([])
+                kind += ["kv"] * len(kv)
+                s1 += kv["k"].to_pylist()
+                s2 += kv["v"].to_pylist()
+                f1 += [0.0] * len(kv)
+                f2 += [0.0] * len(kv)
+            for u in np.unique(batch["uid"].combine_chunks().to_numpy()):
+                kind.append("uid"); s1.append(str(u)); s2.append("")
+                f1.append(0.0); f2.append(0.0)
+            kind.append("count"); s1.append(name); s2.append("")
+            f1.append(float(len(batch))); f2.append(0.0)
+            if has_geo and len(batch):
+                lon = batch["lon"].combine_chunks().to_numpy()
+                lat = batch["lat"].combine_chunks().to_numpy()
+                kind += ["bbox_min", "bbox_max"]; s1 += ["", ""]; s2 += ["", ""]
+                f1 += [float(lon.min()), float(lon.max())]
+                f2 += [float(lat.min()), float(lat.max())]
+            return pa.table({"kind": pa.array(kind, pa.string()),
+                             "s1": pa.array(s1, pa.string()),
+                             "s2": pa.array(s2, pa.string()),
+                             "f1": pa.array(f1, pa.float64()),
+                             "f2": pa.array(f2, pa.float64())})
+        return fn
 
-    def uid_table(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.select_columns(["uid"])
+    partials = (nodes.map_batches(partial_of("nodes", True), batch_format="pyarrow")
+                .union(ways.map_batches(partial_of("ways", False), batch_format="pyarrow"))
+                .union(relations.map_batches(partial_of("relations", False),
+                                             batch_format="pyarrow")))
 
-    n_nodes = nodes.count()
-    n_ways = ways.count()
-    n_rel = relations.count()
-    kv = kv_table(nodes).union(kv_table(ways)).union(kv_table(relations))
-    kv_counts = kv.groupby(["key", "value"]).aggregate(Count(alias_name="n"))
-    kv_pdf = kv_counts.to_pandas()
-    n_tags = len(kv_pdf)
-    n_keys = kv_pdf["key"].nunique()
-    uids = uid_table(nodes).union(uid_table(ways)).union(uid_table(relations))
-    n_users = len(uids.unique("uid"))
     from ..util import round_half_away as _rnd
-    bbox = nodes.aggregate(Min("lon"), Min("lat"), Max("lon"), Max("lat"))
-    return pd.DataFrame({
-        "n_nodes": [np.int64(n_nodes)], "n_ways": [np.int64(n_ways)],
-        "n_relations": [np.int64(n_rel)], "n_users": [np.int64(n_users)],
-        "n_keys": [np.int64(n_keys)], "n_tags": [np.int64(n_tags)],
-        "min_lon": [_rnd(bbox["min(lon)"], 7)], "min_lat": [_rnd(bbox["min(lat)"], 7)],
-        "max_lon": [_rnd(bbox["max(lon)"], 7)], "max_lat": [_rnd(bbox["max(lat)"], 7)],
-    })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df[df["kind"] == "count"].groupby("s1")["f1"].sum()
+        kv = df[df["kind"] == "kv"]
+        kv_u = kv.drop_duplicates(["s1", "s2"])
+        users = df[df["kind"] == "uid"]["s1"].nunique()
+        mins = df[df["kind"] == "bbox_min"]
+        maxs = df[df["kind"] == "bbox_max"]
+        return pd.DataFrame({
+            "n_nodes": [np.int64(counts.get("nodes", 0))],
+            "n_ways": [np.int64(counts.get("ways", 0))],
+            "n_relations": [np.int64(counts.get("relations", 0))],
+            "n_users": [np.int64(users)],
+            "n_keys": [np.int64(kv_u["s1"].nunique())],
+            "n_tags": [np.int64(len(kv_u))],
+            "min_lon": [_rnd(mins["f1"].min(), 7)],
+            "min_lat": [_rnd(mins["f2"].min(), 7)],
+            "max_lon": [_rnd(maxs["f1"].max(), 7)],
+            "max_lat": [_rnd(maxs["f2"].max(), 7)],
+        })
+
+    return merge(partials.to_pandas())
 
 
 def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,
