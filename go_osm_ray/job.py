@@ -1,0 +1,300 @@
+"""Declarative job runner — the reference's HCL-config entry point,
+Ray-Data-first (SURVEY.md §3.3/§2.9).
+
+The reference assembles a ``Config{Globals, InputConfigs, OutputConfigs}``
+from an HCL file (/root/reference/osm/LoadConfig.go:15-44, structs
+osm/Config.go:12-34) or CLI flags, renders URI templates
+(osm/RenderTemplate.go:16-87), derives per-resource options as
+globals-overridden-by-resource (osm/PlanetResource.go:25-90), pre-flights
+overwrite protection (cmd/osm/main.go:521-637), then fans out every
+output concurrently from one shared Planet (cmd/osm/main.go:716-889).
+
+Here the same spec (a plain dict — load it from YAML/JSON yourself or
+via ``load_spec``) builds lazy Dataset pipelines: inputs are read once,
+the shared filtered Dataset is reused by every output, and each output
+is one terminal write. Validation mirrors the reference's rules
+(mutually exclusive keep/drop row filters, cmd/osm/main.go:257-260;
+ways_to_nodes incompatible with drop_ways, osm/Config.go:322-324;
+cannot drop all element classes, Config.go:326-328).
+
+Spec shape::
+
+    {
+      "context": {"region": "dc"},                  # template ctx (K=V args)
+      "globals": {...option defaults...},
+      "inputs":  [{"uri": "...parquet glob or dir", "kind": "nodes"|"ways",
+                   "format": "parquet"|"osm_xml", ...options}],
+      "outputs": [{"uri": "/tmp/{{lower .region}}/out", "format":
+                   "parquet"|"geojsonl"|"geojson"|"osm_xml"|"summary",
+                   "overwrite": false, ...options}],
+    }
+
+Options (reference flag parity): include_keys/exclude_keys (tag
+projection P1), keys_to_keep/keys_to_drop (row filter P2), bbox
+[minx,miny,maxx,maxy] (P3, corrected semantics), filter (DFL-subset
+expression, P4), drop_attrs (P6), drop_nodes/drop_ways (P7),
+ways_to_nodes (P8).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import re
+from typing import Any
+
+_OPTION_KEYS = {
+    "include_keys", "exclude_keys", "keys_to_keep", "keys_to_drop",
+    "bbox", "filter", "drop_attrs", "drop_nodes", "drop_ways",
+    "ways_to_nodes",
+}
+
+
+# ----------------------------------------------------------- URI templating
+
+_TMPL_RE = re.compile(r"\{\{\s*([^}]+?)\s*\}\}")
+
+
+def _tmpl_funcs():
+    return {
+        "lower": lambda s: str(s).lower(),
+        "upper": lambda s: str(s).upper(),
+        "replace": lambda s, old, new: str(s).replace(str(old), str(new)),
+        "float64": lambda s: float(s),
+        "json": lambda v: json.dumps(v, sort_keys=True),
+        "map": lambda *kv: {str(kv[i]): kv[i + 1] for i in range(0, len(kv), 2)},
+    }
+
+
+def render_template(uri: str, ctx: dict[str, Any]) -> str:
+    """Go-template-flavoured URI rendering (RenderTemplate.go:16-87):
+    ``{{.var}}`` refs and the reference's six funcs
+    (lower/upper/replace/float64/json/map) in prefix form, e.g.
+    ``{{lower .region}}`` or ``{{replace .name "-" "_"}}``."""
+    funcs = _tmpl_funcs()
+
+    def resolve(tok: str):
+        tok = tok.strip()
+        if tok.startswith("."):
+            name = tok[1:]
+            if name not in ctx:
+                raise KeyError(f"template variable .{name} not in context")
+            return ctx[name]
+        if (tok.startswith('"') and tok.endswith('"')) or \
+           (tok.startswith("'") and tok.endswith("'")):
+            return tok[1:-1]
+        try:
+            return float(tok) if "." in tok else int(tok)
+        except ValueError:
+            raise KeyError(f"unknown template token {tok!r}")
+
+    def sub(m: re.Match) -> str:
+        parts = m.group(1).split()
+        if len(parts) == 1:
+            return str(resolve(parts[0]))
+        fname, args = parts[0], [resolve(p) for p in parts[1:]]
+        if fname not in funcs:
+            raise KeyError(f"unknown template function {fname!r}")
+        return str(funcs[fname](*args))
+
+    return _TMPL_RE.sub(sub, uri)
+
+
+# ----------------------------------------------------------------- spec load
+
+def load_spec(path: str) -> dict:
+    """JSON job spec (the HCL equivalent; YAML isn't in this container)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def _merged(globals_: dict, resource: dict) -> dict:
+    """Resource options override globals (PlanetResource.go:25-90)."""
+    out = {k: v for k, v in (globals_ or {}).items() if k in _OPTION_KEYS}
+    out.update({k: v for k, v in resource.items() if k in _OPTION_KEYS})
+    return out
+
+
+def validate_spec(spec: dict) -> list[str]:
+    """Reference validation rules; returns problems (empty = valid)."""
+    problems = []
+    if not spec.get("inputs"):
+        problems.append("no inputs configured")
+    if not spec.get("outputs"):
+        problems.append("no outputs configured")
+    for res in list(spec.get("inputs", [])) + list(spec.get("outputs", [])):
+        o = _merged(spec.get("globals", {}), res)
+        if o.get("keys_to_keep") and o.get("keys_to_drop"):
+            problems.append("keys_to_keep and keys_to_drop are mutually "
+                            "exclusive (cmd/osm/main.go:257-260)")
+        if o.get("ways_to_nodes") and o.get("drop_ways"):
+            problems.append("ways_to_nodes cannot combine with drop_ways "
+                            "(osm/Config.go:322-324)")
+        if o.get("drop_nodes") and o.get("drop_ways"):
+            problems.append("cannot drop every element class "
+                            "(osm/Config.go:326-328)")
+    return problems
+
+
+# ------------------------------------------------------------------ pipeline
+
+def _apply_options(ds, opts: dict):
+    """Shared filter chain in reference order: tag projection -> row
+    filters -> bbox -> expression -> attr drops."""
+    from .stages.filters import (drop_attributes, make_bbox_filter,
+                                 make_expr_filter, make_key_filter,
+                                 make_tag_projector)
+    if opts.get("include_keys") or opts.get("exclude_keys"):
+        ds = ds.map_batches(make_tag_projector(keep=opts.get("include_keys"),
+                                               drop=opts.get("exclude_keys")),
+                            batch_format="pyarrow")
+    if opts.get("keys_to_keep"):
+        ds = ds.map_batches(make_key_filter(keep=opts["keys_to_keep"]),
+                            batch_format="pyarrow")
+    elif opts.get("keys_to_drop"):
+        ds = ds.map_batches(make_key_filter(drop=opts["keys_to_drop"]),
+                            batch_format="pyarrow")
+    if opts.get("bbox") and "lon" in ds.schema().names:
+        ds = ds.map_batches(make_bbox_filter(*opts["bbox"]),
+                            batch_format="pyarrow")
+    if opts.get("filter"):
+        ds = ds.map_batches(make_expr_filter(opts["filter"]),
+                            batch_format="pyarrow")
+    if opts.get("drop_attrs"):
+        drop = list(opts["drop_attrs"])
+        ds = ds.map_batches(lambda b, d=drop: drop_attributes(b, d),
+                            batch_format="pyarrow")
+    return ds
+
+
+def _read_input(inp: dict, ctx: dict):
+    import ray.data as rd
+    from .sources.osm_xml import read_osm_xml
+    uri = render_template(inp["uri"], ctx)
+    fmt = inp.get("format", "parquet")
+    if fmt == "osm_xml":
+        kind = {"nodes": "node", "ways": "way",
+                "relations": "relation"}[inp.get("kind", "nodes")]
+        paths = sorted(_glob.glob(uri)) or [uri]  # S12 glob expansion
+        return read_osm_xml(paths, kind)
+    return rd.read_parquet(uri, columns=inp.get("columns"))
+
+
+def run_job(spec: dict) -> dict[str, dict]:
+    """Execute a job spec; returns {output_uri: {"rows": n, ...}}.
+
+    All outputs consume the SAME lazy filtered Dataset per element kind
+    (the reference shares one Planet across output goroutines,
+    cmd/osm/main.go:716-889); each terminal write executes the shared
+    prefix — Ray Data caches nothing across them, so pipelines stay
+    streaming and memory-bounded.
+    """
+    problems = validate_spec(spec)
+    if problems:
+        raise ValueError("; ".join(problems))
+    ctx = spec.get("context", {})
+    g = spec.get("globals", {})
+
+    # inputs: union per element kind (multi-input append, main.go:647-690)
+    tables: dict[str, Any] = {}
+    for inp in spec["inputs"]:
+        kind = inp.get("kind", "nodes")
+        ds = _read_input(inp, ctx)
+        ds = _apply_options(ds, _merged(g, inp))
+        tables[kind] = tables[kind].union(ds) if kind in tables else ds
+
+    # pre-flight overwrite protection for every output (main.go:521-637)
+    rendered = []
+    for out in spec["outputs"]:
+        uri = render_template(out["uri"], ctx)
+        if os.path.exists(uri) and not out.get("overwrite", False):
+            raise FileExistsError(
+                f"output exists and overwrite=false: {uri}")
+        rendered.append((uri, out))
+
+    results: dict[str, dict] = {}
+    for uri, out in rendered:
+        opts = _merged(g, out)
+        fmt = out.get("format") or _infer_format(uri)
+        nodes = tables.get("nodes")
+        ways = tables.get("ways")
+        if nodes is not None and not out.get("drop_nodes"):
+            nodes_out = _apply_options(nodes, opts)
+        else:
+            nodes_out = None
+        ways_out = ways if (ways is not None and not opts.get("drop_ways")) \
+            else None
+
+        if opts.get("ways_to_nodes") and ways_out is not None \
+                and nodes is not None:
+            # P8: each way becomes a synthetic centroid node appended to
+            # the node output; the ways themselves are no longer written
+            from .pipelines.osm import ways_to_nodes as _w2n
+            synth = _w2n(nodes, ways_out, node_shaped=True)
+            if nodes_out is None:
+                nodes_out = synth
+            else:
+                cols = [c for c in nodes_out.schema().names
+                        if c in set(synth.schema().names)]
+                nodes_out = nodes_out.select_columns(cols).union(
+                    synth.select_columns(cols))
+            ways_out = None
+
+        results[uri] = _write_output(uri, fmt, out, nodes_out, ways_out)
+    return results
+
+
+def _infer_format(uri: str) -> str:
+    """Suffix inference (cmd/osm/main.go:723-731)."""
+    base = uri[:-3] if uri.endswith(".gz") else uri
+    if base.endswith(".geojson"):
+        return "geojson"
+    if base.endswith(".geojsonl"):
+        return "geojsonl"
+    if base.endswith(".osm"):
+        return "osm_xml"
+    return "parquet"
+
+
+def _write_output(uri: str, fmt: str, out: dict, nodes, ways) -> dict:
+    if fmt == "summary":
+        return {"rows": int(nodes.count()) if nodes is not None else 0}
+    if fmt == "parquet":
+        os.makedirs(uri, exist_ok=True)
+        n = 0
+        if nodes is not None:
+            nodes.write_parquet(os.path.join(uri, "nodes"))
+            n += 1
+        if ways is not None:
+            ways.write_parquet(os.path.join(uri, "ways"))
+            n += 1
+        return {"tables": n}
+    if fmt == "geojsonl":
+        from .sinks import nodes_to_features, write_geojsonl
+        os.makedirs(uri, exist_ok=True)
+        write_geojsonl(nodes_to_features(nodes), uri)
+        return {"dir": uri}
+    if fmt == "geojson":
+        from .sinks import nodes_to_features, write_geojson
+        n = write_geojson(nodes_to_features(nodes), uri)
+        return {"rows": n}
+    if fmt == "osm_xml":
+        from .sources.osm_xml import write_osm_xml
+        # small parity outputs only (SURVEY §2.2 K1): XML is a
+        # single-document format, so collect sorted tables driver-side
+        ntab = _collect_arrow(nodes)
+        wtab = _collect_arrow(ways)
+        write_osm_xml(uri, ntab, wtab,
+                      drop_attrs=tuple(out.get("drop_attrs", ())))
+        return {"rows": (len(ntab) if ntab is not None else 0)
+                + (len(wtab) if wtab is not None else 0)}
+    raise ValueError(f"unknown output format {fmt!r}")
+
+
+def _collect_arrow(ds):
+    if ds is None:
+        return None
+    import pyarrow as pa
+    import ray
+    return pa.concat_tables(ray.get(ds.sort("id").to_arrow_refs()))

@@ -86,7 +86,8 @@ def join_refs_to_coords(ways: ray.data.Dataset, nodes: ray.data.Dataset,
 
 def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                   max_all_id: int | None = None,
-                  min_way_id: int | None = None) -> ray.data.Dataset:
+                  min_way_id: int | None = None,
+                  node_shaped: bool = False) -> ray.data.Dataset:
     """ways -> synthetic centroid nodes (/root/reference/osm/Planet.go:209-244).
 
     Centroid = unweighted mean of referenced node coords (closing duplicate
@@ -106,7 +107,11 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                                               Mean("lat", alias_name="lat_c"),
                                               Count(alias_name="n_refs"))
 
-    attrs_ref = broadcast_table(ways, ["id", "version", "changeset", "uid", "user"])
+    attr_cols = ["id", "version", "changeset", "uid", "user"]
+    if node_shaped:  # full node schema for appending to a node output
+        way_schema = ways.schema().names
+        attr_cols += [c for c in ("ts", "tags") if c in way_schema]
+    attrs_ref = broadcast_table(ways, attr_cols)
 
     def attach(batch: pa.Table) -> pa.Table:
         at = ray.get(attrs_ref)
@@ -114,19 +119,36 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         order = np.argsort(ids, kind="stable")
         sids = ids[order]
         w = batch["way_id"].combine_chunks().to_numpy()
-        j = np.searchsorted(sids, w)
+        j = pa.array(order[np.searchsorted(sids, w)])
         new_id = max_all_id + 1 + (w - min_way_id)
-        out = pa.table({
+        lon = round_half_away(batch["lon_c"].combine_chunks(), 7)
+        lat = round_half_away(batch["lat_c"].combine_chunks(), 7)
+        if node_shaped:
+            # the way's attrs AND tags are copied onto the synthetic
+            # node (Planet.ConvertWayToNode, Planet.go:209-244)
+            return pa.table({
+                "id": pa.array(new_id),
+                "version": pc.take(at["version"], j),
+                "ts": pc.take(at["ts"], j) if "ts" in at.column_names
+                else pa.nulls(len(w), pa.timestamp("us")),
+                "changeset": pc.take(at["changeset"], j),
+                "uid": pc.take(at["uid"], j),
+                "user": pc.take(at["user"], j),
+                "lon": lon, "lat": lat,
+                "tags": pc.take(at["tags"], j) if "tags" in at.column_names
+                else pa.nulls(len(w), pa.list_(pa.struct(
+                    [("key", pa.string()), ("value", pa.string())]))),
+            })
+        return pa.table({
             "new_id": pa.array(new_id),
             "way_id": batch["way_id"].combine_chunks(),
-            "lon_c": round_half_away(batch["lon_c"].combine_chunks(), 7),
-            "lat_c": round_half_away(batch["lat_c"].combine_chunks(), 7),
+            "lon_c": lon,
+            "lat_c": lat,
             "n_refs": pc.cast(batch["n_refs"].combine_chunks(), pa.int64()),
-            "version": pc.take(at["version"], pa.array(order[j])),
-            "uid": pc.take(at["uid"], pa.array(order[j])),
-            "user": pc.take(at["user"], pa.array(order[j])),
+            "version": pc.take(at["version"], j),
+            "uid": pc.take(at["uid"], j),
+            "user": pc.take(at["user"], j),
         })
-        return out
     return cent.map_batches(attach, batch_format="pyarrow")
 
 

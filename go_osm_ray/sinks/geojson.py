@@ -1,0 +1,89 @@
+"""GeoJSON / GeoJSONL sinks (reference K4/K5, P9/P10).
+
+The reference renders features driver-side into one document
+(/root/reference/cmd/osm/main.go:740-799 via osm/Planet.go:80-136,
+NodeToFeature.go:8-10) or one-feature-per-line GeoJSONL
+(cmd/osm/main.go:801-877). Here feature construction is a vectorized
+``map_batches`` stage producing nested Arrow columns, and:
+
+* **GeoJSONL** writes natively parallel via ``Dataset.write_json``
+  (one shard file per block — resumable layout, never one giant file);
+* **GeoJSON** (a single FeatureCollection document) is inherently a
+  one-file format, so it collects to the driver — use only for small
+  outputs, exactly like the reference's whole-dataset JSON document.
+
+Way features follow Planet.WayToFeature (Planet.go:59-78, with the
+closed-ring off-by-one CORRECTED): closed ring -> Polygon, else
+LineString.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _props(tags) -> dict:
+    if tags is None:
+        return {}
+    return {t["key"]: t["value"] for t in tags}  # ndarray-of-dicts safe
+
+
+def nodes_to_features(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """Node -> GeoJSON Feature rows (id, type, geometry, properties)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "type": ["Feature"] * len(df),
+            "id": df["id"].astype(np.int64),
+            "geometry": [{"type": "Point", "coordinates": [lon, lat]}
+                         for lon, lat in zip(df["lon"], df["lat"])],
+            "properties": [_props(t) for t in df["tags"]],
+        })
+    return nodes.map_batches(fn, batch_format="pandas")
+
+
+def ways_to_features(way_coords: ray.data.Dataset,
+                     way_tags: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """Way coordinate rows (way_id, pos, lon, lat — the output of
+    pipelines.osm.join_refs_to_coords) -> LineString/Polygon features.
+
+    Geometry assembly groups by way_id; rings whose first and last
+    vertex coincide become Polygons (Planet.go:67-77, corrected)."""
+    def per_way(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("pos")
+        coords = [[lon, lat] for lon, lat in zip(df["lon"], df["lat"])]
+        closed = len(coords) >= 4 and coords[0] == coords[-1]
+        geom = ({"type": "Polygon", "coordinates": [coords]} if closed
+                else {"type": "LineString", "coordinates": coords})
+        return pd.DataFrame({"type": ["Feature"],
+                             "id": [np.int64(df["way_id"].iloc[0])],
+                             "geometry": [geom], "properties": [{}]})
+    return way_coords.groupby("way_id").map_groups(per_way,
+                                                   batch_format="pandas")
+
+
+def write_geojsonl(features: ray.data.Dataset, out_dir: str) -> None:
+    """Parallel GeoJSONL: one .jsonl shard per block (K5)."""
+    features.write_json(out_dir)
+
+
+def write_geojson(features: ray.data.Dataset, path: str,
+                  limit: int | None = 100_000) -> int:
+    """Single FeatureCollection document (K4) — driver-side by design;
+    guarded by ``limit`` so big datasets fail loudly instead of OOMing
+    the driver (use write_geojsonl for those)."""
+    rows = features.take_all(limit=limit)
+    doc = {"type": "FeatureCollection",
+           "features": [{"type": "Feature", "id": int(r["id"]),
+                         "geometry": r["geometry"],
+                         "properties": r["properties"]} for r in rows]}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+    return len(rows)

@@ -1,0 +1,125 @@
+"""Job-spec runner: templating, validation, filter chain, multi-output
+fan-out, overwrite protection, ways_to_nodes append (SURVEY §3.3)."""
+
+import json
+import os
+
+import pytest
+
+from go_osm_ray import job
+from go_osm_ray.job import render_template, run_job, validate_spec
+
+SF = "/root/testdata/sf0.001"
+
+
+def _gen():
+    from go_osm_ray import datagen
+    return datagen.ensure_tables(0.001)
+
+
+# ----------------------------------------------------------- templating
+
+def test_render_template_vars_and_funcs():
+    ctx = {"region": "DC", "name": "a-b"}
+    assert render_template("/x/{{.region}}/f", ctx) == "/x/DC/f"
+    assert render_template("{{lower .region}}", ctx) == "dc"
+    assert render_template("{{upper .name}}", ctx) == "A-B"
+    assert render_template('{{replace .name "-" "_"}}', ctx) == "a_b"
+    assert render_template("{{float64 .n}}", {"n": "2"}) == "2.0"
+    with pytest.raises(KeyError):
+        render_template("{{.missing}}", ctx)
+
+
+# ----------------------------------------------------------- validation
+
+def test_validate_mutual_exclusions():
+    spec = {"inputs": [{"uri": "x"}], "outputs": [{"uri": "y"}],
+            "globals": {"keys_to_keep": ["a"], "keys_to_drop": ["b"]}}
+    assert any("mutually exclusive" in p for p in validate_spec(spec))
+    spec["globals"] = {"ways_to_nodes": True, "drop_ways": True}
+    assert any("ways_to_nodes" in p for p in validate_spec(spec))
+    spec["globals"] = {}
+    assert validate_spec(spec) == []
+
+
+# ------------------------------------------------------------- end-to-end
+
+def test_job_multi_output(ray_session, tmp_path):
+    paths = _gen()
+    out_pq = str(tmp_path / "{{lower .region}}-out")
+    out_jl = str(tmp_path / "feat.geojsonl")
+    spec = {
+        "context": {"region": "DC"},
+        "globals": {"keys_to_keep": ["amenity"]},
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+        "outputs": [
+            {"uri": out_pq, "format": "parquet"},
+            {"uri": out_jl, "format": "geojsonl"},
+        ],
+    }
+    results = run_job(spec)
+    rendered = str(tmp_path / "dc-out")
+    assert rendered in results
+    # parquet output readable and row-filtered
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    nodes_out = pads.dataset(os.path.join(rendered, "nodes")).to_table()
+    assert 0 < len(nodes_out)
+    # every surviving row has the amenity key (P2 row filter applied)
+    for tags in nodes_out["tags"].to_pylist():
+        assert any(t["key"] == "amenity" for t in tags)
+    # geojsonl shards parse as features
+    files = [f for f in os.listdir(out_jl) if f.endswith(".json")]
+    assert files
+    line = open(os.path.join(out_jl, files[0])).readline()
+    feat = json.loads(line)
+    assert feat["geometry"]["type"] == "Point" and "properties" in feat
+
+
+def test_overwrite_protection(ray_session, tmp_path):
+    paths = _gen()
+    out = str(tmp_path / "o.geojson")
+    open(out, "w").write("{}")
+    spec = {"inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+            "outputs": [{"uri": out, "format": "geojson"}]}
+    with pytest.raises(FileExistsError):
+        run_job(spec)
+    spec["outputs"][0]["overwrite"] = True
+    results = run_job(spec)
+    doc = json.load(open(out))
+    assert doc["type"] == "FeatureCollection"
+    assert len(doc["features"]) == results[out]["rows"] > 0
+
+
+def test_ways_to_nodes_output(ray_session, tmp_path):
+    paths = _gen()
+    out = str(tmp_path / "w2n")
+    spec = {"inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"},
+                       {"uri": paths["osm_ways"], "kind": "ways"}],
+            "outputs": [{"uri": out, "format": "parquet",
+                         "ways_to_nodes": True}]}
+    run_job(spec)
+    import pyarrow.dataset as pads
+    nodes_out = pads.dataset(os.path.join(out, "nodes")).to_table()
+    import pyarrow.parquet as pq
+    n_nodes = len(pq.read_table(paths["osm_nodes"]))
+    n_ways = len(pq.read_table(paths["osm_ways"]))
+    # synthetic centroid node appended per way, no ways table written
+    assert len(nodes_out) == n_nodes + n_ways
+    assert not os.path.exists(os.path.join(out, "ways"))
+
+
+def test_osm_xml_input_and_output(ray_session, tmp_path):
+    from go_osm_ray import datagen
+    xml_paths = datagen.ensure_osm_xml(0.001)
+    out = str(tmp_path / "echo.osm")
+    spec = {"inputs": [{"uri": os.path.dirname(xml_paths[0]) + "/part-*.osm.gz",
+                        "kind": "nodes", "format": "osm_xml"}],
+            "outputs": [{"uri": out, "format": "osm_xml"}]}
+    run_job(spec)
+    from go_osm_ray.sources.osm_xml import parse_osm_xml
+    t = parse_osm_xml(open(out, "rb").read(), "node")
+    import pyarrow.parquet as pq
+    src = pq.read_table(_gen()["osm_nodes"])
+    assert len(t) == len(src)
+    assert t.sort_by("id")["id"].to_pylist() == src["id"].to_pylist()
