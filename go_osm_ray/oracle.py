@@ -67,6 +67,10 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["osm_xml_nodes"] = f"SELECT id, lon, lat, version, uid FROM {nodes}"
     q["osm_xml_ways"] = (f"SELECT id, len(refs) AS nrefs, changeset "
                          f"FROM {ways}")
+    q["osm_xml_relations"] = (
+        f"SELECT id, len(members) AS n_members, "
+        f"CAST(list_sum(list_transform(members, _m -> _m.ref)) AS BIGINT) "
+        f"AS ref_sum FROM {rels}")
 
     # ---- reference-parity: filters / projections -------------------------
     keys_in = ", ".join(f"'{k}'" for k in KEEP_KEYS)

@@ -257,6 +257,97 @@ def ann_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef, k: int,
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
+                  iters: int = 3, sample: int = 4096) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: k-means on a fixed
+    vec_id-ordered sample (seed-free — same input, same centroids),
+    initialized with evenly spaced sample vectors."""
+    t = embeddings.select_columns(["vec_id", "embedding"]) \
+        .sort("vec_id").limit(sample).to_pandas()
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = x[np.linspace(0, len(x) - 1, n_lists).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+class IVFTopK:
+    """IVF-bucketed ANN stage — the scale path next to the brute-force
+    TopKCosine: each candidate vector is probed ONLY against queries
+    whose ``nprobe`` nearest centroids include the vector's list, cutting
+    the scan to ~nprobe/n_lists of the brute-force work. Emits mergeable
+    per-batch top-k partials exactly like TopKCosine, so the final exact
+    merge is the same small groupby. Recall < 1.0 by construction; the
+    test gate asserts recall vs the exact scan."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, cent_ref: ray.ObjectRef,
+                 k: int, nprobe: int = 4):
+        q: pa.Table = ray.get(queries_ref)
+        self.qid = q["vec_id"].to_numpy()
+        qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.cent = ray.get(cent_ref)
+        # per-query probed list set -> bool mask (n_queries, n_lists)
+        qc = self.qm @ self.cent.T
+        nprobe = min(nprobe, self.cent.shape[0])
+        probed = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+        self.probe_mask = np.zeros((len(self.qid), self.cent.shape[0]), bool)
+        self.probe_mask[np.arange(len(self.qid))[:, None], probed] = True
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch["vec_id"].combine_chunks().to_numpy()
+        lists = np.argmax(emb @ self.cent.T, axis=1)  # vector -> IVF list
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qid)):
+            m = self.probe_mask[qi, lists]
+            if not m.any():
+                continue
+            col = emb[m] @ self.qm[qi]
+            sub_v = vids[m]
+            k = min(self.k, len(col))
+            top = np.lexsort((sub_v, -col))[:k]
+            out_q.append(np.full(k, self.qid[qi], np.int64))
+            out_v.append(sub_v[top].astype(np.int64))
+            out_s.append(col[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+
+def ann_ivf_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
+                 k: int, n_lists: int = 16, nprobe: int = 8,
+                 concurrency: int | tuple[int, int] | None = None,
+                 batch_size: int = 4096) -> ray.data.Dataset:
+    """Approximate top-k cosine via IVF lists (see IVFTopK)."""
+    from ..util import default_pool
+    cent_ref = ray.put(ivf_centroids(embeddings, n_lists))
+    partials = embeddings.map_batches(
+        IVFTopK, fn_constructor_args=(queries_ref, cent_ref, k, nprobe),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(8))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "rank", "vec_id"]]
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 def add_s2_cells(ds: ray.data.Dataset, levels: tuple[int, ...] = (10, 14)) -> ray.data.Dataset:
     """Append s2_l{level} cell-id columns (geo/s2.py scheme)."""
     def fn(batch: pa.Table) -> pa.Table:

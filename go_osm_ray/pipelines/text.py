@@ -172,8 +172,9 @@ def _dedup_pairs(a: np.ndarray, b: np.ndarray):
     return pk >> 31, pk & ((1 << 31) - 1)
 
 
-def jaccard(a: str, b: str) -> float:
-    sa, sb = set(_shingle_hashes(a).tolist()), set(_shingle_hashes(b).tolist())
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = set(_shingle_hashes(a, k).tolist())
+    sb = set(_shingle_hashes(b, k).tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
@@ -225,6 +226,60 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
 
 
 # ------------------------------------------------------------- simhash
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
+                        k: int = 3, max_df: int = 64) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking:
+    docs sharing >= 1 (non-ubiquitous) k-shingle are candidates, then the
+    exact shingle Jaccard >= threshold verifies.
+
+    Buckets bigger than ``max_df`` are dropped before pair generation —
+    the standard common-shingle cutoff: a shingle appearing in more than
+    max_df docs is uninformative and its bucket would emit O(df^2)
+    candidate pairs (skew control; any true near-dup pair at Jaccard>=0.5
+    still shares many rarer shingles). Same shuffle shape as
+    minhash_lsh_pairs: (shingle_hash, doc_id) rows -> bucket pair kernel
+    -> broadcast-text verify.
+    """
+    def shingle_stage(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().to_numpy()
+        out_doc, out_sh = [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            sh = _shingle_hashes(t, k)
+            out_doc.append(np.full(len(sh), did, np.int64))
+            out_sh.append(sh.astype(np.int64))
+        return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                         "shingle": pa.array(np.concatenate(out_sh))})
+
+    rows = docs.map_batches(shingle_stage, batch_format="pyarrow")
+
+    def pairgen(t: pa.Table) -> pa.Table:
+        key = t["shingle"].combine_chunks().to_numpy()
+        doc = t["doc_id"].combine_chunks().to_numpy()
+        # common-shingle cutoff before pair expansion
+        u, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        keep = cnt[inv] <= max_df
+        a, b = _bucket_pairs_vec(key[keep], doc[keep])
+        a, b = _dedup_pairs(a, b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    cand = rows.repartition(1).map_batches(pairgen, batch_format="pyarrow")
+
+    from ..relational import broadcast_table
+    texts_ref = broadcast_table(docs, ["doc_id", "text"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(texts_ref)
+        lookup = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
+        a = batch["a"].combine_chunks().to_numpy()
+        b = batch["b"].combine_chunks().to_numpy()
+        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)], k)
+                        for x, y in zip(a, b)]) if len(a) else np.empty(0)
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jac6": pa.array(np.round(jac[keep], 6))})
+    return cand.map_batches(verify, batch_format="pyarrow")
+
 
 def simhash64(text: str) -> np.uint64:
     acc = np.zeros(64, np.int64)

@@ -109,3 +109,39 @@ def test_winnow_fp_deterministic_and_shift_invariant(ray_session):
                    "text": ["hello world common substring", "hello world common substring"]})
     out = winnow_fingerprint_batch(t1)
     assert out["winnow_fp"][0] == out["winnow_fp"][1]
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Blocking must be EXACT above threshold on a doc slice (any pair
+    with jaccard >= 0.5 shares shingles, so blocking can only miss via
+    the max_df cutoff; verify none missed on the slice) and report no
+    false positives anywhere."""
+    import __ray_entry__ as E
+    from go_osm_ray.pipelines.text import jaccard
+    import pyarrow.parquet as pq
+    got = parity.to_pandas(E.queries()["ngram_jaccard_pairs"](SF))
+    got_pairs = set(zip(got["a"], got["b"]))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pydict()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for (a, b), j6 in zip(got_pairs, got["jac6"]):
+        assert jaccard(texts[a], texts[b]) >= 0.5
+    ids = sorted(texts)[:120]
+    true_pairs = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if jaccard(texts[a], texts[b]) >= 0.5}
+    found = {(a, b) for a, b in got_pairs if a in set(ids) and b in set(ids)}
+    assert true_pairs == found
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF probe path must reach >= 0.7 mean recall@k vs the exact scan
+    at nprobe=4/16 lists on the synthetic embeddings."""
+    import __ray_entry__ as E
+    exact = parity.to_pandas(E.queries()["ann_topk"](SF))
+    approx = parity.to_pandas(E.queries()["ann_ivf_topk"](SF))
+    recalls = []
+    for q in exact["query_id"].unique():
+        ex = set(exact[exact["query_id"] == q]["vec_id"])
+        ap = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(ex & ap) / len(ex))
+    assert np.mean(recalls) >= 0.7, recalls
