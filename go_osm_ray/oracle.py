@@ -193,6 +193,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # checkpointed partitioned write: manifest must account for every
     # input row exactly once -> same ground truth as the histogram
     q["checkpointed_write"] = q["cell_histogram"]
+    q["salted_cell_histogram"] = q["cell_histogram"]
 
     # ---- graft: spatial joins --------------------------------------------
     pip_core = f"""

@@ -124,7 +124,10 @@ def image_stats(images: ray.data.Dataset, concurrency=None,
                 batch_size: int = 1024) -> ray.data.Dataset:
     from ..util import default_pool
     pool = concurrency or default_pool(24)
-    return images.repartition(pool * 4).map_batches(
+    # no repartition: it is an all-to-all barrier on byte-heavy payloads;
+    # the images parquet is written with 8K-row row groups, so the read
+    # already splits into enough blocks to feed the pool
+    return images.map_batches(
         DecodeStats, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool)
 
@@ -133,7 +136,7 @@ def image_verify(images: ray.data.Dataset, concurrency=None,
                  batch_size: int = 1024) -> ray.data.Dataset:
     from ..util import default_pool
     pool = concurrency or default_pool(24)
-    return images.repartition(pool * 4).map_batches(
+    return images.map_batches(
         DecodeVerify, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool)
 
@@ -142,7 +145,7 @@ def image_ahash(images: ray.data.Dataset, concurrency=None,
                 batch_size: int = 1024) -> ray.data.Dataset:
     from ..util import default_pool
     pool = concurrency or default_pool(24)
-    return images.repartition(pool * 4).map_batches(
+    return images.map_batches(
         ResizeAHash, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool)
 

@@ -257,6 +257,62 @@ def ann_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef, k: int,
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
 
+def detect_hot_cells(pts: ray.data.Dataset, cell_col: str,
+                     hot_fraction: float = 0.002) -> tuple[list[int], int]:
+    """Cells holding more than ``hot_fraction`` of all rows (the skewed
+    urban cells the north rule requires salting): per-block partial
+    counts -> one merge task. Returns (hot cell ids, total rows)."""
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[cell_col].combine_chunks().to_numpy()
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u), "pn": pa.array(n.astype(np.int64))})
+    pdf = pts.map_batches(partial, batch_format="pyarrow") \
+             .repartition(1).to_pandas()
+    agg = pdf.groupby("cell")["pn"].sum()
+    total = int(agg.sum())
+    return agg[agg > total * hot_fraction].index.astype(np.int64).tolist(), total
+
+
+def salted_cell_histogram(images: ray.data.Dataset, resolution: int = 7,
+                          hot_fraction: float = 0.002,
+                          salt_buckets: int = 8,
+                          id_col: str = "image_id") -> ray.data.Dataset:
+    """Cell histogram through the SALTED shuffle path (north rule: "hot
+    cells are salted and split before a groupby-cell shuffle").
+
+    Stage 1 detects hot cells (per-block partials, broadcast once);
+    stage 2 salts rows in hot cells so the first groupby keys on
+    (cell, salt) — no reducer sees more than ~1/salt_buckets of a hot
+    cell — and a second, tiny groupby folds the salt partials into final
+    per-cell counts. The result must be IDENTICAL to the unsalted
+    histogram (same DuckDB oracle), proving salting only reshapes the
+    exchange, never the answer."""
+    from ray.data.aggregate import Sum
+    from ..stages.assign import make_cell_assigner, make_salter
+
+    cell_col = f"cell_r{resolution}"
+    pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
+                .map_batches(make_cell_assigner((resolution,)),
+                             batch_format="pyarrow")
+    hot, _ = detect_hot_cells(pts, cell_col, hot_fraction)
+    hot_ref = ray.put(hot)
+    salted = pts.map_batches(make_salter(cell_col, hot_ref, salt_buckets,
+                                         id_col), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({cell_col: t[cell_col], "salt": t["salt"]}).to_pandas()
+        g = df.groupby([cell_col, "salt"]).size().reset_index(name="pn")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_salt = salted.map_batches(partial, batch_format="pyarrow") \
+        .groupby([cell_col, "salt"]).aggregate(Sum("pn", alias_name="sn"))
+    final = per_salt.groupby(cell_col).aggregate(Sum("sn", alias_name="n"))
+    return final.map_batches(
+        lambda t: pa.table({cell_col: t[cell_col],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
                   iters: int = 3, sample: int = 4096) -> np.ndarray:
     """Deterministic coarse quantizer for IVF: k-means on a fixed

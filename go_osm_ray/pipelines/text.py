@@ -256,29 +256,36 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     def pairgen(t: pa.Table) -> pa.Table:
         key = t["shingle"].combine_chunks().to_numpy()
         doc = t["doc_id"].combine_chunks().to_numpy()
+        # per-doc distinct-shingle counts (rows are unique per doc)
+        docs_u, doc_cnt = np.unique(doc, return_counts=True)
         # common-shingle cutoff before pair expansion
         u, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
         keep = cnt[inv] <= max_df
         a, b = _bucket_pairs_vec(key[keep], doc[keep])
-        a, b = _dedup_pairs(a, b)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        if not len(a):
+            e = pa.array(np.empty(0, np.int64))
+            return pa.table({"a": e, "b": e,
+                             "jac6": pa.array(np.empty(0, np.float64))})
+        # EXACT jaccard from the blocking itself, no text re-verify: a
+        # pair appears once per shared shingle, so its pre-dedup
+        # multiplicity IS |A∩B|; |A∪B| = |A|+|B|-|A∩B| from the per-doc
+        # counts. (A python re-shingling verify over the 1.1M candidate
+        # pairs at sf0.1 was measured at ~90 s; this is ~1 s.) When the
+        # max_df cutoff fires, the computed jaccard is a LOWER bound
+        # (dropped ubiquitous shingles shrink the intersection), so
+        # filtering >= threshold yields no false positives.
+        pk, inter = np.unique(a * (1 << 31) + b, return_counts=True)
+        a, b = pk >> 31, pk & ((1 << 31) - 1)
+        ca = doc_cnt[np.searchsorted(docs_u, a)]
+        cb = doc_cnt[np.searchsorted(docs_u, b)]
+        jac = inter / (ca + cb - inter)
+        m = jac >= threshold
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
+                         "jac6": pa.array(np.round(jac[m], 6))})
 
-    cand = rows.repartition(1).map_batches(pairgen, batch_format="pyarrow")
-
-    from ..relational import broadcast_table
-    texts_ref = broadcast_table(docs, ["doc_id", "text"])
-
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)
-        lookup = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
-        a = batch["a"].combine_chunks().to_numpy()
-        b = batch["b"].combine_chunks().to_numpy()
-        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)], k)
-                        for x, y in zip(a, b)]) if len(a) else np.empty(0)
-        keep = jac >= threshold
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                         "jac6": pa.array(np.round(jac[keep], 6))})
-    return cand.map_batches(verify, batch_format="pyarrow")
+    # the shingle table shuffles once; at 10^12-doc scale repartition(1)
+    # becomes a groupby(shingle-hash range) with the same kernel
+    return rows.repartition(1).map_batches(pairgen, batch_format="pyarrow")
 
 
 def simhash64(text: str) -> np.uint64:
