@@ -192,7 +192,11 @@ def build(sf: float = 0.01) -> dict[str, str]:
 
     # checkpointed partitioned write: manifest must account for every
     # input row exactly once -> same ground truth as the histogram
-    q["checkpointed_write"] = q["cell_histogram"]
+    q["checkpointed_write"] = f"""
+        WITH {_pts_cte(images)}
+        SELECT cell_r4, CAST(count(*) AS BIGINT) AS n FROM
+          (SELECT {tiles.sql_cell_id('lon', 'lat', 4)} AS cell_r4 FROM pts)
+        GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
     # ---- graft: spatial joins --------------------------------------------
