@@ -155,7 +155,7 @@ def main():
     if "--scaling" in sys.argv:
         from go_osm_ray import datagen
         datagen.ensure_tables_for_dir(sf_dir)
-        os.environ.setdefault("GRAFT_SCALE_REP", "80")
+        os.environ.setdefault("GRAFT_SCALE_REP", "100")
         # best-of-2 per level: single-node runs on this box show ~10%
         # run-to-run noise, which would swamp the efficiency ratio
         lo = min((_headline_only(sf_dir, 8) for _ in range(2)),
