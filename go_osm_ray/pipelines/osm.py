@@ -103,9 +103,32 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     if min_way_id is None:
         min_way_id = int(ways.min("id"))
     coords = join_refs_to_coords(ways, nodes)
-    cent = coords.groupby("way_id").aggregate(Mean("lon", alias_name="lon_c"),
-                                              Mean("lat", alias_name="lat_c"),
-                                              Count(alias_name="n_refs"))
+
+    # combiner before the exchange: per-block (way_id, sum, count)
+    # partials shrink the 35-ref-per-way coordinate rows ~30x; the
+    # surviving per-way partials merge in ONE task (ways are the small
+    # element class). At 10^12-element scale swap the repartition(1) for
+    # groupby("way_id") over the same partial rows.
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"way_id": t["way_id"], "slon": t["lon"],
+                      "slat": t["lat"]}).group_by("way_id") \
+            .aggregate([("slon", "sum"), ("slat", "sum"), ("slon", "count")])
+        return g.rename_columns(["way_id", "slon", "slat", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("way_id").aggregate(
+            [("slon", "sum"), ("slat", "sum"), ("pn", "sum")])
+        g = g.rename_columns(["way_id", "slon", "slat", "n"])
+        n = g["n"].combine_chunks().to_numpy().astype(np.float64)
+        return pa.table({
+            "way_id": g["way_id"],
+            "lon_c": pa.array(g["slon"].combine_chunks().to_numpy() / n),
+            "lat_c": pa.array(g["slat"].combine_chunks().to_numpy() / n),
+            "n_refs": pc.cast(g["n"], pa.int64()),
+        })
+
+    cent = coords.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
 
     attr_cols = ["id", "version", "changeset", "uid", "user"]
     if node_shaped:  # full node schema for appending to a node output
@@ -280,6 +303,23 @@ def summarize(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         })
 
     return merge(partials.to_pandas())
+
+
+def format_summary(s: pd.DataFrame) -> str:
+    """Render the summary in the reference's printed contract
+    (osm/Summary.go:25-40; worked example /root/reference/README.md:92-99):
+    ``Bounding Box: minlon,minlat,maxlon,maxlat`` then per-class counts."""
+    r = s.iloc[0]
+    return "\n".join([
+        f"Bounding Box: {r.min_lon:.6f},{r.min_lat:.6f},"
+        f"{r.max_lon:.6f},{r.max_lat:.6f}",
+        f"Number of users: {int(r.n_users)}",
+        f"Number of nodes: {int(r.n_nodes)}",
+        f"Number of ways: {int(r.n_ways)}",
+        f"Number of relations: {int(r.n_relations)}",
+        f"Number of keys: {int(r.n_keys)}",
+        f"Number of tags: {int(r.n_tags)}",
+    ])
 
 
 def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,

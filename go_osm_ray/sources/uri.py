@@ -1,0 +1,81 @@
+"""URI scheme routing + path utilities (reference S13/S15).
+
+Mirrors osm/Resource.go:46-107 (scheme dispatch), osm/SplitUri.go:9-16,
+osm/ParsePath.go:13-19 (home expansion), cmd/osm/main.go:306-327 (glob
+expansion), and osm/LoadIniSection.go:8-26 (GDAL-ini convenience
+options). Remote schemes (http/https/hdfs/s3) resolve to the pyarrow
+filesystem layer (`pyarrow.fs` / fsspec URLs pass straight into
+ray.data read_* calls); this sandbox has no network, so they are routed
+but not exercised by tests.
+"""
+
+from __future__ import annotations
+
+import configparser
+import glob as _glob
+import os
+
+
+KNOWN_SCHEMES = ("file", "http", "https", "s3", "hdfs",
+                 "stdin", "stdout", "stderr")
+
+
+def split_uri(uri: str) -> tuple[str, str]:
+    """(scheme, path); scheme '' when absent (SplitUri.go:9-16)."""
+    if "://" in uri:
+        scheme, _, rest = uri.partition("://")
+        return scheme, rest
+    if uri in ("stdin", "stdout", "stderr"):
+        return uri, ""
+    return "", uri
+
+
+def resolve_uri(uri: str) -> dict:
+    """Route a URI to a read strategy:
+
+    returns ``{"scheme", "paths"|"url"}`` — local file/globs expand to
+    concrete path lists (main.go:306-327); remote URLs pass through for
+    pyarrow.fs; std streams are flagged (the reference supports stdin
+    planets, Input.go:38-45 — niche; our engine surfaces them for the
+    CLI layer to handle driver-side)."""
+    scheme, path = split_uri(uri)
+    if scheme in ("", "file"):
+        path = os.path.expanduser(path)
+        if any(c in path for c in "*?["):
+            paths = sorted(_glob.glob(path))
+            if not paths:
+                raise FileNotFoundError(f"glob matched nothing: {uri}")
+            return {"scheme": "file", "paths": paths}
+        return {"scheme": "file", "paths": [path]}
+    if scheme in ("http", "https", "s3", "hdfs"):
+        return {"scheme": scheme, "url": uri}
+    if scheme in ("stdin", "stdout", "stderr"):
+        return {"scheme": scheme}
+    raise ValueError(f"unknown uri scheme {scheme!r} in {uri!r}")
+
+
+# GDAL-ini option names -> job-spec drop_attrs entries
+# (LoadIniSection.go:8-26 applied at cmd/osm/main.go:411-425)
+_INI_ATTRS = {"osm_version": "version", "osm_timestamp": "timestamp",
+              "osm_changeset": "changeset", "osm_uid": "uid",
+              "osm_user": "user"}
+_TRUTHY = {"yes", "true", "y", "1", "t", "on"}  # ParseBool.go:3-5
+
+
+def load_ini_options(path: str, section: str = "points") -> dict:
+    """Read a GDAL-style ini section into job-spec options: an attr whose
+    flag is FALSY is dropped (the reference keeps attrs marked 'yes')."""
+    cp = configparser.ConfigParser()
+    with open(path) as f:
+        cp.read_string("[___root___]\n" + f.read())
+    sec = section if cp.has_section(section) else "___root___"
+    drop = [attr for opt, attr in _INI_ATTRS.items()
+            if cp.has_option(sec, opt)
+            and cp.get(sec, opt).strip().lower() not in _TRUTHY]
+    out: dict = {}
+    if drop:
+        out["drop_attrs"] = drop
+    if cp.has_option(sec, "attributes"):
+        out["include_keys"] = [k.strip() for k in
+                               cp.get(sec, "attributes").split(",") if k.strip()]
+    return out
