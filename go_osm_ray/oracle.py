@@ -221,6 +221,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
           GROUP BY p.image_id, e.feature_id
           HAVING count(*) % 2 = 1)"""
     q["pip_join"] = f"WITH {pip_core} SELECT image_id, feature_id FROM hits"
+    # cell-prefix-sharded PIP must produce the identical hit set
+    q["pip_join_sharded"] = q["pip_join"]
     q["pip_feature_counts"] = f"""
         WITH {pip_core}
         SELECT feature_id, CAST(count(*) AS BIGINT) AS n_images

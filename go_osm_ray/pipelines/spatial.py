@@ -57,18 +57,8 @@ def build_polygon_index(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     prefix and each actor loads only its shard (SURVEY §7.3) — the
     single-shard build here is the num_shards=1 case.
     """
-    coords = join_refs_to_coords(closed_ways(ways), nodes)
-    pdf = coords.to_pandas()
-    wid = pdf["way_id"].to_numpy()
-    order = np.lexsort((pdf["pos"].to_numpy(), wid))
-    wid_s = wid[order]
-    lon_s = pdf["lon"].to_numpy()[order]
-    lat_s = pdf["lat"].to_numpy()[order]
-    fids, starts = np.unique(wid_s, return_index=True)
-    bounds = np.append(starts, len(wid_s))
-    xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
-    ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
-    return PolygonIndex(fids.astype(np.int64), xs, ys, grid_res=grid_res)
+    fids, xs, ys = _collect_polygon_coords(nodes, ways)
+    return PolygonIndex(fids, xs, ys, grid_res=grid_res)
 
 
 class PIPTagger:
@@ -106,6 +96,81 @@ def pip_join(images: ray.data.Dataset, index_ref: ray.ObjectRef,
     return pts.map_batches(PIPTagger, fn_constructor_args=(index_ref,),
                            batch_format="pyarrow", batch_size=batch_size,
                            concurrency=pool)
+
+
+def _collect_polygon_coords(nodes: ray.data.Dataset,
+                            ways: ray.data.Dataset):
+    """(feature_ids, xs, ys) vertex arrays for the closed-way polygon
+    layer (the shared tail of the index builds)."""
+    coords = join_refs_to_coords(closed_ways(ways), nodes)
+    pdf = coords.to_pandas()
+    wid = pdf["way_id"].to_numpy()
+    order = np.lexsort((pdf["pos"].to_numpy(), wid))
+    wid_s = wid[order]
+    lon_s = pdf["lon"].to_numpy()[order]
+    lat_s = pdf["lat"].to_numpy()[order]
+    fids, starts = np.unique(wid_s, return_index=True)
+    bounds = np.append(starts, len(wid_s))
+    xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    return fids.astype(np.int64), xs, ys
+
+
+def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                         shard_res: int = 4) -> dict[int, ray.ObjectRef]:
+    """The SCALE path for the polygon layer (SURVEY §7.3, north star
+    "polygon layers sharded by cell prefix"): one PolygonIndex per
+    shard-resolution geocell, each its OWN object-store entry, so a task
+    processing cell c ray.gets only shard c — never the global layer.
+    Polygons are replicated into every shard cell their bbox covers
+    (bbox ⊇ polygon, so containment never crosses an unvisited shard).
+    """
+    from ..geo.tiles import cells_covering_bbox
+    fids, xs, ys = _collect_polygon_coords(nodes, ways)
+    per_cell: dict[int, list[int]] = {}
+    for i in range(len(fids)):
+        for c in cells_covering_bbox(float(xs[i].min()), float(ys[i].min()),
+                                     float(xs[i].max()), float(ys[i].max()),
+                                     shard_res):
+            per_cell.setdefault(int(c), []).append(i)
+    return {c: ray.put(PolygonIndex(
+                fids[idx], [xs[i] for i in idx], [ys[i] for i in idx]))
+            for c, idx in per_cell.items()}
+
+
+def pip_join_sharded(images: ray.data.Dataset,
+                     shard_refs: dict[int, ray.ObjectRef],
+                     shard_res: int = 4,
+                     id_col: str = "image_id") -> ray.data.Dataset:
+    """(image_id, feature_id) PIP matches via cell-prefix co-partitioning:
+    images shuffle by their shard cell, and each group task queries only
+    that cell's polygon shard. Result is identical to the broadcast
+    ``pip_join`` (same DuckDB oracle) — sharding reshapes the exchange,
+    never the answer."""
+    from ..stages.assign import make_cell_assigner
+    cell_col = f"cell_r{shard_res}"
+    pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
+                .map_batches(make_cell_assigner((shard_res,)),
+                             batch_format="pyarrow")
+
+    empty = pa.table({id_col: pa.array([], pa.string()),
+                      "feature_id": pa.array([], pa.int64())})
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        cell = int(t[cell_col][0].as_py())
+        ref = shard_refs.get(cell)
+        if ref is None:
+            return empty
+        idx: PolygonIndex = ray.get(ref)  # ONLY this shard's polygons
+        px = t["lon"].combine_chunks().to_numpy()
+        py = t["lat"].combine_chunks().to_numpy()
+        pi, fids = idx.query(px, py)
+        return pa.table({
+            id_col: pc.take(t[id_col].combine_chunks(), pa.array(pi)),
+            "feature_id": pa.array(fids),
+        })
+
+    return pts.groupby(cell_col).map_groups(per_shard, batch_format="pyarrow")
 
 
 class NearestFeature:
