@@ -240,6 +240,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
                      row_number() OVER (PARTITION BY image_id
                                         ORDER BY d2, feature_id) AS rn FROM d)
         SELECT image_id, feature_id FROM r WHERE rn = 1"""
+    # cell-partitioned + ring-expansion kNN must match the full scan
+    q["knn_nearest_sharded"] = q["knn_nearest"]
 
     # ---- vectors ----------------------------------------------------------
     q["ann_topk"] = f"""

@@ -267,6 +267,111 @@ def knn_nearest(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
                            concurrency=pool)
 
 
+def build_knn_feature_cells(feats: pa.Table, res: int = 3) -> ray.ObjectRef:
+    """Cell-bucketed feature layer for the sharded kNN path: features
+    grouped by geocell at ``res``, sorted by id within cell. One
+    broadcast object here; at cluster scale each bucket is its own
+    object-store entry fetched per ring (like the PIP shards)."""
+    from ..geo import tiles
+    fid = feats["id"].to_numpy()
+    fx = feats["lon"].to_numpy()
+    fy = feats["lat"].to_numpy()
+    order = np.argsort(fid, kind="stable")
+    fid, fx, fy = fid[order], fx[order], fy[order]
+    cells = tiles.cell_id(fx, fy, res)
+    buckets: dict[int, tuple] = {}
+    for c in np.unique(cells):
+        m = cells == c
+        buckets[int(c)] = (fid[m], fx[m], fy[m])
+    return ray.put({"res": res, "total": len(fid), "buckets": buckets})
+
+
+def knn_nearest_sharded(images: ray.data.Dataset, cells_ref: ray.ObjectRef,
+                        res: int = 3,
+                        id_col: str = "image_id") -> ray.data.Dataset:
+    """EXACT nearest feature via cell partitioning + neighbor-ring
+    expansion (SURVEY §2.5 J5, the scale path next to the broadcast
+    NearestFeature scan): images shuffle by their geocell; each group
+    task scans only the feature buckets inside an expanding square ring
+    region, growing geometrically until every point's best squared
+    distance is STRICTLY below its squared distance to the searched
+    region's boundary — any feature outside the region is then provably
+    farther, so the result (including smallest-id tie-breaks inside the
+    region) equals the full scan. Verified against the same DuckDB
+    oracle as knn_nearest."""
+    from ..geo import tiles
+    from ..stages.assign import make_cell_assigner
+    cell_col = f"cell_r{res}"
+    pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
+                .map_batches(make_cell_assigner((res,)),
+                             batch_format="pyarrow")
+    n_side = 1 << res
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        layer = ray.get(cells_ref)
+        buckets = layer["buckets"]
+        total = layer["total"]
+        _, cx, cy = tiles.cell_to_xy(np.array([t[cell_col][0].as_py()]))
+        cx, cy = int(cx[0]), int(cy[0])
+        px = t["lon"].combine_chunks().to_numpy()
+        py = t["lat"].combine_chunks().to_numpy()
+        ids = t[id_col].combine_chunks()
+        k = 1
+        while True:
+            x0, x1 = max(cx - k, 0), min(cx + k, n_side - 1)
+            y0, y1 = max(cy - k, 0), min(cy + k, n_side - 1)
+            cand = [buckets[c] for c in
+                    (int((np.int64(res) << np.int64(tiles.RES_SHIFT))
+                         | (np.int64(x) << np.int64(tiles.XY_BITS)) | np.int64(y))
+                     for x in range(x0, x1 + 1) for y in range(y0, y1 + 1))
+                    if c in buckets]
+            m = sum(len(c[0]) for c in cand)
+            full = (x0 == 0 and y0 == 0 and x1 == n_side - 1
+                    and y1 == n_side - 1)
+            if m == 0:
+                if full:  # empty feature layer: no match anywhere
+                    best = np.full(len(px), -1, np.int64)
+                    break
+                k *= 2
+                continue
+            if m:
+                nf = NearestFeature.__new__(NearestFeature)
+                nf.fid = np.concatenate([c[0] for c in cand])
+                nf.fx = np.concatenate([c[1] for c in cand])
+                nf.fy = np.concatenate([c[2] for c in cand])
+                ord_ = np.argsort(nf.fid, kind="stable")
+                nf.fid, nf.fx, nf.fy = nf.fid[ord_], nf.fx[ord_], nf.fy[ord_]
+                nf.feat_chunk, nf.row_chunk = 256, 256
+                best = nf.nearest(px, py)
+                if full or m == total:
+                    break
+                # region boundary in degrees (corner-cell bounds)
+                lonL, _, _, _ = tiles.cell_bounds(np.array(
+                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                     | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+                _, _, lonR, latT = tiles.cell_bounds(np.array(
+                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                     | (np.int64(x1) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+                _, latB, _, _ = tiles.cell_bounds(np.array(
+                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                     | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y1)]))
+                bdist = np.minimum.reduce([
+                    px - float(lonL[0]), float(lonR[0]) - px,
+                    py - float(latB[0]), float(latT[0]) - py])
+                # recompute best squared distance for the criterion
+                d2 = np.full(len(px), np.inf)
+                ok = best >= 0
+                if ok.any():
+                    j = np.searchsorted(nf.fid, best[ok])
+                    d2[ok] = (px[ok] - nf.fx[j]) ** 2 + (py[ok] - nf.fy[j]) ** 2
+                if bool(np.all(d2 < np.maximum(bdist, 0.0) ** 2)):
+                    break
+            k *= 2
+        return pa.table({id_col: ids, "feature_id": pa.array(best)})
+
+    return pts.groupby(cell_col).map_groups(per_cell, batch_format="pyarrow")
+
+
 class TopKCosine:
     """Actor-pool partial top-k cosine stage for ANN over embeddings.
 
