@@ -288,6 +288,64 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     return rows.repartition(1).map_batches(pairgen, batch_format="pyarrow")
 
 
+def dedup_groups(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Near-dup pair list -> connected components: (doc_id, group_id)
+    with group_id = smallest doc_id in the component (the canonical
+    keeper). Pairs are tiny relative to the corpus (they survived
+    LSH + verify), so the union-find runs in ONE task over the collected
+    edge list; at larger pair volumes this becomes iterative
+    label-propagation over a (doc_id -> min neighbor label) groupby
+    until fixpoint. Vectorized path-halving union-find on dense-ranked
+    ids."""
+    def components(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        if not len(a):
+            e = pa.array(np.empty(0, np.int64))
+            return pa.table({"doc_id": e, "group_id": e})
+        ids = np.unique(np.concatenate([a, b]))
+        parent = np.arange(len(ids))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(ia, ib):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:  # union by smaller original id -> canonical min
+                if ids[rx] < ids[ry]:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        roots = np.array([find(i) for i in range(len(ids))])
+        return pa.table({"doc_id": pa.array(ids),
+                         "group_id": pa.array(ids[roots])})
+    return pairs.repartition(1).map_batches(components, batch_format="pyarrow")
+
+
+def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Near-dup purge: keep every doc that is its component's canonical
+    (smallest-id) member — docs in no pair are all keepers. The group
+    table is broadcast (it is small by construction); the corpus streams
+    through one vectorized membership filter."""
+    groups = dedup_groups(pairs)
+    from ..relational import broadcast_table
+    drop_ref = broadcast_table(
+        groups.filter(expr="doc_id != group_id"), ["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(drop_ref)
+        drop = pa.array(t["doc_id"].to_numpy(), pa.int64())
+        m = pc.invert(pc.is_in(batch[id_col], value_set=drop))
+        return batch.filter(m)
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def simhash64(text: str) -> np.uint64:
     acc = np.zeros(64, np.int64)
     for tok in set(text.lower().split()):

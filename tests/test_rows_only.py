@@ -145,3 +145,31 @@ def test_ann_ivf_recall(ray_session):
         ap = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(ex & ap) / len(ex))
     assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_neardup_keep_components(ray_session):
+    """dedup_keep must keep exactly the canonical member per connected
+    component of the verified pair graph (python union-find oracle)."""
+    import __ray_entry__ as E
+    import pyarrow.parquet as pq
+    kept = set(parity.to_pandas(E.queries()["neardup_keep"](SF))["doc_id"])
+    from go_osm_ray.pipelines.text import minhash_lsh_pairs
+    import ray.data as rd
+    docs_t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = parity.to_pandas(
+        minhash_lsh_pairs(rd.from_arrow(docs_t)))
+    # python oracle union-find
+    par = {}
+    def find(x):
+        while par.get(x, x) != x:
+            par[x] = par.get(par[x], par[x])
+            x = par[x]
+        return x
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    all_ids = set(docs_t["doc_id"].to_pylist())
+    expect = {i for i in all_ids if find(i) == i}
+    assert kept == expect
+    assert len(kept) < len(all_ids)  # generator plants near-dups
