@@ -110,8 +110,15 @@ def load_spec(path: str) -> dict:
 
 
 def _merged(globals_: dict, resource: dict) -> dict:
-    """Resource options override globals (PlanetResource.go:25-90)."""
-    out = {k: v for k, v in (globals_ or {}).items() if k in _OPTION_KEYS}
+    """Option precedence (PlanetResource.go:25-90 + main.go:411-425):
+    GDAL-ini defaults < globals < per-resource options."""
+    out: dict = {}
+    ini = resource.get("gdal_ini") or (globals_ or {}).get("gdal_ini")
+    if ini:
+        from .sources.uri import load_ini_options
+        out.update(load_ini_options(ini))
+    out.update({k: v for k, v in (globals_ or {}).items()
+                if k in _OPTION_KEYS})
     out.update({k: v for k, v in resource.items() if k in _OPTION_KEYS})
     return out
 

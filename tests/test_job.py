@@ -123,3 +123,18 @@ def test_osm_xml_input_and_output(ray_session, tmp_path):
     src = pq.read_table(_gen()["osm_nodes"])
     assert len(t) == len(src)
     assert t.sort_by("id")["id"].to_pylist() == src["id"].to_pylist()
+
+
+def test_gdal_ini_defaults(ray_session, tmp_path):
+    ini = tmp_path / "osmconf.ini"
+    ini.write_text("[points]\nosm_user=no\nosm_version=yes\n")
+    paths = _gen()
+    out = str(tmp_path / "ini-out")
+    spec = {"globals": {"gdal_ini": str(ini)},
+            "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+            "outputs": [{"uri": out, "format": "parquet"}]}
+    run_job(spec)
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(out, "nodes")).to_table()
+    assert "user" not in t.column_names                   # dropped by ini
+    assert any(v != 0 for v in t["version"].to_pylist())  # kept by ini
