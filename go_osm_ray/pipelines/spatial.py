@@ -117,7 +117,7 @@ def _collect_polygon_coords(nodes: ray.data.Dataset,
 
 
 def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
-                         shard_res: int = 4) -> dict[int, ray.ObjectRef]:
+                         shard_res: int = 12) -> dict[int, ray.ObjectRef]:
     """The SCALE path for the polygon layer (SURVEY §7.3, north star
     "polygon layers sharded by cell prefix"): one PolygonIndex per
     shard-resolution geocell, each its OWN object-store entry, so a task
@@ -140,18 +140,28 @@ def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
 def pip_join_sharded(images: ray.data.Dataset,
                      shard_refs: dict[int, ray.ObjectRef],
-                     shard_res: int = 4,
+                     shard_res: int = 12,
                      id_col: str = "image_id") -> ray.data.Dataset:
     """(image_id, feature_id) PIP matches via cell-prefix co-partitioning:
-    images shuffle by their shard cell, and each group task queries only
-    that cell's polygon shard. Result is identical to the broadcast
-    ``pip_join`` (same DuckDB oracle) — sharding reshapes the exchange,
-    never the answer."""
+    images are PRUNED to cells that hold any polygon shard (vectorized
+    membership — a point in a shardless cell can't match, so it never
+    enters the exchange), then shuffle by shard cell, and each group task
+    queries only that cell's polygon shard. Result is identical to the
+    broadcast ``pip_join`` (same DuckDB oracle) — sharding reshapes the
+    exchange, never the answer."""
+    import pyarrow.compute as _pc
     from ..stages.assign import make_cell_assigner
     cell_col = f"cell_r{shard_res}"
+    shard_cells = pa.array(sorted(shard_refs), pa.int64())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.is_in(batch[cell_col],
+                                      value_set=shard_cells))
+
     pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
                 .map_batches(make_cell_assigner((shard_res,)),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow") \
+                .map_batches(prune, batch_format="pyarrow")
 
     empty = pa.table({id_col: pa.array([], pa.string()),
                       "feature_id": pa.array([], pa.int64())})
