@@ -183,22 +183,35 @@ def way_geometry(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.Da
     test (Planet.go:67 indexes coordinates[len], a latent panic; SURVEY
     §2.3 P9). Emits (way_id, kind, n_points, x0, y0).
     """
-    coords = join_refs_to_coords(ways, nodes)
-
+    from ..relational import broadcast_table
     from ..util import round_half_away as _rnd
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
 
-    def per_way(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("pos")
-        first = df.iloc[0]
-        closed = (df["ref"].iloc[0] == df["ref"].iloc[-1]) and len(df) >= 4
-        return pd.DataFrame({
-            "way_id": [df["way_id"].iloc[0]],
-            "kind": ["polygon" if closed else "line"],
-            "n_points": [np.int64(len(df))],
-            "x0": [_rnd(float(first["lon"]), 7)],
-            "y0": [_rnd(float(first["lat"]), 7)],
+    # fully vectorized over the refs LIST column — kind and n_points are
+    # offsets math, x0/y0 one broadcast lookup of the first ref; no
+    # explode, no per-way groups (a per-way map_groups paid one
+    # Ray+pandas call per way — 20k calls, ~5 s at sf0.1; this is ~0.5 s)
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+        first = flat[offsets[:-1].clip(max=max(len(flat) - 1, 0))]
+        last = flat[(offsets[1:] - 1).clip(min=0)]
+        closed = (n >= 4) & (first == last)
+        j = order[np.searchsorted(nid_s, first)]
+        return pa.table({
+            "way_id": batch["id"],
+            "kind": pa.array(np.where(closed, "polygon", "line")),
+            "n_points": pa.array(n, pa.int64()),
+            "x0": pa.array(_rnd(nt["lon"].to_numpy()[j], 7)),
+            "y0": pa.array(_rnd(nt["lat"].to_numpy()[j], 7)),
         })
-    return coords.groupby("way_id").map_groups(per_way, batch_format="pandas")
+    return ways.map_batches(fn, batch_format="pyarrow")
 
 
 def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
