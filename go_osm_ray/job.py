@@ -230,8 +230,40 @@ def run_job(spec: dict) -> dict[str, dict]:
             nodes_out = _apply_options(nodes, opts)
         else:
             nodes_out = None
-        ways_out = ways if (ways is not None and not opts.get("drop_ways")) \
-            else None
+        ways_out = _apply_options(ways, opts) \
+            if (ways is not None and not opts.get("drop_ways")) else None
+
+        row_filters = any(opts.get(k) for k in
+                          ("keys_to_keep", "keys_to_drop", "bbox", "filter"))
+        if (fmt == "osm_xml" and row_filters
+                and nodes_out is not None and ways_out is not None):
+            # J2 semi-join retention (MarshalPlanet.go:100-141): a node is
+            # WRITTEN iff it passes the row filters itself OR is
+            # referenced by any kept way — referenced nodes bypass the
+            # filters entirely (golden-output-visible reference rule).
+            # Projections (tag/attr) still apply to retained nodes.
+            import numpy as np
+            import ray as _ray
+            from .pipelines.osm import explode_refs
+            from .relational import semi_filter
+            proj_only = {k: v for k, v in opts.items()
+                         if k in ("include_keys", "exclude_keys",
+                                  "drop_attrs")}
+            nodes_proj = _apply_options(nodes, proj_only)
+            ref_ids = np.unique(np.concatenate(
+                [b["ref"].to_numpy() for b in
+                 explode_refs(ways_out).select_columns(["ref"])
+                 .iter_batches(batch_format="pyarrow")]
+                or [np.empty(0, np.int64)]))
+            pass_ids = np.unique(np.concatenate(
+                [b["id"].to_numpy() for b in
+                 nodes_out.select_columns(["id"])
+                 .iter_batches(batch_format="pyarrow")]
+                or [np.empty(0, np.int64)]))
+            kept_ref = _ray.put(np.union1d(ref_ids, pass_ids))
+            # (small id sets collected here; at cluster scale this is the
+            # distributed semi-join of SURVEY §2.5 J2)
+            nodes_out = semi_filter(nodes_proj, "id", kept_ref)
 
         if opts.get("ways_to_nodes") and ways_out is not None \
                 and nodes is not None:

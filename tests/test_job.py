@@ -138,3 +138,32 @@ def test_gdal_ini_defaults(ray_session, tmp_path):
     t = pads.dataset(os.path.join(out, "nodes")).to_table()
     assert "user" not in t.column_names                   # dropped by ini
     assert any(v != 0 for v in t["version"].to_pylist())  # kept by ini
+
+
+def test_xml_output_semi_join_retention(ray_session, tmp_path):
+    """J2 golden rule (MarshalPlanet.go:100-141): writing OSM-XML with a
+    row filter keeps nodes referenced by kept ways even when they fail
+    the filter themselves. Oracle: slow pure-python set computation."""
+    import pyarrow.parquet as pq
+    from go_osm_ray.expr import Expression
+    paths = _gen()
+    expr = "@building like yes or @amenity like cafe"
+    out = str(tmp_path / "ret.osm")
+    spec = {"inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"},
+                       {"uri": paths["osm_ways"], "kind": "ways"}],
+            "outputs": [{"uri": out, "format": "osm_xml",
+                         "filter": expr}]}
+    run_job(spec)
+    from go_osm_ray.sources.osm_xml import parse_osm_xml
+    got = sorted(parse_osm_xml(open(out, "rb").read(), "node")["id"].to_pylist())
+
+    # python oracle
+    e = Expression(expr)
+    nodes = pq.read_table(paths["osm_nodes"])
+    ways = pq.read_table(paths["osm_ways"])
+    pass_nodes = set(e.filter(nodes)["id"].to_pylist())
+    kept_ways = e.filter(ways)
+    ref_ids = {r for refs in kept_ways["refs"].to_pylist() for r in refs}
+    assert got == sorted(pass_nodes | ref_ids)
+    # the bypass must actually fire: some referenced nodes fail the filter
+    assert ref_ids - pass_nodes
