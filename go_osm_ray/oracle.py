@@ -199,6 +199,14 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
+    q["tile_topk"] = f"""
+        WITH {_pts_cte(images)},
+        t AS (SELECT {tiles.sql_tile_x('lon', 12)} AS tile_x,
+                     {tiles.sql_tile_y('lat', 12)} AS tile_y FROM pts)
+        SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n FROM t
+        GROUP BY tile_x, tile_y
+        ORDER BY n DESC, tile_x, tile_y LIMIT 20"""
+
     # ---- graft: spatial joins --------------------------------------------
     pip_core = f"""
         {_pts_cte(images)},
