@@ -47,7 +47,7 @@ from typing import Any
 _OPTION_KEYS = {
     "include_keys", "exclude_keys", "keys_to_keep", "keys_to_drop",
     "bbox", "filter", "drop_attrs", "drop_nodes", "drop_ways",
-    "ways_to_nodes",
+    "drop_relations", "ways_to_nodes",
 }
 
 
@@ -138,7 +138,7 @@ def validate_spec(spec: dict) -> list[str]:
         if o.get("ways_to_nodes") and o.get("drop_ways"):
             problems.append("ways_to_nodes cannot combine with drop_ways "
                             "(osm/Config.go:322-324)")
-        if o.get("drop_nodes") and o.get("drop_ways"):
+        if o.get("drop_nodes") and o.get("drop_ways") and o.get("drop_relations"):
             problems.append("cannot drop every element class "
                             "(osm/Config.go:326-328)")
     return problems
@@ -226,12 +226,16 @@ def run_job(spec: dict) -> dict[str, dict]:
         fmt = out.get("format") or _infer_format(uri)
         nodes = tables.get("nodes")
         ways = tables.get("ways")
-        if nodes is not None and not out.get("drop_nodes"):
-            nodes_out = _apply_options(nodes, opts)
-        else:
-            nodes_out = None
+        rels = tables.get("relations")
+        # every element-class gate reads the MERGED options (globals
+        # overridden by resource, PlanetResource.go:25-90) — a
+        # drop_nodes set in globals/gdal_ini must not be ignored
+        nodes_out = _apply_options(nodes, opts) \
+            if (nodes is not None and not opts.get("drop_nodes")) else None
         ways_out = _apply_options(ways, opts) \
             if (ways is not None and not opts.get("drop_ways")) else None
+        rels_out = _apply_options(rels, opts) \
+            if (rels is not None and not opts.get("drop_relations")) else None
 
         row_filters = any(opts.get(k) for k in
                           ("keys_to_keep", "keys_to_drop", "bbox", "filter"))
@@ -242,28 +246,24 @@ def run_job(spec: dict) -> dict[str, dict]:
             # referenced by any kept way — referenced nodes bypass the
             # filters entirely (golden-output-visible reference rule).
             # Projections (tag/attr) still apply to retained nodes.
-            import numpy as np
-            import ray as _ray
+            # The retained-id set builds DATASET-SIDE (explode + union +
+            # distinct groupby — SURVEY §2.5 J2) and only the small
+            # distinct result is broadcast for the membership filter.
+            from ray.data.aggregate import Count as _Count
             from .pipelines.osm import explode_refs
-            from .relational import semi_filter
+            from .relational import broadcast_table, semi_filter
             proj_only = {k: v for k, v in opts.items()
                          if k in ("include_keys", "exclude_keys",
                                   "drop_attrs")}
             nodes_proj = _apply_options(nodes, proj_only)
-            ref_ids = np.unique(np.concatenate(
-                [b["ref"].to_numpy() for b in
-                 explode_refs(ways_out).select_columns(["ref"])
-                 .iter_batches(batch_format="pyarrow")]
-                or [np.empty(0, np.int64)]))
-            pass_ids = np.unique(np.concatenate(
-                [b["id"].to_numpy() for b in
-                 nodes_out.select_columns(["id"])
-                 .iter_batches(batch_format="pyarrow")]
-                or [np.empty(0, np.int64)]))
-            kept_ref = _ray.put(np.union1d(ref_ids, pass_ids))
-            # (small id sets collected here; at cluster scale this is the
-            # distributed semi-join of SURVEY §2.5 J2)
-            nodes_out = semi_filter(nodes_proj, "id", kept_ref)
+            ref_ids = explode_refs(ways_out).select_columns(["ref"]) \
+                .map_batches(lambda t: t.rename_columns(["id"]),
+                             batch_format="pyarrow")
+            kept = ref_ids.union(nodes_out.select_columns(["id"])) \
+                .groupby("id").aggregate(_Count(alias_name="_n")) \
+                .select_columns(["id"])
+            nodes_out = semi_filter(nodes_proj, "id",
+                                    broadcast_table(kept, ["id"]))
 
         if opts.get("ways_to_nodes") and ways_out is not None \
                 and nodes is not None:
@@ -280,7 +280,8 @@ def run_job(spec: dict) -> dict[str, dict]:
                     synth.select_columns(cols))
             ways_out = None
 
-        results[uri] = _write_output(uri, fmt, out, nodes_out, ways_out)
+        results[uri] = _write_output(uri, fmt, out, nodes_out, ways_out,
+                                     rels_out, nodes_full=nodes)
     return results
 
 
@@ -296,38 +297,61 @@ def _infer_format(uri: str) -> str:
     return "parquet"
 
 
-def _write_output(uri: str, fmt: str, out: dict, nodes, ways) -> dict:
+def _features_for(nodes, ways, nodes_full):
+    """Node features unioned with way LineString/Polygon features (the
+    reference FeatureCollection includes both, Planet.go GetFeatures);
+    way geometry resolves against the full node table. Returns None only
+    when neither class yields features."""
+    from .pipelines.osm import join_refs_to_coords
+    from .sinks import nodes_to_features, ways_to_features
+    feats = nodes_to_features(nodes) if nodes is not None else None
+    if ways is not None and nodes_full is not None:
+        wf = ways_to_features(join_refs_to_coords(ways, nodes_full))
+        feats = wf if feats is None else feats.union(wf)
+    return feats
+
+
+def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
+                  rels=None, nodes_full=None) -> dict:
     if fmt == "summary":
         return {"rows": int(nodes.count()) if nodes is not None else 0}
     if fmt == "parquet":
         os.makedirs(uri, exist_ok=True)
         n = 0
-        if nodes is not None:
-            nodes.write_parquet(os.path.join(uri, "nodes"))
-            n += 1
-        if ways is not None:
-            ways.write_parquet(os.path.join(uri, "ways"))
-            n += 1
+        for name, ds in (("nodes", nodes), ("ways", ways),
+                         ("relations", rels)):
+            if ds is not None:
+                ds.write_parquet(os.path.join(uri, name))
+                n += 1
         return {"tables": n}
     if fmt == "geojsonl":
-        from .sinks import nodes_to_features, write_geojsonl
+        from .sinks import write_geojsonl
+        feats = _features_for(nodes, ways, nodes_full)
+        if feats is None:
+            return {"dir": uri, "rows": 0}
         os.makedirs(uri, exist_ok=True)
-        write_geojsonl(nodes_to_features(nodes), uri)
+        write_geojsonl(feats, uri)
         return {"dir": uri}
     if fmt == "geojson":
-        from .sinks import nodes_to_features, write_geojson
-        n = write_geojson(nodes_to_features(nodes), uri)
+        from .sinks import write_geojson
+        feats = _features_for(nodes, ways, nodes_full)
+        n = write_geojson(feats, uri) if feats is not None else 0
         return {"rows": n}
     if fmt == "osm_xml":
         from .sources.osm_xml import write_osm_xml
         # small parity outputs only (SURVEY §2.2 K1): XML is a
-        # single-document format, so collect sorted tables driver-side
+        # single-document format, so collect sorted tables driver-side.
+        # Relations are written only on explicit request — the reference
+        # NEVER emits them (MarshalPlanet.go), which we replicate.
         ntab = _collect_arrow(nodes)
         wtab = _collect_arrow(ways)
-        write_osm_xml(uri, ntab, wtab,
+        rtab = _collect_arrow(rels) if out.get("write_relations") else None
+        write_osm_xml(uri, ntab, wtab, relations=rtab,
+                      write_relations=rtab is not None,
                       drop_attrs=tuple(out.get("drop_attrs", ())))
         return {"rows": (len(ntab) if ntab is not None else 0)
-                + (len(wtab) if wtab is not None else 0)}
+                + (len(wtab) if wtab is not None else 0)
+                + (len(rtab) if rtab is not None else 0)}
     raise ValueError(f"unknown output format {fmt!r}")
 
 

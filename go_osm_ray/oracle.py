@@ -37,6 +37,11 @@ ANN_K = 3
 STOPWORDS = ["the", "a", "and", "of", "to"]
 SESSION_GAP_MIN = 30
 TOKEN_RE = "[A-Za-z]+|[0-9]+|\\S"
+# embed_neardup gate: deterministic planted near-dups (text.plant_neardups)
+EMBED_NEARDUP_T = 0.95
+EMBED_PLANT_EVERY = 50
+EMBED_PLANT_OFFSET = 100_000
+EMBED_PLANT_ALPHA = 0.1
 
 
 def _paths(sf: float) -> dict[str, str]:
@@ -266,6 +271,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM s)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM r WHERE rank <= {ANN_K}"""
+
+    # embed near-dup over the augmented table (the pipeline's
+    # plant_neardups is mirrored 1:1: v' = v + alpha * reverse(v))
+    q["embed_neardup"] = f"""
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + {EMBED_PLANT_OFFSET} AS vec_id,
+                 list_transform(list_zip(embedding, list_reverse(embedding)),
+                                x -> x[1] + {EMBED_PLANT_ALPHA} * x[2]) AS embedding
+          FROM embeddings WHERE vec_id % {EMBED_PLANT_EVERY} = 0)
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.embedding, y.embedding)
+              >= {EMBED_NEARDUP_T}"""
 
     # ---- documents ---------------------------------------------------------
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"

@@ -17,7 +17,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .. import tags as tagops
 from ..expr import Expression
-from ..relational import broadcast_table, round_half_away
+from ..relational import broadcast_table, round_half_away, single_merge
 
 
 def explode_refs(ways: ray.data.Dataset, keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
@@ -106,9 +106,9 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
     # combiner before the exchange: per-block (way_id, sum, count)
     # partials shrink the 35-ref-per-way coordinate rows ~30x; the
-    # surviving per-way partials merge in ONE task (ways are the small
-    # element class). At 10^12-element scale swap the repartition(1) for
-    # groupby("way_id") over the same partial rows.
+    # surviving per-way partials merge in ONE guarded task (ways are the
+    # small element class). At 10^12-element scale swap the single_merge
+    # for groupby("way_id") over the same partial rows.
     def partial(t: pa.Table) -> pa.Table:
         g = pa.table({"way_id": t["way_id"], "slon": t["lon"],
                       "slat": t["lat"]}).group_by("way_id") \
@@ -127,8 +127,8 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
             "n_refs": pc.cast(g["n"], pa.int64()),
         })
 
-    cent = coords.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1).map_batches(merge, batch_format="pyarrow")
+    cent = single_merge(coords.map_batches(partial, batch_format="pyarrow"),
+                        merge)
 
     attr_cols = ["id", "version", "changeset", "uid", "user"]
     if node_shaped:  # full node schema for appending to a node output
@@ -203,11 +203,17 @@ def way_geometry(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.Da
         first = flat[offsets[:-1].clip(max=max(len(flat) - 1, 0))]
         last = flat[(offsets[1:] - 1).clip(min=0)]
         closed = (n >= 4) & (first == last)
-        j = order[np.searchsorted(nid_s, first)]
+        # dangling first refs (routine in real OSM extracts) would index
+        # past the node table or silently hit the wrong node — clip the
+        # searchsorted result and DROP unresolvable ways, mirroring the
+        # oracle's inner join on refs[1]
+        jj = np.searchsorted(nid_s, first).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == first if len(nid_s) else np.zeros(len(first), bool)
+        j = order[jj[found]]
         return pa.table({
-            "way_id": batch["id"],
-            "kind": pa.array(np.where(closed, "polygon", "line")),
-            "n_points": pa.array(n, pa.int64()),
+            "way_id": batch["id"].combine_chunks().filter(pa.array(found)),
+            "kind": pa.array(np.where(closed[found], "polygon", "line")),
+            "n_points": pa.array(n[found], pa.int64()),
             "x0": pa.array(_rnd(nt["lon"].to_numpy()[j], 7)),
             "y0": pa.array(_rnd(nt["lat"].to_numpy()[j], 7)),
         })

@@ -15,7 +15,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
-from ..relational import broadcast_table, round_half_away
+from ..relational import broadcast_table, hash_part, round_half_away, single_merge
 
 
 def q1_pricing(lineitem: ray.data.Dataset) -> ray.data.Dataset:
@@ -75,14 +75,13 @@ def top_revenue_orders(lineitem: ray.data.Dataset, k: int = 10) -> ray.data.Data
 
     # Per-block combine shrinks lineitem ~4x; the surviving per-order
     # partials (one small int64/double table) merge + sort + limit in ONE
-    # task. At 10^12-row scale swap the repartition(1) for
-    # groupby("l_orderkey").aggregate(Sum) + per-block local top-k —
-    # measured here, Ray's all-to-all on the 147 K partials costs ~7 s vs
-    # ~0.3 s for the single-task merge.
+    # guarded task (single_merge coalesces every block into one batch).
+    # At 10^12-row scale swap for groupby("l_orderkey").aggregate(Sum) +
+    # per-block local top-k — measured here, Ray's all-to-all on the
+    # 147 K partials costs ~7 s vs ~0.3 s for the single-task merge.
     partials = lineitem.map_batches(partial, batch_format="pyarrow",
                                     batch_size=65536)
-    return partials.repartition(1).map_batches(merge_topk,
-                                               batch_format="pyarrow")
+    return single_merge(partials, merge_topk)
 
 
 def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
@@ -123,8 +122,8 @@ def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
             "n_orders": pc.cast(g["n_orders"], pa.int64()),
         })
 
-    return named.map_batches(partial, batch_format="pyarrow") \
-        .repartition(1).map_batches(merge, batch_format="pyarrow")
+    return single_merge(named.map_batches(partial, batch_format="pyarrow"),
+                        merge)
 
 
 def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Dataset:
@@ -150,16 +149,22 @@ def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Da
         batch_format="pyarrow")
 
 
-def sessionize(events: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
-    """Per-user session counts (sessions split at ts gaps > gap_s). The
-    per-key ordered pass runs inside groupby(user).map_groups; ordering
-    assumption: within one user's group only (no global order needed)."""
-    # ONE vectorized kernel over all users: lexsort by (user, ts), then
-    # segment boundaries + gap mask + reduceat — no per-user group calls
-    # (1500 map_groups calls cost ~5 s at sf0.1; this is ~0.3 s). The
-    # events table is small per key range; at bigger scales this same
-    # kernel runs per user-hash partition after a groupby shuffle.
-    def all_users(t: pa.Table) -> pa.Table:
+def sessionize(events: ray.data.Dataset, gap_s: int = 1800,
+               num_parts: int = 16) -> ray.data.Dataset:
+    """Per-user session counts (sessions split at ts gaps > gap_s).
+
+    Distributed plan: events shuffle by a BOUNDED user-hash partition
+    (``hash_part`` — every user's rows land wholly in one of
+    ``num_parts`` partitions) and ONE vectorized kernel per partition
+    does lexsort by (user, ts) + segment boundaries + gap mask +
+    reduceat. No per-user group calls (1500 map_groups calls cost ~5 s
+    at sf0.1; the kernel is ~0.3 s) and no single all-users task (the
+    round-1 plan) — raise num_parts with cluster size."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
         uid = t["user_id"].combine_chunks().to_numpy()
         ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
@@ -177,4 +182,6 @@ def sessionize(events: ray.data.Dataset, gap_s: int = 1800) -> ray.data.Dataset:
             "n_events": pa.array(n_events, pa.int64()),
         })
     return (events.select_columns(["user_id", "ts"])
-            .repartition(1).map_batches(all_users, batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_partition, batch_format="pyarrow"))

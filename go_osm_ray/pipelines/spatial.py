@@ -141,46 +141,66 @@ def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 def pip_join_sharded(images: ray.data.Dataset,
                      shard_refs: dict[int, ray.ObjectRef],
                      shard_res: int = 12,
-                     id_col: str = "image_id") -> ray.data.Dataset:
+                     id_col: str = "image_id",
+                     num_parts: int = 32) -> ray.data.Dataset:
     """(image_id, feature_id) PIP matches via cell-prefix co-partitioning:
     images are PRUNED to cells that hold any polygon shard (vectorized
     membership — a point in a shardless cell can't match, so it never
-    enters the exchange), then shuffle by shard cell, and each group task
-    queries only that cell's polygon shard. Result is identical to the
-    broadcast ``pip_join`` (same DuckDB oracle) — sharding reshapes the
-    exchange, never the answer."""
+    enters the exchange), then shuffle by a BOUNDED hash partition of the
+    shard cell; each partition task sorts its rows once and queries each
+    cell-run against only that cell's polygon shard (one Ray task per
+    partition — the round-1 per-cell map_groups paid one Ray+pandas call
+    per cell, ~15 s at sf0.1). Result is identical to the broadcast
+    ``pip_join`` (same DuckDB oracle) — sharding reshapes the exchange,
+    never the answer."""
     import pyarrow.compute as _pc
+    from ..relational import hash_part
     from ..stages.assign import make_cell_assigner
     cell_col = f"cell_r{shard_res}"
     shard_cells = pa.array(sorted(shard_refs), pa.int64())
 
     def prune(batch: pa.Table) -> pa.Table:
-        return batch.filter(_pc.is_in(batch[cell_col],
-                                      value_set=shard_cells))
+        batch = batch.filter(_pc.is_in(batch[cell_col],
+                                       value_set=shard_cells))
+        cells = batch[cell_col].combine_chunks().to_numpy()
+        return batch.append_column("part",
+                                   pa.array(hash_part(cells, num_parts)))
 
     pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
                 .map_batches(make_cell_assigner((shard_res,)),
                              batch_format="pyarrow") \
                 .map_batches(prune, batch_format="pyarrow")
 
-    empty = pa.table({id_col: pa.array([], pa.string()),
-                      "feature_id": pa.array([], pa.int64())})
-
-    def per_shard(t: pa.Table) -> pa.Table:
-        cell = int(t[cell_col][0].as_py())
-        ref = shard_refs.get(cell)
-        if ref is None:
-            return empty
-        idx: PolygonIndex = ray.get(ref)  # ONLY this shard's polygons
-        px = t["lon"].combine_chunks().to_numpy()
-        py = t["lat"].combine_chunks().to_numpy()
-        pi, fids = idx.query(px, py)
+    def per_partition(t: pa.Table) -> pa.Table:
+        cells = t[cell_col].combine_chunks().to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        px = t["lon"].combine_chunks().to_numpy()[order]
+        py = t["lat"].combine_chunks().to_numpy()[order]
+        ids = t[id_col].combine_chunks().take(pa.array(order))
+        ucells, starts = np.unique(cs, return_index=True)
+        bounds = np.append(starts, len(cs))
+        out_pi: list[np.ndarray] = []
+        out_fid: list[np.ndarray] = []
+        for i, c in enumerate(ucells):
+            ref = shard_refs.get(int(c))
+            if ref is None:
+                continue
+            idx: PolygonIndex = ray.get(ref)  # ONLY this cell's polygons
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            pi, fids = idx.query(px[s:e], py[s:e])
+            out_pi.append(pi + s)
+            out_fid.append(fids)
+        if not out_pi:
+            return pa.table({id_col: ids.slice(0, 0),
+                             "feature_id": pa.array([], pa.int64())})
         return pa.table({
-            id_col: pc.take(t[id_col].combine_chunks(), pa.array(pi)),
-            "feature_id": pa.array(fids),
+            id_col: ids.take(pa.array(np.concatenate(out_pi))),
+            "feature_id": pa.array(np.concatenate(out_fid)),
         })
 
-    return pts.groupby(cell_col).map_groups(per_shard, batch_format="pyarrow")
+    return pts.groupby("part").map_groups(per_partition,
+                                          batch_format="pyarrow")
 
 
 class NearestFeature:
@@ -296,90 +316,116 @@ def build_knn_feature_cells(feats: pa.Table, res: int = 3) -> ray.ObjectRef:
     return ray.put({"res": res, "total": len(fid), "buckets": buckets})
 
 
+def _ring_search(layer: dict, cell: int, px: np.ndarray, py: np.ndarray,
+                 res: int) -> np.ndarray:
+    """EXACT nearest-feature ids for one cell's points: scan only the
+    feature buckets inside an expanding square ring region, growing
+    geometrically until every point's best squared distance is STRICTLY
+    below its squared distance to the searched region's boundary — any
+    feature outside the region is then provably farther, so the result
+    (including smallest-id tie-breaks inside the region) equals the full
+    scan."""
+    from ..geo import tiles
+    n_side = 1 << res
+    buckets = layer["buckets"]
+    total = layer["total"]
+    _, cx, cy = tiles.cell_to_xy(np.array([cell]))
+    cx, cy = int(cx[0]), int(cy[0])
+    k = 1
+    while True:
+        x0, x1 = max(cx - k, 0), min(cx + k, n_side - 1)
+        y0, y1 = max(cy - k, 0), min(cy + k, n_side - 1)
+        cand = [buckets[c] for c in
+                (int((np.int64(res) << np.int64(tiles.RES_SHIFT))
+                     | (np.int64(x) << np.int64(tiles.XY_BITS)) | np.int64(y))
+                 for x in range(x0, x1 + 1) for y in range(y0, y1 + 1))
+                if c in buckets]
+        m = sum(len(c[0]) for c in cand)
+        full = (x0 == 0 and y0 == 0 and x1 == n_side - 1
+                and y1 == n_side - 1)
+        if m == 0:
+            if full:  # empty feature layer: no match anywhere
+                best = np.full(len(px), -1, np.int64)
+                break
+            k *= 2
+            continue
+        if m:
+            nf = NearestFeature.__new__(NearestFeature)
+            nf.fid = np.concatenate([c[0] for c in cand])
+            nf.fx = np.concatenate([c[1] for c in cand])
+            nf.fy = np.concatenate([c[2] for c in cand])
+            ord_ = np.argsort(nf.fid, kind="stable")
+            nf.fid, nf.fx, nf.fy = nf.fid[ord_], nf.fx[ord_], nf.fy[ord_]
+            nf.feat_chunk, nf.row_chunk = 256, 256
+            best = nf.nearest(px, py)
+            if full or m == total:
+                break
+            # region boundary in degrees (corner-cell bounds)
+            lonL, _, _, _ = tiles.cell_bounds(np.array(
+                [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                 | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+            _, _, lonR, latT = tiles.cell_bounds(np.array(
+                [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                 | (np.int64(x1) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+            _, latB, _, _ = tiles.cell_bounds(np.array(
+                [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+                 | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y1)]))
+            bdist = np.minimum.reduce([
+                px - float(lonL[0]), float(lonR[0]) - px,
+                py - float(latB[0]), float(latT[0]) - py])
+            # recompute best squared distance for the criterion
+            d2 = np.full(len(px), np.inf)
+            ok = best >= 0
+            if ok.any():
+                j = np.searchsorted(nf.fid, best[ok])
+                d2[ok] = (px[ok] - nf.fx[j]) ** 2 + (py[ok] - nf.fy[j]) ** 2
+            if bool(np.all(d2 < np.maximum(bdist, 0.0) ** 2)):
+                break
+        k *= 2
+    return best
+
+
 def knn_nearest_sharded(images: ray.data.Dataset, cells_ref: ray.ObjectRef,
-                        res: int = 3,
-                        id_col: str = "image_id") -> ray.data.Dataset:
+                        res: int = 3, id_col: str = "image_id",
+                        num_parts: int = 32) -> ray.data.Dataset:
     """EXACT nearest feature via cell partitioning + neighbor-ring
     expansion (SURVEY §2.5 J5, the scale path next to the broadcast
-    NearestFeature scan): images shuffle by their geocell; each group
-    task scans only the feature buckets inside an expanding square ring
-    region, growing geometrically until every point's best squared
-    distance is STRICTLY below its squared distance to the searched
-    region's boundary — any feature outside the region is then provably
-    farther, so the result (including smallest-id tie-breaks inside the
-    region) equals the full scan. Verified against the same DuckDB
-    oracle as knn_nearest."""
-    from ..geo import tiles
+    NearestFeature scan): images shuffle by a BOUNDED hash partition of
+    their geocell; each partition task sorts its rows once and runs the
+    ring search per cell-run (one Ray task per partition — the round-1
+    per-cell map_groups paid one Ray+pandas call per cell, ~13 s at
+    sf0.1). Verified against the same DuckDB oracle as knn_nearest."""
+    from ..relational import hash_part
     from ..stages.assign import make_cell_assigner
     cell_col = f"cell_r{res}"
-    pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
-                .map_batches(make_cell_assigner((res,)),
-                             batch_format="pyarrow")
-    n_side = 1 << res
 
-    def per_cell(t: pa.Table) -> pa.Table:
-        layer = ray.get(cells_ref)
-        buckets = layer["buckets"]
-        total = layer["total"]
-        _, cx, cy = tiles.cell_to_xy(np.array([t[cell_col][0].as_py()]))
-        cx, cy = int(cx[0]), int(cy[0])
-        px = t["lon"].combine_chunks().to_numpy()
-        py = t["lat"].combine_chunks().to_numpy()
-        ids = t[id_col].combine_chunks()
-        k = 1
-        while True:
-            x0, x1 = max(cx - k, 0), min(cx + k, n_side - 1)
-            y0, y1 = max(cy - k, 0), min(cy + k, n_side - 1)
-            cand = [buckets[c] for c in
-                    (int((np.int64(res) << np.int64(tiles.RES_SHIFT))
-                         | (np.int64(x) << np.int64(tiles.XY_BITS)) | np.int64(y))
-                     for x in range(x0, x1 + 1) for y in range(y0, y1 + 1))
-                    if c in buckets]
-            m = sum(len(c[0]) for c in cand)
-            full = (x0 == 0 and y0 == 0 and x1 == n_side - 1
-                    and y1 == n_side - 1)
-            if m == 0:
-                if full:  # empty feature layer: no match anywhere
-                    best = np.full(len(px), -1, np.int64)
-                    break
-                k *= 2
-                continue
-            if m:
-                nf = NearestFeature.__new__(NearestFeature)
-                nf.fid = np.concatenate([c[0] for c in cand])
-                nf.fx = np.concatenate([c[1] for c in cand])
-                nf.fy = np.concatenate([c[2] for c in cand])
-                ord_ = np.argsort(nf.fid, kind="stable")
-                nf.fid, nf.fx, nf.fy = nf.fid[ord_], nf.fx[ord_], nf.fy[ord_]
-                nf.feat_chunk, nf.row_chunk = 256, 256
-                best = nf.nearest(px, py)
-                if full or m == total:
-                    break
-                # region boundary in degrees (corner-cell bounds)
-                lonL, _, _, _ = tiles.cell_bounds(np.array(
-                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-                     | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
-                _, _, lonR, latT = tiles.cell_bounds(np.array(
-                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-                     | (np.int64(x1) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
-                _, latB, _, _ = tiles.cell_bounds(np.array(
-                    [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-                     | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y1)]))
-                bdist = np.minimum.reduce([
-                    px - float(lonL[0]), float(lonR[0]) - px,
-                    py - float(latB[0]), float(latT[0]) - py])
-                # recompute best squared distance for the criterion
-                d2 = np.full(len(px), np.inf)
-                ok = best >= 0
-                if ok.any():
-                    j = np.searchsorted(nf.fid, best[ok])
-                    d2[ok] = (px[ok] - nf.fx[j]) ** 2 + (py[ok] - nf.fy[j]) ** 2
-                if bool(np.all(d2 < np.maximum(bdist, 0.0) ** 2)):
-                    break
-            k *= 2
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = make_cell_assigner((res,))(batch)
+        cells = batch[cell_col].combine_chunks().to_numpy()
+        return batch.append_column("part",
+                                   pa.array(hash_part(cells, num_parts)))
+
+    pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
+                .map_batches(assign, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        layer = ray.get(cells_ref)  # the bucketed feature layer, once
+        cells = t[cell_col].combine_chunks().to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        px = t["lon"].combine_chunks().to_numpy()[order]
+        py = t["lat"].combine_chunks().to_numpy()[order]
+        ids = t[id_col].combine_chunks().take(pa.array(order))
+        ucells, starts = np.unique(cs, return_index=True)
+        bounds = np.append(starts, len(cs))
+        best = np.empty(len(cs), np.int64)
+        for i, c in enumerate(ucells):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            best[s:e] = _ring_search(layer, int(c), px[s:e], py[s:e], res)
         return pa.table({id_col: ids, "feature_id": pa.array(best)})
 
-    return pts.groupby(cell_col).map_groups(per_cell, batch_format="pyarrow")
+    return pts.groupby("part").map_groups(per_partition,
+                                          batch_format="pyarrow")
 
 
 class TopKCosine:

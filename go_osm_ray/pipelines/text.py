@@ -2,10 +2,18 @@
 
 The training-data-pipeline operator family (round brief): exact dedup,
 MinHash-LSH / SimHash / n-gram-Jaccard near-dup, embedding near-dup,
-language ID, quality scoring, token counting, fingerprinting. All hot
-paths are per-batch vectorized (arrow splits + segment sums) or C-level
-(hashlib/zlib); shuffles move candidate rows or partial sketches, never
-full documents where avoidable.
+language ID, quality scoring, token counting, fingerprinting.
+
+Physical plan (round 2, the distributed form): every near-dup pipeline
+is  sketch stage (actor pool / map_batches, batch-vectorized)
+  -> hash-partitioned candidate exchange (``groupby("part")`` so each
+     bucket key lands wholly inside one of NUM_PARTS partitions and the
+     vectorized pair kernel runs once PER PARTITION, never per bucket
+     and never in a single driver-sized task)
+  -> verify against ONLY the candidate rows (semi-join the corpus down
+     to candidate ids, broadcast that small side)
+  -> one small groupby over verified pairs for cross-partition dedup.
+Nothing broadcasts or single-tasks anything that grows with the corpus.
 """
 
 from __future__ import annotations
@@ -20,7 +28,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# Hash partitions for the candidate-pair exchanges. Bounds the rows per
+# pair-kernel task to ~total/NUM_PARTS; raise with cluster size (the
+# exchange is a real groupby shuffle, so partitions spread over nodes).
+NUM_PARTS = 32
+
+from ..relational import hash_part as _part_of  # noqa: E402 (shared mixer)
+
+
+def _by_partition(rows: ray.data.Dataset, kernel) -> ray.data.Dataset:
+    """The candidate exchange: shuffle by the bounded ``part`` column and
+    run the partition-local vectorized ``kernel`` once per partition."""
+    return rows.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
 
 # Deterministic per-language stopword lists for the langid heuristic.
 # Scoring = |distinct tokens ∩ stoplist| per language; prediction = the
@@ -76,16 +98,91 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
                        Count(alias_name="group_n")))
 
 
-# ------------------------------------------------------------- minhash LSH
+# -------------------------------------------------- shingles (vectorized)
+
+_SH_MULT = np.uint64(1000003)
+_PAD_HASH = np.uint64(zlib.crc32(b"_pad"))
+
+
+def _rolling_hash(th: np.ndarray, k: int) -> np.ndarray:
+    """Flat k-window polynomial combine of per-token hashes."""
+    m = len(th) - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        h = th[:m].copy()
+        for j in range(1, k):
+            h = h * _SH_MULT + th[j:j + m]
+    return h
+
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Per-doc distinct k-token shingle hashes (scalar reference form;
+    the batch path below is bit-identical)."""
     toks = text.lower().split()
     if len(toks) < k:
         toks = toks + ["_pad"] * (k - len(toks))
-    return np.unique(np.array(
-        [zlib.crc32(" ".join(toks[i:i + k]).encode()) for i in range(len(toks) - k + 1)],
-        dtype=np.uint64))
+    th = np.fromiter((zlib.crc32(t.encode()) for t in toks), np.uint64, len(toks))
+    return np.unique(_rolling_hash(th, k))
 
+
+def _tokens_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """python-``str.split()``-equivalent tokenization over a batch:
+    (per-doc token counts, flat lowercase token ndarray[object])."""
+    lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = np.asarray(lists.offsets, np.int64)
+    offsets = offsets - offsets[0]
+    flat = lists.flatten()
+    # arrow keeps ''-artifacts at leading/trailing whitespace; split() doesn't
+    nonempty = np.asarray(pc.utf8_length(flat)).astype(bool)
+    counts = _seg_count(nonempty, offsets)
+    toks = np.asarray(flat.filter(pa.array(nonempty)).to_pylist(), dtype=object)
+    return counts, toks
+
+
+def _crc32_map(toks: np.ndarray) -> np.ndarray:
+    """crc32 per token — each UNIQUE token hashed once (factorize is the
+    C-speed dedup), then broadcast back by code."""
+    if not len(toks):
+        return np.empty(0, np.uint64)
+    codes, uniq = pd.factorize(toks)
+    uh = np.fromiter((zlib.crc32(t.encode()) for t in uniq), np.uint64, len(uniq))
+    return uh[codes]
+
+
+def _shingle_hashes_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Batch form of ``_shingle_hashes``: (doc_idx, shingle_hash) flat
+    arrays, per-doc DISTINCT, doc_idx ascending. One rolling-hash pass
+    over the batch's concatenated token hashes (the per-doc python loop
+    was the round-1 near-dup hot spot)."""
+    counts, toks = _tokens_flat(texts)
+    th = _crc32_map(toks)
+    short = counts < k
+    if short.any():
+        # pad-extend short docs so every doc yields >= 1 shingle (parity
+        # with the scalar path's ["_pad"] * (k - len) extension)
+        new_counts = np.maximum(counts, k)
+        new_offs = np.r_[0, np.cumsum(new_counts)]
+        offs = np.r_[0, np.cumsum(counts)]
+        out = np.full(new_offs[-1], _PAD_HASH, np.uint64)
+        pos = (np.arange(offs[-1]) - np.repeat(offs[:-1], counts)
+               + np.repeat(new_offs[:-1], counts))
+        out[pos] = th
+        th, counts = out, new_counts
+    h = _rolling_hash(th, k)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    m = len(h)
+    valid = doc_of[:m] == doc_of[k - 1:]  # window fully inside one doc
+    d, h = doc_of[:m][valid], h[valid]
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
+    return d[keep], h[keep]
+
+
+# ------------------------------------------------------------- minhash LSH
 
 _MH_A: np.ndarray | None = None
 _MH_B: np.ndarray | None = None
@@ -110,30 +207,45 @@ def minhash_signature(text: str, num_hashes: int = 64) -> np.ndarray:
 
 
 class MinHashStage:
-    """Actor-pool stage: per-doc minhash signature -> (band_id, band_hash)
-    rows. Params built once per actor in __init__."""
+    """Actor-pool stage: per-doc minhash signature -> (band_id, band_hash,
+    part) rows, fully batch-vectorized: ONE (shingles x hashes) matrix per
+    batch + ``np.minimum.reduceat`` segment minima + a per-band polynomial
+    combine for the band hashes (the per-doc python loop was the round-1
+    hot spot). ``part`` is the hash-partition key of the candidate
+    exchange. Hash params built once per actor in __init__."""
 
-    def __init__(self, num_hashes: int = 64, bands: int = 16):
+    def __init__(self, num_hashes: int = 64, bands: int = 16,
+                 num_parts: int = NUM_PARTS):
         self.num = num_hashes
         self.bands = bands
         self.rows = num_hashes // bands
+        self.num_parts = num_parts
         _mh_params(num_hashes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         ids = batch["doc_id"].combine_chunks().to_numpy()
-        out_doc, out_band, out_hash = [], [], []
-        for did, t in zip(ids, texts):
-            sig = minhash_signature(t, self.num)
-            for b in range(self.bands):
-                h = zlib.crc32(sig[b * self.rows:(b + 1) * self.rows].tobytes())
-                out_doc.append(did)
-                out_band.append(b)
-                out_hash.append(h)
+        d, sh = _shingle_hashes_batch(batch["text"].combine_chunks())
+        a, b = _mh_params(self.num)
+        with np.errstate(over="ignore"):
+            vals = (sh[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sigs = np.minimum.reduceat(vals, starts, axis=0)  # (ndocs, num)
+        n = len(starts)
+        nb, r = self.bands, self.rows
+        s3 = sigs.reshape(n, nb, r)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, nb), np.uint64)
+            for j in range(r):
+                bh = bh * _SH_MULT + s3[:, :, j]
+        band_hash = bh.ravel().view(np.int64)
+        doc = np.repeat(ids[d[starts]], nb)
+        band_id = np.tile(np.arange(nb, dtype=np.int64), n)
+        key = bh.ravel() * np.uint64(nb) + band_id.astype(np.uint64)
         return pa.table({
-            "doc_id": pa.array(np.array(out_doc, np.int64)),
-            "band_id": pa.array(np.array(out_band, np.int64)),
-            "band_hash": pa.array(np.array(out_hash, np.int64)),
+            "doc_id": pa.array(doc),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "part": pa.array(_part_of(key, self.num_parts)),
         })
 
 
@@ -180,123 +292,171 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
-                      num_hashes: int = 64, bands: int = 16,
-                      concurrency: int | tuple[int, int] = (2, 8)) -> ray.data.Dataset:
-    """Near-dup candidate pairs via MinHash banding, verified by exact
-    shingle Jaccard >= threshold. Shuffle key = (band_id, band_hash);
-    verification joins the two documents' texts via a broadcast lookup
-    (documents table is the small side at verify time because candidates
-    are rare; at 10^12 scale verification co-partitions by min(doc_id)).
-    Output: (a, b, jac6) with a < b, deduped.
-    """
-    sigs = docs.map_batches(MinHashStage, fn_constructor_args=(num_hashes, bands),
-                            batch_format="pyarrow", concurrency=concurrency)
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
+
+def _band_pairgen(nb: int, id_col: str = "doc_id",
+                  key_col: str = "band_hash", band_col: str = "band_id"):
+    """Partition-local candidate kernel: all unordered id pairs sharing a
+    (band key, band id) bucket, deduped within the partition."""
     def pairgen(t: pa.Table) -> pa.Table:
-        # bucket key packs (band_hash, band_id); crc32 band hashes < 2^32
-        key = (t["band_hash"].combine_chunks().to_numpy() * bands
-               + t["band_id"].combine_chunks().to_numpy())
-        doc = t["doc_id"].combine_chunks().to_numpy()
+        key = (t[key_col].combine_chunks().to_numpy().view(np.uint64)
+               * np.uint64(nb)
+               + t[band_col].combine_chunks().to_numpy().astype(np.uint64))
+        doc = t[id_col].combine_chunks().to_numpy()
         a, b = _bucket_pairs_vec(key, doc)
         a, b = _dedup_pairs(a, b)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        return pa.table({"a": pa.array(a), "b": pa.array(b)}, schema=_PAIR_SCHEMA)
+    return pairgen
 
-    # The band table is tiny after the signature stage (bands x docs
-    # rows, 3 int64 cols), so candidate generation is ONE vectorized
-    # task; at 10^12-doc scale this repartition(1) becomes the
-    # groupby((band_id, band_hash)) shuffle with the same kernel run
-    # per partition.
-    cand = sigs.repartition(1).map_batches(pairgen, batch_format="pyarrow")
 
-    from ..relational import broadcast_table
-    texts_ref = broadcast_table(docs, ["doc_id", "text"])
+def _collect_pair_ids(cand: ray.data.Dataset) -> np.ndarray:
+    """Distinct ids appearing in the (small, materialized) candidate pair
+    table — the broadcastable side of the verify semi-join."""
+    tabs = ray.get(cand.select_columns(["a", "b"]).to_arrow_refs())
+    tabs = [t for t in tabs if len(t)]
+    if not tabs:
+        return np.empty(0, np.int64)
+    t = pa.concat_tables(tabs)
+    return np.unique(np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()]))
+
+
+def _empty_ds(schema: pa.Schema) -> ray.data.Dataset:
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16,
+                      concurrency: int | tuple[int, int] = (2, 8),
+                      num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Near-dup candidate pairs via MinHash banding, verified by exact
+    shingle Jaccard >= threshold. Distributed plan: the band table
+    shuffles by hash partition of (band_hash, band_id) and the pair
+    kernel runs per partition; verification semi-joins the corpus down
+    to the CANDIDATE ids and broadcasts only that small side (never the
+    whole documents table); a final tiny groupby dedups pairs found in
+    more than one band partition. Output: (a, b, jac6) with a < b.
+    """
+    from ..relational import broadcast_table, semi_filter
+    sigs = docs.map_batches(MinHashStage,
+                            fn_constructor_args=(num_hashes, bands, num_parts),
+                            batch_format="pyarrow", batch_size=1024,
+                            concurrency=concurrency)
+    # materialize: the candidate list is the small survivor of the LSH
+    # exchange, and both the id-collect below and the verify pass read it
+    cand = _by_partition(sigs, _band_pairgen(bands)).materialize()
+    ids = _collect_pair_ids(cand)
+    if not len(ids):
+        return _empty_ds(pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                    ("jac6", pa.float64())]))
+    ids_ref = ray.put(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    texts_ref = broadcast_table(semi_filter(docs, "doc_id", ids_ref),
+                                ["doc_id", "text"])
 
     def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)
-        lookup = dict(zip(t["doc_id"].to_numpy(),
-                          t["text"].to_pylist()))
+        t = ray.get(texts_ref)  # candidate texts ONLY
+        lookup = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
         a = batch["a"].combine_chunks().to_numpy()
         b = batch["b"].combine_chunks().to_numpy()
-        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)]) for x, y in zip(a, b)])
-        keep = jac >= threshold
+        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)])
+                        for x, y in zip(a, b)])
+        keep = jac >= threshold if len(jac) else np.empty(0, bool)
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "jac6": pa.array(np.round(jac[keep], 6))})
-    return cand.map_batches(verify, batch_format="pyarrow")
+
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    # cross-partition dedup (a pair can surface from several bands)
+    return verified.groupby(["a", "b"]).aggregate(Max("jac6", alias_name="jac6"))
 
 
-# ------------------------------------------------------------- simhash
+# ------------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
-                        k: int = 3, max_df: int = 64) -> ray.data.Dataset:
+                        k: int = 3, max_df: int = 64,
+                        num_parts: int = NUM_PARTS) -> ray.data.Dataset:
     """Exact n-gram-Jaccard near-dup pairs via shared-shingle blocking:
-    docs sharing >= 1 (non-ubiquitous) k-shingle are candidates, then the
-    exact shingle Jaccard >= threshold verifies.
+    docs sharing >= 1 (non-ubiquitous) k-shingle are candidates, with the
+    exact Jaccard computed from pair multiplicities (no text re-read).
 
     Buckets bigger than ``max_df`` are dropped before pair generation —
-    the standard common-shingle cutoff: a shingle appearing in more than
-    max_df docs is uninformative and its bucket would emit O(df^2)
-    candidate pairs (skew control; any true near-dup pair at Jaccard>=0.5
-    still shares many rarer shingles). Same shuffle shape as
-    minhash_lsh_pairs: (shingle_hash, doc_id) rows -> bucket pair kernel
-    -> broadcast-text verify.
-    """
+    the standard common-shingle cutoff (skew control; the computed
+    jaccard is then a LOWER bound, so filtering >= threshold yields no
+    false positives). Distributed plan: the (shingle, doc) table
+    shuffles by shingle-hash partition; each partition kernel applies
+    the df cutoff (a shingle lives wholly in one partition) and emits
+    per-partition pair intersection counts; a groupby((a, b)) sums the
+    partial intersections — |A∩B| — and |A∪B| follows from the per-doc
+    distinct-shingle counts carried on the rows."""
     def shingle_stage(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].combine_chunks().to_numpy()
-        out_doc, out_sh = [], []
-        for did, t in zip(ids, batch["text"].to_pylist()):
-            sh = _shingle_hashes(t, k)
-            out_doc.append(np.full(len(sh), did, np.int64))
-            out_sh.append(sh.astype(np.int64))
-        return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
-                         "shingle": pa.array(np.concatenate(out_sh))})
+        d, h = _shingle_hashes_batch(batch["text"].combine_chunks(), k)
+        n_sh = np.bincount(d, minlength=len(batch)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[d]),
+            "shingle": pa.array(h.view(np.int64)),
+            "n_sh": pa.array(n_sh[d]),
+            "part": pa.array(_part_of(h, num_parts)),
+        })
 
-    rows = docs.map_batches(shingle_stage, batch_format="pyarrow")
+    rows = docs.map_batches(shingle_stage, batch_format="pyarrow",
+                            batch_size=1024)
+
+    empty = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("inter_p", pa.int64()), ("ca", pa.int64()),
+                       ("cb", pa.int64())])
 
     def pairgen(t: pa.Table) -> pa.Table:
         key = t["shingle"].combine_chunks().to_numpy()
         doc = t["doc_id"].combine_chunks().to_numpy()
-        # per-doc distinct-shingle counts (rows are unique per doc)
-        docs_u, doc_cnt = np.unique(doc, return_counts=True)
-        # common-shingle cutoff before pair expansion
+        nsh = t["n_sh"].combine_chunks().to_numpy()
+        # common-shingle cutoff before pair expansion (df is exact here:
+        # a shingle's rows all hash to this partition)
         u, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
         keep = cnt[inv] <= max_df
         a, b = _bucket_pairs_vec(key[keep], doc[keep])
         if not len(a):
-            e = pa.array(np.empty(0, np.int64))
-            return pa.table({"a": e, "b": e,
-                             "jac6": pa.array(np.empty(0, np.float64))})
-        # EXACT jaccard from the blocking itself, no text re-verify: a
-        # pair appears once per shared shingle, so its pre-dedup
-        # multiplicity IS |A∩B|; |A∪B| = |A|+|B|-|A∩B| from the per-doc
-        # counts. (A python re-shingling verify over the 1.1M candidate
-        # pairs at sf0.1 was measured at ~90 s; this is ~1 s.) When the
-        # max_df cutoff fires, the computed jaccard is a LOWER bound
-        # (dropped ubiquitous shingles shrink the intersection), so
-        # filtering >= threshold yields no false positives.
+            return empty.empty_table()
+        # pre-dedup multiplicity inside this partition = the partition's
+        # contribution to |A∩B|
         pk, inter = np.unique(a * (1 << 31) + b, return_counts=True)
         a, b = pk >> 31, pk & ((1 << 31) - 1)
-        ca = doc_cnt[np.searchsorted(docs_u, a)]
-        cb = doc_cnt[np.searchsorted(docs_u, b)]
+        ud, ui = np.unique(doc, return_index=True)
+        ns = nsh[ui]
+        ca = ns[np.searchsorted(ud, a)]
+        cb = ns[np.searchsorted(ud, b)]
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "inter_p": pa.array(inter.astype(np.int64)),
+                         "ca": pa.array(ca), "cb": pa.array(cb)}, schema=empty)
+
+    partials = _by_partition(rows, pairgen)
+    agg = partials.groupby(["a", "b"]).aggregate(
+        Sum("inter_p", alias_name="inter"),
+        Max("ca", alias_name="ca"), Max("cb", alias_name="cb"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].combine_chunks().to_numpy().astype(np.float64)
+        ca = t["ca"].combine_chunks().to_numpy().astype(np.float64)
+        cb = t["cb"].combine_chunks().to_numpy().astype(np.float64)
         jac = inter / (ca + cb - inter)
         m = jac >= threshold
-        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
+        return pa.table({"a": t["a"].combine_chunks().filter(pa.array(m)),
+                         "b": t["b"].combine_chunks().filter(pa.array(m)),
                          "jac6": pa.array(np.round(jac[m], 6))})
-
-    # the shingle table shuffles once; at 10^12-doc scale repartition(1)
-    # becomes a groupby(shingle-hash range) with the same kernel
-    return rows.repartition(1).map_batches(pairgen, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_groups(pairs: ray.data.Dataset) -> ray.data.Dataset:
     """Near-dup pair list -> connected components: (doc_id, group_id)
     with group_id = smallest doc_id in the component (the canonical
     keeper). Pairs are tiny relative to the corpus (they survived
-    LSH + verify), so the union-find runs in ONE task over the collected
-    edge list; at larger pair volumes this becomes iterative
+    LSH + verify), so the union-find runs in ONE guarded task over the
+    edge list (relational.single_merge coalesces every block into one
+    batch); at larger pair volumes this becomes iterative
     label-propagation over a (doc_id -> min neighbor label) groupby
     until fixpoint. Vectorized path-halving union-find on dense-ranked
     ids."""
+    from ..relational import single_merge
+
     def components(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy()
         b = t["b"].combine_chunks().to_numpy()
@@ -324,7 +484,7 @@ def dedup_groups(pairs: ray.data.Dataset) -> ray.data.Dataset:
         roots = np.array([find(i) for i in range(len(ids))])
         return pa.table({"doc_id": pa.array(ids),
                          "group_id": pa.array(ids[roots])})
-    return pairs.repartition(1).map_batches(components, batch_format="pyarrow")
+    return single_merge(pairs, components)
 
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
@@ -345,6 +505,8 @@ def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
         return batch.filter(m)
     return docs.map_batches(keep, batch_format="pyarrow")
 
+
+# ------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> np.uint64:
     acc = np.zeros(64, np.int64)
@@ -389,29 +551,36 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     return out
 
 
-def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Dataset:
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
+                  num_parts: int = NUM_PARTS) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: 4-band exact-match blocking (any pair
-    within hamming<=3 shares at least one of 4 16-bit bands), then exact
-    hamming verify inside each bucket group."""
+    within hamming<=3 shares at least one of 4 16-bit bands), exact
+    hamming verified from the signatures carried through the exchange.
+    Distributed plan: band rows shuffle by hash partition of
+    (band_key, band_id); the pair kernel runs per partition; a final
+    groupby dedups pairs found in more than one band partition."""
     def sim_stage(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].combine_chunks().to_numpy()
         sigs = simhash64_batch(batch["text"].to_pylist())
-        doc, band, key, sig = [], [], [], []
-        for d, s in zip(ids, sigs):
-            sv = int(s)
-            if sv >= 1 << 63:  # two's-complement into int64
-                sv -= 1 << 64
-            for b in range(4):
-                doc.append(d)
-                band.append(b)
-                key.append(int((s >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
-                sig.append(sv)
-        return pa.table({"doc_id": pa.array(doc, pa.int64()),
-                         "band_id": pa.array(band, pa.int64()),
-                         "band_key": pa.array(key, pa.int64()),
-                         "sig": pa.array(sig, pa.int64())})
+        n = len(ids)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        keys = np.empty((n, 4), np.int64)
+        for b in range(4):
+            keys[:, b] = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        key_flat = keys.ravel()
+        packed = key_flat.astype(np.uint64) * np.uint64(4) + band_id.astype(np.uint64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "band_id": pa.array(band_id),
+            "band_key": pa.array(key_flat),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), 4)),
+            "part": pa.array(_part_of(packed, num_parts)),
+        })
 
-    sigs = docs.map_batches(sim_stage, batch_format="pyarrow")
+    sigs = docs.map_batches(sim_stage, batch_format="pyarrow", batch_size=1024)
+
+    empty = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("hamming", pa.int64())])
 
     def pairgen(t: pa.Table) -> pa.Table:
         key = (t["band_key"].combine_chunks().to_numpy() * 4
@@ -421,8 +590,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
         a, b, _, _ = _bucket_pairs_vec(key, doc, sig)
         a, b = _dedup_pairs(a, b)
         if not len(a):
-            e = pa.array(np.empty(0, np.int64))
-            return pa.table({"a": e, "b": e, "hamming": e})
+            return empty.empty_table()
         # vectorized hamming: map pair ids -> sigs via sorted uniques,
         # then unpackbits popcount (a python bin() loop was the hot spot)
         ud, uidx = np.unique(doc, return_index=True)
@@ -432,78 +600,152 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3) -> ray.data.Data
                             axis=1).sum(axis=1).astype(np.int64)
         m = ham <= max_hamming
         return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
-                         "hamming": pa.array(ham[m])})
+                         "hamming": pa.array(ham[m])}, schema=empty)
 
-    # band table is small (4 rows/doc); one vectorized task — at scale
-    # this becomes the groupby((band_id, band_key)) shuffle (see
-    # minhash_lsh_pairs note)
-    return sigs.repartition(1).map_batches(pairgen, batch_format="pyarrow")
+    pairs = _by_partition(sigs, pairgen)
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------------------- embeddings
 
+def plant_neardups(embeddings: ray.data.Dataset, every: int = 50,
+                   id_offset: int = 100_000,
+                   alpha: float = 0.1) -> ray.data.Dataset:
+    """Deterministic near-dup augmentation for the embed_neardup gate:
+    every ``every``-th vec_id gains a perturbed copy
+    ``v' = v + alpha * reverse(v)`` (cosine(v, v') ≈ 1/sqrt(1+alpha²)
+    ≈ 0.995 for near-orthogonal reverse) with id ``vec_id + id_offset``.
+    The DuckDB oracle mirrors this exactly (list_zip + list_reverse), so
+    the planted pairs give the near-dup gate real ground truth — the
+    round-1 gate returned 0 rows on the natural table and verified
+    nothing."""
+    elem_type = None
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        nonlocal elem_type
+        vid = batch["vec_id"].combine_chunks().to_numpy()
+        m = (vid % every) == 0
+        if elem_type is None:
+            elem_type = batch.schema.field("embedding").type
+        sub = batch.filter(pa.array(m))
+        if len(sub) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], elem_type)})
+        emb = np.stack(sub["embedding"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)).astype(np.float64)
+        v = emb + alpha * emb[:, ::-1]
+        new_ids = sub["vec_id"].combine_chunks().to_numpy() + id_offset
+        np_elem = np.float32 if pa.types.is_float32(elem_type.value_type) \
+            else np.float64
+        return pa.table({
+            "vec_id": pa.array(new_ids, pa.int64()),
+            "embedding": pa.array(list(v.astype(np_elem)), type=elem_type),
+        })
+
+    aug = embeddings.select_columns(["vec_id", "embedding"]) \
+        .map_batches(perturb, batch_format="pyarrow")
+    return embeddings.select_columns(["vec_id", "embedding"]).union(aug)
+
+
 def embedding_neardup(embeddings: ray.data.Dataset, threshold: float = 0.95,
-                      planes: int = 16) -> ray.data.Dataset:
-    """Near-dup vec pairs (cosine >= threshold) via random-hyperplane LSH
-    sign buckets, then exact cosine verify per bucket."""
+                      planes: int = 128, bands: int = 8,
+                      num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Near-dup vector pairs (cosine >= threshold) via BANDED
+    random-hyperplane sign LSH: the ``planes``-bit sign signature splits
+    into ``bands`` 16-bit bands and vectors sharing ANY band pattern are
+    candidates. At 128 planes / 8 bands a cos≈0.995 pair is missed with
+    prob ~(1-0.968^16)^8 ≈ 7e-4 while an unrelated pair false-candidates
+    at ~8·2^-16 ≈ 1e-4 (so the candidate set stays tiny). Candidates
+    verify by EXACT cosine over a broadcast of ONLY the candidate
+    embeddings (semi-join, never the whole table). Output: distinct
+    (a, b) id pairs, a < b. The single-band round-1 form both recalled
+    ~nothing (0 rows at 16 planes — a vacuous gate) and double-executed
+    the pipeline via a driver-side count(); this plan executes once per
+    consumer and is oracle-gated against planted near-dups."""
+    from ..relational import broadcast_table, semi_filter
     rs = np.random.RandomState(4321)
     dim = len(embeddings.take(1)[0]["embedding"])
     H = rs.normal(size=(dim, planes))
     H_ref = ray.put(H)
+    bits = planes // bands
+    weights = (1 << np.arange(bits, dtype=np.int64))
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        planes_m = ray.get(H_ref)
-        emb = np.stack(batch["embedding"].combine_chunks().to_numpy(zero_copy_only=False)).astype(np.float64)
+        Hm = ray.get(H_ref)
+        emb = np.stack(batch["embedding"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)).astype(np.float64)
         nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        signs = (nrm @ planes_m) > 0
-        keys = signs.dot(1 << np.arange(planes_m.shape[1], dtype=np.int64))
-        out = pa.table({
-            "vec_id": batch["vec_id"].combine_chunks(),
-            "bucket": pa.array(keys.astype(np.int64)),
-            "embedding": batch["embedding"].combine_chunks(),
+        signs = (nrm @ Hm) > 0  # (n, planes)
+        n = len(batch)
+        keys = signs.reshape(n, bands, bits).astype(np.int64) @ weights  # (n, bands)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        key_flat = keys.ravel()
+        packed = key_flat.astype(np.uint64) * np.uint64(bands) + band_id.astype(np.uint64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                batch["vec_id"].combine_chunks().to_numpy(), bands)),
+            "band_id": pa.array(band_id),
+            "band_key": pa.array(key_flat),
+            "part": pa.array(_part_of(packed, num_parts)),
         })
-        return out
 
-    buckets = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    rows = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    cand = _by_partition(rows, _band_pairgen(bands, id_col="vec_id",
+                                             key_col="band_key")).materialize()
+    ids = _collect_pair_ids(cand)
+    if not len(ids):
+        return _empty_ds(_PAIR_SCHEMA)
+    ids_ref = ray.put(pa.table({"vec_id": pa.array(ids, pa.int64())}))
+    emb_ref = broadcast_table(semi_filter(embeddings, "vec_id", ids_ref),
+                              ["vec_id", "embedding"])
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "cos6": pd.Series(dtype=np.float64)})
-        df = df.sort_values("vec_id")
-        ids = df["vec_id"].to_numpy()
-        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = nrm @ nrm.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        m = sims[ii, jj] >= threshold
-        return pd.DataFrame({"a": ids[ii[m]], "b": ids[jj[m]],
-                             "cos6": np.round(sims[ii[m], jj[m]], 6)})
+    def verify(batch: pa.Table) -> pa.Table:
+        t = ray.get(emb_ref)  # candidate embeddings ONLY
+        vids = t["vec_id"].to_numpy()
+        order = np.argsort(vids, kind="stable")
+        vids_s = vids[order]
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)[order]
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        a = batch["a"].combine_chunks().to_numpy()
+        b = batch["b"].combine_chunks().to_numpy()
+        if not len(a):
+            return _PAIR_SCHEMA.empty_table()
+        cos = np.einsum("ij,ij->i", M[np.searchsorted(vids_s, a)],
+                        M[np.searchsorted(vids_s, b)])
+        keep = cos >= threshold
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])},
+                        schema=_PAIR_SCHEMA)
 
-    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
-    if pairs.count() == 0:
-        return pairs
-    from ray.data.aggregate import Max
-    return pairs.groupby(["a", "b"]).aggregate(Max("cos6", alias_name="cos6"))
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    return verified.groupby(["a", "b"]).aggregate(
+        Count(alias_name="_n")).select_columns(["a", "b"])
 
 
 # ------------------------------------------------------------- text analysis
 
+_ALL_STOPS = sorted({w for ws in STOPLISTS.values() for w in ws})
+_STOP_LANG_IDX = {lang: np.array([_ALL_STOPS.index(w) for w in STOPLISTS[lang]],
+                                 np.int64) for lang in LANGS}
+
+
 def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Heuristic language ID: distinct-token stoplist overlap per language
-    (vectorized: one arrow split + per-language membership segment-sum)."""
+    """Heuristic language ID: distinct-token stoplist overlap per language.
+    Vectorized: one arrow split, ONE index_in over the union stoplist,
+    one (doc, stopword) distinct pass, then 5 tiny membership scatters
+    (the round-1 form did 40 full-array equality passes)."""
     offsets, flat = _split_tokens(batch[text_col].combine_chunks())
     n = len(batch)
+    codes = np.asarray(pc.index_in(flat, value_set=pa.array(_ALL_STOPS))
+                       .fill_null(-1), np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    m = codes >= 0
+    K = len(_ALL_STOPS)
+    uk = np.unique(doc_of[m] * K + codes[m])  # distinct (doc, stopword)
+    ud, uc = uk // K, uk % K
     scores = np.zeros((n, len(LANGS)), np.int64)
     for li, lang in enumerate(LANGS):
-        member = np.asarray(pc.is_in(flat, value_set=pa.array(STOPLISTS[lang])))
-        # distinct overlap: count distinct matched stopwords per row
-        # (cheap trick: count first occurrences only, via per-row sorting cost
-        #  avoided — stoplists are small, count each stopword once)
-        for w in STOPLISTS[lang]:
-            hit = np.asarray(pc.equal(flat, w)).astype(bool)
-            scores[:, li] += (_seg_count(hit, offsets) > 0)
+        hit = np.isin(uc, _STOP_LANG_IDX[lang])
+        np.add.at(scores[:, li], ud[hit], 1)
     best = scores.max(axis=1)
     pred_idx = scores.argmax(axis=1)  # argmax -> first max -> alphabetical (LANGS sorted)
     pred = np.where(best > 0, np.array(LANGS, object)[pred_idx], "und")
@@ -546,23 +788,37 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def winnow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
                              k: int = 8, window: int = 4) -> pa.Table:
     """Winnowing document fingerprint (Schleimer et al. 2003): rolling
-    k-gram crc32 hashes, per-window minima, fingerprint = min of the
-    selected hashes (compact single-value form)."""
-    out_id, out_fp = [], []
-    ids = batch["doc_id"].combine_chunks().to_numpy()
-    for did, text in zip(ids, batch[text_col].to_pylist()):
-        s = text.lower().encode()
-        if len(s) < k:
-            hashes = np.array([zlib.crc32(s)], np.int64)
-        else:
-            hashes = np.array([zlib.crc32(s[i:i + k]) for i in range(len(s) - k + 1)],
-                              np.int64)
-        if len(hashes) >= window:
-            mins = np.array([hashes[i:i + window].min()
-                             for i in range(len(hashes) - window + 1)], np.int64)
-        else:
-            mins = hashes
-        out_id.append(did)
-        out_fp.append(int(mins.min()))
-    return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                     "winnow_fp": pa.array(out_fp, pa.int64())})
+    k-byte hashes, per-window minima, fingerprint = min of the selected
+    hashes (compact single-value form — the min of all window minima is
+    the global min rolling hash once every hash sits in some window).
+    Vectorized: ONE polynomial rolling-hash pass over the batch's
+    concatenated utf8 bytes with doc-boundary masking (the round-1 form
+    looped python crc32 per byte window)."""
+    arr = pc.utf8_lower(batch[text_col].combine_chunks())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # StringArray exposes no .offsets — read the int32 offsets buffer
+    # directly (buffers: [validity, offsets, data]); zero-copy
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    base = offs[0]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[base:offs[-1]]
+    offs = offs - base
+    counts = np.diff(offs)
+    n = len(counts)
+    fp = np.zeros(n, np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    m = len(data) - k + 1
+    if m > 0:
+        h = _rolling_hash(data.astype(np.uint64), k)
+        valid = doc_of[:m] == doc_of[k - 1:]
+        d, hv = doc_of[:m][valid], h[valid]
+        if len(d):
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            fp[d[starts]] = np.minimum.reduceat(hv, starts)
+    short = counts < k
+    for i in np.flatnonzero(short):  # rare: whole-doc hash, same combine
+        seg = data[offs[i]:offs[i + 1]].astype(np.uint64)
+        fp[i] = _rolling_hash(seg, len(seg))[0] if len(seg) else 0
+    return pa.table({"doc_id": batch["doc_id"].combine_chunks(),
+                     "winnow_fp": pa.array(fp.view(np.int64))})

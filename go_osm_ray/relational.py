@@ -33,7 +33,17 @@ def broadcast_table(ds: ray.data.Dataset | pa.Table, columns: Sequence[str] | No
     if isinstance(ds, ray.data.Dataset):
         if columns:
             ds = ds.select_columns(list(columns))
-        tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        tabs = ray.get(ds.to_arrow_refs())
+        # Ray canonicalizes zero-row transform outputs into schema-less
+        # empty blocks — drop them (and schema metadata) before concat
+        live = [t.replace_schema_metadata(None) for t in tabs
+                if t.num_rows and t.num_columns]
+        if live:
+            tbl = pa.concat_tables(live)
+        else:
+            sch = ds.schema()
+            tbl = pa.schema([(n, t) for n, t in
+                             zip(sch.names, sch.types)]).empty_table()
     else:
         tbl = ds if columns is None else ds.select(list(columns))
     return ray.put(tbl.combine_chunks())
@@ -84,6 +94,35 @@ def partial_groupby_agg(ds: ray.data.Dataset, keys: Sequence[str],
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
     return partials.groupby(keys).map_groups(final_fn, batch_format="pandas")
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_part(key: np.ndarray, num_parts: int) -> np.ndarray:
+    """Bounded hash-partition id for a key column (multiplicative mix so
+    low-entropy keys still spread). The partition column is the shuffle
+    key of the distributed per-key kernels: groupby("part") lands every
+    key wholly inside one of ``num_parts`` partitions and the vectorized
+    kernel runs once PER PARTITION, never per key."""
+    with np.errstate(over="ignore"):
+        mixed = key.astype(np.uint64) * _GOLD
+    return ((mixed >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int64)
+
+
+def single_merge(ds: ray.data.Dataset, fn, batch_format: str = "pyarrow") -> ray.data.Dataset:
+    """ONE-task merge for BOUNDED-size inputs (per-block partials over a
+    bounded key space, top-k partials, verified pair lists).
+
+    ``repartition(1)`` + ``map_batches(fn, batch_size=None)`` is only
+    correct while the merged data lands in one block: if Ray's dynamic
+    block splitting ever yields >1 block, per-block batches would make a
+    holistic merge kernel silently emit duplicate/partial keys.  The huge
+    explicit ``batch_size`` makes Ray coalesce every block into exactly
+    one batch, so the kernel sees ALL rows or the job fails loudly.
+    """
+    return ds.repartition(1).map_batches(fn, batch_format=batch_format,
+                                         batch_size=1 << 30)
 
 
 def dedup_exact(ds: ray.data.Dataset, key: str, keep_order_col: str) -> ray.data.Dataset:

@@ -70,6 +70,9 @@ def make_tag_projector(keep: list[str] | None = None, drop: list[str] | None = N
 
 def drop_attributes(batch: pa.Table, drop: list[str]) -> pa.Table:
     """Attribute dropping (P6) = projection: just don't carry the columns
-    (/root/reference/osm/Element.go:23-67 zeroes them; columnar form drops)."""
-    keep = [c for c in batch.column_names if c not in drop]
+    (/root/reference/osm/Element.go:23-67 zeroes them; columnar form drops).
+    The reference-facing attr name 'timestamp' maps to the Arrow column
+    'ts' (the XML writer keeps the reference spelling)."""
+    names = {"ts" if d == "timestamp" else d for d in drop}
+    keep = [c for c in batch.column_names if c not in names]
     return batch.select(keep)

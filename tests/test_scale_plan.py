@@ -1,0 +1,169 @@
+"""Scale-plan guarantees for the distributed near-dup / job pipelines
+(round-2 rework): the verify stage broadcasts only CANDIDATE rows, never
+the corpus; relations flow through the job runner; drop flags honor the
+merged-option precedence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import parity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(n=300):
+    rng = np.random.RandomState(7)
+    base = [
+        " ".join(f"w{v}" for v in rng.randint(0, 5000, size=20))
+        for _ in range(n)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows.append({"doc_id": 1000, "text": base[0]})          # exact dup
+    rows.append({"doc_id": 1001, "text": base[1] + " xx"})  # near dup
+    return rows
+
+
+def test_minhash_verify_broadcasts_only_candidates(ray_session, monkeypatch):
+    """The round-1 plan shipped the WHOLE corpus text into the verify
+    broadcast; the distributed plan must broadcast only the candidate
+    ids' texts (semi-join result)."""
+    import ray
+    import ray.data as rd
+    import go_osm_ray.relational as R
+    from go_osm_ray.pipelines import text as T
+
+    rows = _corpus()
+    docs = rd.from_items(rows)
+    sizes = []
+    orig = R.broadcast_table
+
+    def spy(ds, columns=None):
+        ref = orig(ds, columns)
+        sizes.append(len(ray.get(ref)))
+        return ref
+
+    monkeypatch.setattr(R, "broadcast_table", spy)
+    pairs = parity.to_pandas(T.minhash_lsh_pairs(docs))
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1000) in found
+    assert sizes, "verify must go through broadcast_table"
+    # every broadcast is candidate-sized, nowhere near the 302-doc corpus
+    assert max(sizes) < 50, sizes
+
+
+def test_embed_neardup_planted_and_candidate_broadcast(ray_session, monkeypatch):
+    """plant_neardups seeds deterministic cosine≈0.995 pairs; the banded
+    LSH must find them all, and the verify broadcast must hold only the
+    candidate embeddings."""
+    import ray
+    import ray.data as rd
+    import go_osm_ray.relational as R
+    from go_osm_ray.pipelines.text import embedding_neardup, plant_neardups
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    sizes = []
+    orig = R.broadcast_table
+
+    def spy(ds, columns=None):
+        ref = orig(ds, columns)
+        sizes.append(len(ray.get(ref)))
+        return ref
+
+    monkeypatch.setattr(R, "broadcast_table", spy)
+    pairs = parity.to_pandas(embedding_neardup(plant_neardups(emb)))
+    found = set(zip(pairs["a"], pairs["b"]))
+    for vid in range(0, 500, 50):
+        assert (vid, vid + 100_000) in found
+    assert max(sizes) < 100, sizes  # 510-vector table never broadcast whole
+
+
+def test_sessionize_partition_count(ray_session):
+    """The partitioned sessionize must produce > 1 task-partition worth
+    of groups and still match the single-task kernel output."""
+    import __ray_entry__ as E
+    got = parity.to_pandas(E.queries()["sessionize"](SF)) \
+        .sort_values("user_id").reset_index(drop=True)
+    # reference single-pass kernel on the driver
+    import pyarrow.parquet as pq
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    df = df.sort_values(["user_id", "ts"])
+    gap = df.groupby("user_id")["ts"].diff().dt.total_seconds() > 1800
+    want = df.assign(brk=gap).groupby("user_id").agg(
+        n_sessions=("brk", lambda s: int(s.sum()) + 1),
+        n_events=("brk", "size")).reset_index()
+    got2 = got.astype({"n_sessions": "int64", "n_events": "int64"})
+    pd.testing.assert_frame_equal(
+        got2, want.astype({"n_sessions": "int64", "n_events": "int64"}),
+        check_dtype=False)
+
+
+def test_job_relations_flow(ray_session, tmp_path):
+    """Relations read through the job runner, written to parquet, and
+    gated by drop_relations from GLOBALS (merged-option precedence)."""
+    import os
+    import pyarrow.parquet as pq
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    paths = datagen.ensure_tables(0.001)
+
+    out1 = str(tmp_path / "with_rels")
+    spec = {
+        "inputs": [
+            {"uri": paths["osm_nodes"], "kind": "nodes"},
+            {"uri": paths["osm_relations"], "kind": "relations"},
+        ],
+        "outputs": [{"uri": out1, "format": "parquet"}],
+    }
+    run_job(spec)
+    assert os.path.isdir(os.path.join(out1, "relations"))
+    n_rels = pq.read_table(os.path.join(out1, "relations")).num_rows
+    assert n_rels == pq.read_table(paths["osm_relations"]).num_rows
+
+    out2 = str(tmp_path / "no_rels")
+    spec2 = dict(spec, globals={"drop_relations": True},
+                 outputs=[{"uri": out2, "format": "parquet"}])
+    run_job(spec2)
+    assert not os.path.exists(os.path.join(out2, "relations"))
+
+
+def test_job_drop_nodes_from_globals(ray_session, tmp_path):
+    """ADVICE fix: drop_nodes set in globals must gate the node output
+    (round 1 read the raw output dict and ignored globals)."""
+    import os
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    paths = datagen.ensure_tables(0.001)
+    out = str(tmp_path / "gdrop")
+    spec = {
+        "globals": {"drop_nodes": True},
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"},
+                   {"uri": paths["osm_ways"], "kind": "ways"}],
+        "outputs": [{"uri": out, "format": "parquet"}],
+    }
+    run_job(spec)
+    assert not os.path.exists(os.path.join(out, "nodes"))
+    assert os.path.isdir(os.path.join(out, "ways"))
+
+
+def test_geojson_includes_way_features(ray_session, tmp_path):
+    """ADVICE fix: GeoJSON outputs must carry way LineString/Polygon
+    features alongside node Points (round 1 silently dropped ways)."""
+    import json
+    import os
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    paths = datagen.ensure_tables(0.001)
+    out = str(tmp_path / "feats.geojson")
+    spec = {
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"},
+                   {"uri": paths["osm_ways"], "kind": "ways"}],
+        "outputs": [{"uri": out, "format": "geojson"}],
+    }
+    run_job(spec)
+    doc = json.load(open(out))
+    kinds = {f["geometry"]["type"] for f in doc["features"]}
+    assert "Point" in kinds
+    assert kinds & {"LineString", "Polygon"}
