@@ -17,8 +17,15 @@ Here the expression is parsed ONCE on the driver into an AST that can be
 
 Supported grammar (the subset the reference's examples exercise, plus the
 standard comparators): ``@attr``, string/number literals, ``[a, b]`` lists,
-``== != < <= > >= like ilike in``, ``and or not``, parentheses. NULL
-semantics are SQL three-valued (Kleene) with a final NULL->False filter.
+``== != < <= > >= like ilike in``, ``and or not``, parentheses, and
+FUNCTION CALLS ``fn(arg, ...)`` over a registered function map — the
+engine-side form of the reference's DFL FunctionMap injection
+(/root/reference/cmd/osm/main.go:252 ``dfl.NewFuntionMapWithDefaults()``
+threaded into every Filter via osm/Filter.go:27-37). Built-ins cover the
+string helpers the DFL defaults provide (len/lower/upper/trim/prefix/
+suffix); ``register_function`` adds engine+SQL UDF pairs so the DuckDB
+oracle mirrors them by construction. NULL semantics are SQL three-valued
+(Kleene) with a final NULL->False filter.
 """
 
 from __future__ import annotations
@@ -66,11 +73,46 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 
 @dataclass
 class Node:
-    kind: str          # attr | lit | list | cmp | and | or | not
+    kind: str          # attr | lit | list | cmp | and | or | not | func
     value: object = None
     left: "Node | None" = None
     right: "Node | None" = None
     op: str | None = None
+    args: "list[Node] | None" = None
+
+
+# ------------------------------------------------------- function registry
+
+def _arr(x):
+    return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+
+_FUNCTIONS: dict[str, dict] = {
+    "len": {"fn": lambda a: pc.utf8_length(_arr(a)),
+            "sql": lambda a: f"length({a})"},
+    "lower": {"fn": lambda a: pc.utf8_lower(_arr(a)),
+              "sql": lambda a: f"lower({a})"},
+    "upper": {"fn": lambda a: pc.utf8_upper(_arr(a)),
+              "sql": lambda a: f"upper({a})"},
+    "trim": {"fn": lambda a: pc.utf8_trim_whitespace(_arr(a)),
+             "sql": lambda a: f"trim({a})"},
+    "prefix": {"fn": lambda a, p: pc.starts_with(_arr(a), pattern=_scalar(p)),
+               "sql": lambda a, p: f"starts_with({a}, {p})"},
+    "suffix": {"fn": lambda a, p: pc.ends_with(_arr(a), pattern=_scalar(p)),
+               "sql": lambda a, p: f"ends_with({a}, {p})"},
+}
+
+
+def _scalar(v):
+    return v.as_py() if isinstance(v, pa.Scalar) else v
+
+
+def register_function(name: str, fn, sql) -> None:
+    """Register a UDF usable in filter expressions: ``fn(*arrays) ->
+    pa.Array`` (vectorized, arrow in/out) and ``sql(*arg_sqls) -> str``
+    (the DuckDB mirror, so oracle parity holds for UDF filters too).
+    Mirrors the reference's FunctionMap injection (osm/Filter.go:27-37)."""
+    _FUNCTIONS[name] = {"fn": fn, "sql": sql}
 
 
 class Parser:
@@ -142,6 +184,19 @@ class Parser:
             return Node("list", value=items)
         if k == "attr":
             return Node("attr", value=text[1:])
+        if k == "word" and self.peek() == "lparen":
+            self.next()  # consume (
+            args = []
+            while self.peek() != "rparen":
+                if self.peek() == "comma":
+                    self.next()
+                    continue
+                args.append(self.operand())
+            self.next()  # consume )
+            if text not in _FUNCTIONS:
+                raise ValueError(f"unknown function {text!r} (register "
+                                 f"with expr.register_function)")
+            return Node("func", value=text, args=args)
         if k in ("num", "str", "word"):
             return Node("lit", value=_lit_value(k, text))
         raise ValueError(f"unexpected token {text!r}")
@@ -177,16 +232,34 @@ def _eval(node: Node, batch: pa.Table, tags_col: str):
         return pc.invert(_eval(node.left, batch, tags_col))
     if node.kind == "cmp":
         return _eval_cmp(node, batch, tags_col)
+    if node.kind == "func":  # boolean-returning function as predicate
+        return _operand_value(node, batch, tags_col)
     raise ValueError(f"cannot evaluate bare {node.kind} as predicate")
+
+
+def _operand_value(node: Node, batch: pa.Table, tags_col: str):
+    """Evaluate a comparison/function operand to an arrow array (attr,
+    nested func) or python scalar (literal)."""
+    if node.kind == "attr":
+        return _attr_array(batch, node.value, tags_col)
+    if node.kind == "lit":
+        return node.value
+    if node.kind == "func":
+        f = _FUNCTIONS[node.value]
+        return f["fn"](*[_operand_value(a, batch, tags_col)
+                         for a in node.args or []])
+    raise ValueError(f"cannot evaluate {node.kind} as operand")
 
 
 def _eval_cmp(node: Node, batch: pa.Table, tags_col: str):
     op = node.op
     lhs = node.left
     rhs = node.right
-    if lhs.kind != "attr":
-        raise ValueError("comparison left side must be @attr")
-    arr = _attr_array(batch, lhs.value, tags_col)
+    if lhs.kind not in ("attr", "func"):
+        raise ValueError("comparison left side must be @attr or fn(...)")
+    arr = _operand_value(lhs, batch, tags_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if op == "in":
         vals = rhs.value if rhs.kind == "list" else [rhs.value]
         return pc.is_in(arr, value_set=pa.array([str(v) if pa.types.is_string(arr.type) else v
@@ -219,6 +292,17 @@ def _sql_lit(v) -> str:
     return repr(v)
 
 
+def _operand_sql(node: Node, columns: set[str], tags_col: str) -> str:
+    if node.kind == "attr":
+        return _sql_attr(node.value, columns, tags_col)
+    if node.kind == "lit":
+        return _sql_lit(node.value)
+    if node.kind == "func":
+        return _FUNCTIONS[node.value]["sql"](
+            *[_operand_sql(a, columns, tags_col) for a in node.args or []])
+    raise ValueError(node.kind)
+
+
 def _to_sql(node: Node, columns: set[str], tags_col: str) -> str:
     if node.kind == "and":
         return f"({_to_sql(node.left, columns, tags_col)} AND {_to_sql(node.right, columns, tags_col)})"
@@ -226,8 +310,10 @@ def _to_sql(node: Node, columns: set[str], tags_col: str) -> str:
         return f"({_to_sql(node.left, columns, tags_col)} OR {_to_sql(node.right, columns, tags_col)})"
     if node.kind == "not":
         return f"(NOT {_to_sql(node.left, columns, tags_col)})"
+    if node.kind == "func":  # boolean function as bare predicate
+        return _operand_sql(node, columns, tags_col)
     if node.kind == "cmp":
-        lhs = _sql_attr(node.left.value, columns, tags_col)
+        lhs = _operand_sql(node.left, columns, tags_col)
         op = node.op
         if op == "in":
             vals = node.right.value if node.right.kind == "list" else [node.right.value]

@@ -38,7 +38,6 @@ ways_to_nodes (P8).
 
 from __future__ import annotations
 
-import glob as _glob
 import json
 import os
 import re
@@ -104,7 +103,12 @@ def render_template(uri: str, ctx: dict[str, Any]) -> str:
 # ----------------------------------------------------------------- spec load
 
 def load_spec(path: str) -> dict:
-    """JSON job spec (the HCL equivalent; YAML isn't in this container)."""
+    """Job spec from disk: ``.hcl`` configs parse through the HCL-subset
+    reader (reference LoadConfig.go schema, see hcl.py); anything else
+    is the spec dict as JSON."""
+    if path.endswith(".hcl"):
+        from .hcl import load_hcl_spec
+        return load_hcl_spec(path)
     with open(path) as f:
         return json.load(f)
 
@@ -176,16 +180,26 @@ def _apply_options(ds, opts: dict):
 
 
 def _read_input(inp: dict, ctx: dict):
+    """URI -> Dataset through the full scheme router (S8-S13): local
+    paths/globs, s3:// hdfs:// http(s):// via pyarrow filesystems, and
+    stdin planets parsed driver-side (Input.go:38-45)."""
     import ray.data as rd
-    from .sources.osm_xml import read_osm_xml
+    from .sources.osm_xml import parse_osm_xml, read_osm_xml
+    from .sources.uri import open_input, split_uri
     uri = render_template(inp["uri"], ctx)
     fmt = inp.get("format", "parquet")
+    kind_el = {"nodes": "node", "ways": "way",
+               "relations": "relation"}[inp.get("kind", "nodes")]
+    scheme, _ = split_uri(uri)
+    if scheme == "stdin":
+        import sys
+        data = sys.stdin.buffer.read()
+        return rd.from_arrow(parse_osm_xml(data, kind_el))
+    paths, fs = open_input(uri)  # S12 glob expansion inside
     if fmt == "osm_xml":
-        kind = {"nodes": "node", "ways": "way",
-                "relations": "relation"}[inp.get("kind", "nodes")]
-        paths = sorted(_glob.glob(uri)) or [uri]  # S12 glob expansion
-        return read_osm_xml(paths, kind)
-    return rd.read_parquet(uri, columns=inp.get("columns"))
+        return read_osm_xml(paths, kind_el, filesystem=fs)
+    return rd.read_parquet(paths, columns=inp.get("columns"),
+                           filesystem=fs)
 
 
 def run_job(spec: dict) -> dict[str, dict]:

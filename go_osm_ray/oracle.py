@@ -26,6 +26,9 @@ KEEP_KEYS = ["amenity", "craft"]
 DROP_KEY = "name"
 SUB_BBOX = (-77.05, 38.85, -76.95, 38.95)
 EXPR_FILTER = "(@craft like brewery) or (@craft like distillery)"
+# function-map surface (SURVEY §2.9 / DFL FunctionMap): len + nested
+# upper + prefix, mirrored into SQL by Expression.to_sql
+EXPR_UDF = "len(@name) >= 7 or prefix(upper(@name), 'D')"
 RETENTION_EXPR = "@building like yes or @amenity like cafe"
 PROJECT_KEYS = ["amenity", "name"]
 PER_KEY_KEYS = ["amenity", "craft", "building", "name"]
@@ -97,6 +100,11 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["osm_expr_filter"] = f"""
         SELECT id, (list_filter(tags, _t -> _t.key = 'craft')[1]).value AS craft
         FROM {nodes} WHERE {e.to_sql({'id', 'uid', 'version'})}"""
+
+    eu = Expression(EXPR_UDF)
+    q["osm_expr_udf"] = f"""
+        SELECT id, (list_filter(tags, _t -> _t.key = 'name')[1]).value AS name
+        FROM {nodes} WHERE {eu.to_sql({'id', 'uid', 'version'})}"""
 
     proj_in = ", ".join(f"'{k}'" for k in PROJECT_KEYS)
     q["osm_tag_project"] = f"""

@@ -161,9 +161,12 @@ def read_osm_bounds(path: str) -> dict | None:
     return None
 
 
-def read_osm_xml(paths, kind: str, keep_keys=None, drop_keys=None):
+def read_osm_xml(paths, kind: str, keep_keys=None, drop_keys=None,
+                 filesystem=None):
     """File-parallel OSM-XML read -> ``ray.data.Dataset`` of ``kind``
-    elements (one parse task per shard file)."""
+    elements (one parse task per shard file). ``filesystem`` accepts any
+    pyarrow FileSystem, so s3://, hdfs:// and http(s):// inputs resolved
+    by ``sources.uri.open_input`` read through the same plan."""
     import ray.data as rd
 
     def parse_batch(batch: pa.Table) -> pa.Table:
@@ -173,7 +176,8 @@ def read_osm_xml(paths, kind: str, keep_keys=None, drop_keys=None):
         out = [t for t in out if len(t)]
         return pa.concat_tables(out) if out else SCHEMAS[kind].empty_table()
 
-    files = rd.read_binary_files(paths, include_paths=True)
+    files = rd.read_binary_files(paths, include_paths=True,
+                                 filesystem=filesystem)
     return files.map_batches(parse_batch, batch_format="pyarrow",
                              batch_size=1)
 

@@ -54,6 +54,55 @@ def resolve_uri(uri: str) -> dict:
     raise ValueError(f"unknown uri scheme {scheme!r} in {uri!r}")
 
 
+# ------------------------------------------------- remote filesystems
+
+def _fs_from_uri(uri: str):
+    """pyarrow-native filesystems (s3://, hdfs://) — FileSystem.from_uri
+    returns (fs, path-inside-fs); credentials/endpoints come from the
+    standard env/config chain exactly like the reference's session chain
+    (s3util/NewSessionWithCredentials.go)."""
+    from pyarrow import fs as pafs
+    return pafs.FileSystem.from_uri(uri)
+
+
+def _http_fs(uri: str):
+    """http(s) via fsspec wrapped for pyarrow (Input.go:100-140 reads
+    HTTP planets through a plain GET stream)."""
+    try:
+        import fsspec
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+    except ImportError as e:  # pragma: no cover - fsspec is a ray dep
+        raise RuntimeError("http(s) sources need fsspec") from e
+    scheme, path = split_uri(uri)
+    return PyFileSystem(FSSpecHandler(fsspec.filesystem(scheme))), uri
+
+
+# scheme -> factory(uri) -> (pyarrow FileSystem, path). Overridable so
+# tests (and embedders) can mount fakes without network.
+FS_FACTORIES = {
+    "s3": _fs_from_uri,
+    "hdfs": _fs_from_uri,
+    "http": _http_fs,
+    "https": _http_fs,
+}
+
+
+def open_input(uri: str) -> tuple[list[str], object | None]:
+    """Resolve any supported URI to (paths, filesystem) consumable by
+    ``ray.data.read_parquet`` / ``read_binary_files`` (filesystem=None
+    means local). This is the end-to-end form of the reference's input
+    scheme dispatch (osm/Input.go:100-209): the same job spec runs
+    against file/glob, s3://, hdfs:// and http(s):// inputs."""
+    r = resolve_uri(uri)
+    if r["scheme"] == "file":
+        return r["paths"], None
+    if "url" in r:
+        fs, path = FS_FACTORIES[r["scheme"]](uri)
+        return [path], fs
+    raise ValueError(f"scheme {r['scheme']!r} is not a readable input "
+                     f"(stdin is handled driver-side by the job runner)")
+
+
 # GDAL-ini option names -> job-spec drop_attrs entries
 # (LoadIniSection.go:8-26 applied at cmd/osm/main.go:411-425)
 _INI_ATTRS = {"osm_version": "version", "osm_timestamp": "timestamp",

@@ -32,6 +32,14 @@ CASES = [
     ("@amenity in [cafe, pub]", [3]),
     ("@craft == pottery", [5]),
     ("@craft != pottery", [1, 2]),
+    # function-map surface (DFL FunctionMap parity, SURVEY §2.9)
+    ("len(@craft) >= 8", [2]),
+    ("len(@craft) == 7", [1, 5]),
+    ("prefix(@craft, 'brew')", [1]),
+    ("suffix(@craft, 'ery')", [1, 2, 5]),
+    ("prefix(upper(@craft), 'POT')", [5]),
+    ("len(trim(@name)) == 1", [2]),
+    ("prefix(@craft, 'b') or suffix(lower(@craft), 'y')", [1, 2, 5]),
 ]
 
 
@@ -56,3 +64,27 @@ def test_parse_errors():
 def test_missing_attribute_raises(table):
     with pytest.raises(KeyError):
         Expression("@nope > 1").mask(table.select(["id"]))
+
+
+def test_unknown_function_rejected():
+    with pytest.raises(ValueError):
+        Expression("nosuchfn(@craft)")
+
+
+def test_register_function_engine_and_sql(table):
+    import pyarrow.compute as pc
+    from go_osm_ray.expr import register_function
+    register_function(
+        "rev",
+        lambda a: pc.utf8_reverse(a.combine_chunks()
+                                  if isinstance(a, pa.ChunkedArray) else a),
+        lambda a: f"reverse({a})")
+    e = Expression("prefix(rev(@craft), 'yre')")  # '...ery' reversed
+    got = table.filter(pa.array(e.mask(table)))["id"].to_pylist()
+    assert got == [1, 2, 5]
+    con = duckdb.connect()
+    con.register("t", table)
+    sql = e.to_sql({"id"})
+    oracle = [r[0] for r in con.execute(
+        f"SELECT id FROM t WHERE {sql} ORDER BY id").fetchall()]
+    assert oracle == got
