@@ -202,7 +202,7 @@ def _read_input(inp: dict, ctx: dict):
                            filesystem=fs)
 
 
-def run_job(spec: dict) -> dict[str, dict]:
+def run_job(spec: dict, profile: bool = False) -> dict[str, dict]:
     """Execute a job spec; returns {output_uri: {"rows": n, ...}}.
 
     All outputs consume the SAME lazy filtered Dataset per element kind
@@ -210,7 +210,16 @@ def run_job(spec: dict) -> dict[str, dict]:
     cmd/osm/main.go:716-889); each terminal write executes the shared
     prefix — Ray Data caches nothing across them, so pipelines stay
     streaming and memory-bounded.
+
+    ``profile=True`` (or ``spec["profile"]``) adds a ``"_profile"`` entry
+    with per-phase wall-clock seconds — the ``-profile`` flag parity
+    (cmd/osm/main.go:657-698; note reads are LAZY here, so read time is
+    folded into each output's write phase by design).
     """
+    import time as _time
+    profile = profile or bool(spec.get("profile"))
+    prof: dict[str, float] = {}
+    t0 = _time.perf_counter()
     problems = validate_spec(spec)
     if problems:
         raise ValueError("; ".join(problems))
@@ -224,14 +233,21 @@ def run_job(spec: dict) -> dict[str, dict]:
         ds = _read_input(inp, ctx)
         ds = _apply_options(ds, _merged(g, inp))
         tables[kind] = tables[kind].union(ds) if kind in tables else ds
+    prof["plan_inputs"] = round(_time.perf_counter() - t0, 4)
 
-    # pre-flight overwrite protection for every output (main.go:521-637)
+    # pre-flight overwrite protection + parent/bucket creation for every
+    # output, local AND remote (main.go:521-637): existing outputs raise
+    # unless overwrite, overwrite deletes the old object first
+    from .sources.uri import delete_output, ensure_output_parent, output_exists
     rendered = []
     for out in spec["outputs"]:
         uri = render_template(out["uri"], ctx)
-        if os.path.exists(uri) and not out.get("overwrite", False):
-            raise FileExistsError(
-                f"output exists and overwrite=false: {uri}")
+        if output_exists(uri):
+            if not out.get("overwrite", False):
+                raise FileExistsError(
+                    f"output exists and overwrite=false: {uri}")
+            delete_output(uri)
+        ensure_output_parent(uri)
         rendered.append((uri, out))
 
     results: dict[str, dict] = {}
@@ -294,8 +310,12 @@ def run_job(spec: dict) -> dict[str, dict]:
                     synth.select_columns(cols))
             ways_out = None
 
+        t1 = _time.perf_counter()
         results[uri] = _write_output(uri, fmt, out, nodes_out, ways_out,
                                      rels_out, nodes_full=nodes)
+        prof[f"write {uri}"] = round(_time.perf_counter() - t1, 4)
+    if profile:
+        results["_profile"] = prof
     return results
 
 
@@ -327,15 +347,18 @@ def _features_for(nodes, ways, nodes_full):
 
 def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
                   rels=None, nodes_full=None) -> dict:
+    from .sources.uri import open_output
     if fmt == "summary":
         return {"rows": int(nodes.count()) if nodes is not None else 0}
     if fmt == "parquet":
-        os.makedirs(uri, exist_ok=True)
+        fs, path = open_output(uri)
+        if fs is None:
+            os.makedirs(path, exist_ok=True)
         n = 0
         for name, ds in (("nodes", nodes), ("ways", ways),
                          ("relations", rels)):
             if ds is not None:
-                ds.write_parquet(os.path.join(uri, name))
+                ds.write_parquet(os.path.join(path, name), filesystem=fs)
                 n += 1
         return {"tables": n}
     if fmt == "geojsonl":
@@ -343,8 +366,10 @@ def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
         feats = _features_for(nodes, ways, nodes_full)
         if feats is None:
             return {"dir": uri, "rows": 0}
-        os.makedirs(uri, exist_ok=True)
-        write_geojsonl(feats, uri)
+        fs, path = open_output(uri)
+        if fs is None:
+            os.makedirs(path, exist_ok=True)
+        feats.write_json(path, filesystem=fs)
         return {"dir": uri}
     if fmt == "geojson":
         from .sinks import write_geojson

@@ -100,14 +100,14 @@ def write_geojson(features: ray.data.Dataset, path: str,
                   limit: int | None = 100_000) -> int:
     """Single FeatureCollection document (K4) — driver-side by design;
     guarded by ``limit`` so big datasets fail loudly instead of OOMing
-    the driver (use write_geojsonl for those)."""
+    the driver (use write_geojsonl for those). The put goes through the
+    URI layer, so remote schemes and ``.gz`` compression work like the
+    reference's PutObject."""
+    from ..sources.uri import put_bytes
     rows = features.take_all(limit=limit)
     doc = {"type": "FeatureCollection",
            "features": [{"type": "Feature", "id": int(r["id"]),
                          "geometry": r["geometry"],
                          "properties": r["properties"]} for r in rows]}
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
+    put_bytes(path, json.dumps(doc).encode())
     return len(rows)

@@ -271,13 +271,8 @@ def planet_to_xml_bytes(nodes: pa.Table | None, ways: pa.Table | None,
 
 def write_osm_xml(path: str, nodes: pa.Table | None, ways: pa.Table | None,
                   **kw) -> None:
-    """Write one OSM-XML file; gzip/bz2 by suffix (Input.go:63-98)."""
-    data = planet_to_xml_bytes(nodes, ways, **kw)
-    if path.endswith(".gz"):
-        data = gzip.compress(data)
-    elif path.endswith(".bz2"):
-        data = bz2.compress(data)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    """Write one OSM-XML document to any supported URI; gzip/bz2 by
+    suffix and remote schemes via the filesystem registry (put_bytes —
+    the PutObject parity path, s3util/PutObject.go:23-61)."""
+    from .uri import put_bytes
+    put_bytes(path, planet_to_xml_bytes(nodes, ways, **kw))

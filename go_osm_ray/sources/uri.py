@@ -103,6 +103,84 @@ def open_input(uri: str) -> tuple[list[str], object | None]:
                      f"(stdin is handled driver-side by the job runner)")
 
 
+# ------------------------------------------------- output side (K8/K9)
+
+def open_output(uri: str) -> tuple[object | None, str]:
+    """(filesystem | None, path) for a writable output location —
+    None filesystem means local. Same factory registry as inputs."""
+    scheme, path = split_uri(uri)
+    if scheme in ("", "file"):
+        return None, os.path.expanduser(path)
+    if scheme in FS_FACTORIES:
+        return FS_FACTORIES[scheme](uri)
+    raise ValueError(f"unwritable scheme {scheme!r} in {uri!r}")
+
+
+def output_exists(uri: str) -> bool:
+    """Overwrite-protection probe (cmd/osm/main.go:521-575: HeadObject
+    for s3, Stat for file/hdfs)."""
+    fs, path = open_output(uri)
+    if fs is None:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def delete_output(uri: str) -> None:
+    """Overwrite pre-flight delete (s3util/DeleteObject.go via
+    main.go:586-598; local rm -r)."""
+    fs, path = open_output(uri)
+    if fs is None:
+        import shutil
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        return
+    from pyarrow import fs as pafs
+    info = fs.get_file_info(path)
+    if info.type == pafs.FileType.Directory:
+        fs.delete_dir(path)
+    elif info.type != pafs.FileType.NotFound:
+        fs.delete_file(path)
+
+
+def ensure_output_parent(uri: str) -> None:
+    """MkdirAll for file/hdfs parents, bucket-create-shaped for object
+    stores (main.go:603-637); pyarrow's create_dir is the umbrella op."""
+    fs, path = open_output(uri)
+    parent = os.path.dirname(path.rstrip("/"))
+    if not parent:
+        return
+    if fs is None:
+        os.makedirs(parent, exist_ok=True)
+    else:
+        fs.create_dir(parent, recursive=True)
+
+
+def put_bytes(uri: str, data: bytes) -> int:
+    """Single-object put with the reference's compression contract
+    (s3util/PutObject.go:23-61): gzip when the key ends ``.gz``; bz2 is
+    SUPPORTED here (python stdlib) where the reference errors out —
+    documented improvement. Returns bytes written."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    if uri.endswith(".gz"):
+        data = _gzip.compress(data)
+    elif uri.endswith(".bz2"):
+        data = _bz2.compress(data)
+    fs, path = open_output(uri)
+    if fs is None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    else:
+        with fs.open_output_stream(path) as f:
+            f.write(data)
+    return len(data)
+
+
 # GDAL-ini option names -> job-spec drop_attrs entries
 # (LoadIniSection.go:8-26 applied at cmd/osm/main.go:411-425)
 _INI_ATTRS = {"osm_version": "version", "osm_timestamp": "timestamp",

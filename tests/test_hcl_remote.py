@@ -137,6 +137,44 @@ def test_remote_osm_xml_input_via_fs_factory(ray_session, tmp_path, monkeypatch)
     assert res[out]["rows"] > 0
 
 
+def test_remote_parquet_output_and_overwrite(ray_session, tmp_path, monkeypatch):
+    """K8/K9: outputs route through the filesystem registry — existence
+    check, overwrite delete, and the parquet write all hit the (fake)
+    remote fs."""
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    from go_osm_ray.sources import uri as uri_mod
+    paths = datagen.ensure_tables(0.001)
+    monkeypatch.setitem(uri_mod.FS_FACTORIES, "s3",
+                        _fake_s3_factory(str(tmp_path)))
+    spec = {
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+        "outputs": [{"uri": "s3://bucket/out/dir", "format": "parquet"}],
+    }
+    run_job(spec)
+    assert os.path.isdir(tmp_path / "out" / "dir" / "nodes")
+    with pytest.raises(FileExistsError):
+        run_job(spec)
+    spec["outputs"][0]["overwrite"] = True
+    run_job(spec)  # delete-then-write succeeds
+
+
+def test_geojson_gz_put(ray_session, tmp_path):
+    """PutObject parity: a .gz output key gzips the document."""
+    import gzip
+    import json as _json
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    paths = datagen.ensure_tables(0.001)
+    out = str(tmp_path / "doc.geojson.gz")
+    run_job({
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+        "outputs": [{"uri": out, "format": "geojson"}],
+    })
+    doc = _json.loads(gzip.decompress(open(out, "rb").read()))
+    assert doc["type"] == "FeatureCollection" and doc["features"]
+
+
 def test_open_input_routes_schemes(monkeypatch, tmp_path):
     from go_osm_ray.sources import uri as uri_mod
     f = tmp_path / "x.parquet"
