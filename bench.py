@@ -89,11 +89,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     bench_queries = [
         "images_cells", "images_tiles", "cell_histogram",
         "salted_cell_histogram", "checkpointed_write", "pip_join",
-        "knn_nearest", "images_s2", "osm_xml_nodes", "osm_ways_to_nodes",
+        "pip_join_sharded", "knn_nearest", "knn_nearest_sharded",
+        "images_s2", "osm_xml_nodes", "osm_ways_to_nodes",
         "osm_expr_filter", "osm_semi_join_retention", "osm_summarize",
         "q1_pricing", "top_revenue_orders", "nation_revenue",
-        "events_window", "exact_dedup_docs", "minhash_pairs",
-        "simhash_pairs", "ngram_jaccard_pairs", "langid", "token_count",
+        "events_window", "sessionize", "exact_dedup_docs",
+        "minhash_pairs", "simhash_pairs", "ngram_jaccard_pairs",
+        "embed_neardup", "langid", "token_count", "winnow_fp",
         "ann_topk", "ann_ivf_topk", "image_stats", "image_ahash",
     ]
     q_times = {}

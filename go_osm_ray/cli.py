@@ -49,8 +49,12 @@ def build_spec(args: argparse.Namespace) -> dict:
         g["bbox"] = [float(x) for x in args.bbox.split(",")]
     if args.ways_to_nodes:
         g["ways_to_nodes"] = True
+    if args.drop_nodes:
+        g["drop_nodes"] = True
     if args.drop_ways:
         g["drop_ways"] = True
+    if args.drop_relations:
+        g["drop_relations"] = True
     ctx = spec.setdefault("context", {})
     for kv in args.context:  # K=V args (main.go:234-242)
         k, _, v = kv.partition("=")
@@ -60,7 +64,8 @@ def build_spec(args: argparse.Namespace) -> dict:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="go_osm_ray")
-    p.add_argument("--config-uri", help="JSON job spec (HCL equivalent)")
+    p.add_argument("--config-uri", help="job config: .hcl (reference "
+                                        "LoadConfig schema) or JSON spec")
     p.add_argument("--input-uri", action="append", default=[])
     p.add_argument("--output-uri", action="append", default=[])
     p.add_argument("--kind", default="nodes",
@@ -72,9 +77,13 @@ def main(argv=None) -> int:
     p.add_argument("--keys-to-drop", help="comma list: row filter drop")
     p.add_argument("--bbox", help="minlon,minlat,maxlon,maxlat")
     p.add_argument("--ways-to-nodes", action="store_true")
+    p.add_argument("--drop-nodes", action="store_true")
     p.add_argument("--drop-ways", action="store_true")
+    p.add_argument("--drop-relations", action="store_true")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--summarize", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="per-phase wall-clock in the result JSON")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("context", nargs="*", help="K=V template/ctx args")
     args = p.parse_args(argv)
@@ -95,7 +104,7 @@ def main(argv=None) -> int:
         if args.dry_run:  # validate + render only (main.go:565-567)
             print(json.dumps(spec, indent=2))
             return 0
-        results = run_job(spec)
+        results = run_job(spec, profile=args.profile)
         print(json.dumps(results))
         return 0
     finally:

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 # Hash partitions for the candidate-pair exchanges. Bounds the rows per
 # pair-kernel task to ~total/NUM_PARTS; raise with cluster size (the
@@ -42,6 +42,40 @@ def _by_partition(rows: ray.data.Dataset, kernel) -> ray.data.Dataset:
     """The candidate exchange: shuffle by the bounded ``part`` column and
     run the partition-local vectorized ``kernel`` once per partition."""
     return rows.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def _pair_merge(pairs: ray.data.Dataset, aggs: list[tuple[str, str]],
+                num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Cross-partition (a, b) pair dedup/merge: hash-partition by the
+    packed pair key, then ONE Acero (arrow C++) hash-aggregation per
+    partition. Ray's per-key ``groupby(["a","b"]).aggregate`` pays
+    per-group overhead — measured ~40-60 s on the ~10^6 pre-dedup pair
+    rows the sf0.1 near-dup suites emit; this path is ~2 s for the same
+    exchange. ``aggs`` = [(col, arrow_fn)] merged per pair; empty aggs =
+    pure dedup."""
+    def add_part(t: pa.Table) -> pa.Table:
+        key = (t["a"].combine_chunks().to_numpy().astype(np.uint64) << np.uint64(31)) \
+            + t["b"].combine_chunks().to_numpy().astype(np.uint64)
+        return t.append_column("part", pa.array(_part_of(key, num_parts)))
+
+    cols = [c for c, _ in aggs]
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        if not aggs:
+            a = t["a"].combine_chunks().to_numpy()
+            b = t["b"].combine_chunks().to_numpy()
+            a, b = _dedup_pairs(a, b)
+            return pa.table({"a": pa.array(a), "b": pa.array(b)},
+                            schema=_PAIR_SCHEMA)
+        g = t.group_by(["a", "b"]).aggregate(aggs)
+        out = {"a": g["a"], "b": g["b"]}
+        for c, fn in aggs:
+            out[c] = g[f"{c}_{fn}"]
+        return pa.table(out)
+
+    return pairs.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
 # Deterministic per-language stopword lists for the langid heuristic.
@@ -366,7 +400,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
 
     verified = cand.map_batches(verify, batch_format="pyarrow")
     # cross-partition dedup (a pair can surface from several bands)
-    return verified.groupby(["a", "b"]).aggregate(Max("jac6", alias_name="jac6"))
+    return _pair_merge(verified, [("jac6", "max")], num_parts)
 
 
 # ------------------------------------------------------------- ngram jaccard
@@ -429,12 +463,11 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                          "ca": pa.array(ca), "cb": pa.array(cb)}, schema=empty)
 
     partials = _by_partition(rows, pairgen)
-    agg = partials.groupby(["a", "b"]).aggregate(
-        Sum("inter_p", alias_name="inter"),
-        Max("ca", alias_name="ca"), Max("cb", alias_name="cb"))
+    agg = _pair_merge(partials, [("inter_p", "sum"), ("ca", "max"),
+                                 ("cb", "max")], num_parts)
 
     def finish(t: pa.Table) -> pa.Table:
-        inter = t["inter"].combine_chunks().to_numpy().astype(np.float64)
+        inter = t["inter_p"].combine_chunks().to_numpy().astype(np.float64)
         ca = t["ca"].combine_chunks().to_numpy().astype(np.float64)
         cb = t["cb"].combine_chunks().to_numpy().astype(np.float64)
         jac = inter / (ca + cb - inter)
@@ -603,7 +636,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                          "hamming": pa.array(ham[m])}, schema=empty)
 
     pairs = _by_partition(sigs, pairgen)
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _pair_merge(pairs, [("hamming", "min")], num_parts)
 
 
 # ------------------------------------------------------------- embeddings
@@ -717,8 +750,7 @@ def embedding_neardup(embeddings: ray.data.Dataset, threshold: float = 0.95,
                         schema=_PAIR_SCHEMA)
 
     verified = cand.map_batches(verify, batch_format="pyarrow")
-    return verified.groupby(["a", "b"]).aggregate(
-        Count(alias_name="_n")).select_columns(["a", "b"])
+    return _pair_merge(verified, [], num_parts)
 
 
 # ------------------------------------------------------------- text analysis

@@ -116,9 +116,15 @@ def open_output(uri: str) -> tuple[object | None, str]:
     raise ValueError(f"unwritable scheme {scheme!r} in {uri!r}")
 
 
+def _is_std(uri: str) -> bool:
+    return split_uri(uri)[0] in ("stdin", "stdout", "stderr")
+
+
 def output_exists(uri: str) -> bool:
     """Overwrite-protection probe (cmd/osm/main.go:521-575: HeadObject
-    for s3, Stat for file/hdfs)."""
+    for s3, Stat for file/hdfs); std streams never 'exist'."""
+    if _is_std(uri):
+        return False
     fs, path = open_output(uri)
     if fs is None:
         return os.path.exists(path)
@@ -129,6 +135,8 @@ def output_exists(uri: str) -> bool:
 def delete_output(uri: str) -> None:
     """Overwrite pre-flight delete (s3util/DeleteObject.go via
     main.go:586-598; local rm -r)."""
+    if _is_std(uri):
+        return
     fs, path = open_output(uri)
     if fs is None:
         import shutil
@@ -148,6 +156,8 @@ def delete_output(uri: str) -> None:
 def ensure_output_parent(uri: str) -> None:
     """MkdirAll for file/hdfs parents, bucket-create-shaped for object
     stores (main.go:603-637); pyarrow's create_dir is the umbrella op."""
+    if _is_std(uri):
+        return
     fs, path = open_output(uri)
     parent = os.path.dirname(path.rstrip("/"))
     if not parent:
