@@ -387,6 +387,7 @@ def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
         rtab = _collect_arrow(rels) if out.get("write_relations") else None
         write_osm_xml(uri, ntab, wtab, relations=rtab,
                       write_relations=rtab is not None,
+                      pretty=bool(out.get("pretty", True)),
                       drop_attrs=tuple(out.get("drop_attrs", ())))
         return {"rows": (len(ntab) if ntab is not None else 0)
                 + (len(wtab) if wtab is not None else 0)

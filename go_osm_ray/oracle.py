@@ -295,6 +295,30 @@ def build(sf: float = 0.01) -> dict[str, str]:
         WHERE list_cosine_similarity(x.embedding, y.embedding)
               >= {EMBED_NEARDUP_T}"""
 
+    # near-dup PURGE over the augmented vectors: keep each connected
+    # component's smallest id (true CC via recursive closure — pairs are
+    # tiny by construction, so the closure is cheap)
+    q["embed_neardup_keep"] = f"""
+        WITH RECURSIVE aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + {EMBED_PLANT_OFFSET} AS vec_id,
+                 list_transform(list_zip(embedding, list_reverse(embedding)),
+                                x -> x[1] + {EMBED_PLANT_ALPHA} * x[2]) AS embedding
+          FROM embeddings WHERE vec_id % {EMBED_PLANT_EVERY} = 0),
+        p AS (SELECT x.vec_id AS a, y.vec_id AS b
+              FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.embedding, y.embedding)
+                    >= {EMBED_NEARDUP_T}),
+        e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(s, d) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d),
+        dropped AS (SELECT DISTINCT s FROM reach WHERE d < s)
+        SELECT vec_id FROM aug
+        WHERE vec_id NOT IN (SELECT s FROM dropped)"""
+
     # ---- documents ---------------------------------------------------------
     norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
     q["exact_dedup_docs"] = f"""

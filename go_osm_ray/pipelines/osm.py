@@ -87,7 +87,8 @@ def join_refs_to_coords(ways: ray.data.Dataset, nodes: ray.data.Dataset,
 def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                   max_all_id: int | None = None,
                   min_way_id: int | None = None,
-                  node_shaped: bool = False) -> ray.data.Dataset:
+                  node_shaped: bool = False,
+                  broadcast_attrs: bool = True) -> ray.data.Dataset:
     """ways -> synthetic centroid nodes (/root/reference/osm/Planet.go:209-244).
 
     Centroid = unweighted mean of referenced node coords (closing duplicate
@@ -98,10 +99,14 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     the deterministic, shuffle-free equivalent
     ``new_id = max_all_id + 1 + (way_id - min_way_id)``.
     """
-    if max_all_id is None:
-        max_all_id = int(max(nodes.max("id"), ways.max("id")))
-    if min_way_id is None:
-        min_way_id = int(ways.min("id"))
+    if max_all_id is None or min_way_id is None:
+        # one pass over ways for BOTH extremes (not two Dataset jobs)
+        wagg = ways.aggregate(Max("id", alias_name="mx"),
+                              Min("id", alias_name="mn"))
+        if max_all_id is None:
+            max_all_id = int(max(nodes.max("id"), wagg["mx"]))
+        if min_way_id is None:
+            min_way_id = int(wagg["mn"])
     coords = join_refs_to_coords(ways, nodes)
 
     # combiner before the exchange: per-block (way_id, sum, count)
@@ -134,6 +139,40 @@ def ways_to_nodes(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     if node_shaped:  # full node schema for appending to a node output
         way_schema = ways.schema().names
         attr_cols += [c for c in ("ts", "tags") if c in way_schema]
+    if not broadcast_attrs:
+        # SCALE path: the way-attr table grows with the input, so attach
+        # via the hash-partitioned join instead of a whole-table
+        # broadcast (same rows; the gate sorts before hashing)
+        from ..relational import hash_join
+        joined = hash_join(cent, ways.select_columns(attr_cols),
+                           on="way_id", right_on="id")
+        def shape(batch: pa.Table) -> pa.Table:
+            w = batch["way_id"].combine_chunks().to_numpy()
+            new_id = max_all_id + 1 + (w - min_way_id)
+            lon = round_half_away(batch["lon_c"].combine_chunks(), 7)
+            lat = round_half_away(batch["lat_c"].combine_chunks(), 7)
+            if node_shaped:
+                return pa.table({
+                    "id": pa.array(new_id),
+                    "version": batch["version"],
+                    "ts": batch["ts"] if "ts" in batch.column_names
+                    else pa.nulls(len(w), pa.timestamp("us")),
+                    "changeset": batch["changeset"],
+                    "uid": batch["uid"], "user": batch["user"],
+                    "lon": lon, "lat": lat,
+                    "tags": batch["tags"] if "tags" in batch.column_names
+                    else pa.nulls(len(w), pa.list_(pa.struct(
+                        [("key", pa.string()), ("value", pa.string())]))),
+                })
+            return pa.table({
+                "new_id": pa.array(new_id),
+                "way_id": batch["way_id"].combine_chunks(),
+                "lon_c": lon, "lat_c": lat,
+                "n_refs": pc.cast(batch["n_refs"].combine_chunks(), pa.int64()),
+                "version": batch["version"], "uid": batch["uid"],
+                "user": batch["user"],
+            })
+        return joined.map_batches(shape, batch_format="pyarrow")
     attrs_ref = broadcast_table(ways, attr_cols)
 
     def attach(batch: pa.Table) -> pa.Table:

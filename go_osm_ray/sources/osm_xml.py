@@ -219,51 +219,55 @@ def planet_to_xml_bytes(nodes: pa.Table | None, ways: pa.Table | None,
                         bounds: dict | None = None,
                         drop_attrs=(), write_relations: bool = False,
                         relations: pa.Table | None = None,
-                        generator: str = "go_osm_ray") -> bytes:
+                        generator: str = "go_osm_ray",
+                        pretty: bool = True) -> bytes:
     """Serialize node/way tables to OSM-XML (layout of
     MarshalPlanet.go:23-188: header, bounds, nodes, ways; relations only
     when explicitly requested — the reference never writes them).
     Elements are emitted in table order; sort by id first for
-    deterministic goldens (ordering note, SURVEY.md §4)."""
+    deterministic goldens (ordering note, SURVEY.md §4). ``pretty``
+    mirrors the reference's Pretty flag (MarshalIndent vs Marshal): when
+    False, no indentation/newlines between elements."""
     drop = frozenset(drop_attrs)
+    i1, i2, nl = ("  ", "    ", "\n") if pretty else ("", "", "")
     out = io.StringIO()
     out.write('<?xml version="1.0" encoding="UTF-8"?>\n')
-    out.write(f'<osm version="0.6" generator={quoteattr(generator)}>\n')
+    out.write(f'<osm version="0.6" generator={quoteattr(generator)}>{nl}')
     if bounds:
-        out.write("  <bounds" + _attr_str(sorted(bounds.items())) + "/>\n")
+        out.write(i1 + "<bounds" + _attr_str(sorted(bounds.items())) + f"/>{nl}")
 
     def write_tags(tags):
         for t in tags or []:
-            out.write(f'    <tag k={quoteattr(t["key"])} '
-                      f'v={quoteattr(t["value"])}/>\n')
+            out.write(f'{i2}<tag k={quoteattr(t["key"])} '
+                      f'v={quoteattr(t["value"])}/>{nl}')
 
     for row in (nodes.to_pylist() if nodes is not None else []):
         pairs = _element_attr_pairs(row, drop)
         pairs.insert(1, ("lat", repr(row["lat"])))
         pairs.insert(2, ("lon", repr(row["lon"])))
         if row.get("tags"):
-            out.write("  <node" + _attr_str(pairs) + ">\n")
+            out.write(i1 + "<node" + _attr_str(pairs) + f">{nl}")
             write_tags(row["tags"])
-            out.write("  </node>\n")
+            out.write(i1 + f"</node>{nl}")
         else:
-            out.write("  <node" + _attr_str(pairs) + "/>\n")
+            out.write(i1 + "<node" + _attr_str(pairs) + f"/>{nl}")
 
     for row in (ways.to_pylist() if ways is not None else []):
-        out.write("  <way" + _attr_str(_element_attr_pairs(row, drop)) + ">\n")
+        out.write(i1 + "<way" + _attr_str(_element_attr_pairs(row, drop)) + f">{nl}")
         for r in row.get("refs") or []:
-            out.write(f'    <nd ref="{r}"/>\n')
+            out.write(f'{i2}<nd ref="{r}"/>{nl}')
         write_tags(row.get("tags"))
-        out.write("  </way>\n")
+        out.write(i1 + f"</way>{nl}")
 
     if write_relations and relations is not None:
         for row in relations.to_pylist():
-            out.write("  <relation"
-                      + _attr_str(_element_attr_pairs(row, drop)) + ">\n")
+            out.write(i1 + "<relation"
+                      + _attr_str(_element_attr_pairs(row, drop)) + f">{nl}")
             for m in row.get("members") or []:
-                out.write(f'    <member type={quoteattr(m["type"])} '
-                          f'ref="{m["ref"]}" role={quoteattr(m["role"])}/>\n')
+                out.write(f'{i2}<member type={quoteattr(m["type"])} '
+                          f'ref="{m["ref"]}" role={quoteattr(m["role"])}/>{nl}')
             write_tags(row.get("tags"))
-            out.write("  </relation>\n")
+            out.write(i1 + f"</relation>{nl}")
 
     out.write("</osm>\n")
     return out.getvalue().encode()

@@ -100,6 +100,65 @@ def test_sessionize_partition_count(ray_session):
         check_dtype=False)
 
 
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_pairgen_plan_invariant_under_partitioning(ray_session, parts):
+    """Partition count reshapes the exchange, never the answer: the
+    near-dup pair sets must be identical at any num_parts."""
+    import ray.data as rd
+    from go_osm_ray.pipelines import text as T
+    docs = rd.from_items(_corpus(120))
+    mh = parity.to_pandas(T.minhash_lsh_pairs(docs, num_parts=parts))
+    ng = parity.to_pandas(T.ngram_jaccard_pairs(docs, num_parts=parts))
+    sh = parity.to_pandas(T.simhash_pairs(docs, num_parts=parts))
+    key = (set(zip(mh["a"], mh["b"])), set(zip(ng["a"], ng["b"])),
+           set(zip(sh["a"], sh["b"])))
+    assert (0, 1000) in key[0] and (0, 1000) in key[1]
+    if not hasattr(test_pairgen_plan_invariant_under_partitioning, "_ref"):
+        test_pairgen_plan_invariant_under_partitioning._ref = key
+    else:
+        assert key == test_pairgen_plan_invariant_under_partitioning._ref
+
+
+def test_ways_to_nodes_join_path_matches_broadcast(ray_session):
+    """The hash-join attr attach (scale path) must equal the broadcast
+    attach row-for-row."""
+    import ray.data as rd
+    from go_osm_ray.pipelines.osm import ways_to_nodes
+    nodes = rd.read_parquet(f"/tmp/go_osm_ray_data/sf0.001/osm_nodes.parquet",
+                            columns=["id", "lon", "lat"])
+    ways = rd.read_parquet(f"/tmp/go_osm_ray_data/sf0.001/osm_ways.parquet",
+                           columns=["id", "version", "changeset", "uid",
+                                    "user", "refs"])
+    a = parity.canonicalize(parity.to_pandas(
+        ways_to_nodes(nodes, ways, broadcast_attrs=True)))
+    b = parity.canonicalize(parity.to_pandas(
+        ways_to_nodes(nodes, ways, broadcast_attrs=False)))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stdin_osm_xml_input(ray_session, tmp_path, monkeypatch):
+    """S8: a stdin input parses the planet driver-side into a Dataset."""
+    import io
+    import sys
+    import pyarrow.parquet as pq
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    from go_osm_ray.sources.osm_xml import planet_to_xml_bytes
+    paths = datagen.ensure_tables(0.001)
+    nodes = pq.read_table(paths["osm_nodes"]).slice(0, 40)
+    data = planet_to_xml_bytes(nodes, None)
+
+    class FakeStdin:
+        buffer = io.BytesIO(data)
+    monkeypatch.setattr(sys, "stdin", FakeStdin)
+    out = str(tmp_path / "stdin_sum")
+    res = run_job({
+        "inputs": [{"uri": "stdin", "kind": "nodes", "format": "osm_xml"}],
+        "outputs": [{"uri": out, "format": "summary"}],
+    })
+    assert res[out]["rows"] == 40
+
+
 def test_job_relations_flow(ray_session, tmp_path):
     """Relations read through the job runner, written to parquet, and
     gated by drop_relations from GLOBALS (merged-option precedence)."""
