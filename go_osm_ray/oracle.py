@@ -40,6 +40,7 @@ ANN_K = 3
 STOPWORDS = ["the", "a", "and", "of", "to"]
 SESSION_GAP_MIN = 30
 TOKEN_RE = "[A-Za-z]+|[0-9]+|\\S"
+TOKEN_PACK_SEQ_LEN = 512
 # embed_neardup gate: deterministic planted near-dups (text.plant_neardups)
 EMBED_NEARDUP_T = 0.95
 EMBED_PLANT_EVERY = 50
@@ -341,6 +342,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT doc_id, CASE WHEN m = 0 THEN 'und' {pred_cases} END AS pred_lang
         FROM m"""
 
+    q["lang_token_stats"] = f"""
+        WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
+        m AS (SELECT s.*, {max_expr} AS m FROM s),
+        l AS (SELECT doc_id,
+                     CASE WHEN m = 0 THEN 'und' {pred_cases} END AS pred_lang
+              FROM m),
+        t AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
+                          AS BIGINT) AS n FROM documents)
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM l JOIN t USING (doc_id) GROUP BY pred_lang"""
+
     stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
     q["doc_quality"] = f"""
         WITH b AS (SELECT doc_id, text,
@@ -355,6 +369,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
         FROM documents"""
+
+    # deterministic hash split (md5_number_lower == little-endian bytes
+    # 8:16 of the md5 digest — mirrored by text.doc_split_batch)
+    q["doc_split"] = """
+        WITH b AS (SELECT doc_id,
+                          CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                               AS BIGINT) AS bucket
+                   FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM b"""
+
+    # sequence packing = windowed prefix sum over the doc_id-ordered
+    # token stream (engine side: two-phase distributed scan)
+    q["token_pack"] = f"""
+        WITH c AS (SELECT doc_id,
+                          CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
+                               AS BIGINT) AS n FROM documents),
+        w AS (SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n AS prev
+              FROM c)
+        SELECT doc_id, CAST(prev // {TOKEN_PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(prev % {TOKEN_PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+        FROM w"""
 
     # ---- relational --------------------------------------------------------
     q["q1_pricing"] = f"""

@@ -787,6 +787,33 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def lang_token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-predicted-language corpus stats (n_docs, n_tokens) in ONE
+    pass: each batch runs langid + token count and collapses to one row
+    per language (combiner), then the bounded 6-key partials merge in a
+    single guarded task — no doc-level shuffle at any scale."""
+    from ..relational import single_merge
+
+    def stage(batch: pa.Table) -> pa.Table:
+        lang = langid_batch(batch)["pred_lang"]
+        tok = token_count_batch(batch)["n_tokens"]
+        g = pa.table({"pred_lang": lang, "n": tok}) \
+            .group_by("pred_lang").aggregate([("n", "sum"), ("n", "count")])
+        return g.rename_columns(["pred_lang", "pn_tokens", "pn_docs"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("pred_lang").aggregate(
+            [("pn_docs", "sum"), ("pn_tokens", "sum")])
+        return pa.table({
+            "pred_lang": g["pred_lang"],
+            "n_docs": pc.cast(g["pn_docs_sum"], pa.int64()),
+            "n_tokens": pc.cast(g["pn_tokens_sum"], pa.int64()),
+        })
+
+    return single_merge(docs.map_batches(stage, batch_format="pyarrow"),
+                        merge)
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality scores: word count, char count, avg word length, stopword
     ratio (multiplicity, 'the/a/and/of/to'), all vectorized."""
@@ -815,6 +842,95 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "doc_id": batch["doc_id"].combine_chunks(),
         "n_tokens": pc.cast(cnt, pa.int64()),
     })
+
+
+def doc_split_batch(batch: pa.Table, id_col: str = "doc_id",
+                    train: int = 90, val: int = 5) -> pa.Table:
+    """Deterministic train/val/test assignment by id hash — the
+    standard reproducible-split staple: bucket = md5(str(id)) taken as
+    DuckDB's md5_number_lower (little-endian bytes 8:16) mod 100, so
+    the SQL oracle computes the IDENTICAL buckets. Shuffle-free,
+    restart-stable, and independent of row order/partitioning."""
+    ids = batch[id_col].combine_chunks().to_numpy()
+    buckets = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                        "little") % 100 for i in ids),
+        np.int64, len(ids))
+    split = np.where(buckets < train, "train",
+                     np.where(buckets < train + val, "val", "test"))
+    return pa.table({
+        id_col: batch[id_col].combine_chunks(),
+        "bucket": pa.array(buckets),
+        "split": pa.array(split.tolist(), pa.string()),
+    })
+
+
+def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
+               range_size: int = 64,
+               num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """LM-training sequence packing: assign every doc its position in the
+    doc_id-ordered token stream — (doc_id, seq_id, seq_offset) where
+    seq_id = prev_token_cumsum // seq_len (docs split across sequence
+    boundaries, the standard packed-pretraining layout).
+
+    The global cumulative sum is a DISTRIBUTED SCAN, built with no
+    block-order assumptions:
+      phase A: per-block Acero partials of token counts per bounded
+        doc_id range (``doc_id // range_size``) -> a SMALL
+        one-row-per-range table collected once -> exclusive prefix per
+        range, broadcast. (Partial-table rows = n_docs/range_size; pick
+        range_size so it stays ~10^5-10^6 rows at scale — beyond that
+        the prefix runs tree-wise over another level of ranges.)
+      phase B: ranges shuffle by bounded hash partition; each partition
+        kernel sorts its range-runs by doc_id, cumsums within the range
+        and adds the broadcast range offset.
+    Oracle: ``sum(n) OVER (ORDER BY doc_id) - n`` windowed SQL."""
+    counts = docs.map_batches(token_count_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["doc_id"].combine_chunks().to_numpy() // range_size
+        g = pa.table({"r": pa.array(r), "n": t["n_tokens"]}) \
+            .group_by("r").aggregate([("n", "sum")])
+        return g.rename_columns(["r", "pn"])
+
+    ptab = pa.concat_tables([
+        t.replace_schema_metadata(None) for t in
+        ray.get(counts.map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows and t.num_columns])
+    rs = ptab["r"].to_numpy()
+    ns = ptab["pn"].to_numpy()
+    order = np.argsort(rs, kind="stable")
+    ru, starts = np.unique(rs[order], return_index=True)
+    totals = np.add.reduceat(ns[order], starts)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(pa.table({"r": pa.array(ru), "off": pa.array(offsets)}))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        r = t["doc_id"].combine_chunks().to_numpy() // range_size
+        return t.append_column("part", pa.array(_part_of(r, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        ot = ray.get(off_ref)
+        oru = ot["r"].to_numpy()
+        ooff = ot["off"].to_numpy()
+        did = t["doc_id"].combine_chunks().to_numpy()
+        n = t["n_tokens"].combine_chunks().to_numpy()
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        r = did // range_size
+        cum = np.cumsum(n) - n  # running prefix within this partition
+        # reset to the broadcast offset at every range boundary
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        base = ooff[np.searchsorted(oru, r[starts])] - cum[starts]
+        prev = cum + np.repeat(base, np.diff(np.r_[starts, len(r)]))
+        return pa.table({
+            "doc_id": pa.array(did),
+            "seq_id": pa.array(prev // seq_len),
+            "seq_offset": pa.array(prev % seq_len),
+        })
+
+    return counts.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_partition, batch_format="pyarrow")
 
 
 def winnow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
