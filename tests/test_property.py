@@ -127,3 +127,48 @@ def test_flagship_partitioning_invariant(ray_session):
 
     a, b = run(1), run(7)
     assert a.equals(b)
+
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=60),
+       st.integers(2, 33))
+@settings(max_examples=25, deadline=None)
+def test_token_pack_prefix_math(ray_session, counts, seq_len):
+    """token_pack's distributed scan must equal the naive sequential
+    prefix over doc_id order (pure-kernel check, no Ray)."""
+    import pyarrow as pa
+    from go_osm_ray.pipelines import text as T
+    # build fake docs whose regex token count == wanted count
+    docs = pa.table({
+        "doc_id": pa.array(range(len(counts)), pa.int64()),
+        "text": ["x " * c for c in counts],
+    })
+    tok = T.token_count_batch(docs)
+    assert tok["n_tokens"].to_pylist() == counts
+    prev = np.cumsum([0] + counts[:-1])
+    want_seq = [int(p // seq_len) for p in prev]
+    want_off = [int(p % seq_len) for p in prev]
+    # drive the real pipeline through ray.data on the same table
+    import ray.data as rd
+    out = T.token_pack(rd.from_arrow(docs), seq_len=seq_len,
+                       range_size=7, num_parts=5).to_pandas() \
+        .sort_values("doc_id")
+    assert out["seq_id"].tolist() == want_seq
+    assert out["seq_offset"].tolist() == want_off
+
+
+def test_doc_split_stability_and_shares(ray_session):
+    """Split assignment is a pure function of the id (stable across
+    runs/orders) and buckets land roughly at the 90/5/5 shares."""
+    import pyarrow as pa
+    from go_osm_ray.pipelines.text import doc_split_batch
+    ids = pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+    a = doc_split_batch(ids)
+    b = doc_split_batch(ids.take(pa.array(list(reversed(range(4000))))))
+    da = dict(zip(a["doc_id"].to_pylist(), a["split"].to_pylist()))
+    db = dict(zip(b["doc_id"].to_pylist(), b["split"].to_pylist()))
+    assert da == db
+    import collections
+    c = collections.Counter(da.values())
+    assert 0.85 < c["train"] / 4000 < 0.95
+    assert 0.02 < c["val"] / 4000 < 0.08
+    assert 0.02 < c["test"] / 4000 < 0.08
