@@ -347,9 +347,25 @@ def _features_for(nodes, ways, nodes_full):
 
 def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
                   rels=None, nodes_full=None) -> dict:
-    from .sources.uri import open_output
+    from .sources.uri import open_output, split_uri
     if fmt == "summary":
         return {"rows": int(nodes.count()) if nodes is not None else 0}
+    if split_uri(uri)[0] in ("stdout", "stderr"):
+        # std-stream feature sink (reference Output supports stdout;
+        # driver-side by nature — small outputs only)
+        import json as _json
+        import sys as _sys
+        stream = _sys.stdout if uri.startswith("stdout") else _sys.stderr
+        feats = _features_for(nodes, ways, nodes_full)
+        n = 0
+        if feats is not None:
+            for row in feats.iter_rows():
+                stream.write(_json.dumps(
+                    {"type": "Feature", "id": int(row["id"]),
+                     "geometry": row["geometry"],
+                     "properties": row["properties"]}) + "\n")
+                n += 1
+        return {"rows": n}
     if fmt == "parquet":
         fs, path = open_output(uri)
         if fs is None:

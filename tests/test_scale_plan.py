@@ -226,3 +226,21 @@ def test_geojson_includes_way_features(ray_session, tmp_path):
     kinds = {f["geometry"]["type"] for f in doc["features"]}
     assert "Point" in kinds
     assert kinds & {"LineString", "Polygon"}
+
+
+def test_stdout_feature_sink(ray_session, capsys):
+    """Reference Output supports stdout: features stream as GeoJSON
+    lines and the result reports the row count."""
+    import json
+    from go_osm_ray import datagen
+    from go_osm_ray.job import run_job
+    paths = datagen.ensure_tables(0.001)
+    res = run_job({
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"}],
+        "globals": {"keys_to_keep": ["amenity"]},
+        "outputs": [{"uri": "stdout"}],
+    })
+    out = capsys.readouterr().out.strip().splitlines()
+    assert res["stdout"]["rows"] == len(out) > 0
+    first = json.loads(out[0])
+    assert first["type"] == "Feature" and "coordinates" in first["geometry"]
