@@ -392,6 +392,15 @@ def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
         feats = _features_for(nodes, ways, nodes_full)
         n = write_geojson(feats, uri) if feats is not None else 0
         return {"rows": n}
+    if fmt == "osm_xml" and out.get("sharded"):
+        # SCALE path: parallel bounded shards + resume manifest
+        from .sources.osm_xml import write_osm_xml_shards
+        manifest = write_osm_xml_shards(
+            nodes, uri, ways=_collect_arrow(ways),
+            pretty=bool(out.get("pretty", True)),
+            drop_attrs=tuple(out.get("drop_attrs", ())))
+        return {"shards": len(manifest),
+                "rows": int(sum(m["rows"] for m in manifest))}
     if fmt == "osm_xml":
         from .sources.osm_xml import write_osm_xml
         # small parity outputs only (SURVEY §2.2 K1): XML is a

@@ -273,6 +273,52 @@ def planet_to_xml_bytes(nodes: pa.Table | None, ways: pa.Table | None,
     return out.getvalue().encode()
 
 
+def write_osm_xml_shards(nodes: "object", out_dir: str,
+                         ways: "object | None" = None,
+                         compression: str = "gz",
+                         **kw) -> list[dict]:
+    """SCALE form of the XML sink: every node block serializes in
+    parallel to its own bounded ``shard-<minid>-<maxid>.osm[.gz]``
+    extract (the same many-bounded-extracts layout the reference's
+    planet distribution uses, and the exact shape ``read_osm_xml``
+    parallelizes over). Deterministic shard names double as the resume
+    manifest — a rerun skips shards whose file already exists. Returns
+    the manifest rows (path, rows).
+
+    ``ways`` (optional) must be co-partitionable by the same id ranges
+    only if passed as a driver-side table; the common planet layout
+    (nodes-only extracts + way files) writes them separately."""
+    import os as _os
+    import ray as _ray
+
+    suffix = f".osm.{compression}" if compression else ".osm"
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        ids = batch["id"].combine_chunks().to_numpy()
+        path = _os.path.join(out_dir,
+                             f"shard-{ids.min()}-{ids.max()}{suffix}")
+        if not _os.path.exists(path):  # resume: finished shards skip
+            from .uri import put_bytes
+            put_bytes(path, planet_to_xml_bytes(batch, None, **kw))
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([len(batch)], pa.int64())})
+
+    _os.makedirs(out_dir, exist_ok=True)
+    manifest = nodes.map_batches(write_shard, batch_format="pyarrow")
+    out = pa.concat_tables([t for t in _ray.get(manifest.to_arrow_refs())
+                            if t.num_rows and t.num_columns])
+    rows = out.to_pylist()
+    if ways is not None:
+        write_osm_xml(_os.path.join(out_dir, f"ways{suffix}"),
+                      None, ways, **kw)
+        rows.append({"path": _os.path.join(out_dir, f"ways{suffix}"),
+                     "rows": len(ways)})
+    return rows
+
+
 def write_osm_xml(path: str, nodes: pa.Table | None, ways: pa.Table | None,
                   **kw) -> None:
     """Write one OSM-XML document to any supported URI; gzip/bz2 by

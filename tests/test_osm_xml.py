@@ -138,3 +138,31 @@ def test_bounds(tmp_path):
     b = ox.read_osm_bounds(p)
     assert b == {"minlon": -77.2, "minlat": 38.7,
                  "maxlon": -76.9, "maxlat": 39.0}
+
+
+def test_write_osm_xml_shards_roundtrip_and_resume(ray_session, tmp_path):
+    """Sharded XML sink: parallel bounded shards round-trip through the
+    file-parallel reader, and a rerun skips finished shards (resume)."""
+    import glob
+    import os
+    import ray.data as rd
+    import pandas as pd
+    from go_osm_ray.sources.osm_xml import read_osm_xml, write_osm_xml_shards
+    nodes = rd.read_parquet("/tmp/go_osm_ray_data/sf0.001/osm_nodes.parquet") \
+        .repartition(4)
+    out = str(tmp_path / "shards")
+    manifest = write_osm_xml_shards(nodes, out)
+    paths = sorted(glob.glob(os.path.join(out, "*.osm.gz")))
+    assert paths and sorted(m["path"] for m in manifest) == paths
+    assert sum(m["rows"] for m in manifest) == 1000
+    back = read_osm_xml(paths, "node").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    want = rd.read_parquet(
+        "/tmp/go_osm_ray_data/sf0.001/osm_nodes.parquet").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(back["id"]) == list(want["id"])
+    assert (back["lon"] == want["lon"]).all()
+    # resume: mtimes unchanged on rerun
+    mt = {p: os.path.getmtime(p) for p in paths}
+    write_osm_xml_shards(nodes, out)
+    assert {p: os.path.getmtime(p) for p in paths} == mt
