@@ -484,10 +484,9 @@ def dedup_groups(pairs: ray.data.Dataset) -> ray.data.Dataset:
     keeper). Pairs are tiny relative to the corpus (they survived
     LSH + verify), so the union-find runs in ONE guarded task over the
     edge list (relational.single_merge coalesces every block into one
-    batch); at larger pair volumes this becomes iterative
-    label-propagation over a (doc_id -> min neighbor label) groupby
-    until fixpoint. Vectorized path-halving union-find on dense-ranked
-    ids."""
+    batch); ``dedup_groups_distributed`` below is the BUILT scale path
+    (BSP min-label propagation, no single task — tested equivalent).
+    Vectorized path-halving union-find on dense-ranked ids."""
     from ..relational import single_merge
 
     def components(t: pa.Table) -> pa.Table:
@@ -518,6 +517,121 @@ def dedup_groups(pairs: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"doc_id": pa.array(ids),
                          "group_id": pa.array(ids[roots])})
     return single_merge(pairs, components)
+
+
+def dedup_groups_distributed(pairs: ray.data.Dataset,
+                             num_parts: int = NUM_PARTS,
+                             max_iters: int = 64) -> ray.data.Dataset:
+    """Connected components WITHOUT any single merge task: iterative
+    min-label propagation as BSP rounds of hash-partitioned exchanges
+    (the scale path promised next to ``dedup_groups``'s one-task
+    union-find). Each round: (1) co-partition label rows with edge rows
+    by hash(src) and push every node's current label to its neighbors,
+    (2) re-partition by node id and take the min candidate label;
+    converges when no label changes (O(component diameter) rounds —
+    near-dup components are shallow). Labels are materialized per round
+    (one small row per node in the PAIR graph, not the corpus).
+    Output matches dedup_groups: (doc_id, group_id=min id in component).
+    """
+    def edges_both(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "id": pa.array(src), "val": pa.array(dst),
+            "is_edge": pa.array(np.ones(len(src), bool)),
+            "part": pa.array(_part_of(src, num_parts)),
+        })
+
+    edges = pairs.map_batches(edges_both, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["a"].combine_chunks().to_numpy(),
+            t["b"].combine_chunks().to_numpy()]))
+        return pa.table({
+            "id": pa.array(ids), "val": pa.array(ids),  # lbl := id
+            "is_edge": pa.array(np.zeros(len(ids), bool)),
+            "part": pa.array(_part_of(ids, num_parts)),
+        })
+
+    labels = pairs.map_batches(init_labels, batch_format="pyarrow")
+    # per-batch init can duplicate ids across blocks — one dedup round
+    labels = _min_label_round(labels, edges, num_parts,
+                              propagate=False)[0].materialize()
+
+    for _ in range(max_iters):
+        labels, changed = _min_label_round(labels, edges, num_parts)
+        labels = labels.materialize()
+        if changed == 0:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["id"], "group_id": t["val"]})
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
+                     num_parts: int, propagate: bool = True):
+    """One BSP round; returns (new labels Dataset, changed count)."""
+    def push(t: pa.Table) -> pa.Table:
+        # partition-local: label lookup id -> lbl, then each edge (src
+        # here) emits its label to dst; labels re-emit themselves as the
+        # 'self' candidate so the next stage sees the old value
+        is_edge = t["is_edge"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["id"].combine_chunks().to_numpy()
+        vals = t["val"].combine_chunks().to_numpy()
+        lid, lval = ids[~is_edge], vals[~is_edge]
+        order = np.argsort(lid, kind="stable")
+        lid_s, lval_s = lid[order], lval[order]
+        out_id = [lid, ]
+        out_val = [lval, ]
+        out_self = [np.ones(len(lid), bool), ]
+        if propagate and is_edge.any():
+            esrc, edst = ids[is_edge], vals[is_edge]
+            j = np.searchsorted(lid_s, esrc)
+            out_id.append(edst)
+            out_val.append(lval_s[j])
+            out_self.append(np.zeros(len(edst), bool))
+        oid = np.concatenate(out_id)
+        return pa.table({
+            "id": pa.array(oid),
+            "val": pa.array(np.concatenate(out_val)),
+            "is_self": pa.array(np.concatenate(out_self)),
+            "part": pa.array(_part_of(oid, num_parts)),
+        })
+
+    def take_min(t: pa.Table) -> pa.Table:
+        ids = t["id"].combine_chunks().to_numpy()
+        vals = t["val"].combine_chunks().to_numpy()
+        selfm = t["is_self"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, ids))
+        ids, vals, selfm = ids[order], vals[order], selfm[order]
+        uid, starts = np.unique(ids, return_index=True)
+        new = vals[starts]  # min per id (sorted)
+        old = np.full(len(uid), np.iinfo(np.int64).max)
+        sm = np.flatnonzero(selfm)
+        old[np.searchsorted(uid, ids[sm])] = np.minimum(
+            old[np.searchsorted(uid, ids[sm])], vals[sm])
+        changed = (new < old).astype(np.int64)
+        return pa.table({
+            "id": pa.array(uid), "val": pa.array(new),
+            "is_edge": pa.array(np.zeros(len(uid), bool)),
+            "part": pa.array(_part_of(uid, num_parts)),
+            "changed": pa.array(changed),
+        })
+
+    lab2 = labels
+    if "changed" in lab2.schema().names:
+        lab2 = lab2.drop_columns(["changed"])
+    merged = lab2.union(edges) if propagate else lab2
+    pushed = merged.groupby("part").map_groups(push, batch_format="pyarrow")
+    out = pushed.groupby("part").map_groups(take_min, batch_format="pyarrow")
+    out = out.materialize()
+    changed = int(out.sum("changed") or 0)
+    return out.drop_columns(["changed"]), changed
 
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,

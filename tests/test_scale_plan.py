@@ -244,3 +244,29 @@ def test_stdout_feature_sink(ray_session, capsys):
     assert res["stdout"]["rows"] == len(out) > 0
     first = json.loads(out[0])
     assert first["type"] == "Feature" and "coordinates" in first["geometry"]
+
+
+def test_dedup_groups_distributed_matches_union_find(ray_session):
+    """The BSP min-label-propagation components (scale path) must equal
+    the single-task union-find on a multi-component random graph with
+    chains (diameter > 1)."""
+    import ray.data as rd
+    from go_osm_ray.pipelines.text import dedup_groups, dedup_groups_distributed
+    rng = np.random.RandomState(11)
+    pairs = []
+    # 5 chains of length 6 (diameter 5) + random extra edges + singleton pairs
+    for c in range(5):
+        base = 100 * c
+        for i in range(5):
+            pairs.append({"a": base + i, "b": base + i + 1})
+    for _ in range(10):
+        x, y = rng.randint(0, 30, 2)
+        if x != y:
+            pairs.append({"a": int(min(x, y)) + 1000, "b": int(max(x, y)) + 1000})
+    ds = rd.from_items(pairs)
+    want = parity.to_pandas(dedup_groups(ds)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    got = parity.to_pandas(dedup_groups_distributed(ds, num_parts=5)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
