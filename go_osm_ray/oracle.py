@@ -429,6 +429,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('sum(value)', 4)} AS sum_value
         FROM events GROUP BY event_type, 2"""
 
+    # ASOF join: each click's latest preceding purchase per user —
+    # engine = co-partitioned searchsorted kernel; oracle = native ASOF
+    q["events_asof"] = f"""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+        SELECT l.event_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+               COALESCE(r.event_id, -1) AS prev_event_id,
+               COALESCE({sql_round('r.value', 6)}, -1.0) AS prev_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
     q["sessionize"] = f"""
         WITH o AS (SELECT user_id, ts,
                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

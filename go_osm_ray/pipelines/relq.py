@@ -149,6 +149,77 @@ def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Da
         batch_format="pyarrow")
 
 
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              by: str = "user_id", on: str = "ts",
+              right_cols: tuple[str, ...] = ("event_id", "value"),
+              num_parts: int = 16) -> ray.data.Dataset:
+    """ASOF join — an operator Ray Data lacks: for every left row, the
+    LATEST right row with the same ``by`` key and ``on`` <= left ``on``
+    (left join; misses are null). Physical plan: both sides co-partition
+    by a bounded hash of ``by`` (each key wholly in one partition), then
+    ONE vectorized kernel per partition — dense-rank the keys, encode
+    (rank, time) into a single monotonic int64, sort the right side
+    once, and binary-search every left row (np.searchsorted). Mirrored
+    by DuckDB's native ASOF LEFT JOIN in the oracle.
+
+    Assumes (by, on) is unique on the right side (ties would make the
+    winner undefined — same caveat as the SQL ASOF)."""
+    def tag(is_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            uid = t[by].combine_chunks().to_numpy()
+            cols = {
+                by: t[by].combine_chunks(),
+                on: t[on].combine_chunks(),
+                "_lid": t["event_id"].combine_chunks() if is_left
+                else pa.nulls(len(t), pa.int64()),
+            }
+            for c in right_cols:
+                cols[f"_r_{c}"] = pa.nulls(len(t), t.schema.field(c).type
+                                           if c in t.column_names
+                                           else pa.float64()) if is_left \
+                    else t[c].combine_chunks()
+            cols["_is_left"] = pa.array(np.full(len(t), is_left))
+            cols["part"] = pa.array(hash_part(uid, num_parts))
+            return pa.table(cols)
+        return fn
+
+    lt = left.map_batches(tag(True), batch_format="pyarrow")
+    rt = right.map_batches(tag(False), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        is_left = t["_is_left"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = t[by].combine_chunks().to_numpy()
+        ts = t[on].combine_chunks().cast(pa.int64()).to_numpy()
+        # (rank, t) -> one monotonic int64 key; ranges per rank disjoint
+        uids, rank = np.unique(uid, return_inverse=True)
+        tmin = ts.min() if len(ts) else 0
+        span = (ts.max() - tmin + 1) if len(ts) else 1
+        key = rank * span + (ts - tmin)
+        lm = is_left
+        rm = ~is_left
+        rkey = key[rm]
+        order = np.argsort(rkey, kind="stable")
+        rkey_s = rkey[order]
+        rrank_s = rank[rm][order]
+        pos = np.searchsorted(rkey_s, key[lm], side="right") - 1
+        ok = pos >= 0
+        ok[ok] &= rrank_s[pos[ok]] == rank[lm][ok]
+        out = {
+            "event_id": t["_lid"].combine_chunks().filter(pa.array(lm)),
+            "ts_us": pa.array(ts[lm]),
+        }
+        for c in right_cols:
+            rv = t[f"_r_{c}"].combine_chunks().filter(pa.array(rm)) \
+                .take(pa.array(order))
+            vals = rv.take(pa.array(np.where(ok, pos, 0)))
+            out[f"prev_{c}"] = pc.if_else(pa.array(ok), vals,
+                                          pa.nulls(len(ok), rv.type))
+        return pa.table(out)
+
+    return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
 def sessionize(events: ray.data.Dataset, gap_s: int = 1800,
                num_parts: int = 16) -> ray.data.Dataset:
     """Per-user session counts (sessions split at ts gaps > gap_s).

@@ -66,14 +66,19 @@ def compare(engine_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str = "") ->
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
+            eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64),
+                                equal_nan=True)
         else:
             eq = (pd.Series(av).astype(object) == pd.Series(bv).astype(object)).all()
         if not eq:
-            idx = next(i for i in range(len(a))
-                       if not _cell_eq(a[c].iloc[i], b[c].iloc[i]))
+            idx = next((i for i in range(len(a))
+                        if not _cell_eq(a[c].iloc[i], b[c].iloc[i])), None)
             problems.append(f"{name}.{c}: first diff at row {idx}: "
-                            f"engine={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}")
+                            f"engine={a[c].iloc[idx]!r} "
+                            f"oracle={b[c].iloc[idx]!r}"
+                            if idx is not None else
+                            f"{name}.{c}: arrays differ only in ordering"
+                            f"/dtype after canonicalize")
     return problems
 
 
