@@ -422,6 +422,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
         JOIN nation n ON n.n_nationkey = c.c_nationkey
         GROUP BY n.n_name"""
 
+    q["top_orders_per_nation"] = f"""
+        WITH j AS (SELECT n.n_name, o.o_orderkey, o.o_totalprice
+                   FROM orders o
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        r AS (SELECT n_name, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY n_name
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rank
+              FROM j)
+        SELECT n_name, CAST(rank AS BIGINT) AS rank, o_orderkey,
+               {sql_round('o_totalprice', 2)} AS total_price
+        FROM r WHERE rank <= 3"""
+
     q["events_window"] = f"""
         SELECT event_type,
                CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

@@ -126,6 +126,72 @@ def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
                         merge)
 
 
+def _topk_per_key(names: np.ndarray, vals: np.ndarray, keys: np.ndarray,
+                  k: int):
+    """Vectorized per-group top-k: one factorize + lexsort + rank-in-run
+    (value desc, tiebreak key asc). Returns a keep mask + ranks."""
+    codes, _ = pd.factorize(names)
+    order = np.lexsort((keys, -vals, codes))
+    cs = codes[order]
+    starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    runlen = np.diff(np.r_[starts, len(cs)])
+    rank = np.arange(len(cs)) - np.repeat(starts, runlen)
+    keep = rank < k
+    idx = order[keep]
+    return idx, (rank[keep] + 1).astype(np.int64)
+
+
+def top_orders_per_nation(orders: ray.data.Dataset, customer: ray.data.Dataset,
+                          nation: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-k: the k highest-value orders per nation. Hash join
+    for the fact side, broadcast for the 25-row dimension, then the
+    COMBINER form of grouped ranking: every block keeps only its local
+    top-k per nation (one vectorized kernel), so the merge input is
+    bounded by 25k x blocks rows and one guarded task finishes the exact
+    ranking at any fact-table scale."""
+    joined = orders.select_columns(["o_orderkey", "o_custkey",
+                                    "o_totalprice"]).join(
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    nation_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nation_ref)
+        keys = nt["n_nationkey"].to_numpy()
+        order = np.argsort(keys)
+        idx = np.searchsorted(keys[order],
+                              batch["c_nationkey"].combine_chunks().to_numpy())
+        return pa.table({
+            "n_name": nt["n_name"].take(pa.array(order[idx])),
+            "o_orderkey": batch["o_orderkey"],
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = np.asarray(t["n_name"].to_pylist(), object)
+        vals = t["o_totalprice"].combine_chunks().to_numpy()
+        keys = t["o_orderkey"].combine_chunks().to_numpy()
+        idx, _ = _topk_per_key(names, vals, keys, k)
+        return t.take(pa.array(idx))
+
+    def merge(t: pa.Table) -> pa.Table:
+        names = np.asarray(t["n_name"].to_pylist(), object)
+        vals = t["o_totalprice"].combine_chunks().to_numpy()
+        keys = t["o_orderkey"].combine_chunks().to_numpy()
+        idx, rank = _topk_per_key(names, vals, keys, k)
+        return pa.table({
+            "n_name": pa.array(names[idx].tolist(), pa.string()),
+            "rank": pa.array(rank),
+            "o_orderkey": pa.array(keys[idx]),
+            "total_price": round_half_away(vals[idx], 2),
+        })
+
+    named = joined.map_batches(add_name, batch_format="pyarrow")
+    return single_merge(named.map_batches(partial, batch_format="pyarrow"),
+                        merge)
+
+
 def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Dataset:
     """Tumbling-window aggregate: (event_type, window_start_s) -> count,
     sum(value). Window assignment is a vectorized epoch floor; Ray Data has

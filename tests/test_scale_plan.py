@@ -270,3 +270,33 @@ def test_dedup_groups_distributed_matches_union_find(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype("int64"), want.astype("int64"))
+
+
+def test_hll_approx_distinct_within_error(ray_session):
+    """HLL sketch: per-group estimates within ~3x the theoretical
+    standard error of the exact distinct counts, and exact on tiny
+    groups (linear-counting range)."""
+    import duckdb
+    import __ray_entry__ as E
+    got = parity.to_pandas(
+        E.queries()["approx_distinct_users"](SF)).set_index("event_type")
+    want = duckdb.sql(
+        f"select event_type, count(distinct user_id) n "
+        f"from read_parquet('{SF}/events.parquet') group by 1").df() \
+        .set_index("event_type")
+    for et, row in want.iterrows():
+        exact = int(row["n"])
+        approx = int(got.loc[et, "approx_n"])
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (et, exact, approx)
+
+
+def test_hll_registers_merge_associative():
+    from go_osm_ray.sketch import hll_estimate, hll_registers
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 1 << 40, 5000)
+    b = rng.randint(0, 1 << 40, 5000)
+    merged = np.maximum(hll_registers(a), hll_registers(b))
+    whole = hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, whole)
+    n = len(np.unique(np.concatenate([a, b])))
+    assert abs(hll_estimate(whole) - n) < 0.06 * n
