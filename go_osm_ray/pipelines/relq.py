@@ -278,6 +278,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         for c in right_cols:
             rv = t[f"_r_{c}"].combine_chunks().filter(pa.array(rm)) \
                 .take(pa.array(order))
+            if len(rv) == 0:  # partition holds no right rows at all
+                out[f"prev_{c}"] = pa.nulls(len(ok), rv.type)
+                continue
             vals = rv.take(pa.array(np.where(ok, pos, 0)))
             out[f"prev_{c}"] = pc.if_else(pa.array(ok), vals,
                                           pa.nulls(len(ok), rv.type))

@@ -1007,10 +1007,14 @@ def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
             .group_by("r").aggregate([("n", "sum")])
         return g.rename_columns(["r", "pn"])
 
-    ptab = pa.concat_tables([
-        t.replace_schema_metadata(None) for t in
-        ray.get(counts.map_batches(partial, batch_format="pyarrow")
-                .to_arrow_refs()) if t.num_rows and t.num_columns])
+    ptabs = [t.replace_schema_metadata(None) for t in
+             ray.get(counts.map_batches(partial, batch_format="pyarrow")
+                     .to_arrow_refs()) if t.num_rows and t.num_columns]
+    if not ptabs:
+        return _empty_ds(pa.schema([("doc_id", pa.int64()),
+                                    ("seq_id", pa.int64()),
+                                    ("seq_offset", pa.int64())]))
+    ptab = pa.concat_tables(ptabs)
     rs = ptab["r"].to_numpy()
     ns = ptab["pn"].to_numpy()
     order = np.argsort(rs, kind="stable")
