@@ -210,6 +210,8 @@ def _shingle_hashes_batch(texts: pa.Array, k: int = 3) -> tuple[np.ndarray, np.n
     m = len(h)
     valid = doc_of[:m] == doc_of[k - 1:]  # window fully inside one doc
     d, h = doc_of[:m][valid], h[valid]
+    if not len(d):
+        return d, h
     order = np.lexsort((h, d))
     d, h = d[order], h[order]
     keep = np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])]
@@ -259,6 +261,10 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].combine_chunks().to_numpy()
         d, sh = _shingle_hashes_batch(batch["text"].combine_chunks())
+        if not len(d):  # empty batch (possible downstream of filters)
+            e = pa.array(np.empty(0, np.int64))
+            return pa.table({"doc_id": e, "band_id": e, "band_hash": e,
+                             "part": e})
         a, b = _mh_params(self.num)
         with np.errstate(over="ignore"):
             vals = (sh[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
