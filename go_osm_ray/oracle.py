@@ -443,6 +443,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('sum(value)', 4)} AS sum_value
         FROM events GROUP BY event_type, 2"""
 
+    q["events_sliding_window"] = f"""
+        WITH e AS (SELECT event_type, value,
+                          epoch_us(ts) // 1000000 AS sec FROM events),
+        x AS (SELECT event_type, value,
+                     unnest(range((sec - 3600) // 1800 + 1,
+                                  sec // 1800 + 1)) AS k
+              FROM e)
+        SELECT event_type, CAST(k * 1800 AS BIGINT) AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_round('sum(value)', 4)} AS sum_value
+        FROM x GROUP BY event_type, k"""
+
     # ASOF join: each click's latest preceding purchase per user —
     # engine = co-partitioned searchsorted kernel; oracle = native ASOF
     q["events_asof"] = f"""

@@ -289,6 +289,54 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
+def events_sliding_window(events: ray.data.Dataset, size_s: int = 3600,
+                          hop_s: int = 1800) -> ray.data.Dataset:
+    """HOPPING-window aggregate (the sliding counterpart of
+    events_window): every event replicates into the ``size_s/hop_s``
+    windows covering it (vectorized np.repeat expansion — the
+    streaming-semantics row multiplication), then the same
+    per-block-partial + groupby pattern aggregates per
+    (event_type, window_start_s). Ray Data has no event-time windows;
+    the window IS the key."""
+    from ray.data.aggregate import Sum
+
+    def expand(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        sec = us // 1_000_000
+        k_lo = (sec - size_s) // hop_s + 1
+        k_hi = sec // hop_s  # inclusive
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(sec), dtype=np.int64), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) \
+            if len(reps) else np.empty(0, np.int64)
+        ws = (np.repeat(k_lo, reps) + offs) * hop_s
+        return pa.table({
+            "event_type": pc.take(batch["event_type"].combine_chunks(),
+                                  pa.array(idx)),
+            "window_start_s": pa.array(ws),
+            "value": pc.take(batch["value"].combine_chunks(), pa.array(idx)),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "window_start_s"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "window_start_s",
+                                 "psum", "pn"])
+
+    agg = (events.select_columns(["ts", "event_type", "value"])
+           .map_batches(expand, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "window_start_s"])
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("psum", alias_name="sum_value")))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "window_start_s": t["window_start_s"],
+                            "n": pc.cast(t["n"], pa.int64()),
+                            "sum_value": round_half_away(t["sum_value"], 4)}),
+        batch_format="pyarrow")
+
+
 def sessionize(events: ray.data.Dataset, gap_s: int = 1800,
                num_parts: int = 16) -> ray.data.Dataset:
     """Per-user session counts (sessions split at ts gaps > gap_s).
