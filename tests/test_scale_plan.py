@@ -300,3 +300,34 @@ def test_hll_registers_merge_associative():
     assert np.array_equal(merged, whole)
     n = len(np.unique(np.concatenate([a, b])))
     assert abs(hll_estimate(whole) - n) < 0.06 * n
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """Random-data property check: asof_join == pandas.merge_asof
+    (independent implementation) per user."""
+    import datetime
+    import ray.data as rd
+    rng = np.random.RandomState(21)
+
+    def mk(n, id0):
+        ts = np.sort(rng.randint(0, 10_000_000, n))
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n),
+            "user_id": rng.randint(0, 12, n),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "value": np.round(rng.uniform(0, 100, n), 3),
+        })
+    left = mk(300, 0)
+    right = mk(120, 10_000).drop_duplicates(["user_id", "ts"])
+    from go_osm_ray.pipelines.relq import asof_join
+    got = parity.to_pandas(asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), num_parts=7)) \
+        .sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        suffixes=("", "_r")).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    gp = got["prev_event_id"].fillna(-1).astype(np.int64).tolist()
+    wp = want["event_id_r"].fillna(-1).astype(np.int64).tolist()
+    assert gp == wp
