@@ -81,19 +81,35 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str | tuple[s
 def partial_groupby_agg(ds: ray.data.Dataset, keys: Sequence[str],
                         partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
                         final_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                        batch_size: int = 65536) -> ray.data.Dataset:
+                        batch_size: int = 65536,
+                        num_parts: int = 32) -> ray.data.Dataset:
     """Combiner pattern: ``partial_fn`` collapses each block to one row per
-    key (pandas in/out), then a ``groupby(keys).map_groups(final_fn)``
-    merges the few partials per key.  The shuffle moves O(keys x blocks)
-    rows instead of O(rows)."""
+    key (pandas in/out); the partials then shuffle by a BOUNDED hash
+    partition of the first key (each key wholly in one partition) and
+    ONE task per partition applies ``final_fn`` per key group — no Ray
+    per-key group calls. The shuffle moves O(keys x blocks) rows instead
+    of O(rows)."""
     keys = list(keys)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = partial_fn(df)
         return out.reset_index() if out.index.name or out.index.nlevels > 1 else out
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return partials.groupby(keys).map_groups(final_fn, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
+        df = df.copy()
+        df["part"] = hash_part(h, num_parts)
+        return df
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["part"])
+        outs = [final_fn(g) for _, g in df.groupby(keys, sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else final_fn(df)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size) \
+        .map_batches(add_part, batch_format="pandas")
+    return partials.groupby("part").map_groups(finish, batch_format="pandas")
 
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -130,10 +146,20 @@ def dedup_exact(ds: ray.data.Dataset, key: str, keep_order_col: str) -> ray.data
 
     Distributed form of the reference's error-on-duplicate-id ingest
     (/root/reference/osm/Planet.go:160-163) relaxed to keep-first.
-    """
+    Physical plan: bounded hash-partition exchange on the key, then one
+    vectorized sort + drop_duplicates per partition (never a Ray call
+    per key)."""
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+        df = df.copy()
+        df["part"] = hash_part(h, 32)
+        return df
+
     def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(keep_order_col).head(1)
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+        return df.sort_values([key, keep_order_col]) \
+            .drop_duplicates(key, keep="first").drop(columns=["part"])
+    return ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(first, batch_format="pandas")
 
 
 def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:

@@ -30,3 +30,23 @@ def test_scalar_and_arrow_inputs():
     con = duckdb.connect()
     got = con.execute(f"SELECT {sql_round('x', 1)} FROM (SELECT unnest([0.15::DOUBLE, -0.15::DOUBLE]) AS x)").fetchall()
     assert [g[0] for g in got] == out.to_pylist()
+
+
+def test_dedup_exact_and_partial_groupby_agg(ray_session):
+    """Scale-safe forms of the generic relational helpers: hash-partition
+    exchange + per-partition vectorized kernels."""
+    import pandas as pd
+    import ray.data as rd
+    from go_osm_ray.relational import dedup_exact, partial_groupby_agg
+    df = pd.DataFrame({"k": [1, 2, 1, 3, 2, 1], "v": [5, 1, 3, 9, 0, 7]})
+    ds = rd.from_pandas(df)
+    got = dedup_exact(ds, "k", "v").to_pandas().sort_values("k")
+    assert dict(zip(got["k"], got["v"])) == {1: 3, 2: 0, 3: 9}
+
+    out = partial_groupby_agg(
+        ds, ["k"],
+        lambda d: d.groupby("k", as_index=False)["v"].sum(),
+        lambda d: pd.DataFrame({"k": [d["k"].iloc[0]],
+                                "total": [int(d["v"].sum())]}))
+    got2 = out.to_pandas().sort_values("k")
+    assert dict(zip(got2["k"], got2["total"])) == {1: 15, 2: 1, 3: 9}
