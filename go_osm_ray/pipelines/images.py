@@ -212,3 +212,93 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
     return images.map_batches(
         FlagshipStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool)
+
+
+def plant_reencodes(images: ray.data.Dataset, every: int = 100,
+                    id_offset: int = 1_000_000_000) -> ray.data.Dataset:
+    """Deterministic near-dup augmentation for the image-dedup gate:
+    every ``every``-th image gains a LOSSY re-encode (qnt5, the
+    PSNR≈41dB stand-in codec) under a new id — pixel-near-identical
+    payloads whose ahash lands within a few bits of the original
+    (the natural synthetic table has no duplicate images, which would
+    make a near-dup gate vacuous)."""
+    def reencode(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keep_i, out_id, out_fmt, out_bytes = [], [], [], []
+        for i, s in enumerate(ids):
+            n = int(s[3:])
+            if n % every:
+                continue
+            px = codecs.decode(batch["bytes"][i].as_py(),
+                               batch["fmt"][i].as_py())
+            out_id.append(f"img{n + id_offset:012d}")
+            out_fmt.append("qnt5")
+            out_bytes.append(codecs.encode(px, "qnt5"))
+            keep_i.append(i)
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "fmt": pa.array(out_fmt, pa.string()),
+            "bytes": pa.array(out_bytes, pa.binary()),
+        })
+
+    base = images.select_columns(["image_id", "fmt", "bytes"])
+    return base.union(base.map_batches(reencode, batch_format="pyarrow"))
+
+
+def image_neardup(images: ray.data.Dataset, max_hamming: int = 6,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """Multimodal near-dup: decode -> ahash 64-bit signature (actor
+    pool) -> 4x16-bit band blocking -> exact hamming verify — the
+    image-modality instance of the distributed SimHash plan (same
+    hash-partitioned candidate exchange + Acero pair merge as
+    pipelines/text.simhash_pairs). Output (a, b, hamming) over the
+    numeric image ids, a < b."""
+    from .text import _bucket_pairs_vec, _dedup_pairs, _pair_merge, _part_of
+    ah = image_ahash(images)
+
+    def band_stage(t: pa.Table) -> pa.Table:
+        nid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
+                       np.int64)
+        sigs = t["ahash"].combine_chunks().to_numpy().view(np.uint64)
+        n = len(nid)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        keys = np.empty((n, 4), np.int64)
+        for b in range(4):
+            keys[:, b] = ((sigs >> np.uint64(16 * b))
+                          & np.uint64(0xFFFF)).astype(np.int64)
+        key_flat = keys.ravel()
+        packed = key_flat.astype(np.uint64) * np.uint64(4) \
+            + band_id.astype(np.uint64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(nid, 4)),
+            "band_id": pa.array(band_id),
+            "band_key": pa.array(key_flat),
+            "sig": pa.array(np.repeat(sigs.view(np.int64), 4)),
+            "part": pa.array(_part_of(packed, num_parts)),
+        })
+
+    empty = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("hamming", pa.int64())])
+
+    def pairgen(t: pa.Table) -> pa.Table:
+        key = (t["band_key"].combine_chunks().to_numpy() * 4
+               + t["band_id"].combine_chunks().to_numpy())
+        doc = t["doc_id"].combine_chunks().to_numpy()
+        sig = t["sig"].combine_chunks().to_numpy()
+        a, b, _, _ = _bucket_pairs_vec(key, doc, sig)
+        a, b = _dedup_pairs(a, b)
+        if not len(a):
+            return empty.empty_table()
+        ud, uidx = np.unique(doc, return_index=True)
+        sig_u = sig[uidx].astype(np.uint64)
+        x = sig_u[np.searchsorted(ud, a)] ^ sig_u[np.searchsorted(ud, b)]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
+                         "hamming": pa.array(ham[m])}, schema=empty)
+
+    sigs_ds = ah.map_batches(band_stage, batch_format="pyarrow")
+    pairs = sigs_ds.groupby("part").map_groups(pairgen,
+                                               batch_format="pyarrow")
+    return _pair_merge(pairs, [("hamming", "min")], num_parts)

@@ -173,3 +173,18 @@ def test_neardup_keep_components(ray_session):
     expect = {i for i in all_ids if find(i) == i}
     assert kept == expect
     assert len(kept) < len(all_ids)  # generator plants near-dups
+
+
+def test_image_neardup_finds_planted_reencodes(ray_session):
+    """Every planted lossy re-encode must pair with its original within
+    the hamming budget, and no false pair at hamming 0 should link two
+    DIFFERENT originals."""
+    import __ray_entry__ as E
+    got = parity.to_pandas(E.queries()["image_neardup"](SF))
+    found = set(zip(got["a"], got["b"]))
+    # sf0.001 has 2000 images -> originals 0, 100, ..., 1900 planted
+    planted = {(i, i + 1_000_000_000) for i in range(0, 2000, 100)}
+    missing = planted - found
+    assert not missing, missing
+    # all reported pairs verified exact on their signatures
+    assert (got["hamming"] >= 0).all() and (got["hamming"] <= 6).all()
