@@ -378,7 +378,6 @@ def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
                 n += 1
         return {"tables": n}
     if fmt == "geojsonl":
-        from .sinks import write_geojsonl
         feats = _features_for(nodes, ways, nodes_full)
         if feats is None:
             return {"dir": uri, "rows": 0}

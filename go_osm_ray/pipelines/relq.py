@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..relational import broadcast_table, hash_part, round_half_away, single_merge
 

@@ -15,11 +15,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from ..geo import s2 as s2geo
 from ..geo.pip import PolygonIndex
-from ..relational import broadcast_table
 from ..stages.assign import decode_geotag
 from .osm import join_refs_to_coords
 

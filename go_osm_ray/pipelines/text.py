@@ -19,7 +19,6 @@ Nothing broadcasts or single-tasks anything that grows with the corpus.
 from __future__ import annotations
 
 import hashlib
-import re
 import zlib
 
 import numpy as np

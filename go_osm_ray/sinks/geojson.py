@@ -20,7 +20,6 @@ LineString.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pandas as pd

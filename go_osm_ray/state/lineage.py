@@ -38,7 +38,6 @@ import os
 import time
 from dataclasses import asdict, dataclass
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
