@@ -93,12 +93,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "images_s2", "osm_xml_nodes", "osm_ways_to_nodes",
         "osm_expr_filter", "osm_semi_join_retention", "osm_summarize",
         "q1_pricing", "top_revenue_orders", "nation_revenue",
-        "events_window", "events_asof", "sessionize",
+        "events_window", "events_sliding_window", "events_asof", "sessionize",
         "approx_distinct_users", "top_orders_per_nation",
         "token_pack", "doc_split", "exact_dedup_docs",
         "minhash_pairs", "simhash_pairs", "ngram_jaccard_pairs",
         "embed_neardup", "langid", "token_count", "winnow_fp",
         "ann_topk", "ann_ivf_topk", "image_stats", "image_ahash",
+        "image_sig_dedup",
     ]
     q_times = {}
     for name in bench_queries:

@@ -214,13 +214,15 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
 
 
 def plant_reencodes(images: ray.data.Dataset, every: int = 100,
-                    id_offset: int = 1_000_000_000) -> ray.data.Dataset:
-    """Deterministic near-dup augmentation for the image-dedup gate:
-    every ``every``-th image gains a LOSSY re-encode (qnt5, the
-    PSNR≈41dB stand-in codec) under a new id — pixel-near-identical
-    payloads whose ahash lands within a few bits of the original
-    (the natural synthetic table has no duplicate images, which would
-    make a near-dup gate vacuous)."""
+                    id_offset: int = 1_000_000_000,
+                    fmt: str = "bmp") -> ray.data.Dataset:
+    """Deterministic duplicate augmentation for the image-dedup gate:
+    every ``every``-th image gains a re-encode under a different codec
+    and a new id — byte-DIFFERENT but pixel-identical duplicates (the
+    cross-format dedup case signature dedup exists for; lossless bmp by
+    default — pass fmt='qnt5' for lossy near-identical payloads). The
+    natural synthetic table has no duplicate images, which would make a
+    dedup gate vacuous."""
     def reencode(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         keep_i, out_id, out_fmt, out_bytes = [], [], [], []
@@ -231,8 +233,8 @@ def plant_reencodes(images: ray.data.Dataset, every: int = 100,
             px = codecs.decode(batch["bytes"][i].as_py(),
                                batch["fmt"][i].as_py())
             out_id.append(f"img{n + id_offset:012d}")
-            out_fmt.append("qnt5")
-            out_bytes.append(codecs.encode(px, "qnt5"))
+            out_fmt.append(fmt)
+            out_bytes.append(codecs.encode(px, fmt))
             keep_i.append(i)
         return pa.table({
             "image_id": pa.array(out_id, pa.string()),
@@ -244,60 +246,40 @@ def plant_reencodes(images: ray.data.Dataset, every: int = 100,
     return base.union(base.map_batches(reencode, batch_format="pyarrow"))
 
 
-def image_neardup(images: ray.data.Dataset, max_hamming: int = 6,
-                  num_parts: int = 32) -> ray.data.Dataset:
-    """Multimodal near-dup: decode -> ahash 64-bit signature (actor
-    pool) -> 4x16-bit band blocking -> exact hamming verify — the
-    image-modality instance of the distributed SimHash plan (same
-    hash-partitioned candidate exchange + Acero pair merge as
-    pipelines/text.simhash_pairs). Output (a, b, hamming) over the
-    numeric image ids, a < b."""
-    from .text import _bucket_pairs_vec, _dedup_pairs, _pair_merge, _part_of
+def image_sig_dedup(images: ray.data.Dataset, max_hamming: int = 6,
+                    num_parts: int = 32) -> ray.data.Dataset:
+    """Multimodal dedup: decode -> ahash 64-bit signature (actor pool)
+    -> GROUP BY signature -> (ahash, keeper_id, group_n), keeper = the
+    smallest numeric image id. The image analog of text.exact_dedup.
+
+    Pairwise banding (the simhash plan) is deliberately NOT used here:
+    visually structured corpora collapse to few distinct signatures
+    (the sf0.1 synthetic table has 1,659 distinct ahash values over
+    200k images), so pair expansion is quadratic while signature groups
+    stay bounded — group dedup is the scale-appropriate shape. The
+    physical plan is combiner-style: per-block Acero partials ->
+    hash-partition exchange on the signature -> per-partition Acero
+    merge (no per-key Ray aggregate)."""
+    from ..relational import hash_part
     ah = image_ahash(images)
 
-    def band_stage(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         nid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
                        np.int64)
-        sigs = t["ahash"].combine_chunks().to_numpy().view(np.uint64)
-        n = len(nid)
-        band_id = np.tile(np.arange(4, dtype=np.int64), n)
-        keys = np.empty((n, 4), np.int64)
-        for b in range(4):
-            keys[:, b] = ((sigs >> np.uint64(16 * b))
-                          & np.uint64(0xFFFF)).astype(np.int64)
-        key_flat = keys.ravel()
-        packed = key_flat.astype(np.uint64) * np.uint64(4) \
-            + band_id.astype(np.uint64)
+        g = pa.table({"ahash": t["ahash"], "nid": pa.array(nid)}) \
+            .group_by("ahash").aggregate([("nid", "min"), ("nid", "count")])
+        g = g.rename_columns(["ahash", "pk", "pn"])
+        key = g["ahash"].combine_chunks().to_numpy()
+        return g.append_column("part", pa.array(hash_part(key, num_parts)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("ahash").aggregate(
+            [("pk", "min"), ("pn", "sum")])
         return pa.table({
-            "doc_id": pa.array(np.repeat(nid, 4)),
-            "band_id": pa.array(band_id),
-            "band_key": pa.array(key_flat),
-            "sig": pa.array(np.repeat(sigs.view(np.int64), 4)),
-            "part": pa.array(_part_of(packed, num_parts)),
+            "ahash": g["ahash"],
+            "keeper_id": g["pk_min"],
+            "group_n": pc.cast(g["pn_sum"], pa.int64()),
         })
 
-    empty = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                       ("hamming", pa.int64())])
-
-    def pairgen(t: pa.Table) -> pa.Table:
-        key = (t["band_key"].combine_chunks().to_numpy() * 4
-               + t["band_id"].combine_chunks().to_numpy())
-        doc = t["doc_id"].combine_chunks().to_numpy()
-        sig = t["sig"].combine_chunks().to_numpy()
-        a, b, _, _ = _bucket_pairs_vec(key, doc, sig)
-        a, b = _dedup_pairs(a, b)
-        if not len(a):
-            return empty.empty_table()
-        ud, uidx = np.unique(doc, return_index=True)
-        sig_u = sig[uidx].astype(np.uint64)
-        x = sig_u[np.searchsorted(ud, a)] ^ sig_u[np.searchsorted(ud, b)]
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
-                            axis=1).sum(axis=1).astype(np.int64)
-        m = ham <= max_hamming
-        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
-                         "hamming": pa.array(ham[m])}, schema=empty)
-
-    sigs_ds = ah.map_batches(band_stage, batch_format="pyarrow")
-    pairs = sigs_ds.groupby("part").map_groups(pairgen,
-                                               batch_format="pyarrow")
-    return _pair_merge(pairs, [("hamming", "min")], num_parts)
+    return ah.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")

@@ -175,16 +175,18 @@ def test_neardup_keep_components(ray_session):
     assert len(kept) < len(all_ids)  # generator plants near-dups
 
 
-def test_image_neardup_finds_planted_reencodes(ray_session):
-    """Every planted lossy re-encode must pair with its original within
-    the hamming budget, and no false pair at hamming 0 should link two
-    DIFFERENT originals."""
+def test_image_sig_dedup_groups_planted_reencodes(ray_session):
+    """Planted lossless re-encodes (byte-different, pixel-identical)
+    must share their original's ahash signature group exactly, and group
+    sizes must account for every image exactly once."""
     import __ray_entry__ as E
-    got = parity.to_pandas(E.queries()["image_neardup"](SF))
-    found = set(zip(got["a"], got["b"]))
-    # sf0.001 has 2000 images -> originals 0, 100, ..., 1900 planted
-    planted = {(i, i + 1_000_000_000) for i in range(0, 2000, 100)}
-    missing = planted - found
-    assert not missing, missing
-    # all reported pairs verified exact on their signatures
-    assert (got["hamming"] >= 0).all() and (got["hamming"] <= 6).all()
+    got = parity.to_pandas(E.queries()["image_sig_dedup"](SF))
+    # 2000 originals + 20 planted re-encodes, each exactly once
+    assert got["group_n"].sum() == 2020
+    # per-image group membership via a second ahash pass
+    from go_osm_ray.pipelines.images import image_ahash, plant_reencodes
+    imgs = E._read_gen(SF, "images", ["image_id", "fmt", "bytes"])
+    ah = parity.to_pandas(image_ahash(plant_reencodes(imgs)))
+    sig = dict(zip((int(s[3:]) for s in ah["image_id"]), ah["ahash"]))
+    same = sum(sig[i] == sig[i + 1_000_000_000] for i in range(0, 2000, 100))
+    assert same == 20  # every lossless re-encode collapses exactly
