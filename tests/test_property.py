@@ -172,3 +172,33 @@ def test_doc_split_stability_and_shares(ray_session):
     assert 0.85 < c["train"] / 4000 < 0.95
     assert 0.02 < c["val"] / 4000 < 0.08
     assert 0.02 < c["test"] / 4000 < 0.08
+
+
+_texts = st.lists(
+    st.text(alphabet="ab cd\tx", min_size=0, max_size=40), min_size=1,
+    max_size=12)
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_shingle_batch_matches_scalar(texts):
+    """The vectorized batch shingler must be bit-identical to the scalar
+    reference form, doc by doc (guards the round-2 rewrite)."""
+    import pyarrow as pa
+    from go_osm_ray.pipelines.text import _shingle_hashes, _shingle_hashes_batch
+    d, h = _shingle_hashes_batch(pa.array(texts, pa.string()))
+    per_doc = {}
+    for di, hv in zip(d, h):
+        per_doc.setdefault(int(di), set()).add(int(hv))
+    for i, t in enumerate(texts):
+        want = set(int(x) for x in _shingle_hashes(t))
+        assert per_doc.get(i, set()) == want, (i, t)
+
+
+@given(_texts)
+@settings(max_examples=40, deadline=None)
+def test_simhash_batch_matches_scalar(texts):
+    from go_osm_ray.pipelines.text import simhash64, simhash64_batch
+    got = simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == int(simhash64(t)), (i, t)
