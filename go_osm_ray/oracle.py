@@ -370,6 +370,26 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
         FROM documents"""
 
+    # EXACT n-gram Jaccard pairs (no common-shingle cutoff, so every
+    # qualifying pair and its exact jaccard appear — the full-gate form
+    # of the blocked ngram_jaccard_pairs; hashed-shingle set sizes equal
+    # string-shingle set sizes barring 2^-64 collisions)
+    q["ngram_jaccard_exact"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                      AS shs
+               FROM toks),
+        e AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                     len(list_intersect(x.shs, y.shs)) AS inter,
+                     len(x.shs) AS ca, len(y.shs) AS cb
+              FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+        SELECT a, b,
+               {sql_round('inter / CAST(ca + cb - inter AS DOUBLE)', 6)} AS jac6
+        FROM e WHERE inter / CAST(ca + cb - inter AS DOUBLE) >= 0.5"""
+
     # deterministic hash split (md5_number_lower == little-endian bytes
     # 8:16 of the md5 digest — mirrored by text.doc_split_batch)
     q["doc_split"] = """

@@ -477,9 +477,10 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
         cb = t["cb"].combine_chunks().to_numpy().astype(np.float64)
         jac = inter / (ca + cb - inter)
         m = jac >= threshold
+        from ..util import round_half_away
         return pa.table({"a": t["a"].combine_chunks().filter(pa.array(m)),
                          "b": t["b"].combine_chunks().filter(pa.array(m)),
-                         "jac6": pa.array(np.round(jac[m], 6))})
+                         "jac6": pa.array(round_half_away(jac[m], 6))})
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
