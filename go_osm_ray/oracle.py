@@ -499,4 +499,14 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM o GROUP BY user_id"""
 
+    # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
+    # pyoracle.py computes these by a deliberately different plan (scalar
+    # per-row loops / O(n^2) brute force); the SQL just reads the file.
+    from . import pyoracle
+    exp = pyoracle.ensure_expected(sf)
+    q["minhash_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['minhash_pairs']}')"
+    q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"
+    q["winnow_fp"] = f"SELECT doc_id, winnow_fp FROM read_parquet('{exp['winnow_fp']}')"
+    q["images_s2"] = f"SELECT image_id, s2_l10, s2_l14 FROM read_parquet('{exp['images_s2']}')"
+
     return {k: " ".join(v.split()) for k, v in q.items()}

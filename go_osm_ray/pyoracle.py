@@ -1,0 +1,241 @@
+"""Independent scalar / brute-force Python oracles, materialized as parquet.
+
+For operators whose ground truth is not SQL-expressible (LSH pair
+generation, winnowing fingerprints, the numpy S2 scheme), the driver's
+DuckDB gate reads an EXPECTED parquet computed here by a deliberately
+DIFFERENT plan: per-row scalar loops and O(n^2) brute force instead of
+the engine's vectorized kernels and hash-partitioned exchanges.  Engine
+and oracle share only the primitive constant definitions (hash
+multiplier, band layout, bit layouts); the batch vectorization, the
+distributed exchange, and the candidate-generation recall under test
+are all exercised end-to-end against these files.
+
+This is the "python-oracle parquet the driver can diff" pattern: the
+oracle SQL for these queries is just ``SELECT ... FROM
+read_parquet('<expected>')``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import datagen
+
+TESTDATA_ROOT = os.environ.get("GO_OSM_RAY_TESTDATA", "/root/testdata")
+
+# bump when any expected-table definition changes (cache key)
+_V = 1
+
+
+def _testdata(sf: float, name: str) -> str:
+    return os.path.join(TESTDATA_ROOT, f"sf{sf:g}", f"{name}.parquet")
+
+
+def _docs(sf: float) -> tuple[list[int], list[str]]:
+    t = pq.read_table(_testdata(sf, "documents"), columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+# ------------------------------------------------------------ minhash pairs
+
+def _minhash_pairs_table(sf: float, threshold: float = 0.5,
+                         num_hashes: int = 64, bands: int = 16) -> pa.Table:
+    """Brute-force reference for minhash_lsh_pairs: scalar per-doc
+    signatures, python-dict banding, all-pairs bucket expansion, scalar
+    set-Jaccard verify.  Same (a, b, jac6) the distributed exchange must
+    produce."""
+    from .pipelines.text import _SH_MULT, jaccard, minhash_signature
+    ids, texts = _docs(sf)
+    r = num_hashes // bands
+    sigs = {i: minhash_signature(t, num_hashes) for i, t in zip(ids, texts)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in ids:
+        s = sigs[i]
+        for b in range(bands):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for j in range(r):
+                    h = h * _SH_MULT + s[b * r + j]
+            buckets.setdefault((b, int(h)), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b2 = members[x], members[y]
+                cand.add((a, b2) if a < b2 else (b2, a))
+    text_of = dict(zip(ids, texts))
+    rows_a, rows_b, rows_j = [], [], []
+    for a, b2 in sorted(cand):
+        jac = jaccard(text_of[a], text_of[b2])
+        if jac >= threshold:
+            rows_a.append(a)
+            rows_b.append(b2)
+            rows_j.append(float(np.round(jac, 6)))
+    return pa.table({"a": pa.array(rows_a, pa.int64()),
+                     "b": pa.array(rows_b, pa.int64()),
+                     "jac6": pa.array(rows_j, pa.float64())})
+
+
+# ------------------------------------------------------------ simhash pairs
+
+def _simhash_pairs_table(sf: float, max_hamming: int = 3) -> pa.Table:
+    """Brute-force reference for simhash_pairs: scalar per-doc simhash64,
+    ALL-pairs hamming (no banding — any pair with hamming <= 3 shares at
+    least one of the engine's 4 bands by pigeonhole, so the engine's
+    banded plan must recover exactly this set)."""
+    from .pipelines.text import simhash64
+    ids, texts = _docs(sf)
+    sigs = np.array([simhash64(t) for t in texts], np.uint64)
+    idv = np.array(ids, np.int64)
+    x = sigs[:, None] ^ sigs[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                        axis=2).sum(axis=2).astype(np.int64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    m = ham[ii, jj] <= max_hamming
+    a, b = idv[ii[m]], idv[jj[m]]
+    h = ham[ii[m], jj[m]]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    order = np.lexsort((b2, a2))
+    return pa.table({"a": pa.array(a2[order]), "b": pa.array(b2[order]),
+                     "hamming": pa.array(h[order])})
+
+
+# ------------------------------------------------------------ winnow fp
+
+def _winnow_fp_table(sf: float, k: int = 8) -> pa.Table:
+    """Scalar reference for winnow_fingerprint_batch: per-doc python loop
+    computing every k-byte polynomial rolling hash (mod 2^64) over the
+    lowercased utf8 bytes and taking the min; docs shorter than k hash
+    their whole byte string; empty docs -> 0."""
+    from .pipelines.text import _SH_MULT
+    mult = int(_SH_MULT)
+    mask = (1 << 64) - 1
+    ids, texts = _docs(sf)
+    # share arrow's lowercasing (the rolling hash is the logic under test)
+    import pyarrow.compute as pc
+    lowered = pc.utf8_lower(pa.array(texts, pa.string())).to_pylist()
+    out = []
+    for text in lowered:
+        bs = text.encode("utf-8")
+        if not bs:
+            out.append(0)
+            continue
+        kk = min(k, len(bs))
+        best = None
+        for s in range(len(bs) - kk + 1):
+            h = 0
+            for j in range(kk):
+                h = (h * mult + bs[s + j]) & mask
+            if best is None or h < best:
+                best = h
+        out.append(best)
+    fp = np.array(out, np.uint64).view(np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "winnow_fp": pa.array(fp)})
+
+
+# ------------------------------------------------------------ images s2
+
+def _scalar_morton_decode(phash: int) -> tuple[float, float]:
+    """Bit-by-bit scalar inverse of geo/morton.encode_phash."""
+    m = phash >> 12
+    u = 0
+    v = 0
+    for i in range(25):
+        u |= ((m >> (2 * i)) & 1) << i
+        v |= ((m >> (2 * i + 1)) & 1) << i
+    scale = 1 << 25
+    return (-180.0 + 360.0 * (u + 0.5) / scale,
+            -90.0 + 180.0 * (v + 0.5) / scale)
+
+
+def _scalar_s2_cell(lon: float, lat: float, level: int) -> int:
+    """Per-row scalar re-derivation of geo/s2.cell_id: cube-face
+    projection, quadratic st transform, classic Hilbert rotate/flip
+    recurrence, standard S2 id bit layout."""
+    lo, la = math.radians(lon), math.radians(lat)
+    cl = math.cos(la)
+    x, y, z = cl * math.cos(lo), cl * math.sin(lo), math.sin(la)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0 else 4
+    else:
+        face = 2 if z >= 0 else 5
+    u, v = [(y / x, z / x), (-x / y, z / y), (-x / z, -y / z),
+            (z / x, y / x), (z / y, -x / y), (-y / z, -x / z)][face]
+
+    def st(t: float) -> float:
+        return 0.5 * math.sqrt(1.0 + 3.0 * t) if t >= 0 \
+            else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * t)
+
+    n = 1 << 30
+    i = min(max(int(math.floor(st(u) * n)), 0), n - 1)
+    j = min(max(int(math.floor(st(v) * n)), 0), n - 1)
+    # Hilbert position (classic recurrence, scalar ints)
+    xq, yq, d = i, j, 0
+    s = 1 << 29
+    while s > 0:
+        rx = 1 if (xq & s) > 0 else 0
+        ry = 1 if (yq & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                xq = s - 1 - xq
+                yq = s - 1 - yq
+            xq, yq = yq, xq
+        s >>= 1
+    raw = (face << 61) | (d << 1) | 1
+    lsb = 1 << (2 * (30 - level))
+    out = (raw & ~(2 * lsb - 1)) | lsb
+    return out if out < (1 << 63) else out - (1 << 64)
+
+
+def _images_s2_table(sf: float, levels: tuple[int, ...] = (10, 14)) -> pa.Table:
+    paths = datagen.ensure_tables(sf)
+    t = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = t["phash"].to_pylist()
+    cols: dict[str, list] = {f"s2_l{lev}": [] for lev in levels}
+    for p in ph:
+        lon, lat = _scalar_morton_decode(int(p))
+        for lev in levels:
+            cols[f"s2_l{lev}"].append(_scalar_s2_cell(lon, lat, lev))
+    out: dict[str, pa.Array] = {"image_id": pa.array(ids, pa.string())}
+    for lev in levels:
+        out[f"s2_l{lev}"] = pa.array(cols[f"s2_l{lev}"], pa.int64())
+    return pa.table(out)
+
+
+# ------------------------------------------------------------ cache layer
+
+_BUILDERS = {
+    "minhash_pairs": _minhash_pairs_table,
+    "simhash_pairs": _simhash_pairs_table,
+    "winnow_fp": _winnow_fp_table,
+    "images_s2": _images_s2_table,
+}
+
+
+def ensure_expected(sf: float) -> dict[str, str]:
+    """Build (once per sf, cached) every expected parquet; return paths."""
+    d: Path = datagen.scale_dir(sf) / "expected"
+    d.mkdir(parents=True, exist_ok=True)
+    out: dict[str, str] = {}
+    for name, builder in _BUILDERS.items():
+        path = d / f"{name}_v{_V}.parquet"
+        if not path.exists():
+            tmp = path.with_suffix(".tmp")
+            pq.write_table(builder(sf), tmp)
+            os.replace(tmp, path)
+        out[name] = str(path)
+    return out
