@@ -254,36 +254,39 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     both = lt.union(rt)
 
     def kernel(t: pa.Table) -> pa.Table:
+        # One merged lexsort by (key-rank, ts, side) with right rows
+        # ordering BEFORE left rows on ts ties (ASOF is inclusive), then a
+        # running last-right-position scan. No (rank, ts) packing — the
+        # round-2 ``rank * span + ts`` int64 pack silently wrapped at
+        # ~300k keys x microsecond-year spans (ADVICE r2).
         is_left = t["_is_left"].combine_chunks().to_numpy(zero_copy_only=False)
         uid = t[by].combine_chunks().to_numpy()
         ts = t[on].combine_chunks().cast(pa.int64()).to_numpy()
-        # (rank, t) -> one monotonic int64 key; ranges per rank disjoint
-        uids, rank = np.unique(uid, return_inverse=True)
-        tmin = ts.min() if len(ts) else 0
-        span = (ts.max() - tmin + 1) if len(ts) else 1
-        key = rank * span + (ts - tmin)
-        lm = is_left
-        rm = ~is_left
-        rkey = key[rm]
-        order = np.argsort(rkey, kind="stable")
-        rkey_s = rkey[order]
-        rrank_s = rank[rm][order]
-        pos = np.searchsorted(rkey_s, key[lm], side="right") - 1
-        ok = pos >= 0
-        ok[ok] &= rrank_s[pos[ok]] == rank[lm][ok]
+        _, rank = np.unique(uid, return_inverse=True)
+        order = np.lexsort((is_left, ts, rank))
+        rank_s = rank[order]
+        left_s = is_left[order]
+        # latest right-row position at or before each sorted slot
+        rpos = np.where(~left_s, np.arange(len(order)), -1)
+        last_right = np.maximum.accumulate(rpos) if len(rpos) \
+            else rpos.astype(np.int64)
+        cand = last_right[left_s]                      # per left row (sorted)
+        ok = cand >= 0
+        # a candidate from an earlier key-rank segment means "no right row
+        # for this key yet" — reject it
+        ok[ok] &= rank_s[cand[ok]] == rank_s[left_s][ok]
+        left_orig = order[left_s]                      # original row indices
+        lid = t["_lid"].combine_chunks()
         out = {
-            "event_id": t["_lid"].combine_chunks().filter(pa.array(lm)),
-            "ts_us": pa.array(ts[lm]),
+            "event_id": lid.take(pa.array(left_orig)),
+            "ts_us": pa.array(ts[left_orig]),
         }
+        match_orig = order[np.where(ok, cand, 0)]      # 0 = dummy, masked out
         for c in right_cols:
-            rv = t[f"_r_{c}"].combine_chunks().filter(pa.array(rm)) \
-                .take(pa.array(order))
-            if len(rv) == 0:  # partition holds no right rows at all
-                out[f"prev_{c}"] = pa.nulls(len(ok), rv.type)
-                continue
-            vals = rv.take(pa.array(np.where(ok, pos, 0)))
+            col = t[f"_r_{c}"].combine_chunks()
+            vals = col.take(pa.array(match_orig))
             out[f"prev_{c}"] = pc.if_else(pa.array(ok), vals,
-                                          pa.nulls(len(ok), rv.type))
+                                          pa.nulls(len(ok), col.type))
         return pa.table(out)
 
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")

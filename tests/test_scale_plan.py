@@ -331,3 +331,35 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     gp = got["prev_event_id"].fillna(-1).astype(np.int64).tolist()
     wp = want["event_id_r"].fillna(-1).astype(np.int64).tolist()
     assert gp == wp
+
+
+def test_asof_join_wide_span_no_overflow(ray_session):
+    """Regression (ADVICE r2): the old kernel packed (key-rank, ts) as
+    rank*span + ts, overflowing int64 for many keys x wide microsecond
+    spans and silently wrapping. Span here is ~4e18 us with 50 keys —
+    far past the old pack's range — and must still match merge_asof."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+
+    def mk(n, id0):
+        ts = np.sort(rng.randint(0, 4_000_000_000_000_000_000, n))
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n),
+            "user_id": rng.randint(0, 50, n),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 100, n), 3),
+        })
+    left = mk(400, 0)
+    right = mk(200, 10_000).drop_duplicates(["user_id", "ts"])
+    from go_osm_ray.pipelines.relq import asof_join
+    got = parity.to_pandas(asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), num_parts=5)) \
+        .sort_values("event_id").reset_index(drop=True)
+    want = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+        suffixes=("", "_r")).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    gp = got["prev_event_id"].fillna(-1).astype(np.int64).tolist()
+    wp = want["event_id_r"].fillna(-1).astype(np.int64).tolist()
+    assert gp == wp
