@@ -142,9 +142,18 @@ def validate_spec(spec: dict) -> list[str]:
         if o.get("ways_to_nodes") and o.get("drop_ways"):
             problems.append("ways_to_nodes cannot combine with drop_ways "
                             "(osm/Config.go:322-324)")
-        if o.get("drop_nodes") and o.get("drop_ways") and o.get("drop_relations"):
-            problems.append("cannot drop every element class "
-                            "(osm/Config.go:326-328)")
+        # Reference semantics (osm/Config.go:326-328): drop_nodes +
+        # drop_ways is fatal — unless this spec actually carries
+        # relations (an extension class the reference cannot ingest), in
+        # which case only dropping every class PRESENT in the inputs is
+        # fatal (ADVICE r2: the all-three check silently validated specs
+        # the reference rejects, emitting empty outputs).
+        kinds = {inp.get("kind", "nodes") for inp in spec.get("inputs", [])}
+        dropped = {k for k in ("nodes", "ways", "relations")
+                   if o.get(f"drop_{k}")}
+        if kinds and not (kinds - dropped):
+            problems.append("cannot drop every element class present in "
+                            "the inputs (osm/Config.go:326-328)")
     return problems
 
 

@@ -278,30 +278,46 @@ def write_osm_xml_shards(nodes: "object", out_dir: str,
                          compression: str = "gz",
                          **kw) -> list[dict]:
     """SCALE form of the XML sink: every node block serializes in
-    parallel to its own bounded ``shard-<minid>-<maxid>.osm[.gz]``
-    extract (the same many-bounded-extracts layout the reference's
-    planet distribution uses, and the exact shape ``read_osm_xml``
-    parallelizes over). Deterministic shard names double as the resume
-    manifest — a rerun skips shards whose file already exists. Returns
-    the manifest rows (path, rows).
+    parallel to its own bounded ``shard-<minid>-<maxid>-<rows>-<crc>``
+    extract (the many-bounded-extracts layout the reference's planet
+    distribution uses, and the exact shape ``read_osm_xml`` parallelizes
+    over).
+
+    Resume protocol (ADVICE r2): shard names are CONTENT-ADDRESSED —
+    the id range, row count, a crc32 of the id column bytes, and a hash
+    of the serialization options — so an existing file with a planned
+    name is guaranteed byte-identical and is skipped (probed through the
+    filesystem registry, so remote URIs resume too). After the write the
+    directory is RECONCILED: any ``shard-*`` file not in this run's
+    manifest (a stale shard from a rerun whose block composition
+    changed) is deleted, and ``_manifest.json`` records the
+    authoritative shard list — consumers read the manifest, never a
+    glob. Returns the manifest rows (path, rows).
 
     ``ways`` (optional) must be co-partitionable by the same id ranges
     only if passed as a driver-side table; the common planet layout
     (nodes-only extracts + way files) writes them separately."""
+    import json as _json
     import os as _os
+    import zlib as _zlib
+
     import ray as _ray
 
+    from .uri import delete_output, list_output_dir, output_exists, put_bytes
+
     suffix = f".osm.{compression}" if compression else ".osm"
+    kw_tag = _zlib.crc32(repr(sorted(kw.items())).encode()) & 0xFFFFFFFF
 
     def write_shard(batch: pa.Table) -> pa.Table:
         if not len(batch):
             return pa.table({"path": pa.array([], pa.string()),
                              "rows": pa.array([], pa.int64())})
         ids = batch["id"].combine_chunks().to_numpy()
-        path = _os.path.join(out_dir,
-                             f"shard-{ids.min()}-{ids.max()}{suffix}")
-        if not _os.path.exists(path):  # resume: finished shards skip
-            from .uri import put_bytes
+        crc = _zlib.crc32(ids.tobytes(), kw_tag) & 0xFFFFFFFF
+        path = _os.path.join(
+            out_dir,
+            f"shard-{ids.min()}-{ids.max()}-{len(ids)}-{crc:08x}{suffix}")
+        if not output_exists(path):  # resume: identical shard exists
             put_bytes(path, planet_to_xml_bytes(batch, None, **kw))
         return pa.table({"path": pa.array([path]),
                          "rows": pa.array([len(batch)], pa.int64())})
@@ -316,6 +332,16 @@ def write_osm_xml_shards(nodes: "object", out_dir: str,
                       None, ways, **kw)
         rows.append({"path": _os.path.join(out_dir, f"ways{suffix}"),
                      "rows": len(ways)})
+    # reconcile: stale shards (different block composition on a rerun)
+    # would silently duplicate rows for glob consumers — remove them
+    live = {_os.path.basename(r["path"]) for r in rows}
+    for name in list_output_dir(out_dir):
+        if name.startswith("shard-") and name not in live:
+            delete_output(_os.path.join(out_dir, name))
+    put_bytes(_os.path.join(out_dir, "_manifest.json"), _json.dumps(
+        {"shards": [{"path": r["path"], "rows": int(r["rows"])}
+                    for r in rows],
+         "total_rows": int(sum(r["rows"] for r in rows))}).encode())
     return rows
 
 

@@ -168,6 +168,20 @@ def ensure_output_parent(uri: str) -> None:
         fs.create_dir(parent, recursive=True)
 
 
+def list_output_dir(uri: str) -> list[str]:
+    """Sorted file NAMES directly under a directory URI ([] when the
+    directory does not exist). Works for local paths and every
+    FS_FACTORIES scheme — the reconcile step of resumable sinks uses
+    this instead of os.listdir so remote outputs behave identically."""
+    fs, path = open_output(uri)
+    if fs is None:
+        return sorted(os.listdir(path)) if os.path.isdir(path) else []
+    from pyarrow import fs as pafs
+    sel = pafs.FileSelector(path.rstrip("/"), allow_not_found=True)
+    return sorted(os.path.basename(i.path) for i in fs.get_file_info(sel)
+                  if i.type == pafs.FileType.File)
+
+
 def put_bytes(uri: str, data: bytes) -> int:
     """Single-object put with the reference's compression contract
     (s3util/PutObject.go:23-61): gzip when the key ends ``.gz``; bz2 is

@@ -42,6 +42,21 @@ def test_validate_mutual_exclusions():
     assert validate_spec(spec) == []
 
 
+def test_validate_drop_all_present_classes():
+    """Reference parity (osm/Config.go:326-328): drop_nodes + drop_ways is
+    fatal for a nodes+ways spec even without drop_relations; adding a
+    relations input that survives makes the same options valid."""
+    spec = {"inputs": [{"uri": "n", "kind": "nodes"},
+                       {"uri": "w", "kind": "ways"}],
+            "outputs": [{"uri": "y"}],
+            "globals": {"drop_nodes": True, "drop_ways": True}}
+    assert any("every element class" in p for p in validate_spec(spec))
+    spec["inputs"].append({"uri": "r", "kind": "relations"})
+    assert validate_spec(spec) == []
+    spec["globals"]["drop_relations"] = True
+    assert any("every element class" in p for p in validate_spec(spec))
+
+
 # ------------------------------------------------------------- end-to-end
 
 def test_job_multi_output(ray_session, tmp_path):

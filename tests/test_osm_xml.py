@@ -166,3 +166,29 @@ def test_write_osm_xml_shards_roundtrip_and_resume(ray_session, tmp_path):
     mt = {p: os.path.getmtime(p) for p in paths}
     write_osm_xml_shards(nodes, out)
     assert {p: os.path.getmtime(p) for p in paths} == mt
+
+
+def test_write_osm_xml_shards_reconciles_stale_shards(ray_session, tmp_path):
+    """ADVICE r2: a rerun whose block composition changed must DELETE the
+    previous run's overlapping shards (no silent row duplication for
+    glob consumers) and record the authoritative set in _manifest.json."""
+    import glob
+    import json
+    import os
+    import ray.data as rd
+    from go_osm_ray.sources.osm_xml import read_osm_xml, write_osm_xml_shards
+    src = "/tmp/go_osm_ray_data/sf0.001/osm_nodes.parquet"
+    out = str(tmp_path / "shards")
+    write_osm_xml_shards(rd.read_parquet(src).repartition(4), out)
+    n4 = sorted(glob.glob(os.path.join(out, "shard-*.osm.gz")))
+    assert len(n4) == 4
+    manifest = write_osm_xml_shards(rd.read_parquet(src).repartition(3), out)
+    n3 = sorted(glob.glob(os.path.join(out, "shard-*.osm.gz")))
+    assert len(n3) == 3 and sorted(m["path"] for m in manifest) == n3
+    assert not set(n4) & set(n3)  # old boundaries all reconciled away
+    with open(os.path.join(out, "_manifest.json")) as f:
+        mf = json.load(f)
+    assert mf["total_rows"] == 1000
+    assert sorted(s["path"] for s in mf["shards"]) == n3
+    back = read_osm_xml(n3, "node").to_pandas()
+    assert len(back) == 1000 and back["id"].is_unique
