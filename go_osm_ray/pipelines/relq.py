@@ -85,13 +85,25 @@ def top_revenue_orders(lineitem: ray.data.Dataset, k: int = 10) -> ray.data.Data
 
 
 def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
-                   nation: ray.data.Dataset) -> ray.data.Dataset:
-    """Revenue per nation: hash-partitioned Dataset.join for
-    orders ⨝ customer (both scale with sf), broadcast map join for the
-    25-row nation dimension (SURVEY §2.5 J3 pattern)."""
-    joined = orders.select_columns(["o_custkey", "o_totalprice"]).join(
+                   nation: ray.data.Dataset,
+                   num_partitions: int = 4) -> ray.data.Dataset:
+    """Revenue per nation: COMBINER pre-aggregation of orders per
+    custkey inside map_batches (each block collapses to one partial row
+    per customer — the join input shrinks from |orders| to ~|custkeys|
+    before any shuffle, VERDICT r2 #5), then the hash-partitioned
+    Dataset.join against customer (both sides scale with sf), then a
+    broadcast map join for the 25-row nation dimension (SURVEY §2.5
+    J3 pattern)."""
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": t["o_custkey"], "tp": t["o_totalprice"]}) \
+            .group_by("o_custkey").aggregate([("tp", "sum"), ("tp", "count")])
+        return g.rename_columns(["o_custkey", "tp", "pn"])
+
+    partials = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536)
+    joined = partials.join(
         customer.select_columns(["c_custkey", "c_nationkey"]),
-        join_type="inner", num_partitions=8,
+        join_type="inner", num_partitions=num_partitions,
         on=("o_custkey",), right_on=("c_custkey",))
     nation_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
 
@@ -109,8 +121,8 @@ def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
     # all-to-all after the join (the key space is bounded by the
     # dimension table, so this holds at any fact-table scale)
     def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"n_name": t["n_name"], "tp": t["o_totalprice"]}) \
-            .group_by("n_name").aggregate([("tp", "sum"), ("tp", "count")])
+        g = pa.table({"n_name": t["n_name"], "tp": t["tp"], "pn": t["pn"]}) \
+            .group_by("n_name").aggregate([("tp", "sum"), ("pn", "sum")])
         return g.rename_columns(["n_name", "tp", "pn"])
 
     def merge(t: pa.Table) -> pa.Table:
