@@ -710,15 +710,28 @@ def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
 
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
-               id_col: str = "doc_id") -> ray.data.Dataset:
+               id_col: str = "doc_id",
+               broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
     """Near-dup purge: keep every doc that is its component's canonical
-    (smallest-id) member — docs in no pair are all keepers. The group
-    table is broadcast (it is small by construction); the corpus streams
-    through one vectorized membership filter."""
+    (smallest-id) member — docs in no pair are all keepers.
+
+    Two physical plans with identical output (VERDICT r2 #9): the drop
+    list broadcasts while it stays small (one ray.put, one vectorized
+    membership filter per batch); past ``broadcast_limit`` it switches
+    to the hash-partitioned ANTI join (relational.partitioned_anti_filter)
+    so a duplicate-heavy corpus never ships a corpus-sized drop list to
+    every task."""
     groups = dedup_groups(pairs)
+    drops = groups.filter(expr="doc_id != group_id") \
+        .select_columns(["doc_id"]).materialize()
+    if drops.count() > broadcast_limit:
+        from ..relational import partitioned_anti_filter
+        keys_ds = drops if id_col == "doc_id" else drops.map_batches(
+            lambda t: pa.table({id_col: t["doc_id"]}),
+            batch_format="pyarrow")
+        return partitioned_anti_filter(docs, id_col, keys_ds)
     from ..relational import broadcast_table
-    drop_ref = broadcast_table(
-        groups.filter(expr="doc_id != group_id"), ["doc_id"])
+    drop_ref = broadcast_table(drops, ["doc_id"])
 
     def keep(batch: pa.Table) -> pa.Table:
         t = ray.get(drop_ref)

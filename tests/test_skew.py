@@ -65,3 +65,15 @@ def test_duplicate_class_bounded_pairs(ray_session, pipeline):
     comp = groups[groups["group_id"] == 0]
     assert len(comp) == N_DUP
     assert not (groups["doc_id"] >= 50_000).any()
+
+
+def test_dedup_keep_anti_join_path_matches_broadcast(ray_session):
+    """The hash-partitioned anti-join purge (scale path when the drop
+    list outgrows broadcast) returns exactly the broadcast plan's rows."""
+    from go_osm_ray.pipelines.text import dedup_keep, minhash_lsh_pairs
+    docs = _dup_docs()
+    pairs = minhash_lsh_pairs(docs, max_bucket=256).materialize()
+    bc = dedup_keep(docs, pairs).to_pandas()
+    anti = dedup_keep(docs, pairs, broadcast_limit=0).to_pandas()
+    assert sorted(bc["doc_id"]) == sorted(anti["doc_id"])
+    assert sorted(bc["doc_id"]) == [0, 50_000, 50_001]

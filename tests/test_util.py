@@ -34,7 +34,8 @@ def test_scalar_and_arrow_inputs():
 
 def test_dedup_exact_and_partial_groupby_agg(ray_session):
     """Scale-safe forms of the generic relational helpers: hash-partition
-    exchange + per-partition vectorized kernels."""
+    exchange + per-partition Acero kernels (Arrow end-to-end, no per-key
+    python — VERDICT r2 #8)."""
     import pandas as pd
     import ray.data as rd
     from go_osm_ray.relational import dedup_exact, partial_groupby_agg
@@ -43,10 +44,22 @@ def test_dedup_exact_and_partial_groupby_agg(ray_session):
     got = dedup_exact(ds, "k", "v").to_pandas().sort_values("k")
     assert dict(zip(got["k"], got["v"])) == {1: 3, 2: 0, 3: 9}
 
-    out = partial_groupby_agg(
-        ds, ["k"],
-        lambda d: d.groupby("k", as_index=False)["v"].sum(),
-        lambda d: pd.DataFrame({"k": [d["k"].iloc[0]],
-                                "total": [int(d["v"].sum())]}))
+    out = partial_groupby_agg(ds.repartition(3), ["k"],
+                              [("v", "sum"), ("v", "count"), ("v", "min")])
     got2 = out.to_pandas().sort_values("k")
-    assert dict(zip(got2["k"], got2["total"])) == {1: 15, 2: 1, 3: 9}
+    assert dict(zip(got2["k"], got2["v_sum"])) == {1: 15, 2: 1, 3: 9}
+    assert dict(zip(got2["k"], got2["v_count"])) == {1: 3, 2: 2, 3: 1}
+    assert dict(zip(got2["k"], got2["v_min"])) == {1: 3, 2: 0, 3: 9}
+
+
+def test_dedup_exact_string_keys(ray_session):
+    """String shuffle keys hash deterministically (crc32 of uniques, not
+    process-salted python hash())."""
+    import pandas as pd
+    import ray.data as rd
+    from go_osm_ray.relational import dedup_exact
+    df = pd.DataFrame({"k": ["b", "a", "b", "c", "a"],
+                       "v": [2, 9, 1, 4, 3]})
+    got = dedup_exact(rd.from_pandas(df).repartition(2), "k", "v") \
+        .to_pandas().sort_values("k")
+    assert dict(zip(got["k"], got["v"])) == {"a": 3, "b": 1, "c": 4}
