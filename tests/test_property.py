@@ -154,6 +154,14 @@ def test_token_pack_prefix_math(ray_session, counts, seq_len):
         .sort_values("doc_id")
     assert out["seq_id"].tolist() == want_seq
     assert out["seq_offset"].tolist() == want_off
+    # forced TWO-LEVEL configuration: many ranges per super, many supers
+    # — the tree prefix (super offsets -> in-super range offsets ->
+    # co-partitioned rebase) must give the identical packing
+    out2 = T.token_pack(rd.from_arrow(docs), seq_len=seq_len,
+                        range_size=2, super_size=3, num_parts=5) \
+        .to_pandas().sort_values("doc_id")
+    assert out2["seq_id"].tolist() == want_seq
+    assert out2["seq_offset"].tolist() == want_off
 
 
 def test_doc_split_stability_and_shares(ray_session):
