@@ -125,57 +125,72 @@ def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     (bbox ⊇ polygon, so containment never crosses an unvisited shard).
 
     The build is DISTRIBUTED (round 2 collected every closed-way vertex
-    on the driver, VERDICT r2):
-      exchange 1 — vertex rows shuffle by a bounded hash of way_id; each
-        partition kernel computes per-way bboxes, covers them with shard
-        cells, and replicates the way's vertex rows per covering cell;
-      exchange 2 — replicated rows shuffle by a bounded hash of the
-        CELL; each partition kernel constructs the PolygonIndex for
-        every cell it owns and emits one (cell, pickled index) row.
+    on the driver, VERDICT r2) and needs only ONE exchange, because a
+    way's refs live in one list-column row — per-way locality is free
+    inside each batch:
+      fused stage (map_batches over closed ways) — explode refs, resolve
+        coordinates against the broadcast node lookup, compute each
+        way's bbox, and replicate its vertex rows into every covering
+        shard cell, keyed by a bounded hash of the CELL;
+      exchange — replicated rows shuffle by that cell hash; each
+        partition kernel constructs the PolygonIndex for every cell it
+        owns and emits one (cell, pickled index) row.
     The driver only streams that small manifest (iter_batches, bounded
     memory — one row per shard, never a vertex table) and ray.puts each
     shard. A production deployment would write the blobs to per-shard
     parquet and let query tasks lazy-load them; the object-store dict
-    keeps parity with pip_join_sharded's interface here."""
+    keeps parity with pip_join_sharded's interface here. (When the node
+    table outgrows a broadcast, resolve coordinates with
+    join_refs_to_coords(broadcast_nodes=False) and the two-exchange
+    by-way/by-cell plan instead.)"""
     import pickle
 
     from ..geo.tiles import cells_covering_bbox
-    from ..relational import hash_part
-    coords = join_refs_to_coords(closed_ways(ways), nodes) \
-        .select_columns(["way_id", "pos", "lon", "lat"])
-
-    def part_by_way(t: pa.Table) -> pa.Table:
-        wid = t["way_id"].combine_chunks().to_numpy()
-        return t.append_column("part", pa.array(hash_part(wid, num_parts)))
+    from ..relational import broadcast_table, hash_part
+    node_ref = broadcast_table(nodes, ["id", "lon", "lat"])
 
     empty_rep = pa.schema([("cell", pa.int64()), ("way_id", pa.int64()),
                            ("pos", pa.int64()), ("lon", pa.float64()),
                            ("lat", pa.float64()), ("part", pa.int64())])
 
-    def replicate(t: pa.Table) -> pa.Table:
-        wid = t["way_id"].combine_chunks().to_numpy()
-        pos = t["pos"].combine_chunks().to_numpy()
-        lon = t["lon"].combine_chunks().to_numpy()
-        lat = t["lat"].combine_chunks().to_numpy()
-        order = np.lexsort((pos, wid))
-        wid, pos, lon, lat = wid[order], pos[order], lon[order], lat[order]
-        _, starts = np.unique(wid, return_index=True)
-        bounds = np.append(starts, len(wid))
+    def fused(batch: pa.Table) -> pa.Table:
+        refs = batch["refs"].combine_chunks()
+        offs = np.asarray(refs.offsets, np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        if not len(batch) or counts.sum() == 0:
+            return empty_rep.empty_table()
+        wids = batch["id"].combine_chunks().to_numpy()
+        flat = refs.flatten().to_numpy()
+        pos = np.arange(len(flat)) - np.repeat(offs[:-1], counts)
+        way_of = np.repeat(np.arange(len(batch)), counts)
+        lk = ray.get(node_ref)
+        nid = lk["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        lon_s = lk["lon"].to_numpy()[order]
+        lat_s = lk["lat"].to_numpy()[order]
+        j = np.clip(np.searchsorted(nid_s, flat), 0, len(nid_s) - 1)
+        found = nid_s[j] == flat  # unseen refs drop (error-as-data)
+        way_of, pos, j = way_of[found], pos[found], j[found]
+        lon, lat = lon_s[j], lat_s[j]
+        if not len(way_of):
+            return empty_rep.empty_table()
+        starts = np.flatnonzero(np.r_[True, way_of[1:] != way_of[:-1]])
+        bounds = np.r_[starts, len(way_of)]
         idx_out: list[np.ndarray] = []
         cell_out: list[np.ndarray] = []
-        for i in range(len(starts)):
-            s, e = int(bounds[i]), int(bounds[i + 1])
+        for k in range(len(starts)):
+            s, e = int(bounds[k]), int(bounds[k + 1])
             for c in cells_covering_bbox(
                     float(lon[s:e].min()), float(lat[s:e].min()),
                     float(lon[s:e].max()), float(lat[s:e].max()), shard_res):
                 idx_out.append(np.arange(s, e))
                 cell_out.append(np.full(e - s, int(c), np.int64))
-        if not idx_out:
-            return empty_rep.empty_table()
         idx = np.concatenate(idx_out)
         cells = np.concatenate(cell_out)
         return pa.table({"cell": pa.array(cells),
-                         "way_id": pa.array(wid[idx]),
+                         "way_id": pa.array(wids[way_of[idx]]),
                          "pos": pa.array(pos[idx]),
                          "lon": pa.array(lon[idx]),
                          "lat": pa.array(lat[idx]),
@@ -207,8 +222,8 @@ def build_polygon_shards(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         return pa.table({"cell": pa.array(out_cell, pa.int64()),
                          "blob": pa.array(out_blob, pa.binary())})
 
-    manifest = coords.map_batches(part_by_way, batch_format="pyarrow") \
-        .groupby("part").map_groups(replicate, batch_format="pyarrow") \
+    manifest = closed_ways(ways).select_columns(["id", "refs"]) \
+        .map_batches(fused, batch_format="pyarrow") \
         .groupby("part").map_groups(build, batch_format="pyarrow")
     shards: dict[int, ray.ObjectRef] = {}
     for batch in manifest.iter_batches(batch_size=256,

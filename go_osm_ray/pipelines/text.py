@@ -1073,7 +1073,8 @@ def doc_split_batch(batch: pa.Table, id_col: str = "doc_id",
 
 def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
                range_size: int = 64, super_size: int = 4096,
-               num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+               num_parts: int = NUM_PARTS,
+               collect_limit: int = 200_000) -> ray.data.Dataset:
     """LM-training sequence packing: assign every doc its position in the
     doc_id-ordered token stream — (doc_id, seq_id, seq_offset) where
     seq_id = prev_token_cumsum // seq_len (docs split across sequence
@@ -1096,9 +1097,29 @@ def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
       phase D: token counts co-partition with the range offsets by
         hash(range); each partition kernel sorts its runs by doc_id,
         cumsums within each range and rebases at range boundaries.
+    While the range count stays under ``collect_limit`` the tree levels
+    are SKIPPED: the materialized range partials (already one small row
+    per range per block) collect directly and the offsets go straight to
+    phase D — the two extra exchanges only buy anything past ~10^5
+    ranges. The property test forces the tree path with collect_limit=0.
     Oracle: ``sum(n) OVER (ORDER BY doc_id) - n`` windowed SQL."""
     counts = docs.map_batches(token_count_batch,
                               batch_format="pyarrow").materialize()
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("seq_id", pa.int64()),
+                      ("seq_offset", pa.int64())])
+    _ROFF = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                       ("rkey", pa.int64()), ("off", pa.int64()),
+                       ("_is_off", pa.bool_()), ("part", pa.int64())])
+
+    def _roff_table(ru: np.ndarray, off: np.ndarray) -> pa.Table:
+        return pa.table({"doc_id": pa.nulls(len(ru), pa.int64()),
+                         "n_tokens": pa.nulls(len(ru), pa.int64()),
+                         "rkey": pa.array(ru),
+                         "off": pa.array(off),
+                         "_is_off": pa.array(np.ones(len(ru), bool)),
+                         "part": pa.array(_part_of(ru, num_parts))},
+                        schema=_ROFF)
 
     def partial(t: pa.Table) -> pa.Table:
         r = t["doc_id"].combine_chunks().to_numpy() // range_size
@@ -1110,6 +1131,25 @@ def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
 
     partials = counts.map_batches(partial,
                                   batch_format="pyarrow").materialize()
+    n_range_rows = partials.count()
+    if n_range_rows == 0:
+        return _empty_ds(_OUT)
+    if n_range_rows <= collect_limit:
+        # single-level fast path: the partial table IS small — collect,
+        # prefix on the driver, feed phase D directly
+        ptab = pa.concat_tables(
+            [t.replace_schema_metadata(None) for t in
+             ray.get(partials.to_arrow_refs())
+             if t.num_rows and t.num_columns])
+        rs = ptab["r"].to_numpy()
+        ns = ptab["pn"].to_numpy()
+        order = np.argsort(rs, kind="stable")
+        ru, starts = np.unique(rs[order], return_index=True)
+        rtot = np.add.reduceat(ns[order], starts)
+        off = np.r_[0, np.cumsum(rtot)[:-1]]
+        roff = ray.data.from_arrow(_roff_table(ru, off))
+        return _token_pack_rebase(counts, roff, range_size, seq_len,
+                                  num_parts)
 
     def super_totals(t: pa.Table) -> pa.Table:
         s = t["r"].combine_chunks().to_numpy() // super_size
@@ -1146,16 +1186,19 @@ def token_pack(docs: ray.data.Dataset, seq_len: int = 512,
         sstarts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
         base = ooff[np.searchsorted(osu, s[sstarts])] - cum[sstarts]
         off = cum + np.repeat(base, np.diff(np.r_[sstarts, len(s)]))
-        return pa.table({"doc_id": pa.nulls(len(ru), pa.int64()),
-                         "n_tokens": pa.nulls(len(ru), pa.int64()),
-                         "rkey": pa.array(ru),
-                         "off": pa.array(off),
-                         "_is_off": pa.array(np.ones(len(ru), bool)),
-                         "part": pa.array(_part_of(ru, num_parts))})
+        return _roff_table(ru, off)
 
     roff = partials.groupby("part").map_groups(range_offsets,
                                                batch_format="pyarrow")
+    return _token_pack_rebase(counts, roff, range_size, seq_len, num_parts)
 
+
+def _token_pack_rebase(counts: ray.data.Dataset, roff: ray.data.Dataset,
+                       range_size: int, seq_len: int,
+                       num_parts: int) -> ray.data.Dataset:
+    """token_pack phase D: co-partition the token counts with the
+    (range, offset) rows by hash(range) and rebase the in-partition
+    cumsum at every range boundary."""
     def tag_counts(t: pa.Table) -> pa.Table:
         r = t["doc_id"].combine_chunks().to_numpy() // range_size
         return pa.table({"doc_id": t["doc_id"],

@@ -158,7 +158,8 @@ def test_token_pack_prefix_math(ray_session, counts, seq_len):
     # — the tree prefix (super offsets -> in-super range offsets ->
     # co-partitioned rebase) must give the identical packing
     out2 = T.token_pack(rd.from_arrow(docs), seq_len=seq_len,
-                        range_size=2, super_size=3, num_parts=5) \
+                        range_size=2, super_size=3, num_parts=5,
+                        collect_limit=0) \
         .to_pandas().sort_values("doc_id")
     assert out2["seq_id"].tolist() == want_seq
     assert out2["seq_offset"].tolist() == want_off
