@@ -87,19 +87,53 @@ def _arr(x):
     return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
 
 
+def _len_any(a):
+    """Polymorphic length: codepoints for strings, element count for
+    lists (DuckDB's length() covers both, so one SQL mirror serves)."""
+    a = _arr(a)
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type):
+        return pc.list_value_length(a)
+    return pc.utf8_length(a)
+
+
 _FUNCTIONS: dict[str, dict] = {
-    "len": {"fn": lambda a: pc.utf8_length(_arr(a)),
-            "sql": lambda a: f"length({a})"},
+    "len": {"fn": _len_any, "sql": lambda a: f"length({a})"},
     "lower": {"fn": lambda a: pc.utf8_lower(_arr(a)),
               "sql": lambda a: f"lower({a})"},
     "upper": {"fn": lambda a: pc.utf8_upper(_arr(a)),
               "sql": lambda a: f"upper({a})"},
     "trim": {"fn": lambda a: pc.utf8_trim_whitespace(_arr(a)),
              "sql": lambda a: f"trim({a})"},
+    "ltrim": {"fn": lambda a: pc.utf8_ltrim_whitespace(_arr(a)),
+              "sql": lambda a: f"ltrim({a})"},
+    "rtrim": {"fn": lambda a: pc.utf8_rtrim_whitespace(_arr(a)),
+              "sql": lambda a: f"rtrim({a})"},
     "prefix": {"fn": lambda a, p: pc.starts_with(_arr(a), pattern=_scalar(p)),
                "sql": lambda a, p: f"starts_with({a}, {p})"},
     "suffix": {"fn": lambda a, p: pc.ends_with(_arr(a), pattern=_scalar(p)),
                "sql": lambda a, p: f"ends_with({a}, {p})"},
+    "replace": {"fn": lambda a, o, n: pc.replace_substring(
+                    _arr(a), pattern=_scalar(o), replacement=_scalar(n)),
+                "sql": lambda a, o, n: f"replace({a}, {o}, {n})"},
+    # 1-based start like SQL substr; codeunit slicing matches DuckDB on
+    # the ASCII tag/attr values the DFL surface filters
+    "substr": {"fn": lambda a, s, n: pc.utf8_slice_codeunits(
+                   _arr(a), start=int(_scalar(s)) - 1,
+                   stop=int(_scalar(s)) - 1 + int(_scalar(n))),
+               "sql": lambda a, s, n: f"substr({a}, {s}, {n})"},
+    "split": {"fn": lambda a, sep: pc.split_pattern(
+                  _arr(a), pattern=_scalar(sep)),
+              "sql": lambda a, sep: f"string_split({a}, {sep})"},
+    # || is NULL-propagating in SQL, matching arrow's emit_null default
+    # (DuckDB's concat() would skip NULLs — deliberately not mirrored)
+    "concat": {"fn": lambda *xs: pc.binary_join_element_wise(
+                   *[_arr(x) if not isinstance(x, (str, int, float))
+                     else str(x) for x in xs], ""),
+               "sql": lambda *xs: "(" + " || ".join(xs) + ")"},
+    "int64": {"fn": lambda a: pc.cast(_arr(a), pa.int64()),
+              "sql": lambda a: f"CAST({a} AS BIGINT)"},
+    "float64": {"fn": lambda a: pc.cast(_arr(a), pa.float64()),
+                "sql": lambda a: f"CAST({a} AS DOUBLE)"},
 }
 
 

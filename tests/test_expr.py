@@ -40,6 +40,14 @@ CASES = [
     ("prefix(upper(@craft), 'POT')", [5]),
     ("len(trim(@name)) == 1", [2]),
     ("prefix(@craft, 'b') or suffix(lower(@craft), 'y')", [1, 2, 5]),
+    # round-3 builtin breadth (DFL defaults beyond the first six)
+    ("replace(@craft, 'ery', 'ER') like '%ER'", [1, 2, 5]),
+    ("substr(@craft, 1, 4) == brew", [1]),
+    ("len(split(@craft, 'e')) == 3", [1]),   # br-w-ry
+    ("concat(@craft, '-x') like '%y-x'", [1, 2, 5]),
+    ("ltrim(rtrim(@name)) == x", [2]),
+    ("int64(@version) >= 5", [2, 4]),
+    ("float64(@version) > 2.5", [2, 3, 4]),
 ]
 
 
