@@ -603,36 +603,56 @@ def salted_cell_histogram(images: ray.data.Dataset, resolution: int = 7,
     cells are salted and split before a groupby-cell shuffle").
 
     Stage 1 detects hot cells (per-block partials, broadcast once);
-    stage 2 salts rows in hot cells so the first groupby keys on
-    (cell, salt) — no reducer sees more than ~1/salt_buckets of a hot
-    cell — and a second, tiny groupby folds the salt partials into final
-    per-cell counts. The result must be IDENTICAL to the unsalted
-    histogram (same DuckDB oracle), proving salting only reshapes the
-    exchange, never the answer."""
-    from ray.data.aggregate import Sum
+    stage 2 salts rows in hot cells so the first EXCHANGE keys on
+    hash(cell, salt) — no reducer sees more than ~1/salt_buckets of a
+    hot cell — and a second, tiny exchange keyed on hash(cell) folds the
+    salt partials into final per-cell counts. Both exchanges are the
+    bounded hash-partition + one-Acero-merge-per-partition pattern
+    (Ray's per-key groupby.aggregate paid per-group overhead on the
+    ~9k-cell space — measured ~2x the whole query). The result must be
+    IDENTICAL to the unsalted histogram (same DuckDB oracle), proving
+    salting only reshapes the exchange, never the answer."""
+    from ..relational import hash_part
     from ..stages.assign import make_cell_assigner, make_salter
 
     cell_col = f"cell_r{resolution}"
     pts = images.map_batches(decode_geotag, batch_format="pyarrow") \
                 .map_batches(make_cell_assigner((resolution,)),
-                             batch_format="pyarrow")
+                             batch_format="pyarrow") \
+                .materialize()  # consumed by detection AND the salted pass
     hot, _ = detect_hot_cells(pts, cell_col, hot_fraction)
     hot_ref = ray.put(hot)
     salted = pts.map_batches(make_salter(cell_col, hot_ref, salt_buckets,
                                          id_col), batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pa.table({cell_col: t[cell_col], "salt": t["salt"]}).to_pandas()
-        g = df.groupby([cell_col, "salt"]).size().reset_index(name="pn")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = pa.table({cell_col: t[cell_col], "salt": t["salt"]}) \
+            .group_by([cell_col, "salt"]).aggregate([([], "count_all")])
+        g = g.rename_columns([cell_col, "salt", "pn"])
+        cells = g[cell_col].combine_chunks().to_numpy()
+        salt = g["salt"].combine_chunks().to_numpy()
+        with np.errstate(over="ignore"):
+            key = cells.astype(np.uint64) * np.uint64(salt_buckets) \
+                + salt.astype(np.uint64)
+        return g.append_column("part", pa.array(hash_part(key, 32)))
 
-    per_salt = salted.map_batches(partial, batch_format="pyarrow") \
-        .groupby([cell_col, "salt"]).aggregate(Sum("pn", alias_name="sn"))
-    final = per_salt.groupby(cell_col).aggregate(Sum("sn", alias_name="n"))
-    return final.map_batches(
-        lambda t: pa.table({cell_col: t[cell_col],
-                            "n": pc.cast(t["n"], pa.int64())}),
-        batch_format="pyarrow")
+    def merge_salt(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]) \
+            .group_by([cell_col, "salt"]).aggregate([("pn", "sum")])
+        g = g.rename_columns([cell_col, "salt", "sn"])
+        cells = g[cell_col].combine_chunks().to_numpy()
+        return g.append_column("part", pa.array(hash_part(cells, 32)))
+
+    def merge_cell(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part", "salt"]) \
+            .group_by(cell_col).aggregate([("sn", "sum")])
+        g = g.rename_columns([cell_col, "n"])
+        return pa.table({cell_col: g[cell_col],
+                         "n": pc.cast(g["n"], pa.int64())})
+
+    return salted.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge_salt, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge_cell, batch_format="pyarrow")
 
 
 def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
@@ -644,22 +664,30 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
     one small collect; the round-2 form paid a whole-dataset all-to-all
     sort for the same 4096 rows (VERDICT r2 #4)."""
     ds = embeddings.select_columns(["vec_id", "embedding"])
-    n = ds.count()
-    rate = max(n // sample, 1)
     gold = np.uint64(0x9E3779B97F4A7C15)
 
+    def _pri(vid: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (vid.astype(np.uint64) * gold) >> np.uint64(33)
+
+    # deterministic PRIORITY sampling in ONE pass (no count(), no sort):
+    # the global sample = the `sample` rows with the smallest id-hash
+    # priorities; each block pre-trims to its local smallest `sample`
+    # (a mergeable combiner), the driver takes the global smallest
     def pick(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].combine_chunks().to_numpy()
-        with np.errstate(over="ignore"):
-            keep = (((vid.astype(np.uint64) * gold) >> np.uint64(33))
-                    % np.uint64(rate)) == 0
-        return t.filter(pa.array(keep))
+        if len(vid) <= sample:
+            return t
+        keep = np.argpartition(_pri(vid), sample - 1)[:sample]
+        return t.take(pa.array(np.sort(keep)))
 
     tabs = [x for x in ray.get(
         ds.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
         if len(x)]
     t = pa.concat_tables(tabs).combine_chunks()
-    order = np.argsort(t["vec_id"].to_numpy(), kind="stable")[:sample]
+    vid = t["vec_id"].to_numpy()
+    best = np.lexsort((vid, _pri(vid)))[:sample]
+    order = best[np.argsort(vid[best], kind="stable")]
     x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[order] \
         .astype(np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)

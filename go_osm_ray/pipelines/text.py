@@ -405,37 +405,40 @@ def _empty_ds(schema: pa.Schema) -> ray.data.Dataset:
     return ray.data.from_arrow(schema.empty_table())
 
 
-class _JaccardVerify:
-    """Actor-pool verify stage for minhash candidates: shingles each
-    candidate doc ONCE in __init__ (batch kernel over the broadcast
-    candidate texts), then per pair counts the sorted-array intersection
-    — the round-2 form re-shingled both texts from scratch per pair
-    (python sets per candidate, VERDICT r2 #7). Emits exactly the pairs
-    with exact set-Jaccard >= threshold."""
+def _make_jaccard_verify(texts_ref: ray.ObjectRef, threshold: float):
+    """Verify kernel for minhash candidates: shingles each candidate doc
+    ONCE PER TASK (batch kernel over the broadcast candidate texts,
+    cached in the closure), then per pair counts the sorted-array
+    intersection — the round-2 form re-shingled both texts from scratch
+    per pair (python sets per candidate, VERDICT r2 #7). Emits exactly
+    the pairs with exact set-Jaccard >= threshold. A closure (not an
+    actor pool) because the candidate table is tiny; actor startup would
+    dominate at this stage's scale."""
+    state: dict = {}
 
-    def __init__(self, texts_ref: ray.ObjectRef, threshold: float):
-        t: pa.Table = ray.get(texts_ref)  # candidate texts ONLY
-        ids = t["doc_id"].to_numpy()
-        d, h = _shingle_hashes_batch(t["text"].combine_chunks())
-        counts = np.bincount(d, minlength=len(ids))
-        bounds = np.r_[0, np.cumsum(counts)]
-        # per-doc shingle hashes are ascending (the batch kernel lexsort)
-        self.sh = {int(ids[i]): h[bounds[i]:bounds[i + 1]]
-                   for i in range(len(ids))}
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table) -> pa.Table:
+        if "sh" not in state:
+            t: pa.Table = ray.get(texts_ref)  # candidate texts ONLY
+            ids = t["doc_id"].to_numpy()
+            d, h = _shingle_hashes_batch(t["text"].combine_chunks())
+            counts = np.bincount(d, minlength=len(ids))
+            bounds = np.r_[0, np.cumsum(counts)]
+            # per-doc shingle hashes ascending (the batch kernel lexsort)
+            state["sh"] = {int(ids[i]): h[bounds[i]:bounds[i + 1]]
+                           for i in range(len(ids))}
+        sh = state["sh"]
         a = batch["a"].combine_chunks().to_numpy()
         b = batch["b"].combine_chunks().to_numpy()
         jac = np.empty(len(a), np.float64)
         for i in range(len(a)):
-            ha, hb = self.sh[int(a[i])], self.sh[int(b[i])]
+            ha, hb = sh[int(a[i])], sh[int(b[i])]
             inter = np.count_nonzero(np.isin(ha, hb, assume_unique=True))
             union = len(ha) + len(hb) - inter
             jac[i] = inter / union if union else 1.0
-        keep = jac >= self.threshold if len(jac) else np.empty(0, bool)
+        keep = jac >= threshold if len(jac) else np.empty(0, bool)
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "jac6": pa.array(np.round(jac[keep], 6))})
+    return verify
 
 
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
@@ -468,10 +471,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     texts_ref = broadcast_table(semi_filter(docs, "doc_id", ids_ref),
                                 ["doc_id", "text"])
 
-    verified = cand.map_batches(_JaccardVerify,
-                                fn_constructor_args=(texts_ref, threshold),
-                                batch_format="pyarrow",
-                                concurrency=(1, 4))
+    verified = cand.map_batches(_make_jaccard_verify(texts_ref, threshold),
+                                batch_format="pyarrow")
     # cross-partition dedup (a pair can surface from several bands)
     return _pair_merge(verified, [("jac6", "max")], num_parts)
 
