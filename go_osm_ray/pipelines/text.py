@@ -901,17 +901,20 @@ def embedding_neardup(embeddings: ray.data.Dataset, threshold: float = 0.95,
     the pipeline via a driver-side count(); this plan executes once per
     consumer and is oracle-gated against planted near-dups."""
     from ..relational import broadcast_table, semi_filter
-    rs = np.random.RandomState(4321)
-    dim = len(embeddings.take(1)[0]["embedding"])
-    H = rs.normal(size=(dim, planes))
-    H_ref = ray.put(H)
     bits = planes // bands
     weights = (1 << np.arange(bits, dtype=np.int64))
+    state: dict = {}  # per-task lazy hyperplane cache
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        Hm = ray.get(H_ref)
         emb = np.stack(batch["embedding"].combine_chunks()
                        .to_numpy(zero_copy_only=False)).astype(np.float64)
+        if "H" not in state:
+            # seed-fixed, so every task derives the IDENTICAL matrix from
+            # the batch's dim — no driver-side take(1) probe (that was a
+            # whole extra execution of the input pipeline)
+            state["H"] = np.random.RandomState(4321) \
+                .normal(size=(emb.shape[1], planes))
+        Hm = state["H"]
         nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         signs = (nrm @ Hm) > 0  # (n, planes)
         n = len(batch)
