@@ -712,17 +712,25 @@ def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
                id_col: str = "doc_id",
-               broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+               broadcast_limit: int = 2_000_000,
+               single_task_edge_limit: int = 2_000_000) -> ray.data.Dataset:
     """Near-dup purge: keep every doc that is its component's canonical
     (smallest-id) member — docs in no pair are all keepers.
 
-    Two physical plans with identical output (VERDICT r2 #9): the drop
-    list broadcasts while it stays small (one ray.put, one vectorized
-    membership filter per batch); past ``broadcast_limit`` it switches
-    to the hash-partitioned ANTI join (relational.partitioned_anti_filter)
-    so a duplicate-heavy corpus never ships a corpus-sized drop list to
-    every task."""
-    groups = dedup_groups(pairs)
+    Scale switches, each with identical output: connected components run
+    the one-guarded-task union-find while the edge list stays under
+    ``single_task_edge_limit`` and the BSP min-label propagation
+    (``dedup_groups_distributed``) beyond it; the drop list broadcasts
+    while small (one ray.put, one vectorized membership filter per
+    batch) and switches to the hash-partitioned ANTI join
+    (relational.partitioned_anti_filter, VERDICT r2 #9) past
+    ``broadcast_limit`` so a duplicate-heavy corpus never ships a
+    corpus-sized drop list to every task."""
+    pairs = pairs.materialize()  # consumed by the count probe + CC build
+    if pairs.count() > single_task_edge_limit:
+        groups = dedup_groups_distributed(pairs)
+    else:
+        groups = dedup_groups(pairs)
     drops = groups.filter(expr="doc_id != group_id") \
         .select_columns(["doc_id"]).materialize()
     if drops.count() > broadcast_limit:

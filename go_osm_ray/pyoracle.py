@@ -108,6 +108,70 @@ def _simhash_pairs_table(sf: float, max_hamming: int = 3) -> pa.Table:
                      "hamming": pa.array(h[order])})
 
 
+# ------------------------------------------------- ngram cutoff / purge
+
+def _ngram_cutoff_pairs_table(sf: float, threshold: float = 0.5,
+                              k: int = 3, max_df: int = 64) -> pa.Table:
+    """Brute-force reference for the CUTOFF form of ngram_jaccard_pairs:
+    global document frequency per distinct shingle, shingles with
+    df > max_df dropped before blocking, |A∩B| counted over the KEPT
+    shingles while |A| |B| stay full — the exact skew-control semantics
+    the partitioned plan implements (df is exact there because a shingle
+    lives wholly in one partition)."""
+    from collections import Counter
+
+    from .pipelines.text import _shingle_hashes
+    from .util import round_half_away
+    ids, texts = _docs(sf)
+    shs = {i: set(_shingle_hashes(t, k).tolist())
+           for i, t in zip(ids, texts)}
+    df = Counter(s for v in shs.values() for s in v)
+    kept = {s for s, c in df.items() if c <= max_df}
+    by_sh: dict[int, list[int]] = {}
+    for i in ids:
+        for s in shs[i] & kept:
+            by_sh.setdefault(s, []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in by_sh.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                cand.add((a, b) if a < b else (b, a))
+    rows_a, rows_b, rows_j = [], [], []
+    for a, b in sorted(cand):
+        inter = len(shs[a] & shs[b] & kept)
+        jac = inter / (len(shs[a]) + len(shs[b]) - inter)
+        if jac >= threshold:
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_j.append(float(round_half_away(np.float64(jac), 6)))
+    return pa.table({"a": pa.array(rows_a, pa.int64()),
+                     "b": pa.array(rows_b, pa.int64()),
+                     "jac6": pa.array(rows_j, pa.float64())})
+
+
+def _neardup_keep_table(sf: float, threshold: float = 0.5) -> pa.Table:
+    """Reference for the minhash-LSH purge: brute-force pairs (above) ->
+    python union-find -> keep each component's smallest id plus every
+    unpaired doc."""
+    pairs = _minhash_pairs_table(sf, threshold)
+    ids, _ = _docs(sf)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    keep = [i for i in ids if find(i) == i]
+    return pa.table({"doc_id": pa.array(sorted(keep), pa.int64())})
+
+
 # ------------------------------------------------------------ winnow fp
 
 def _winnow_fp_table(sf: float, k: int = 8) -> pa.Table:
