@@ -293,21 +293,30 @@ def build_osm_relations(num_rels: int, num_nodes: int, num_ways: int) -> pa.Tabl
 ROW_GROUP = 8192  # small row groups so Ray's parquet read splits into
                   # enough blocks to feed every actor (4 x 50k groups gave
                   # only 4 read tasks — measured 10x under-parallelism)
+FILE_ROWS = 8192  # rows per images part-file: Ray assigns read TASKS per
+                  # file (row groups only split post-read), so one big
+                  # images.parquet serialized its whole 2.4 GB read into
+                  # a single task — measured 3.3 s before any decode ran
 
 
 def _write_atomic(table_fn, path: Path, chunked_n: int | None = None) -> None:
     tmp = path.with_suffix(".tmp")
     if chunked_n is None:
         pq.write_table(table_fn(), tmp, row_group_size=ROW_GROUP)
-    else:  # large images table: stream row groups to bound memory
-        writer = None
-        step = 49_152  # multiple of ROW_GROUP
-        for start in range(0, chunked_n, step):
-            t = table_fn(min(step, chunked_n - start), start)
-            if writer is None:
-                writer = pq.ParquetWriter(tmp, t.schema)
-            writer.write_table(t, row_group_size=ROW_GROUP)
-        writer.close()
+        os.replace(tmp, path)
+        return
+    # byte-wide images table: a DIRECTORY of bounded part files, streamed
+    # to bound generator memory and to parallelize the downstream read
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for fi, start in enumerate(range(0, chunked_n, FILE_ROWS)):
+        t = table_fn(min(FILE_ROWS, chunked_n - start), start)
+        pq.write_table(t, tmp / f"part-{fi:04d}.parquet",
+                       row_group_size=ROW_GROUP)
+    if path.is_dir():
+        shutil.rmtree(path)
+    elif path.exists():  # pre-round-3 single-file layout
+        os.remove(path)
     os.replace(tmp, path)
 
 
@@ -317,7 +326,7 @@ def ensure_tables(sf: float) -> dict[str, str]:
     d.mkdir(parents=True, exist_ok=True)
     paths = {name: d / f"{name}.parquet"
              for name in ("images", "osm_nodes", "osm_ways", "osm_relations")}
-    done = d / ".done"
+    done = d / ".done_v2"  # v2: images is a part-file directory
     if not done.exists():
         ni, nn = n_images(sf), n_nodes(sf)
         nw, nr = nn // 5, max(nn // 50, 4)

@@ -49,9 +49,15 @@ EMBED_PLANT_ALPHA = 0.1
 
 
 def _paths(sf: float) -> dict[str, str]:
+    datagen.ensure_tables(sf)  # layout (file vs part-dir) must exist
     d = datagen.scale_dir(sf)
-    return {n: f"read_parquet('{d}/{n}.parquet')"
-            for n in ("images", "osm_nodes", "osm_ways", "osm_relations")}
+    out = {}
+    for n in ("images", "osm_nodes", "osm_ways", "osm_relations"):
+        p = d / f"{n}.parquet"
+        # the images table is a part-file directory (datagen FILE_ROWS)
+        out[n] = (f"read_parquet('{p}/*.parquet')" if p.is_dir()
+                  else f"read_parquet('{p}')")
+    return out
 
 
 def _has_key(col: str, key: str) -> str:
