@@ -68,7 +68,9 @@ def _run_flagship(sf_dir: str, rep: int = 1, pool: int | None = None):
     img_path = datagen.ensure_tables_for_dir(sf_dir)["images"]
     images = rd.read_parquet([img_path] * rep, columns=["image_id", "phash"])
     n = flagship(images, idx_ref, feats_ref, pip_concurrency=pool,
-                 prepartition=(rep == 1)).count()
+                 prepartition=None).count()  # auto: the images part-dir
+    # has ~25 files (datagen.FILE_ROWS), enough to feed the pool without
+    # the repartition barrier; replicated dir lists dedupe to the same
     return n, time.perf_counter() - t0
 
 

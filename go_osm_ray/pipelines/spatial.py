@@ -99,14 +99,19 @@ def pip_join(images: ray.data.Dataset, index_ref: ray.ObjectRef,
 def _collect_polygon_coords(nodes: ray.data.Dataset,
                             ways: ray.data.Dataset):
     """(feature_ids, xs, ys) vertex arrays for the closed-way polygon
-    layer (the shared tail of the index builds)."""
-    coords = join_refs_to_coords(closed_ways(ways), nodes)
-    pdf = coords.to_pandas()
-    wid = pdf["way_id"].to_numpy()
-    order = np.lexsort((pdf["pos"].to_numpy(), wid))
+    layer — the BROADCAST (single-index) build, so a driver collect is
+    the point; build_polygon_shards is the distributed form. Collected
+    as zero-copy arrow refs, not pandas."""
+    coords = join_refs_to_coords(closed_ways(ways), nodes) \
+        .select_columns(["way_id", "pos", "lon", "lat"])
+    t = pa.concat_tables([x.replace_schema_metadata(None) for x in
+                          ray.get(coords.to_arrow_refs())
+                          if x.num_rows and x.num_columns]).combine_chunks()
+    wid = t["way_id"].to_numpy()
+    order = np.lexsort((t["pos"].to_numpy(), wid))
     wid_s = wid[order]
-    lon_s = pdf["lon"].to_numpy()[order]
-    lat_s = pdf["lat"].to_numpy()[order]
+    lon_s = t["lon"].to_numpy()[order]
+    lat_s = t["lat"].to_numpy()[order]
     fids, starts = np.unique(wid_s, return_index=True)
     bounds = np.append(starts, len(wid_s))
     xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
