@@ -388,11 +388,17 @@ def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
     def count_table(ds: ray.data.Dataset) -> pd.DataFrame:
         def fn(batch: pa.Table) -> pa.Table:
+            # combiner: one partial row per requested key per block, so
+            # the groupby exchange moves O(keys x blocks) rows, never one
+            # row per tag occurrence
             _, ks, _ = tagops.explode_keys(batch["tags"])
             m = pc.is_in(ks, value_set=pa.array(keyset, pa.string()))
-            return pa.table({"key": ks.filter(m)})
+            g = pa.table({"key": ks.filter(m)}).group_by("key") \
+                .aggregate([([], "count_all")])
+            return g.rename_columns(["key", "pn"])
+        from ray.data.aggregate import Sum
         agg = ds.map_batches(fn, batch_format="pyarrow") \
-                .groupby("key").aggregate(Count(alias_name="n"))
+                .groupby("key").aggregate(Sum("pn", alias_name="n"))
         return agg.to_pandas()
 
     out = pd.DataFrame({"key": sorted(keyset)})
