@@ -266,27 +266,55 @@ def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     any way that passed the filter (reference bypasses node filters for
     referenced nodes). Returns the distinct kept node ids.
     """
+    from ..relational import hash_part
     e = Expression(expression)
     kept_ways = ways.map_batches(lambda t: e.filter(t), batch_format="pyarrow")
     ref_ids = explode_refs(kept_ways).select_columns(["ref"]) \
         .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
     pass_nodes = nodes.map_batches(lambda t: e.filter(t), batch_format="pyarrow") \
         .select_columns(["id"])
+
+    def pre_distinct(t: pa.Table) -> pa.Table:
+        # combiner: block-distinct ids, keyed by a bounded hash partition
+        # (Ray's per-key groupby paid per-group overhead on the unbounded
+        # id space; each id lands wholly in one of 32 partitions)
+        ids = np.unique(t["id"].combine_chunks().to_numpy())
+        return pa.table({"id": pa.array(ids),
+                         "part": pa.array(hash_part(ids, 32))})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["id"].combine_chunks().to_numpy())
+        return pa.table({"id": pa.array(ids)})
+
     both = ref_ids.union(pass_nodes)
-    return both.groupby("id").aggregate(Count(alias_name="_n")).select_columns(["id"])
+    return both.map_batches(pre_distinct, batch_format="pyarrow") \
+        .groupby("part").map_groups(distinct, batch_format="pyarrow")
 
 
 def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:
     """(id, n_refs_to) for node ids referenced >= min_degree times across all
     ways — duplicate detection as data (vs error-on-dup ingest,
-    /root/reference/osm/Planet.go:160-163)."""
-    exploded = explode_refs(ways)
-    counts = exploded.groupby("ref").aggregate(Count(alias_name="n_refs_to"))
-    out = counts.map_batches(
-        lambda t: t.rename_columns(["id", "n_refs_to"]).filter(
-            pc.greater_equal(t["n_refs_to"], min_degree)),
-        batch_format="pyarrow")
-    return out
+    /root/reference/osm/Planet.go:160-163). Physical plan: per-block
+    partial counts (combiner) -> bounded hash-partition exchange -> one
+    Acero merge per partition (no per-key Ray aggregate)."""
+    from ..relational import hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        ref, n = np.unique(t["ref"].combine_chunks().to_numpy(),
+                           return_counts=True)
+        return pa.table({"id": pa.array(ref),
+                         "pn": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(ref, 32))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("id").aggregate([("pn", "sum")])
+        g = g.rename_columns(["id", "n_refs_to"])
+        return g.filter(pc.greater_equal(g["n_refs_to"],
+                                         pa.scalar(min_degree, pa.int64())))
+
+    return explode_refs(ways).select_columns(["ref"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
 def summarize(nodes: ray.data.Dataset, ways: ray.data.Dataset,

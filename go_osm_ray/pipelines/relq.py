@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..relational import broadcast_table, hash_part, round_half_away, single_merge
 
@@ -204,27 +204,51 @@ def top_orders_per_nation(orders: ray.data.Dataset, customer: ray.data.Dataset,
                         merge)
 
 
-def events_window(events: ray.data.Dataset, window_s: int = 3600) -> ray.data.Dataset:
-    """Tumbling-window aggregate: (event_type, window_start_s) -> count,
-    sum(value). Window assignment is a vectorized epoch floor; Ray Data has
-    no event-time windows, so the window IS the groupby key (ray_guide
-    streaming-shaped pattern)."""
-    def assign(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # microseconds
-        win = (ts // (window_s * 1_000_000)) * window_s
-        return pa.table({"event_type": batch["event_type"].combine_chunks(),
-                         "window_start_s": pa.array(win.astype(np.int64)),
-                         "value": batch["value"].combine_chunks()})
+def _window_part(t: pa.Table, num_parts: int) -> pa.Table:
+    """Bounded hash partition of the (event_type, window_start_s) key."""
+    from ..relational import _col_hash
+    win = t["window_start_s"].combine_chunks().to_numpy()
+    with np.errstate(over="ignore"):
+        key = win.astype(np.uint64) * np.uint64(1_000_003) \
+            + _col_hash(t["event_type"])
+    return t.append_column("part", pa.array(hash_part(key, num_parts)))
 
-    agg = (events.map_batches(assign, batch_format="pyarrow")
-           .groupby(["event_type", "window_start_s"])
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
-    return agg.map_batches(
-        lambda t: pa.table({"event_type": t["event_type"],
-                            "window_start_s": t["window_start_s"],
-                            "n": pc.cast(t["n"], pa.int64()),
-                            "sum_value": round_half_away(t["sum_value"], 4)}),
-        batch_format="pyarrow")
+
+def _window_merge(t: pa.Table) -> pa.Table:
+    g = t.drop_columns(["part"]) \
+        .group_by(["event_type", "window_start_s"]) \
+        .aggregate([("pn", "sum"), ("psum", "sum")])
+    return pa.table({
+        "event_type": g["event_type"],
+        "window_start_s": g["window_start_s"],
+        "n": pc.cast(g["pn_sum"], pa.int64()),
+        "sum_value": round_half_away(g["psum_sum"].combine_chunks(), 4),
+    })
+
+
+def events_window(events: ray.data.Dataset, window_s: int = 3600,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (event_type, window_start_s) -> count,
+    sum(value). Window assignment is a vectorized epoch floor; Ray Data
+    has no event-time windows, so the window IS the shuffle key (ray_guide
+    streaming-shaped pattern). Physical plan: assignment fuses with a
+    per-block Acero combine (one partial row per key per block), then the
+    bounded hash-partition exchange + one Acero merge per partition — the
+    key space grows with the covered time range, so a per-key Ray
+    aggregate would pay per-group overhead at scale."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()  # us
+        win = (ts // (window_s * 1_000_000)) * window_s
+        g = pa.table({"event_type": batch["event_type"].combine_chunks(),
+                      "window_start_s": pa.array(win.astype(np.int64)),
+                      "value": batch["value"].combine_chunks()}) \
+            .group_by(["event_type", "window_start_s"]) \
+            .aggregate([("value", "sum"), ("value", "count")])
+        g = g.rename_columns(["event_type", "window_start_s", "psum", "pn"])
+        return _window_part(g, num_parts)
+
+    return events.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(_window_merge, batch_format="pyarrow")
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -313,8 +337,6 @@ def events_sliding_window(events: ray.data.Dataset, size_s: int = 3600,
     per-block-partial + groupby pattern aggregates per
     (event_type, window_start_s). Ray Data has no event-time windows;
     the window IS the key."""
-    from ray.data.aggregate import Sum
-
     def expand(batch: pa.Table) -> pa.Table:
         us = batch["ts"].combine_chunks().cast(pa.int64()).to_numpy()
         sec = us // 1_000_000
@@ -335,21 +357,15 @@ def events_sliding_window(events: ray.data.Dataset, size_s: int = 3600,
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["event_type", "window_start_s"]).aggregate(
             [("value", "sum"), ("value", "count")])
-        return g.rename_columns(["event_type", "window_start_s",
-                                 "psum", "pn"])
+        g = g.rename_columns(["event_type", "window_start_s",
+                              "psum", "pn"])
+        return _window_part(g, 32)
 
-    agg = (events.select_columns(["ts", "event_type", "value"])
-           .map_batches(expand, batch_format="pyarrow")
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby(["event_type", "window_start_s"])
-           .aggregate(Sum("pn", alias_name="n"),
-                      Sum("psum", alias_name="sum_value")))
-    return agg.map_batches(
-        lambda t: pa.table({"event_type": t["event_type"],
-                            "window_start_s": t["window_start_s"],
-                            "n": pc.cast(t["n"], pa.int64()),
-                            "sum_value": round_half_away(t["sum_value"], 4)}),
-        batch_format="pyarrow")
+    return (events.select_columns(["ts", "event_type", "value"])
+            .map_batches(expand, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(_window_merge,
+                                        batch_format="pyarrow"))
 
 
 def sessionize(events: ray.data.Dataset, gap_s: int = 1800,

@@ -27,7 +27,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 # Hash partitions for the candidate-pair exchanges. Bounds the rows per
 # pair-kernel task to ~total/NUM_PARTS; raise with cluster size (the
@@ -133,12 +132,30 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """One survivor (min doc_id) per distinct normalized text; shuffle key =
-    md5 fingerprint (hash-partition + per-group first, SURVEY dedup row)."""
-    with_fp = docs.map_batches(add_fingerprint, batch_format="pyarrow")
-    return (with_fp.select_columns(["doc_id", "fp"])
-            .groupby("fp")
-            .aggregate(Min("doc_id", alias_name="keeper_id"),
-                       Count(alias_name="group_n")))
+    md5 fingerprint. Physical plan: per-block Acero partials (one row per
+    fingerprint per block — the combiner) -> bounded hash-partition
+    exchange on the fingerprint -> one Acero merge per partition (Ray's
+    per-key groupby paid per-group overhead on the ~n_docs group space)."""
+    from ..relational import _col_hash, hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_fingerprint(t)
+        g = pa.table({"fp": t["fp"], "doc_id": t["doc_id"]}) \
+            .group_by("fp").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        g = g.rename_columns(["fp", "pk", "pn"])
+        return g.append_column(
+            "part", pa.array(hash_part(_col_hash(g["fp"]), 32)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("fp").aggregate(
+            [("pk", "min"), ("pn", "sum")])
+        return pa.table({"fp": g["fp"],
+                         "keeper_id": g["pk_min"],
+                         "group_n": pc.cast(g["pn_sum"], pa.int64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
 # -------------------------------------------------- shingles (vectorized)
