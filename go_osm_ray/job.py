@@ -288,9 +288,9 @@ def run_job(spec: dict, profile: bool = False) -> dict[str, dict]:
             # The retained-id set builds DATASET-SIDE (explode + union +
             # distinct groupby — SURVEY §2.5 J2) and only the small
             # distinct result is broadcast for the membership filter.
-            from ray.data.aggregate import Count as _Count
             from .pipelines.osm import explode_refs
-            from .relational import broadcast_table, semi_filter
+            from .relational import (broadcast_table, partitioned_distinct,
+                                     semi_filter)
             proj_only = {k: v for k, v in opts.items()
                          if k in ("include_keys", "exclude_keys",
                                   "drop_attrs")}
@@ -298,9 +298,8 @@ def run_job(spec: dict, profile: bool = False) -> dict[str, dict]:
             ref_ids = explode_refs(ways_out).select_columns(["ref"]) \
                 .map_batches(lambda t: t.rename_columns(["id"]),
                              batch_format="pyarrow")
-            kept = ref_ids.union(nodes_out.select_columns(["id"])) \
-                .groupby("id").aggregate(_Count(alias_name="_n")) \
-                .select_columns(["id"])
+            kept = partitioned_distinct(
+                ref_ids.union(nodes_out.select_columns(["id"])), "id")
             nodes_out = semi_filter(nodes_proj, "id",
                                     broadcast_table(kept, ["id"]))
 

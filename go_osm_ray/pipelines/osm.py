@@ -266,29 +266,17 @@ def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     any way that passed the filter (reference bypasses node filters for
     referenced nodes). Returns the distinct kept node ids.
     """
-    from ..relational import hash_part
+    from ..relational import partitioned_distinct
     e = Expression(expression)
     kept_ways = ways.map_batches(lambda t: e.filter(t), batch_format="pyarrow")
     ref_ids = explode_refs(kept_ways).select_columns(["ref"]) \
         .map_batches(lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
     pass_nodes = nodes.map_batches(lambda t: e.filter(t), batch_format="pyarrow") \
         .select_columns(["id"])
-
-    def pre_distinct(t: pa.Table) -> pa.Table:
-        # combiner: block-distinct ids, keyed by a bounded hash partition
-        # (Ray's per-key groupby paid per-group overhead on the unbounded
-        # id space; each id lands wholly in one of 32 partitions)
-        ids = np.unique(t["id"].combine_chunks().to_numpy())
-        return pa.table({"id": pa.array(ids),
-                         "part": pa.array(hash_part(ids, 32))})
-
-    def distinct(t: pa.Table) -> pa.Table:
-        ids = np.unique(t["id"].combine_chunks().to_numpy())
-        return pa.table({"id": pa.array(ids)})
-
-    both = ref_ids.union(pass_nodes)
-    return both.map_batches(pre_distinct, batch_format="pyarrow") \
-        .groupby("part").map_groups(distinct, batch_format="pyarrow")
+    # block-distinct combiner -> bounded hash exchange -> per-partition
+    # unique (Ray's per-key groupby paid per-group overhead on the
+    # unbounded id space)
+    return partitioned_distinct(ref_ids.union(pass_nodes), "id")
 
 
 def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:

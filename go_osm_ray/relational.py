@@ -66,6 +66,24 @@ def semi_filter(ds: ray.data.Dataset, key: str, keys_ref: ray.ObjectRef,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def partitioned_distinct(ds: ray.data.Dataset, col: str,
+                         num_parts: int = 32) -> ray.data.Dataset:
+    """Distinct values of one (numeric) column: block-level pre-dedup
+    (combiner) -> bounded hash-partition exchange -> per-partition
+    unique. No per-key Ray aggregate over the unbounded value space."""
+    def pre(t: pa.Table) -> pa.Table:
+        v = np.unique(t[col].combine_chunks().to_numpy())
+        return pa.table({col: pa.array(v),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        v = np.unique(t[col].combine_chunks().to_numpy())
+        return pa.table({col: pa.array(v)})
+
+    return ds.map_batches(pre, batch_format="pyarrow") \
+        .groupby("part").map_groups(uniq, batch_format="pyarrow")
+
+
 def partitioned_anti_filter(ds: ray.data.Dataset, key: str,
                             keys_ds: ray.data.Dataset,
                             num_parts: int = 32) -> ray.data.Dataset:
