@@ -38,8 +38,10 @@ NUM_PARTS = 32
 # corpus — emits a linear id-chain instead of the O(c^2) clique, so a
 # corpus with millions of identical docs cannot make candidate generation
 # quadratic (VERDICT r2 #2). ngram_jaccard_pairs uses its max_df cutoff
-# for the same skew class.
-MAX_BUCKET = 1024
+# for the same skew class. 4096 keeps full recall on merely-dense corpora
+# (a capped bucket still costs only ~8M pair rows) while bounding the
+# true duplicate-class blowup.
+MAX_BUCKET = 4096
 
 from ..relational import hash_part as _part_of  # noqa: E402 (shared mixer)
 
