@@ -19,7 +19,7 @@ from . import datagen
 from .expr import Expression
 from .geo import morton, tiles
 from .pipelines.text import LANGS, STOPLISTS
-from .util import sql_round
+from .util import sql_md5_num_lower, sql_round
 
 # Filter/parameter constants shared with __ray_entry__ (single source).
 KEEP_KEYS = ["amenity", "craft"]
@@ -504,6 +504,67 @@ def build(sf: float = 0.01) -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                CAST(count(*) AS BIGINT) AS n_events
         FROM o GROUP BY user_id"""
+
+    # ---- deterministic sampling / filtering family (pipelines/sample.py,
+    # pipelines/filtering.py, relational.bloom_semi_join): every decision
+    # keys on md5_number_lower so the SQL reproduces the EXACT rows ------
+    md5i = sql_md5_num_lower("doc_id")
+    q["det_sample"] = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {md5i} % 100 < 20"""
+
+    q["stratified_sample"] = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {md5i} % 100 < CASE WHEN lang = 'en' THEN 60
+                                  WHEN lang = 'es' THEN 30 ELSE 10 END"""
+
+    q["priority_sample"] = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        ORDER BY {md5i}, doc_id LIMIT 64"""
+
+    # sample_n=101 puts each q on an integer order-statistic index, so
+    # quantile_cont interpolates nothing and numpy agrees bit-exactly
+    qs_sql = ", ".join(f"CAST({x} AS DOUBLE)" for x in (0.25, 0.5, 0.9))
+    q["approx_quantiles"] = f"""
+        WITH s AS (SELECT n_chars FROM documents
+                   ORDER BY {md5i}, doc_id LIMIT 101),
+        qq AS (SELECT unnest([{qs_sql}]) AS q,
+                      unnest(quantile_cont(n_chars,
+                             [{qs_sql}])) AS v FROM s)
+        SELECT q, {sql_round('v', 6)} AS val6 FROM qq"""
+
+    # bloom prefilter affects cost only: the result is the exact semi join
+    q["bloom_semi_orders"] = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')"""
+
+    from .pipelines.filtering import DUP_WORD_MAX, REDACT_PATTERNS, TOP_BIGRAM_MAX
+    q["doc_repetition"] = f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                      FROM documents),
+        base AS (SELECT doc_id, len(tk) AS nw, len(list_distinct(tk)) AS nd
+                 FROM toks),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(tk)),
+                             i -> tk[i] || ' ' || tk[i+1])) AS b
+               FROM toks),
+        bc AS (SELECT doc_id, max(n) AS mx FROM
+                 (SELECT doc_id, b, count(*) AS n FROM bg
+                  GROUP BY doc_id, b) GROUP BY doc_id),
+        j AS (SELECT base.doc_id, nw, nd, coalesce(mx, 0) AS mx
+              FROM base LEFT JOIN bc ON base.doc_id = bc.doc_id)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+               {sql_round('CASE WHEN nw > 0 THEN 1.0 - nd / CAST(nw AS DOUBLE) ELSE 0.0 END', 6)} AS dup_word6,
+               {sql_round('CASE WHEN nw > 1 THEN mx / CAST(nw - 1 AS DOUBLE) ELSE 0.0 END', 6)} AS top_bigram6,
+               (dup_word6 <= {DUP_WORD_MAX!r} AND
+                top_bigram6 <= {TOP_BIGRAM_MAX!r}) AS keep
+        FROM j"""
+
+    red = "props"
+    for pat, rep in REDACT_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    q["pii_redact"] = f"SELECT event_id, {red} AS props FROM events"
 
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar

@@ -1,0 +1,106 @@
+"""Corpus-quality filtering: repetition stats + regex redaction.
+
+Gopher-style repetition heuristics (Rae et al. 2021 §A1.1 — duplicate
+word fraction, most-common-n-gram fraction) as ONE vectorized Arrow
+kernel per batch, and RE2 regex redaction (PII scrubbing) via
+``pyarrow.compute.replace_substring_regex`` — both embarrassingly
+parallel map_batches stages: no shuffle, no state, linear at 100 TB.
+
+Oracle parity: the stats are mirrored in DuckDB list SQL
+(``string_split`` / ``list_distinct`` / bigram unnest) and the
+redaction in ``regexp_replace(..., 'g')`` — Arrow and DuckDB both use
+RE2, so the patterns behave identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import round_half_away
+
+# keep = not dominated by repetition (Gopher drops dup-word-heavy and
+# single-ngram-heavy pages; thresholds are corpus-tuning knobs)
+DUP_WORD_MAX = 0.6
+TOP_BIGRAM_MAX = 0.2
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     dup_word_max: float = DUP_WORD_MAX,
+                     top_bigram_max: float = TOP_BIGRAM_MAX) -> pa.Table:
+    """Per-doc repetition stats, one vectorized pass:
+
+    - ``n_words``     — space-separated word count
+    - ``dup_word6``   — 1 - distinct_words / n_words
+    - ``top_bigram6`` — occurrences of the most frequent bigram /
+                        (n_words - 1); 0.0 when the doc has < 2 words
+    - ``keep``        — both fractions under their thresholds
+
+    Whole batch at once: flatten the split list array, dictionary-encode
+    words to codes, and count distinct (row, code) / max (row, bigram)
+    pairs with packed-int64 np.unique — no per-row python."""
+    nrows = len(batch)
+    words = pc.split_pattern(
+        pc.utf8_lower(batch[text_col].combine_chunks()), " ")
+    counts = np.asarray(pc.list_value_length(words), np.int64)
+    flat = words.flatten()
+    enc = flat.dictionary_encode()
+    codes = np.asarray(enc.indices, np.int64)
+    k = np.int64(max(len(enc.dictionary), 1))
+    row = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    # (row, code, code) packs into one int64; loud failure beats silent
+    # wrap (ADVICE r2 on packed-key overflow).  Shrink batch_size if hit.
+    if len(codes) and int(nrows) * int(k) * int(k) >= 2 ** 63:
+        raise ValueError(f"repetition_batch pack overflow: {nrows} rows x "
+                         f"{k} distinct words; reduce batch_size")
+
+    distinct = np.zeros(nrows, np.int64)
+    if len(codes):
+        uniq_rows = np.unique(row * k + codes) // k
+        np.add.at(distinct, uniq_rows, 1)
+
+    top_bg = np.zeros(nrows, np.int64)
+    if len(codes) > 1:
+        same_row = row[1:] == row[:-1]
+        bg = (row[:-1] * k + codes[:-1]) * k + codes[1:]
+        pairs, pair_n = np.unique(bg[same_row], return_counts=True)
+        np.maximum.at(top_bg, (pairs // k) // k, pair_n)
+
+    nw = counts.astype(np.float64)
+    dup6 = round_half_away(
+        np.where(counts > 0, 1.0 - distinct / np.maximum(nw, 1.0), 0.0), 6)
+    nbg = np.maximum(counts - 1, 1).astype(np.float64)
+    topbg6 = round_half_away(
+        np.where(counts > 1, top_bg / nbg, 0.0), 6)
+    keep = (dup6 <= dup_word_max) & (topbg6 <= top_bigram_max)
+    return pa.table({
+        id_col: batch[id_col].combine_chunks(),
+        "n_words": pa.array(counts),
+        "dup_word6": pa.array(dup6, pa.float64()),
+        "top_bigram6": pa.array(topbg6, pa.float64()),
+        "keep": pa.array(keep),
+    })
+
+
+# RE2-safe defaults (Arrow and DuckDB both run RE2): digit runs and
+# email-shaped tokens.  No backreferences/lookaround — RE2 has neither.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str,
+                 patterns: Sequence[tuple[str, str]] = REDACT_PATTERNS,
+                 out_col: str | None = None) -> pa.Table:
+    """Apply each (pattern, replacement) in order with RE2
+    ``replace_substring_regex`` (global, like regexp_replace 'g')."""
+    arr = batch[col].combine_chunks()
+    for pat, rep in patterns:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    return batch.set_column(batch.schema.get_field_index(col),
+                            out_col or col, arr)

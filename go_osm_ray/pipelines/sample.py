@@ -1,0 +1,123 @@
+"""Deterministic sampling + sample-based quantiles over a Dataset.
+
+A 100 TB training-data pipeline needs samples that are (a) shuffle-free
+— a sample must never cost an all-to-all exchange, (b) restart-stable —
+re-running a failed job must pick the SAME rows regardless of block
+composition, and (c) oracle-checkable.  All three follow from keying
+every decision on ``md5_num_lower(id)`` (util.py), the same hash DuckDB
+evaluates as ``md5_number_lower(CAST(id AS VARCHAR))``:
+
+- ``deterministic_sample`` — Bernoulli p%% sample: keep iff
+  ``hash %% mod < pct``.  One embarrassingly-parallel filter; the
+  sampled fraction is exact in expectation and independent of
+  partitioning.  (The reference has no sampling; its closest analog is
+  the whole-file filter pass, /root/reference/osm/Planet.go:447-470.)
+- ``stratified_sample`` — per-group rates (e.g. downsample dominant
+  languages, keep the tail): the rate is looked up per row from a tiny
+  rate map; same single filter pass, no groupby.
+- ``priority_sample`` — exact fixed-size uniform-without-replacement
+  n-sample as a COMBINER: each block keeps its n smallest
+  (hash, id) rows, one bounded merge keeps the global n smallest —
+  O(n x blocks) through the exchange, never the data.  Equivalent to
+  ``ORDER BY hash LIMIT n`` without the global sort.
+- ``approx_quantiles`` — quantiles of a deterministic priority sample.
+  With ``sample_n = 101``-style sizes every requested q lands on an
+  integer sample index, so the sample quantile is an exact order
+  statistic both numpy and DuckDB's ``quantile_cont`` reproduce
+  bit-identically (no interpolation-formula drift), while the value is
+  a true approximate quantile of the full data (error ~O(1/sqrt(n))).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..relational import single_merge
+from ..util import md5_num_lower, round_half_away
+
+
+def deterministic_sample(ds: ray.data.Dataset, id_col: str, pct: int,
+                         mod: int = 100) -> ray.data.Dataset:
+    """Keep rows with ``md5_num_lower(id) % mod < pct``."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        m = (md5_num_lower(ids) % np.uint64(mod)) < np.uint64(pct)
+        return t.filter(pa.array(m))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, id_col: str, group_col: str,
+                      rates: dict[str, int], default_pct: int,
+                      mod: int = 100) -> ray.data.Dataset:
+    """Per-group Bernoulli rates: keep iff ``hash(id) % mod <
+    rates.get(group, default_pct)``.  The rate map is a per-batch
+    dictionary lookup over the group column's UNIQUE values — no
+    shuffle, no broadcast object (the map travels in the closure; it is
+    a handful of entries by construction)."""
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        thr = np.fromiter((rates.get(u, default_pct) for u in uniq),
+                          np.uint64, len(uniq))
+        per_row = thr[np.asarray(enc.indices, np.int64)] if len(t) \
+            else np.zeros(0, np.uint64)
+        m = (md5_num_lower(ids) % np.uint64(mod)) < per_row
+        return t.filter(pa.array(m))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _bottom_n(t: pa.Table, id_col: str, n: int) -> pa.Table:
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    prio = t["_prio"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    order = np.lexsort((ids, prio))[:n]
+    return t.take(pa.array(order))
+
+
+def priority_sample(ds: ray.data.Dataset, id_col: str, n: int,
+                    keep_prio: bool = False) -> ray.data.Dataset:
+    """The n rows with globally smallest (md5_num_lower(id), id) —
+    an exact uniform n-sample.  Per-block bottom-n partials, one
+    bounded merge (O(n x blocks) rows, guarded by single_merge)."""
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        prio = md5_num_lower(ids)
+        order = np.lexsort((ids, prio))[:n]
+        return t.take(pa.array(order)).append_column(
+            "_prio", pa.array(prio[order]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        out = _bottom_n(t, id_col, n)
+        return out if keep_prio else out.drop_columns(["_prio"])
+
+    return single_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge)
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str, id_col: str,
+                     qs: Sequence[float] = (0.5, 0.9, 0.99),
+                     sample_n: int = 101) -> ray.data.Dataset:
+    """(q, val6): quantiles of ``col`` over a deterministic
+    ``priority_sample`` of ``sample_n`` rows.  Choose ``sample_n`` so
+    that ``q * (sample_n - 1)`` is integral for every q (101 works for
+    percent-grid qs): the quantile is then an exact order statistic —
+    no interpolation, so numpy and ``quantile_cont`` agree exactly."""
+    qs = [float(q) for q in qs]
+    sample = priority_sample(ds.select_columns([id_col, col]), id_col,
+                             sample_n)
+
+    def qmerge(t: pa.Table) -> pa.Table:
+        v = np.sort(t[col].combine_chunks().to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        vals = np.quantile(v, qs, method="linear") if len(v) \
+            else np.full(len(qs), np.nan)
+        return pa.table({
+            "q": pa.array(qs, pa.float64()),
+            "val6": pa.array(round_half_away(vals, 6), pa.float64()),
+        })
+    return single_merge(sample, qmerge)

@@ -86,12 +86,14 @@ def partitioned_distinct(ds: ray.data.Dataset, col: str,
 
 def partitioned_anti_filter(ds: ray.data.Dataset, key: str,
                             keys_ds: ray.data.Dataset,
-                            num_parts: int = 32) -> ray.data.Dataset:
-    """ANTI join via a bounded hash-partition exchange — the scale path
-    next to ``semi_filter(anti=True)`` for when the key set is too large
-    to broadcast: both sides co-partition by key hash (every key wholly
-    inside one partition) and ONE vectorized membership filter runs per
-    partition. ``keys_ds`` must be a single-column Dataset named ``key``."""
+                            num_parts: int = 32,
+                            anti: bool = True) -> ray.data.Dataset:
+    """ANTI (or with ``anti=False`` SEMI) join via a bounded
+    hash-partition exchange — the scale path next to ``semi_filter``
+    for when the key set is too large to broadcast: both sides
+    co-partition by key hash (every key wholly inside one partition)
+    and ONE vectorized membership filter runs per partition.
+    ``keys_ds`` must be a single-column Dataset named ``key``."""
     names = list(ds.schema().names)
     types = dict(zip(names, ds.schema().types))
 
@@ -115,10 +117,96 @@ def partitioned_anti_filter(ds: ray.data.Dataset, key: str,
         is_key = t["_is_key"].combine_chunks().to_numpy(zero_copy_only=False)
         keys_arr = t[key].combine_chunks().filter(pa.array(is_key))
         main = t.filter(pa.array(~is_key))
-        m = pc.invert(pc.is_in(main[key], value_set=keys_arr))
+        m = pc.is_in(main[key], value_set=keys_arr)
+        if anti:
+            m = pc.invert(m)
         return main.filter(pc.fill_null(m, False)) \
             .drop_columns(["_is_key", "part"])
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def partitioned_semi_filter(ds: ray.data.Dataset, key: str,
+                            keys_ds: ray.data.Dataset,
+                            num_parts: int = 32) -> ray.data.Dataset:
+    """SEMI join via the same bounded hash-partition exchange."""
+    return partitioned_anti_filter(ds, key, keys_ds, num_parts, anti=False)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: the URL-dedup / key-membership shape at scale.
+# The exact key set may be billions of rows (too big to broadcast) but a
+# few-MB bitmap summarizing it broadcasts fine: build the bitmap as an
+# OR-mergeable combiner over the key Dataset, prefilter the big side with
+# it (drops ~all non-members at fpp = (1-e^{-kn/m})^k), then run the
+# exact partitioned semi join over the tiny surviving fraction — the
+# all-to-all exchange moves survivors, not the input.
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(h: np.ndarray, nhash: int, bits_log2: int):
+    """Double hashing: position_i = (h1 + i*h2) mod 2^bits_log2."""
+    from .sketch import _mix64
+    mask = np.uint64((1 << bits_log2) - 1)
+    h1 = _mix64(h)
+    h2 = _mix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return [(h1 + np.uint64(i) * h2) & mask for i in range(nhash)]
+
+
+def bloom_build(keys_ds: ray.data.Dataset, key: str,
+                bits_log2: int = 23, nhash: int = 4) -> ray.ObjectRef:
+    """ObjectRef of a uint64-word bloom bitmap over ``keys_ds[key]``.
+    Per-block partial bitmaps (2^bits_log2 bits = 1 MiB at 23) OR-merge
+    in one guarded task; the merged bitmap ships ONCE via ray.put."""
+    nwords = 1 << (bits_log2 - 6)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nwords, np.uint64)
+        if len(t):
+            h = _col_hash(t[key])
+            for pos in _bloom_positions(h, nhash, bits_log2):
+                np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def ormerge(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nwords, np.uint64)
+        for b in t["bits"].to_pylist():
+            bits |= np.frombuffer(b, np.uint64)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = single_merge(
+        keys_ds.map_batches(partial, batch_format="pyarrow"), ormerge)
+    blob = merged.take_all()[0]["bits"]  # one row by construction
+    return ray.put(np.frombuffer(blob, np.uint64))
+
+
+def bloom_prefilter(ds: ray.data.Dataset, key: str, bloom_ref: ray.ObjectRef,
+                    bits_log2: int = 23, nhash: int = 4) -> ray.data.Dataset:
+    """Keep rows whose key MIGHT be in the bloom set (no false negatives)."""
+    def fn(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t
+        bits = ray.get(bloom_ref)
+        h = _col_hash(t[key])
+        m = np.ones(len(t), bool)
+        for pos in _bloom_positions(h, nhash, bits_log2):
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            m &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(m))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_semi_join(ds: ray.data.Dataset, key: str,
+                    keys_ds: ray.data.Dataset,
+                    bits_log2: int = 23, nhash: int = 4,
+                    num_parts: int = 32) -> ray.data.Dataset:
+    """EXACT semi join, bloom-accelerated: bloom prefilter (broadcast
+    bitmap, no shuffle) then exact partitioned semi join over the
+    survivors only.  Output is exactly ``WHERE key IN (SELECT key ...)``
+    — the bloom affects cost, never the result."""
+    bloom = bloom_build(keys_ds, key, bits_log2, nhash)
+    maybe = bloom_prefilter(ds, key, bloom, bits_log2, nhash)
+    return partitioned_semi_filter(maybe, key, keys_ds, num_parts)
 
 
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str | tuple[str, ...],

@@ -100,3 +100,76 @@ def approx_distinct(ds: ray.data.Dataset, group_col: str, id_col: str,
     parts = ds.select_columns([group_col, id_col]) \
         .map_batches(partial, batch_format="pyarrow")
     return single_merge(parts, merge)
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters over an UNBOUNDED key space (top words
+# of a 100 TB corpus): even one partial row per key per block is too
+# much when blocks hold millions of distinct keys, so each block emits a
+# FIXED-size state — a depth x width count matrix (sum-mergeable) plus
+# its local top candidates — and the merge estimates every candidate
+# from the summed sketch.  est >= true always; est <= true + eps*N with
+# eps ~ 2/width per depth row (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = (0x1234567, 0x89ABCDE, 0x5F5E10F, 0x2718281)
+
+
+def _crc_hash(vals: list[str]) -> np.ndarray:
+    import zlib
+    return np.fromiter((zlib.crc32(str(v).encode()) for v in vals),
+                       np.uint64, len(vals))
+
+
+def _cms_rows(h: np.ndarray, depth: int, width: int) -> list[np.ndarray]:
+    return [(_mix64(h + np.uint64(_CMS_SEEDS[i])) % np.uint64(width))
+            .astype(np.int64) for i in range(depth)]
+
+
+def cms_heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 20,
+                      width: int = 8192, depth: int = 4,
+                      cand: int = 128) -> ray.data.Dataset:
+    """(value, est_n): the top-k values of ``col`` by count-min-sketch
+    estimate.  Per block: one Acero group_by collapses rows to (value,
+    n) pairs, the pairs feed a depth x width CMS and the block's top
+    ``cand`` pairs ride along as candidates.  One guarded merge sums the
+    sketches (exact: CMS cells are sums), unions candidates and ranks
+    them by sketch estimate.  A block's true heavy hitter is always in
+    its candidate list, so any global top-k value survives in at least
+    every block where it is locally top-``cand``."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+        vals = g[col].to_pylist()
+        ns = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = np.zeros((depth, width), np.int64)
+        if len(vals):
+            rows = _cms_rows(_crc_hash(vals), depth, width)
+            for i in range(depth):
+                np.add.at(cms[i], rows[i], ns)
+        top = np.argsort(-ns, kind="stable")[:cand]
+        return pa.table({
+            "cand": pa.array([[vals[i] for i in top]],
+                             pa.list_(pa.string())),
+            "cms": pa.array([cms.tobytes()], pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        cms = np.zeros((depth, width), np.int64)
+        for b in t["cms"].to_pylist():
+            cms += np.frombuffer(b, np.int64).reshape(depth, width)
+        cands = sorted({v for lst in t["cand"].to_pylist() for v in lst})
+        if not cands:
+            return pa.table({"value": pa.array([], pa.string()),
+                             "est_n": pa.array([], pa.int64())})
+        rows = _cms_rows(_crc_hash(cands), depth, width)
+        est = np.min(np.stack([cms[i][rows[i]] for i in range(depth)]),
+                     axis=0)
+        order = np.lexsort((np.asarray(cands, object), -est))[:k]
+        return pa.table({
+            "value": pa.array([cands[i] for i in order], pa.string()),
+            "est_n": pa.array(est[order], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    from .relational import single_merge as _sm
+    return _sm(parts, merge)

@@ -50,6 +50,27 @@ def default_pool(cap: int = 16) -> int:
     return max(2, min(cap, cpus - 2))
 
 
+def md5_num_lower(ids) -> np.ndarray:
+    """uint64 per id matching DuckDB ``md5_number_lower(CAST(id AS
+    VARCHAR))`` — little-endian bytes 8:16 of md5(str(id)).  The ONE
+    deterministic row-hash both the engine and the SQL oracle can
+    evaluate identically, so hash-driven sampling/splitting is
+    restart-stable AND oracle-checkable.  (hashlib has no vectorized
+    form; ~1e6 ids/s/core — sampling decisions read only the id column,
+    so at 100 TB this is a narrow single-column scan, not a row scan.)"""
+    import hashlib
+    a = np.asarray(ids)
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+         for i in a),
+        np.uint64, len(a))
+
+
+def sql_md5_num_lower(id_expr: str) -> str:
+    """SQL mirror of ``md5_num_lower``."""
+    return f"md5_number_lower(CAST({id_expr} AS VARCHAR))"
+
+
 def sql_round(expr: str, nd: int) -> str:
     """SQL mirror of ``round_half_away`` (same op order, same constants)."""
     s = float(10 ** nd)

@@ -1,0 +1,135 @@
+"""Sampling / sketch / filtering operators: the properties the SQL
+oracle can't state — approximation bounds, false-positive behavior,
+edge-case kernels (the exact-equality gates live in
+tests/test_oracle_parity.py, which parametrizes over EVERY oracle)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+
+def _md5_u64(i) -> int:
+    return int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little")
+
+
+def test_priority_sample_is_global_bottom_n(ray_session):
+    from go_osm_ray.pipelines.sample import priority_sample
+    got = priority_sample(_docs(), "doc_id", 32).to_pandas()
+    full = _docs().to_pandas()
+    expect = sorted(full.doc_id, key=lambda i: (_md5_u64(i), i))[:32]
+    assert sorted(got.doc_id) == sorted(expect)
+    assert len(got) == 32
+
+
+def test_deterministic_sample_partition_invariant(ray_session):
+    from go_osm_ray.pipelines.sample import deterministic_sample
+    a = deterministic_sample(_docs(), "doc_id", 20).to_pandas()
+    b = deterministic_sample(_docs().repartition(7), "doc_id", 20).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # ~20% of 500 with hash-binomial spread
+    assert 60 <= len(a) <= 140
+
+
+def test_stratified_rates(ray_session):
+    from go_osm_ray.pipelines.sample import stratified_sample
+    out = stratified_sample(_docs(), "doc_id", "lang",
+                            {"en": 100, "es": 0}, 0).to_pandas()
+    full = _docs().to_pandas()
+    assert sorted(out.doc_id) == sorted(full[full.lang == "en"].doc_id)
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    from go_osm_ray.pipelines.sample import approx_quantiles
+    got = approx_quantiles(_docs(), "n_chars", "doc_id",
+                           (0.25, 0.5, 0.9), 101).to_pandas()
+    full = np.sort(_docs().to_pandas().n_chars.to_numpy())
+    for _, r in got.iterrows():
+        true = np.quantile(full, r.q)
+        # sample of 101 from 500: rank error ~ O(1/sqrt(n)); assert the
+        # sample quantile's true rank is within 15 percentile points
+        rank = np.searchsorted(full, r.val6) / len(full)
+        assert abs(rank - r.q) < 0.15, (r.q, r.val6, true)
+
+
+def test_cms_heavy_hitters_bounds(ray_session):
+    import duckdb
+    import ray.data
+    from go_osm_ray.sketch import cms_heavy_hitters
+    import pyarrow.compute as pc
+
+    def words(t: pa.Table) -> pa.Table:
+        return pa.table({"word": pc.split_pattern(
+            pc.utf8_lower(t["text"].combine_chunks()), " ").flatten()})
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"]) \
+        .map_batches(words, batch_format="pyarrow")
+    got = cms_heavy_hitters(ds, "word", k=10, width=8192, depth=4).to_pandas()
+
+    con = duckdb.connect()
+    truth = dict(con.execute(f"""
+        SELECT w, count(*) FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM read_parquet('{SF}/documents.parquet')) GROUP BY w""").fetchall())
+    n_total = sum(truth.values())
+    eps_n = 2 * n_total / 8192
+    for _, r in got.iterrows():
+        assert truth[r.value] <= r.est_n <= truth[r.value] + eps_n
+    exact_top5 = sorted(truth, key=lambda w: -truth[w])[:5]
+    assert set(exact_top5) <= set(got.value)
+
+
+def test_bloom_semi_join_exact_and_prefilter_selective(ray_session):
+    import ray.data
+    from go_osm_ray import relational as R
+    rng = np.random.default_rng(7)
+    big = ray.data.from_arrow(pa.table(
+        {"k": rng.integers(0, 100_000, 20_000), "v": np.arange(20_000)}))
+    member = np.arange(0, 100_000, 97)  # ~1031 keys
+    keys = ray.data.from_arrow(pa.table({"k": member}))
+
+    exact = R.bloom_semi_join(big, "k", keys, bits_log2=20).to_pandas()
+    want = big.to_pandas()
+    want = want[want.k.isin(set(member.tolist()))]
+    assert sorted(exact.v) == sorted(want.v)
+
+    # prefilter alone: no false negatives, fp rate well under 1%
+    bloom = R.bloom_build(keys, "k", bits_log2=20, nhash=4)
+    pre = R.bloom_prefilter(big, "k", bloom, bits_log2=20, nhash=4).to_pandas()
+    assert set(want.v) <= set(pre.v)
+    extras = len(pre) - len(want)
+    assert extras <= 0.01 * 20_000, extras
+
+
+def test_repetition_kernel_edges():
+    from go_osm_ray.pipelines.filtering import repetition_batch
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["", "word", "a a a a", "x y x y z"],
+    })
+    out = repetition_batch(t).to_pydict()
+    assert out["n_words"] == [1, 1, 4, 5]
+    # "a a a a": distinct 1/4 -> dup .75; bigram "a a" 3/3 -> 1.0
+    assert out["dup_word6"][2] == 0.75
+    assert out["top_bigram6"][2] == 1.0
+    assert out["keep"][2] is False
+    # "x y x y z": distinct 3/5; top bigram "x y" 2/4
+    assert out["dup_word6"][3] == 0.4
+    assert out["top_bigram6"][3] == 0.5
+    assert out["keep"][3] is False  # top_bigram 0.5 > 0.2
+    assert out["top_bigram6"][0] == 0.0 and out["top_bigram6"][1] == 0.0
+
+
+def test_redact_kernel():
+    from go_osm_ray.pipelines.filtering import redact_batch
+    t = pa.table({"s": ["mail bob.smith+x@ex-ample.org now",
+                        "call 555 0199 ext 7", "clean"]})
+    out = redact_batch(t, "s")["s"].to_pylist()
+    assert out == ["mail <EMAIL> now", "call <NUM> <NUM> ext <NUM>", "clean"]
