@@ -115,6 +115,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "embed_neardup", "langid", "token_count", "winnow_fp",
         "ann_topk", "ann_ivf_topk", "image_stats", "image_ahash",
         "image_sig_dedup",
+        "det_sample", "priority_sample", "approx_quantiles",
+        "bloom_semi_orders", "doc_repetition", "pii_redact",
+        "word_heavy_hitters",
     ]
     q_times = {}
     for name in bench_queries:
