@@ -117,7 +117,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "image_sig_dedup",
         "det_sample", "priority_sample", "approx_quantiles",
         "bloom_semi_orders", "doc_repetition", "pii_redact",
-        "word_heavy_hitters",
+        "word_heavy_hitters", "tfidf_score", "contamination",
     ]
     q_times = {}
     for name in bench_queries:

@@ -566,6 +566,46 @@ def build(sf: float = 0.01) -> dict[str, str]:
         red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
     q["pii_redact"] = f"SELECT event_id, {red} AS props FROM events"
 
+    # split()-equivalent tokens (engine: text._tokens_flat); per-token
+    # ln(N/df) mean — the df small side is a distributed combiner + one
+    # broadcast on the engine side
+    split_toks = "list_filter(string_split(lower(text), ' '), _w -> _w <> '')"
+    q["tfidf_score"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
+                      FROM documents),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        s AS (SELECT doc_id, sum(ln(n.n / df.df)) AS sm,
+                     count(*) AS nt
+              FROM toks JOIN df USING (w) CROSS JOIN n GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE({sql_round('sm / nt', 6)}, 0.0) AS tfidf6
+        FROM documents d LEFT JOIN s USING (doc_id)"""
+
+    # trigram-shingle overlap of every train doc against the eval set
+    # (doc_id % 100 == 7); string shingles here, crc-hashed shingles in
+    # the engine — distinct counts equal barring 2^-64 collisions (the
+    # ngram_jaccard_exact precedent). Assumes every doc has >= 3 tokens
+    # (synthetic corpus does); the engine additionally _pad-extends
+    # shorter docs.
+    q["contamination"] = f"""
+        WITH toks AS (SELECT doc_id, {split_toks} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                      AS shs
+               FROM toks),
+        ev AS (SELECT list(DISTINCT s) AS es FROM
+                 (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 100 = 7)),
+        m AS (SELECT doc_id, len(shs) AS n_sh,
+                     len(list_intersect(shs, ev.es)) AS n_hit
+              FROM sh CROSS JOIN ev WHERE doc_id % 100 <> 7)
+        SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+               CAST(n_hit AS BIGINT) AS n_overlap,
+               {sql_round('n_hit / CAST(n_sh AS DOUBLE)', 6)} AS overlap6,
+               (overlap6 >= 0.5) AS contaminated
+        FROM m"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -127,6 +127,37 @@ def test_repetition_kernel_edges():
     assert out["top_bigram6"][0] == 0.0 and out["top_bigram6"][1] == 0.0
 
 
+def test_contamination_plants(ray_session):
+    import ray.data
+    from go_osm_ray.pipelines.scoring import contamination_check
+    # doc 7 is the eval doc; doc 1 is a verbatim copy (contaminated),
+    # doc 2 shares nothing
+    rows = pa.table({
+        "doc_id": pa.array([7, 1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon",
+                 "alpha beta gamma delta epsilon",
+                 "one two three four five"],
+    })
+    out = contamination_check(ray.data.from_arrow(rows)).to_pandas() \
+        .set_index("doc_id")
+    assert 7 not in out.index  # eval docs excluded from the train scan
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "overlap6"] == 1.0
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_overlap"] == 0
+
+
+def test_tfidf_partition_invariant(ray_session):
+    import ray.data
+    from go_osm_ray.pipelines.scoring import tfidf_score
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    a = tfidf_score(docs, 500).to_pandas().sort_values("doc_id")
+    b = tfidf_score(docs.repartition(7), 500).to_pandas() \
+        .sort_values("doc_id")
+    assert np.array_equal(a.tfidf6.to_numpy(), b.tfidf6.to_numpy())
+    # rare words score higher: every score positive, non-constant
+    assert (a.tfidf6 > 0).all() and a.tfidf6.nunique() > 10
+
+
 def test_redact_kernel():
     from go_osm_ray.pipelines.filtering import redact_batch
     t = pa.table({"s": ["mail bob.smith+x@ex-ample.org now",
