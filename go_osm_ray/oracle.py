@@ -566,6 +566,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
         red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
     q["pii_redact"] = f"SELECT event_id, {red} AS props FROM events"
 
+    # RANGE join (count form): follows the ASOF co-partition plan with a
+    # two-probe merged-scan kernel; [ts, ts+1h) half-open
+    q["events_range_join"] = """
+        WITH s AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'signup'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT s.event_id, CAST(epoch_us(s.ts) AS BIGINT) AS ts_us,
+               CAST(count(c.ts) AS BIGINT) AS n_follow
+        FROM s LEFT JOIN c ON s.user_id = c.user_id
+          AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 24 HOUR
+        GROUP BY s.event_id, s.ts"""
+
     # split()-equivalent tokens (engine: text._tokens_flat); per-token
     # ln(N/df) mean — the df small side is a distributed combiner + one
     # broadcast on the engine side

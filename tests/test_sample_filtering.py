@@ -158,6 +158,30 @@ def test_tfidf_partition_invariant(ray_session):
     assert (a.tfidf6 > 0).all() and a.tfidf6.nunique() > 10
 
 
+def test_range_join_half_open_ties(ray_session):
+    import ray.data
+    from go_osm_ray.pipelines.relq import range_join_count
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    left = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([5, 6], pa.int64()),
+        "ts": pa.array([base, base]),
+    })
+    # user 5: clicks at ts (counts), ts+h-1us (counts), ts+h (excluded);
+    # user 6: one click one day later (excluded) -> 0
+    right = pa.table({
+        "user_id": pa.array([5, 5, 5, 6], pa.int64()),
+        "ts": pa.array([base, base + h - np.timedelta64(1, "us"),
+                        base + h, base + np.timedelta64(1, "D")]),
+    })
+    out = range_join_count(ray.data.from_arrow(left),
+                           ray.data.from_arrow(right),
+                           horizon_s=3600).to_pandas().set_index("event_id")
+    assert out.loc[1, "n_follow"] == 2
+    assert out.loc[2, "n_follow"] == 0
+
+
 def test_redact_kernel():
     from go_osm_ray.pipelines.filtering import redact_batch
     t = pa.table({"s": ["mail bob.smith+x@ex-ample.org now",
