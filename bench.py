@@ -118,7 +118,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "det_sample", "priority_sample", "approx_quantiles",
         "bloom_semi_orders", "doc_repetition", "pii_redact",
         "word_heavy_hitters", "tfidf_score", "contamination",
-        "events_range_join",
+        "events_range_join", "grouped_quantiles", "embed_covariance",
     ]
     q_times = {}
     for name in bench_queries:

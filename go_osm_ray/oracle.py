@@ -533,6 +533,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
                              [{qs_sql}])) AS v FROM s)
         SELECT q, {sql_round('v', 6)} AS val6 FROM qq"""
 
+    q["grouped_quantiles"] = f"""
+        WITH r AS (SELECT lang, n_chars,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY {md5i}, doc_id) AS rn
+                   FROM documents),
+        s AS (SELECT lang, n_chars FROM r WHERE rn <= 101),
+        qq AS (SELECT lang, unnest([{', '.join(f'CAST({x} AS DOUBLE)' for x in (0.5, 0.9))}]) AS q,
+                      unnest(quantile_cont(n_chars,
+                             [{', '.join(f'CAST({x} AS DOUBLE)' for x in (0.5, 0.9))}])) AS v
+               FROM s GROUP BY lang)
+        SELECT lang, q, {sql_round('v', 6)} AS val6 FROM qq"""
+
     # bloom prefilter affects cost only: the result is the exact semi join
     q["bloom_semi_orders"] = """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -617,6 +629,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('n_hit / CAST(n_sh AS DOUBLE)', 6)} AS overlap6,
                (overlap6 >= 0.5) AS contaminated
         FROM m"""
+
+    # exact d x d sample covariance from the engine's moment combiner;
+    # oracle: covar_samp over positionally-unnested components (both
+    # sides compute in float64; values rounded at 6dp)
+    q["embed_covariance"] = f"""
+        WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS i
+                   FROM embeddings)
+        SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+               {sql_round('covar_samp(a.x, b.x)', 6)} AS cov6
+        FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i"""
 
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar

@@ -121,3 +121,69 @@ def approx_quantiles(ds: ray.data.Dataset, col: str, id_col: str,
             "val6": pa.array(round_half_away(vals, 6), pa.float64()),
         })
     return single_merge(sample, qmerge)
+
+
+def _group_bottom_n(t: pa.Table, group_col: str, id_col: str, n: int,
+                    prio: np.ndarray) -> pa.Table:
+    """First ``n`` rows per group by (prio, id) — one lexsort + a
+    run-position mask, no per-group python."""
+    gv = t[group_col].combine_chunks()
+    enc = gv.dictionary_encode()
+    g = np.asarray(enc.indices, np.int64)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, prio, g))
+    gs = g[order]
+    run_start = np.r_[True, gs[1:] != gs[:-1]]
+    starts = np.flatnonzero(run_start)
+    pos_in_run = np.arange(len(gs)) - np.repeat(starts, np.diff(
+        np.r_[starts, len(gs)]))
+    return t.take(pa.array(order[pos_in_run < n]))
+
+
+def grouped_quantiles(ds: ray.data.Dataset, col: str, group_col: str,
+                      id_col: str, qs: Sequence[float] = (0.5, 0.9),
+                      sample_n: int = 101) -> ray.data.Dataset:
+    """(group, q, val6): per-group quantiles over per-group
+    deterministic ``sample_n``-samples (smallest (md5_num_lower(id),
+    id) per group).  Per-block per-group bottom-n partials, one bounded
+    merge (group space assumed bounded, like every single_merge site).
+    Same integer-order-statistic pinning as ``approx_quantiles`` —
+    exact vs ``quantile_cont`` whenever a group has >= sample_n rows
+    (smaller groups fall back to linear interpolation, which both
+    engines define identically)."""
+    qs = [float(q) for q in qs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select([group_col, id_col, col])
+        ids = sub[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        prio = md5_num_lower(ids)
+        out = _group_bottom_n(sub, group_col, id_col, sample_n, prio)
+        pout = md5_num_lower(
+            out[id_col].combine_chunks().to_numpy(zero_copy_only=False))
+        return out.append_column("_prio", pa.array(pout))
+
+    def merge(t: pa.Table) -> pa.Table:
+        prio = t["_prio"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        top = _group_bottom_n(t, group_col, id_col, sample_n, prio)
+        gv = top[group_col].combine_chunks()
+        enc = gv.dictionary_encode()
+        g = np.asarray(enc.indices, np.int64)
+        vals = top[col].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        groups, out_q, out_v = [], [], []
+        for gi in range(len(enc.dictionary)):  # bounded group space
+            gvals = np.sort(vals[g == gi])
+            res = np.quantile(gvals, qs, method="linear")
+            groups += [enc.dictionary[gi].as_py()] * len(qs)
+            out_q += qs
+            out_v += list(round_half_away(res, 6))
+        return pa.table({
+            group_col: pa.array(groups, gv.type),
+            "q": pa.array(out_q, pa.float64()),
+            "val6": pa.array(out_v, pa.float64()),
+        })
+
+    parts = ds.select_columns([group_col, id_col, col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    return single_merge(parts, merge)

@@ -75,12 +75,17 @@ def tfidf_score(docs: ray.data.Dataset, n_docs: int,
                                "df": pa.array([], pa.int64())})
     vocab_ref = ray.put(vocab.combine_chunks())
 
+    state: dict = {}  # lut built once per task, not per batch
+
     def score(t: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
-        words = np.asarray(v["word"].to_pylist(), dtype=object)
-        idf = np.log(float(n_docs) / v["df"].to_numpy(zero_copy_only=False)
-                     .astype(np.float64))
-        lut = pd.Series(idf, index=words)
+        if "lut" not in state:
+            v = ray.get(vocab_ref)
+            words = np.asarray(v["word"].to_pylist(), dtype=object)
+            idf = np.log(float(n_docs) /
+                         v["df"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64))
+            state["lut"] = pd.Series(idf, index=words)
+        lut = state["lut"]
         counts, toks = _tokens_flat(t[text_col].combine_chunks())
         row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         tok_idf = lut.reindex(toks).to_numpy(np.float64)  # df>=1 by constr.

@@ -1,0 +1,105 @@
+"""Distributed vector analytics over an embedding column.
+
+Covariance is the canonical mergeable linear-algebra combiner: every
+block collapses to the fixed-size moment state (n, sum, X^T X) — d=64
+means 32 KiB per block regardless of rows — one bounded merge
+assembles the exact d x d sample covariance, and PCA is an eigh of
+that tiny matrix on the driver followed by an embarrassingly parallel
+broadcast projection.  This is how whitening / dim-reduction runs at
+100 TB: the data never moves, only 2nd-moment partials do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..relational import single_merge
+from ..util import round_half_away
+
+
+def _stack(t: pa.Table, col: str) -> np.ndarray:
+    return np.stack(t[col].combine_chunks().to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+
+
+def _moment_partials(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "ss": pa.array([], pa.binary())})
+        x = _stack(t, col)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([x.sum(0).tobytes()], pa.binary()),
+            "ss": pa.array([(x.T @ x).tobytes()], pa.binary()),
+        })
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _merge_moments(t: pa.Table) -> tuple[int, np.ndarray, np.ndarray]:
+    n = int(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+    s = sum(np.frombuffer(b, np.float64) for b in t["s"].to_pylist())
+    d = len(s)
+    ss = sum(np.frombuffer(b, np.float64).reshape(d, d)
+             for b in t["ss"].to_pylist())
+    return n, s, ss
+
+
+def embedding_covariance(ds: ray.data.Dataset,
+                         col: str = "embedding") -> ray.data.Dataset:
+    """(i, j, cov6): exact d x d sample covariance of the embedding
+    column, via the moment combiner.  Mirrored by DuckDB
+    ``covar_samp`` over positionally-unnested components."""
+    def finish(t: pa.Table) -> pa.Table:
+        n, s, ss = _merge_moments(t)
+        mean = s / n
+        cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+        d = len(mean)
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({
+            "i": pa.array(i), "j": pa.array(j),
+            "cov6": pa.array(round_half_away(cov.ravel(), 6), pa.float64()),
+        })
+    return single_merge(_moment_partials(ds, col), finish)
+
+
+def pca_components(ds: ray.data.Dataset, col: str = "embedding",
+                   top_m: int = 8) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, eigenvalues desc, components (m, d)) from the merged
+    moment state — one driver-side eigh of the d x d covariance.
+    Deterministic sign convention: each component's largest-|.|
+    coordinate is made positive."""
+    t = pa.concat_tables([b.replace_schema_metadata(None) for b in
+                          ray.get(_moment_partials(ds, col).to_arrow_refs())
+                          if b.num_rows])
+    n, s, ss = _merge_moments(t)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:top_m]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.argmax(np.abs(comps), axis=1)])
+    return mean, w[order], comps * flip[:, None]
+
+
+def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
+                components: np.ndarray, col: str = "embedding",
+                id_col: str = "vec_id") -> ray.data.Dataset:
+    """(vec_id, proj): project each embedding onto the given components
+    — components broadcast ONCE via ray.put, one matmul per batch."""
+    state_ref = ray.put((mean, components))
+
+    def proj(t: pa.Table) -> pa.Table:
+        m, c = ray.get(state_ref)
+        x = _stack(t, col) - m
+        p = x @ c.T
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "proj": pa.array(list(p), pa.list_(pa.float64())),
+        })
+    return ds.map_batches(proj, batch_format="pyarrow")

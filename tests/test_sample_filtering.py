@@ -182,6 +182,41 @@ def test_range_join_half_open_ties(ray_session):
     assert out.loc[2, "n_follow"] == 0
 
 
+def test_pca_matches_numpy(ray_session):
+    import ray.data
+    from go_osm_ray.pipelines.vectors import pca_components, pca_project
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    mean, evals, comps = pca_components(ds, top_m=4)
+    x = np.stack(ds.to_pandas().embedding.to_numpy()).astype(np.float64)
+    cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    np.testing.assert_allclose(np.sort(evals), np.sort(w[-4:]), rtol=1e-9)
+    assert np.allclose(mean, x.mean(0))
+    # projection variance along each component equals its eigenvalue
+    proj = pca_project(ds, mean, comps).to_pandas()
+    p = np.stack(proj.proj.to_numpy())
+    np.testing.assert_allclose(np.var(p, axis=0, ddof=1), evals, rtol=1e-9)
+    # partition-invariance of the moment combiner
+    mean2, evals2, _ = pca_components(ds.repartition(7), top_m=4)
+    np.testing.assert_allclose(evals, evals2, rtol=1e-12)
+
+
+def test_grouped_quantiles_small_groups(ray_session):
+    import ray.data
+    from go_osm_ray.pipelines.sample import grouped_quantiles
+    t = pa.table({
+        "doc_id": pa.array(np.arange(40), pa.int64()),
+        "g": pa.array(["a"] * 30 + ["b"] * 10),
+        "x": pa.array(np.r_[np.arange(30), np.arange(10) * 100.0]),
+    })
+    out = grouped_quantiles(ray.data.from_arrow(t).repartition(5), "x", "g",
+                            "doc_id", (0.5,), sample_n=101).to_pandas()
+    # sample_n > group size -> quantile over the whole group
+    assert float(out[out.g == "a"].val6.iloc[0]) == 14.5
+    assert float(out[out.g == "b"].val6.iloc[0]) == 450.0
+
+
 def test_redact_kernel():
     from go_osm_ray.pipelines.filtering import redact_batch
     t = pa.table({"s": ["mail bob.smith+x@ex-ample.org now",
