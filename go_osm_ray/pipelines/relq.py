@@ -359,9 +359,14 @@ def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset,
 
     both = left.map_batches(tag(True), batch_format="pyarrow") \
         .union(right.map_batches(tag(False), batch_format="pyarrow"))
-    h_us = np.int64(horizon_s * 1_000_000)
+    _PER_S = {"s": 1, "ms": 10 ** 3, "us": 10 ** 6, "ns": 10 ** 9}
 
     def kernel(t: pa.Table) -> pa.Table:
+        ts_type = t.schema.field(on).type
+        # horizon in the column's own resolution (a ns column with a
+        # us-assumed offset would silently shrink the window 1000x)
+        unit = ts_type.unit if pa.types.is_timestamp(ts_type) else "us"
+        h_us = np.int64(horizon_s * _PER_S[unit])
         is_left = t["_is_left"].combine_chunks().to_numpy(zero_copy_only=False)
         uid = t[by].combine_chunks().to_numpy()
         ts = t[on].combine_chunks().cast(pa.int64()).to_numpy()

@@ -333,6 +333,32 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     assert gp == wp
 
 
+def test_range_join_matches_bruteforce(ray_session):
+    """Random-data property check for range_join_count vs a per-row
+    brute force; pandas datetimes arrive as ns-unit arrow timestamps,
+    exercising the unit-aware horizon."""
+    import ray.data as rd
+    from go_osm_ray.pipelines.relq import range_join_count
+    rng = np.random.RandomState(5)
+
+    def mk(n, id0):
+        ts = rng.randint(0, 30 * 86400 * 10 ** 6, n)
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n),
+            "user_id": rng.randint(0, 15, n),
+            "ts": pd.to_datetime(np.sort(ts), unit="us"),
+        })
+    left, right = mk(200, 0), mk(600, 10_000)
+    got = parity.to_pandas(range_join_count(
+        rd.from_pandas(left), rd.from_pandas(right),
+        horizon_s=86_400, num_parts=7)).sort_values("event_id")
+    h = np.timedelta64(86_400, "s")
+    want = [int(((right.user_id == r.user_id) & (right.ts >= r.ts)
+                 & (right.ts < r.ts + h)).sum())
+            for r in left.itertuples()]
+    assert got.n_follow.tolist() == want
+
+
 def test_asof_join_wide_span_no_overflow(ray_session):
     """Regression (ADVICE r2): the old kernel packed (key-rank, ts) as
     rank*span + ts, overflowing int64 for many keys x wide microsecond
