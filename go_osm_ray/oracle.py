@@ -650,5 +650,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"
     q["winnow_fp"] = f"SELECT doc_id, winnow_fp FROM read_parquet('{exp['winnow_fp']}')"
     q["images_s2"] = f"SELECT image_id, s2_l10, s2_l14 FROM read_parquet('{exp['images_s2']}')"
+    q["ngram_jaccard_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['ngram_jaccard_pairs']}')"
+    q["neardup_keep"] = f"SELECT doc_id FROM read_parquet('{exp['neardup_keep']}')"
+    q["approx_distinct_users"] = f"SELECT event_type, approx_n FROM read_parquet('{exp['approx_distinct_users']}')"
 
     return {k: " ".join(v.split()) for k, v in q.items()}

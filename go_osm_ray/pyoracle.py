@@ -206,6 +206,39 @@ def _winnow_fp_table(sf: float, k: int = 8) -> pa.Table:
                      "winnow_fp": pa.array(fp)})
 
 
+# ------------------------------------------------------- approx distinct
+
+def _approx_distinct_table(sf: float, p: int = 12) -> pa.Table:
+    """Scalar reference for sketch.approx_distinct: per-row python-int
+    splitmix64 and register maxima (one sequential loop, no blocks, no
+    merge), then the shared estimator once.  Register maxima are order-
+    invariant, so the engine's per-block partials + elementwise-max
+    exchange must land on the identical register vector and estimate."""
+    from .sketch import hll_estimate
+    t = pq.read_table(_testdata(sf, "events"),
+                      columns=["event_type", "user_id"])
+    types = t["event_type"].to_pylist()
+    users = t["user_id"].to_pylist()
+    mask = (1 << 64) - 1
+    regs: dict[str, list[int]] = {}
+    for et, uid in zip(types, users):
+        z = (int(uid) + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        h = z ^ (z >> 31)
+        bucket = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rho = (65 - p) if w == 0 else (65 - p - w.bit_length())
+        r = regs.setdefault(et, [0] * (1 << p))
+        if rho > r[bucket]:
+            r[bucket] = rho
+    keys = sorted(regs)
+    ests = [int(round(hll_estimate(np.array(regs[k], np.uint8))))
+            for k in keys]
+    return pa.table({"event_type": pa.array(keys, pa.string()),
+                     "approx_n": pa.array(ests, pa.int64())})
+
+
 # ------------------------------------------------------------ images s2
 
 def _scalar_morton_decode(phash: int) -> tuple[float, float]:
@@ -287,6 +320,9 @@ _BUILDERS = {
     "simhash_pairs": _simhash_pairs_table,
     "winnow_fp": _winnow_fp_table,
     "images_s2": _images_s2_table,
+    "ngram_jaccard_pairs": _ngram_cutoff_pairs_table,
+    "neardup_keep": _neardup_keep_table,
+    "approx_distinct_users": _approx_distinct_table,
 }
 
 
