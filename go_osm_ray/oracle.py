@@ -653,5 +653,6 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["ngram_jaccard_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['ngram_jaccard_pairs']}')"
     q["neardup_keep"] = f"SELECT doc_id FROM read_parquet('{exp['neardup_keep']}')"
     q["approx_distinct_users"] = f"SELECT event_type, approx_n FROM read_parquet('{exp['approx_distinct_users']}')"
+    q["ann_ivf_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_ivf_topk']}')"
 
     return {k: " ".join(v.split()) for k, v in q.items()}

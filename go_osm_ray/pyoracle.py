@@ -206,6 +206,67 @@ def _winnow_fp_table(sf: float, k: int = 8) -> pa.Table:
                      "winnow_fp": pa.array(fp)})
 
 
+# ------------------------------------------------------------- IVF ANN
+
+def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
+                   iters: int = 3, sample: int = 4096) -> pa.Table:
+    """Single-matrix reference for ann_ivf_topk: the same deterministic
+    quantizer definition (hash-priority sample, evenly spaced init,
+    Lloyd on normalized float64) evaluated in ONE numpy pass over the
+    whole candidate table — no blocks, no per-batch top-k partials, no
+    merge groupby — then a per-query scalar probe loop with one global
+    top-k. Output carries only (query_id, rank, vec_id), so the gate
+    checks the distributed plan's probe routing and merge exactly."""
+    from .oracle import ANN_K, ANN_QUERY_MAX_ID
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    qsel = vid < ANN_QUERY_MAX_ID
+    qid, qm = vid[qsel], emb[qsel]
+    cvid, cemb = vid[~qsel], emb[~qsel]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cemb = cemb / np.linalg.norm(cemb, axis=1, keepdims=True)
+
+    # quantizer (definition shared with spatial.ivf_centroids; evaluated
+    # whole-table here — the engine's block combiner must be a no-op)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        pri = (cvid.astype(np.uint64) * gold) >> np.uint64(33)
+    best = np.lexsort((cvid, pri))[:sample]
+    order = best[np.argsort(cvid[best], kind="stable")]
+    x = cemb[order]
+    cent = x[np.linspace(0, len(x) - 1, n_lists).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+
+    lists = np.argmax(cemb @ cent.T, axis=1)
+    qc = qm @ cent.T
+    npb = min(nprobe, n_lists)
+    probed = np.argpartition(-qc, npb - 1, axis=1)[:, :npb]
+    rows_q, rows_r, rows_v = [], [], []
+    for qi in range(len(qid)):
+        m = np.isin(lists, probed[qi])
+        if not m.any():
+            continue
+        col = cemb[m] @ qm[qi]
+        sub_v = cvid[m]
+        k = min(ANN_K, len(col))
+        top = np.lexsort((sub_v, -col))[:k]
+        rows_q.append(np.full(k, qid[qi], np.int64))
+        rows_r.append(np.arange(1, k + 1, dtype=np.int64))
+        rows_v.append(sub_v[top].astype(np.int64))
+    return pa.table({"query_id": pa.array(np.concatenate(rows_q)),
+                     "rank": pa.array(np.concatenate(rows_r)),
+                     "vec_id": pa.array(np.concatenate(rows_v))})
+
+
 # ------------------------------------------------------- approx distinct
 
 def _approx_distinct_table(sf: float, p: int = 12) -> pa.Table:
@@ -323,6 +384,7 @@ _BUILDERS = {
     "ngram_jaccard_pairs": _ngram_cutoff_pairs_table,
     "neardup_keep": _neardup_keep_table,
     "approx_distinct_users": _approx_distinct_table,
+    "ann_ivf_topk": _ann_ivf_table,
 }
 
 
