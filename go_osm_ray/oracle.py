@@ -371,6 +371,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round(f"len(list_filter(string_split(lower(text), ' '), _w -> _w IN ({stop_in}))) / CAST(nw AS DOUBLE)", 6)} AS stop_ratio
         FROM b"""
 
+    q["quality_funnel"] = f"""
+        WITH b AS (SELECT source,
+                          len(string_split(text, ' ')) AS nw,
+                          length(text) AS nc,
+                          {sql_round('(length(text) - (len(string_split(text, chr(32))) - 1)) / CAST(len(string_split(text, chr(32))) AS DOUBLE)', 6)} AS wl,
+                          {sql_round(f"len(list_filter(string_split(lower(text), ' '), _w -> _w IN ({stop_in}))) / CAST(len(string_split(text, chr(32))) AS DOUBLE)", 6)} AS sr
+                   FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(*) FILTER (WHERE nc >= 150) AS BIGINT) AS n_len,
+               CAST(COUNT(*) FILTER (WHERE nc >= 150 AND nw >= 30) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) FILTER (WHERE nc >= 150 AND nw >= 30 AND sr >= 0.03) AS BIGINT) AS n_stopw,
+               CAST(COUNT(*) FILTER (WHERE nc >= 150 AND nw >= 30 AND sr >= 0.03 AND wl >= 4.35 AND wl <= 4.72) AS BIGINT) AS n_clean
+        FROM b GROUP BY source"""
+
+    q["span_dedup"] = """
+        WITH mx AS (SELECT CAST(max(length(text)) AS BIGINT) AS m FROM documents),
+             w AS (SELECT doc_id, g.i AS pos,
+                          substr(text, CAST(g.i + 1 AS BIGINT), 64) AS win
+                   FROM documents d
+                   JOIN (SELECT unnest(range(0, (SELECT m FROM mx), 32)) AS i) g
+                     ON g.i + 64 <= CAST(length(d.text) AS BIGINT)),
+             dd AS (SELECT win FROM w GROUP BY win
+                    HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos
+        FROM w JOIN dd USING (win)"""
+
     q["token_count"] = f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
@@ -654,5 +681,6 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["neardup_keep"] = f"SELECT doc_id FROM read_parquet('{exp['neardup_keep']}')"
     q["approx_distinct_users"] = f"SELECT event_type, approx_n FROM read_parquet('{exp['approx_distinct_users']}')"
     q["ann_ivf_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_ivf_topk']}')"
+    q["embed_kmeans"] = f"SELECT vec_id, cluster FROM read_parquet('{exp['embed_kmeans']}')"
 
     return {k: " ".join(v.split()) for k, v in q.items()}

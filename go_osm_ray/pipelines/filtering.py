@@ -94,6 +94,60 @@ REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def quality_funnel(docs, min_chars: int = 150, min_words: int = 30,
+                   min_stop: float = 0.03, wl_lo: float = 4.35,
+                   wl_hi: float = 4.72):
+    """Per-source curation funnel (the RefinedWeb/CCNet accounting view):
+    how many documents of each ``source`` survive each CUMULATIVE
+    filter stage —
+
+      n_total  — all docs
+      n_len    — AND n_chars >= min_chars
+      n_tok    — AND n_words >= min_words
+      n_stopw  — AND stop_ratio >= min_stop (rounded metric, as served
+                 by doc_quality / its DuckDB mirror)
+      n_clean  — AND avg_word_len in [wl_lo, wl_hi]
+
+    One vectorized pass reusing quality_batch's metrics, per-block Acero
+    partial sums per source, one bounded merge (source spaces are
+    catalog-sized; swap the final for a hash_part exchange if not)."""
+    from ..relational import single_merge
+    from .text import quality_batch
+
+    cols = ("n_total", "n_len", "n_tok", "n_stopw", "n_clean")
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        nc = q["n_chars"].to_numpy()
+        nw = q["n_words"].to_numpy()
+        sr = q["stop_ratio"].to_numpy()
+        wl = q["avg_word_len"].to_numpy()
+        f1 = nc >= min_chars
+        f2 = f1 & (nw >= min_words)
+        f3 = f2 & (sr >= min_stop)
+        f4 = f3 & (wl >= wl_lo) & (wl <= wl_hi)
+        stage = pa.table({
+            "source": t["source"].combine_chunks(),
+            "n_total": pa.array(np.ones(len(t), np.int64)),
+            "n_len": pa.array(f1.astype(np.int64)),
+            "n_tok": pa.array(f2.astype(np.int64)),
+            "n_stopw": pa.array(f3.astype(np.int64)),
+            "n_clean": pa.array(f4.astype(np.int64)),
+        })
+        g = stage.group_by("source").aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["source", *cols])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([(c, "sum") for c in cols])
+        out = {"source": g["source"]}
+        for c in cols:
+            out[c] = pc.cast(g[f"{c}_sum"], pa.int64())
+        return pa.table(out)
+
+    return single_merge(docs.map_batches(partial, batch_format="pyarrow"),
+                        merge)
+
+
 def redact_batch(batch: pa.Table, col: str,
                  patterns: Sequence[tuple[str, str]] = REDACT_PATTERNS,
                  out_col: str | None = None) -> pa.Table:

@@ -87,6 +87,31 @@ def pca_components(ds: ray.data.Dataset, col: str = "embedding",
     return mean, w[order], comps * flip[:, None]
 
 
+def kmeans_assign(ds: ray.data.Dataset, n_clusters: int = 8,
+                  col: str = "embedding",
+                  id_col: str = "vec_id") -> ray.data.Dataset:
+    """(vec_id, cluster): nearest-centroid label under the deterministic
+    hash-sample Lloyd quantizer (spatial.ivf_centroids — seed-free,
+    block-order independent).  Centroids broadcast once via ray.put;
+    assignment is one matmul + argmax per batch, so the clustering pass
+    moves no data.  This is the corpus-bucketing step (topic sharding,
+    per-cluster sampling quotas) of an embedding-curated pipeline."""
+    from .spatial import ivf_centroids
+    cent_ref = ray.put(ivf_centroids(ds.select_columns([id_col, col]),
+                                     n_clusters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _stack(t, col)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "cluster": pa.array(np.argmax(x @ cent.T, axis=1)
+                                .astype(np.int64)),
+        })
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def pca_project(ds: ray.data.Dataset, mean: np.ndarray,
                 components: np.ndarray, col: str = "embedding",
                 id_col: str = "vec_id") -> ray.data.Dataset:

@@ -208,6 +208,28 @@ def _winnow_fp_table(sf: float, k: int = 8) -> pa.Table:
 
 # ------------------------------------------------------------- IVF ANN
 
+def _lloyd_centroids(vid: np.ndarray, x_norm: np.ndarray, n_lists: int,
+                     iters: int, sample: int) -> np.ndarray:
+    """The deterministic quantizer definition (shared with
+    spatial.ivf_centroids), evaluated whole-table: hash-priority sample,
+    evenly spaced init, Lloyd on normalized float64."""
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        pri = (vid.astype(np.uint64) * gold) >> np.uint64(33)
+    best = np.lexsort((vid, pri))[:sample]
+    order = best[np.argsort(vid[best], kind="stable")]
+    x = x_norm[order]
+    cent = x[np.linspace(0, len(x) - 1, n_lists).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
 def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
                    iters: int = 3, sample: int = 4096) -> pa.Table:
     """Single-matrix reference for ann_ivf_topk: the same deterministic
@@ -231,20 +253,7 @@ def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
 
     # quantizer (definition shared with spatial.ivf_centroids; evaluated
     # whole-table here — the engine's block combiner must be a no-op)
-    gold = np.uint64(0x9E3779B97F4A7C15)
-    with np.errstate(over="ignore"):
-        pri = (cvid.astype(np.uint64) * gold) >> np.uint64(33)
-    best = np.lexsort((cvid, pri))[:sample]
-    order = best[np.argsort(cvid[best], kind="stable")]
-    x = cemb[order]
-    cent = x[np.linspace(0, len(x) - 1, n_lists).astype(np.int64)].copy()
-    for _ in range(iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(n_lists):
-            m = assign == c
-            if m.any():
-                v = x[m].mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+    cent = _lloyd_centroids(cvid, cemb, n_lists, iters, sample)
 
     lists = np.argmax(cemb @ cent.T, axis=1)
     qc = qm @ cent.T
@@ -265,6 +274,23 @@ def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
     return pa.table({"query_id": pa.array(np.concatenate(rows_q)),
                      "rank": pa.array(np.concatenate(rows_r)),
                      "vec_id": pa.array(np.concatenate(rows_v))})
+
+
+def _kmeans_table(sf: float, n_clusters: int = 8, iters: int = 3,
+                  sample: int = 4096) -> pa.Table:
+    """Whole-matrix reference for vectors.kmeans_assign: same quantizer
+    definition, one argmax over the full normalized table — no blocks,
+    no broadcast."""
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cent = _lloyd_centroids(vid, emb, n_clusters, iters, sample)
+    return pa.table({"vec_id": pa.array(vid, pa.int64()),
+                     "cluster": pa.array(np.argmax(emb @ cent.T, axis=1)
+                                         .astype(np.int64))})
 
 
 # ------------------------------------------------------- approx distinct
@@ -385,6 +411,7 @@ _BUILDERS = {
     "neardup_keep": _neardup_keep_table,
     "approx_distinct_users": _approx_distinct_table,
     "ann_ivf_topk": _ann_ivf_table,
+    "embed_kmeans": _kmeans_table,
 }
 
 
