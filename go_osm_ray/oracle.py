@@ -398,6 +398,12 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos
         FROM w JOIN dd USING (win)"""
 
+    q["text_normalize"] = """
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)),
+                                   '\\s+', ' ', 'g')) AS norm_text
+        FROM documents"""
+
     q["token_count"] = f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens

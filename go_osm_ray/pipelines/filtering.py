@@ -94,6 +94,23 @@ REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def normalize_batch(batch: pa.Table, col: str = "text",
+                    out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization (the pass every corpus runs before
+    exact/near dedup): NFC unicode normalization -> lowercase ->
+    collapse whitespace runs to one space -> trim.  All four are Arrow
+    kernels (RE2 for the collapse), mirrored exactly by DuckDB
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ',
+    'g'))`` — verified identical on ligature/fullwidth/combining-mark
+    inputs.  Embarrassingly parallel; no shuffle."""
+    arr = batch[col].combine_chunks()
+    arr = pc.utf8_normalize(arr, form="NFC")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    arr = pc.utf8_trim_whitespace(arr)
+    return batch.append_column(out_col, arr)
+
+
 def quality_funnel(docs, min_chars: int = 150, min_words: int = 30,
                    min_stop: float = 0.03, wl_lo: float = 4.35,
                    wl_hi: float = 4.72):

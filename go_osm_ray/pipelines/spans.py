@@ -19,9 +19,12 @@ Physical plan, Ray-Data-first:
      (distinct doc count per window) + an is_in semi-filter back over
      its rows.
 
-Windows travel as their strings here, which is exact and fine while
-window << doc size; at 100 TB carry (hash128, doc_id, pos) instead and
-re-verify colliding groups against storage.
+Windows travel as their strings by default, which is exact and fine
+while window << doc size; ``carry="hash"`` is the 100 TB path — only
+(win_hash, doc_id, pos) crosses the exchange (24 bytes/window instead
+of ~window bytes) and duplicate resolution groups on the 64-bit hash,
+accepting ~n^2/2^65 false-dup collisions (re-verify against storage
+if that matters).
 """
 
 from __future__ import annotations
@@ -35,13 +38,37 @@ from ..relational import _col_hash, hash_part
 
 WIN = 64
 STRIDE = 32
+_MULT = np.uint64(1099511628211)  # FNV-64 prime
+
+
+def _str_hash64(arr: pa.Array) -> np.ndarray:
+    """uint64 polynomial (Horner) hash of each utf8 string's full byte
+    run — vectorized over ROWS per byte position, so the python loop is
+    bounded by the window's byte width (<= 4*WIN), never the row count."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_t = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_t)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    base = offs[0]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[base:offs[-1]] \
+        .astype(np.uint64)
+    offs = offs - base
+    counts = np.diff(offs)
+    h = np.zeros(len(counts), np.uint64)
+    starts = offs[:-1]
+    with np.errstate(over="ignore"):
+        for j in range(int(counts.max()) if len(counts) else 0):
+            m = counts > j
+            h[m] = h[m] * _MULT + data[starts[m] + j]
+    return h
 
 
 def window_batch(t: pa.Table, text_col: str = "text",
-                 num_parts: int = 32) -> pa.Table:
-    """(doc_id, pos, win, part) for every full WIN-char window at
-    STRIDE-char steps. Character (codepoint) offsets, matching SQL
-    substr semantics."""
+                 num_parts: int = 32, carry: str = "win") -> pa.Table:
+    """(doc_id, pos, win|win_hash, part) for every full WIN-char window
+    at STRIDE-char steps. Character (codepoint) offsets, matching SQL
+    substr semantics. ``carry="hash"`` ships only the 64-bit crc key."""
     texts = t[text_col].combine_chunks()
     ids = t["doc_id"].combine_chunks()
     n = np.asarray(pc.utf8_length(texts), np.int64)
@@ -56,38 +83,48 @@ def window_batch(t: pa.Table, text_col: str = "text",
         out_pos.append(pa.array(np.full(len(wins), pos, np.int64)))
         out_win.append(wins)
         pos += STRIDE
+    key_col = "win" if carry == "win" else "win_hash"
     if not out_id:
+        empty_key = pa.array([], pa.string() if carry == "win"
+                             else pa.int64())
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "pos": pa.array([], pa.int64()),
-                         "win": pa.array([], pa.string()),
+                         key_col: empty_key,
                          "part": pa.array([], pa.int64())})
     win = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                             else a for a in out_win])
+    if carry == "win":
+        key_arr, part_key = win, _col_hash(win)
+    else:
+        h = _str_hash64(win)
+        key_arr, part_key = pa.array(h.view(np.int64)), h
     return pa.table({
         "doc_id": pa.concat_arrays([a.combine_chunks()
                                     if isinstance(a, pa.ChunkedArray) else a
                                     for a in out_id]),
         "pos": pa.concat_arrays(out_pos),
-        "win": win,
-        "part": pa.array(hash_part(_col_hash(win), num_parts)),
+        key_col: key_arr,
+        "part": pa.array(hash_part(part_key, num_parts)),
     })
 
 
 def _resolve(t: pa.Table) -> pa.Table:
     """Partition-local exact resolution: windows seen in >= 2 distinct
     docs -> emit their (doc_id, pos) rows."""
-    g = t.select(["win", "doc_id"]).group_by("win") \
+    key = "win" if "win" in t.schema.names else "win_hash"
+    g = t.select([key, "doc_id"]).group_by(key) \
         .aggregate([("doc_id", "count_distinct")])
-    dup = g.filter(pc.greater(g["doc_id_count_distinct"], 1))["win"]
-    out = t.filter(pc.is_in(t["win"], value_set=dup.combine_chunks()))
+    dup = g.filter(pc.greater(g["doc_id_count_distinct"], 1))[key]
+    out = t.filter(pc.is_in(t[key], value_set=dup.combine_chunks()))
     return pa.table({"doc_id": out["doc_id"], "pos": out["pos"]})
 
 
 def span_dedup(docs: ray.data.Dataset, text_col: str = "text",
-               num_parts: int = 32) -> ray.data.Dataset:
+               num_parts: int = 32, carry: str = "win") -> ray.data.Dataset:
     """(doc_id, pos): every stride-aligned WIN-char window that also
-    appears (exactly) in at least one other document."""
+    appears (exactly) in at least one other document. ``carry="hash"``
+    is the 100 TB exchange (fixed 24 bytes/window, collision-accepted)."""
     wins = docs.map_batches(
-        lambda t: window_batch(t, text_col, num_parts),
+        lambda t: window_batch(t, text_col, num_parts, carry),
         batch_format="pyarrow")
     return wins.groupby("part").map_groups(_resolve, batch_format="pyarrow")

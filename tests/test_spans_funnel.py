@@ -53,6 +53,17 @@ def test_span_dedup_planted(ray_session):
     assert all(d in (0, 1) for d, _ in got)
 
 
+def test_span_dedup_hash_carry_matches_strings(ray_session):
+    # the 100 TB exchange (64-bit hash instead of window strings) must
+    # produce the identical span set on real testdata
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    a = sorted(map(tuple, span_dedup(ds).to_pandas().values.tolist()))
+    b = sorted(map(tuple,
+                   span_dedup(ds, carry="hash").to_pandas().values.tolist()))
+    assert a == b and len(a) > 0
+
+
 def test_quality_funnel_monotone(ray_session):
     ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
                                columns=["doc_id", "source", "text"])
