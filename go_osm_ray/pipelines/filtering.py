@@ -102,12 +102,16 @@ def normalize_batch(batch: pa.Table, col: str = "text",
     kernels (RE2 for the collapse), mirrored exactly by DuckDB
     ``trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ',
     'g'))`` — verified identical on ligature/fullwidth/combining-mark
-    inputs.  Embarrassingly parallel; no shuffle."""
+    inputs.  The final trim strips SPACES only (``utf8_trim`` with
+    ``' '``), matching DuckDB ``trim()`` exactly: RE2 ``\\s`` excludes
+    VT/NEL/LS/PS, so those survive the collapse on both sides and a
+    whitespace-class trim here would diverge from the SQL mirror.
+    Embarrassingly parallel; no shuffle."""
     arr = batch[col].combine_chunks()
     arr = pc.utf8_normalize(arr, form="NFC")
     arr = pc.utf8_lower(arr)
     arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
-    arr = pc.utf8_trim_whitespace(arr)
+    arr = pc.utf8_trim(arr, characters=" ")
     return batch.append_column(out_col, arr)
 
 

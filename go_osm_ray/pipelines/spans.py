@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..relational import _col_hash, hash_part
+from ..relational import hash_part
 
 WIN = 64
 STRIDE = 32
@@ -85,18 +85,20 @@ def window_batch(t: pa.Table, text_col: str = "text",
         pos += STRIDE
     key_col = "win" if carry == "win" else "win_hash"
     if not out_id:
-        empty_key = pa.array([], pa.string() if carry == "win"
+        # inherit the input types so empty blocks unify with full ones
+        # (a large_string text column yields large_string windows)
+        empty_key = pa.array([], t[text_col].type if carry == "win"
                              else pa.int64())
-        return pa.table({"doc_id": pa.array([], pa.int64()),
+        return pa.table({"doc_id": pa.array([], t["doc_id"].type),
                          "pos": pa.array([], pa.int64()),
                          key_col: empty_key,
                          "part": pa.array([], pa.int64())})
     win = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
                             else a for a in out_win])
+    h = _str_hash64(win)  # vectorized; _col_hash would crc per unique row
     if carry == "win":
-        key_arr, part_key = win, _col_hash(win)
+        key_arr, part_key = win, h
     else:
-        h = _str_hash64(win)
         key_arr, part_key = pa.array(h.view(np.int64)), h
     return pa.table({
         "doc_id": pa.concat_arrays([a.combine_chunks()

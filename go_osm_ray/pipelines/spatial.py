@@ -683,7 +683,12 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
         vid = t["vec_id"].combine_chunks().to_numpy()
         if len(vid) <= sample:
             return t
-        keep = np.argpartition(_pri(vid), sample - 1)[:sample]
+        # trim under the SAME (pri, vid) total order the driver uses:
+        # pri has 31 bits, so priority TIES at the trim boundary are
+        # real — an argpartition on pri alone could drop the tied row
+        # the global order keeps, making the sample (and so the
+        # centroids) depend on block boundaries
+        keep = np.lexsort((vid, _pri(vid)))[:sample]
         return t.take(pa.array(np.sort(keep)))
 
     tabs = [x for x in ray.get(

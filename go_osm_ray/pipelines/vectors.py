@@ -97,8 +97,11 @@ def kmeans_assign(ds: ray.data.Dataset, n_clusters: int = 8,
     moves no data.  This is the corpus-bucketing step (topic sharding,
     per-cluster sampling quotas) of an embedding-curated pipeline."""
     from .spatial import ivf_centroids
-    cent_ref = ray.put(ivf_centroids(ds.select_columns([id_col, col]),
-                                     n_clusters))
+    sub = ds.select_columns([id_col, col])
+    if (id_col, col) != ("vec_id", "embedding"):
+        # ivf_centroids reads fixed column names
+        sub = sub.rename_columns({id_col: "vec_id", col: "embedding"})
+    cent_ref = ray.put(ivf_centroids(sub, n_clusters))
 
     def assign(t: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)

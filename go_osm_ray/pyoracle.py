@@ -271,6 +271,10 @@ def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
         rows_q.append(np.full(k, qid[qi], np.int64))
         rows_r.append(np.arange(1, k + 1, dtype=np.int64))
         rows_v.append(sub_v[top].astype(np.int64))
+    if not rows_q:  # every query probed only empty lists
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
     return pa.table({"query_id": pa.array(np.concatenate(rows_q)),
                      "rank": pa.array(np.concatenate(rows_r)),
                      "vec_id": pa.array(np.concatenate(rows_v))})
