@@ -193,3 +193,24 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def ahash64(px: np.ndarray, side: int = 8) -> int:
+    """Average-hash fingerprint of an (H, W, 3) uint8 image as a signed
+    int64 (two's complement).  A shared PRIMITIVE (like the codec
+    functions): the per-image float semantics — nearest-neighbor
+    subsample, per-cell channel mean, threshold at the global cell mean —
+    must be BIT-IDENTICAL between the engine's actor-pool stage and the
+    scalar python-oracle, so both call this one definition.  What the
+    oracle gate then exercises is everything around it: batching, the
+    actor pool, id alignment, and the signature-group exchange."""
+    h, w, _ = px.shape
+    yi = (np.arange(side) * h // side)
+    xi = (np.arange(side) * w // side)
+    small = px[yi][:, xi].mean(axis=2)
+    bits = (small > small.mean()).ravel()
+    acc = np.bitwise_or.reduce(
+        np.where(bits, np.uint64(1) << np.arange(side * side, dtype=np.uint64),
+                 np.uint64(0)))
+    v = int(acc)
+    return v - (1 << 64) if v >= (1 << 63) else v

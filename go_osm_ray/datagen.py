@@ -138,6 +138,13 @@ def gen_images_lonlat(n: int) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def _image_caption(i: int) -> str:
+    """Deterministic caption recipe — the 'reference rendition' for the
+    input_hint's caption-equality invariant (image_verify checks stored
+    captions against this, like pixels against _image_pixels)."""
+    return f"synthetic caption {i} {_ADJ[i % 8]} {_NOUN[(i // 8) % 8]}"
+
+
 def build_images_table(n: int, start: int = 0) -> pa.Table:
     idx = np.arange(start, start + n, dtype=np.int64)
     lon, lat = gen_images_lonlat(start + n)
@@ -148,8 +155,7 @@ def build_images_table(n: int, start: int = 0) -> pa.Table:
     fmts = [_FMTS[int(i) % 4] for i in idx]
     blobs = [codecs.encode(_image_pixels(int(i), int(wi), int(hi)), f)
              for i, wi, hi, f in zip(idx, w, h, fmts)]
-    captions = [f"synthetic caption {int(i)} {_ADJ[int(i) % 8]} {_NOUN[(int(i) // 8) % 8]}"
-                for i in idx]
+    captions = [_image_caption(int(i)) for i in idx]
     return pa.table({
         "image_id": pa.array([f"img{int(i):012d}" for i in idx], pa.string()),
         "bytes": pa.array(blobs, pa.binary()),

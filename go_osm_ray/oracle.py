@@ -688,5 +688,25 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["approx_distinct_users"] = f"SELECT event_type, approx_n FROM read_parquet('{exp['approx_distinct_users']}')"
     q["ann_ivf_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_ivf_topk']}')"
     q["embed_kmeans"] = f"SELECT vec_id, cluster FROM read_parquet('{exp['embed_kmeans']}')"
+    q["image_stats"] = f"SELECT image_id, ok, w_px, h_px, mean_px6 FROM read_parquet('{exp['image_stats']}')"
+    q["image_verify"] = f"SELECT image_id, dims_ok, pixels_ok, caption_ok, psnr6 FROM read_parquet('{exp['image_verify']}')"
+    q["image_ahash"] = f"SELECT image_id, ahash FROM read_parquet('{exp['image_ahash']}')"
+    q["image_sig_dedup"] = f"SELECT ahash, keeper_id, group_n FROM read_parquet('{exp['image_sig_dedup']}')"
+    q["audio_features"] = f"SELECT media_id, band, energy6 FROM read_parquet('{exp['audio_features']}')"
+    q["video_frames"] = f"SELECT media_id, frame_idx, frame_len FROM read_parquet('{exp['video_frames']}')"
+
+    # word_heavy_hitters: the CMS estimate is EXACT here by construction —
+    # the synthetic vocabulary (31 words at sf0.01) is far below the
+    # per-block candidate budget (128) so the candidate union is the full
+    # vocabulary independent of block boundaries, and 31 keys in a
+    # 4x8192 sketch make an estimation collision require a simultaneous
+    # collision in all 4 depth rows (p ~ (31/8192)^4) — so exact SQL
+    # counts are the ground truth the sketch must reproduce.
+    q["word_heavy_hitters"] = """
+        SELECT w AS value, CAST(n AS BIGINT) AS est_n FROM (
+            SELECT w, count(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+            GROUP BY w ORDER BY n DESC, w ASC LIMIT 20)"""
 
     return {k: " ".join(v.split()) for k, v in q.items()}

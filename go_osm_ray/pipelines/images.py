@@ -69,14 +69,17 @@ class DecodeVerify:
         self.min_psnr = min_psnr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..datagen import _image_pixels
+        from ..datagen import _image_caption, _image_pixels
         ids = batch["image_id"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         blobs = batch["bytes"].to_pylist()
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
-        rows = {"image_id": [], "dims_ok": [], "pixels_ok": [], "psnr6": []}
-        for iid, f, b, w, h in zip(ids, fmts, blobs, ws, hs):
+        caps = (batch["caption"].to_pylist() if "caption" in batch.column_names
+                else [None] * len(ids))
+        rows = {"image_id": [], "dims_ok": [], "pixels_ok": [],
+                "caption_ok": [], "psnr6": []}
+        for iid, f, b, w, h, cap in zip(ids, fmts, blobs, ws, hs, caps):
             px = codecs.decode(b, f)
             i = int(iid[3:])
             ref = _image_pixels(i, w, h)
@@ -87,6 +90,7 @@ class DecodeVerify:
             rows["image_id"].append(iid)
             rows["dims_ok"].append(dims_ok)
             rows["pixels_ok"].append(pixels_ok)
+            rows["caption_ok"].append(cap == _image_caption(i))
             rows["psnr6"].append(round(min(p, 999.0), 6))
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
@@ -106,15 +110,7 @@ class ResizeAHash:
         out = []
         for f, b in zip(fmts, blobs):
             px = codecs.decode(b, f)
-            h, w, _ = px.shape
-            yi = (np.arange(self.side) * h // self.side)
-            xi = (np.arange(self.side) * w // self.side)
-            small = px[yi][:, xi].mean(axis=2)
-            bits = (small > small.mean()).ravel()
-            acc = np.bitwise_or.reduce(
-                np.where(bits, np.uint64(1) << np.arange(64, dtype=np.uint64), np.uint64(0)))
-            v = int(acc)
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)  # two's-complement int64
+            out.append(codecs.ahash64(px, self.side))
         return pa.table({"image_id": pa.array(ids, pa.string()),
                          "ahash": pa.array(out, pa.int64())})
 

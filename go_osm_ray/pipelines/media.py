@@ -35,6 +35,16 @@ def _decode_audio_stub(blob: bytes, sample_rate: int) -> np.ndarray:
     return rs.uniform(-1.0, 1.0, sample_rate).astype(np.float32)
 
 
+def _band_energies(wave: np.ndarray, n_bands: int) -> np.ndarray:
+    """Per-band RMS energy of a waveform — shared PRIMITIVE between the
+    actor-pool stage and the scalar python-oracle (pyoracle.py), so the
+    float semantics are bit-identical on both sides and the oracle gate
+    exercises the Ray plumbing (batching, pool, explode layout)."""
+    bands = np.array_split(wave.astype(np.float64), n_bands)
+    return np.array([float(np.sqrt((b ** 2).mean())) for b in bands],
+                    np.float64)
+
+
 def _decode_frame_stub(blob: bytes, frame_idx: int) -> bytes:
     """STUB frame extraction: deterministic byte window standing in for
     a decoded/re-encoded frame. Real impl: ffmpeg seek+decode."""
@@ -69,10 +79,7 @@ class AudioFeatureStage:
         out = []
         for blob in batch["bytes"].to_pylist():
             wave = _decode_audio_stub(blob, self.sample_rate)
-            # band-energy summary over the fake waveform (vectorized)
-            bands = np.array_split(wave, self.n_bands)
-            out.append(np.array([float(np.sqrt((b ** 2).mean()))
-                                 for b in bands], np.float32))
+            out.append(_band_energies(wave, self.n_bands).astype(np.float32))
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "features": pa.array([o.tolist() for o in out],

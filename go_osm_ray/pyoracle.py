@@ -30,7 +30,7 @@ from . import datagen
 TESTDATA_ROOT = os.environ.get("GO_OSM_RAY_TESTDATA", "/root/testdata")
 
 # bump when any expected-table definition changes (cache key)
-_V = 1
+_V = 2
 
 
 def _testdata(sf: float, name: str) -> str:
@@ -404,6 +404,153 @@ def _images_s2_table(sf: float, levels: tuple[int, ...] = (10, 14)) -> pa.Table:
     return pa.table(out)
 
 
+# ------------------------------------------------------- image / media
+
+def _images_rows(sf: float, columns: list[str]) -> pa.Table:
+    paths = datagen.ensure_tables(sf)
+    return pq.read_table(paths["images"], columns=columns)
+
+
+def _image_stats_table(sf: float) -> pa.Table:
+    """Scalar reference for image_stats: per-row decode loop straight off
+    the parquet, mean via EXACT integer summation (uint8 sums < 2^53 are
+    exact in float64 regardless of summation order, so this matches the
+    engine's np.mean bit-for-bit). Shares only codecs.decode."""
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "w_px": [], "h_px": [], "mean_px6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f)
+            out["ok"].append(True)
+            out["h_px"].append(px.shape[0])
+            out["w_px"].append(px.shape[1])
+            out["mean_px6"].append(
+                round(int(px.astype(np.int64).sum()) / px.size, 6))
+        except Exception:
+            out["ok"].append(False)
+            out["h_px"].append(0)
+            out["w_px"].append(0)
+            out["mean_px6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "w_px": pa.array(out["w_px"], pa.int32()),
+        "h_px": pa.array(out["h_px"], pa.int32()),
+        "mean_px6": pa.array(out["mean_px6"], pa.float64()),
+    })
+
+
+def _image_verify_table(sf: float) -> pa.Table:
+    """Scalar reference for the input_hint per-row invariant: decoded
+    dims == metadata, lossless bit-equality / lossy PSNR >= 40. Shares
+    the codec + psnr + generator-recipe primitives."""
+    from . import codecs
+    from .datagen import _image_caption, _image_pixels
+    t = _images_rows(sf, ["image_id", "fmt", "bytes", "w", "h", "caption"])
+    rows = {"image_id": [], "dims_ok": [], "pixels_ok": [],
+            "caption_ok": [], "psnr6": []}
+    for iid, f, b, w, h, cap in zip(
+            t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+            t["bytes"].to_pylist(), t["w"].to_pylist(),
+            t["h"].to_pylist(), t["caption"].to_pylist()):
+        i = int(iid[3:])
+        px = codecs.decode(b, f)
+        ref = _image_pixels(i, w, h)
+        p = codecs.psnr(ref, px)
+        rows["image_id"].append(iid)
+        rows["dims_ok"].append(px.shape == (h, w, 3))
+        rows["pixels_ok"].append(bool(np.array_equal(ref, px))
+                                 if codecs.is_lossless(f) else bool(p >= 40.0))
+        rows["caption_ok"].append(cap == _image_caption(i))
+        rows["psnr6"].append(round(min(p, 999.0), 6))
+    return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+
+def _image_ahash_table(sf: float) -> pa.Table:
+    """Scalar reference for image_ahash: per-row decode + the shared
+    ahash64 primitive (codecs.py documents why the per-image float
+    semantics must be one definition)."""
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    ids = t["image_id"].to_pylist()
+    hashes = [codecs.ahash64(codecs.decode(b, f))
+              for f, b in zip(t["fmt"].to_pylist(), t["bytes"].to_pylist())]
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "ahash": pa.array(hashes, pa.int64())})
+
+
+def _image_sig_dedup_table(sf: float, every: int = 100,
+                           id_offset: int = 1_000_000_000) -> pa.Table:
+    """Scalar reference for image_sig_dedup: re-play the deterministic
+    re-encode augmentation (every 100th image re-encoded as bmp under
+    id+1e9), hash every payload, then group with a python dict — min
+    numeric id and count per signature.  The engine's combiner exchange
+    (per-block Acero partials -> hash-partition -> merge) is what the
+    gate exercises."""
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    groups: dict[int, list[int]] = {}
+
+    def add(nid: int, ah: int) -> None:
+        g = groups.setdefault(ah, [nid, 0])
+        g[0] = min(g[0], nid)
+        g[1] += 1
+
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        n = int(iid[3:])
+        px = codecs.decode(b, f)
+        add(n, codecs.ahash64(px))
+        if n % every == 0:
+            add(n + id_offset, codecs.ahash64(
+                codecs.decode(codecs.encode(px, "bmp"), "bmp")))
+    ah = sorted(groups)
+    return pa.table({
+        "ahash": pa.array(ah, pa.int64()),
+        "keeper_id": pa.array([groups[a][0] for a in ah], pa.int64()),
+        "group_n": pa.array([groups[a][1] for a in ah], pa.int64()),
+    })
+
+
+def _audio_features_table(sf: float, sample_rate: int = 16_000,
+                          n_bands: int = 13) -> pa.Table:
+    """Scalar reference for the exploded audio-feature rows: per-clip
+    stub decode + the shared band-energy primitive, float32-cast exactly
+    like the stage, rounded to 6dp like the query wrapper."""
+    from .pipelines.media import _band_energies, _decode_audio_stub
+    t = _images_rows(sf, ["image_id", "bytes"])
+    ids, bands, vals = [], [], []
+    for iid, b in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        e = _band_energies(_decode_audio_stub(b, sample_rate),
+                           n_bands).astype(np.float32).astype(np.float64)
+        for bi in range(n_bands):
+            ids.append(iid)
+            bands.append(bi)
+            vals.append(float(np.round(e[bi], 6)))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "band": pa.array(bands, pa.int64()),
+                     "energy6": pa.array(vals, pa.float64())})
+
+
+def _video_frames_table(sf: float, k: int = 2) -> pa.Table:
+    """Scalar reference for video_frames: per-clip frame windows via the
+    shared stub, emitting (media_id, frame_idx, frame_len)."""
+    from .pipelines.media import _decode_frame_stub
+    t = _images_rows(sf, ["image_id", "bytes"])
+    ids, idxs, lens = [], [], []
+    for iid, b in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        for f in range(k):
+            ids.append(iid)
+            idxs.append(f)
+            lens.append(len(_decode_frame_stub(b, f)))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "frame_idx": pa.array(idxs, pa.int64()),
+                     "frame_len": pa.array(lens, pa.int64())})
+
+
 # ------------------------------------------------------------ cache layer
 
 _BUILDERS = {
@@ -416,6 +563,12 @@ _BUILDERS = {
     "approx_distinct_users": _approx_distinct_table,
     "ann_ivf_topk": _ann_ivf_table,
     "embed_kmeans": _kmeans_table,
+    "image_stats": _image_stats_table,
+    "image_verify": _image_verify_table,
+    "image_ahash": _image_ahash_table,
+    "image_sig_dedup": _image_sig_dedup_table,
+    "audio_features": _audio_features_table,
+    "video_frames": _video_frames_table,
 }
 
 

@@ -48,3 +48,37 @@ def test_format_summary(ray_session):
     assert lines[0].startswith("Bounding Box: ")
     assert len(lines[0].split(",")) == 4
     assert any(line.startswith("Number of nodes: ") for line in lines)
+
+
+def test_read_table_routes_parquet_dir_and_lance(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from go_osm_ray.sources.tables import is_lance, read_table
+
+    # directory of parts -> expanded, all rows, pruned columns
+    d = tmp_path / "tbl.parquet"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({"a": [i], "b": [i * 10]}),
+                       d / f"part-{i}.parquet")
+    ds = read_table(str(d), columns=["a"])
+    assert sorted(r["a"] for r in ds.take_all()) == [0, 1, 2]
+    assert ds.schema().names == ["a"]
+    assert len(ds.input_files()) == 3
+
+    # single file path
+    f = tmp_path / "one.parquet"
+    pq.write_table(pa.table({"a": [7]}), f)
+    assert read_table(str(f)).count() == 1
+
+    # lance routing: recognized, and fails with an actionable message in
+    # this lance-less container
+    assert is_lance("lance://bucket/tbl") and is_lance("/data/x.lance")
+    assert not is_lance("/data/x.parquet")
+    with pytest.raises(ImportError, match="pylance"):
+        read_table("/data/images.lance")
+
+    with pytest.raises(FileNotFoundError):
+        read_table(str(tmp_path / "empty_dir_missing"))
