@@ -204,6 +204,27 @@ def build(sf: float = 0.01) -> dict[str, str]:
         for z in TILE_ZOOMS)
     q["images_tiles"] = f"WITH {_pts_cte(images)} SELECT image_id, {tile_cols} FROM pts"
 
+    # raster<->vector (north_rule): pixel math is tile math at zoom
+    # z + log2(grid) = 10 + 6; the engine derives tile/pixel from the
+    # same global pixel ids by exact integer ops (pipelines/raster.py)
+    _g16 = (f"g AS (SELECT {tiles.sql_tile_x('lon', 16)} AS gx, "
+            f"{tiles.sql_tile_y('lat', 16)} AS gy FROM pts), "
+            f"c AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n "
+            f"FROM g GROUP BY gx, gy)")
+    q["tile_raster"] = f"""
+        WITH {_pts_cte(images)}, {_g16}
+        SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+               gx % 64 AS px, gy % 64 AS py, n FROM c"""
+
+    _v16 = "(PI() * (1.0 - 2.0 * (gy + 0.5) / 65536.0))"
+    q["raster_features"] = f"""
+        WITH {_pts_cte(images)}, {_g16}
+        SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+               gx % 64 AS px, gy % 64 AS py, n,
+               {sql_round('(gx + 0.5) / 65536.0 * 360.0 - 180.0', 6)} AS lon6,
+               {sql_round(f'DEGREES(ATAN((EXP({_v16}) - EXP(-{_v16})) / 2.0))', 6)} AS lat6
+        FROM c WHERE n >= 2"""
+
     q["cell_histogram"] = f"""
         WITH {_pts_cte(images)}
         SELECT cell_r7, CAST(count(*) AS BIGINT) AS n FROM

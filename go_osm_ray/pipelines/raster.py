@@ -1,0 +1,159 @@
+"""Raster <-> vector operators (north_rule: "raster<->vector" alongside
+H3/S2, PIP and kNN).
+
+The reference declares the tiling ambition but never rasterizes
+(``Node.Tile``, /root/reference/osm/Node.go:26-33, is dead code); web-map
+practice downstream of a go-osm export is tile rendering — so the graft
+realizes it Ray-Data-first:
+
+* ``rasterize_tiles`` (vector -> raster): every point lands in a
+  ``grid`` x ``grid`` pixel of its zoom-``z`` slippy tile; output is the
+  SPARSE raster (tile_x, tile_y, px, py, n) — at web scale most pixels
+  of most tiles are empty, so dense grids would ship mostly zeros
+  through the shuffle.  Physical plan is the repo's standard combiner
+  exchange: per-block Acero group_by partials -> hash-partition on the
+  packed global pixel -> per-partition Acero merge.  No per-key Ray
+  aggregate, no single merge task; the exchange payload is one row per
+  DISTINCT touched pixel per block, already collapsed.
+* ``raster_to_features`` (raster -> vector): thresholded pixels back to
+  vector point features at the pixel center (lon, lat, value) — the
+  hotspot-extraction step that feeds a vector layer from a heatmap.
+  Embarrassingly parallel over the sparse raster; no shuffle.
+* ``pack_tile_grids``: the dense per-tile raster product (uint32
+  ``grid`` x ``grid`` row-major bytes per tile) for a renderer sink;
+  groups the sparse raster by tile inside the already-partitioned
+  exchange output.
+
+Pixel math == tile math at zoom ``z + log2(grid)`` (one floor of the
+same Web-Mercator formula, so the DuckDB mirror is sql_tile_x/y at the
+deeper zoom; tile = gx >> log2(grid) and pixel = gx & (grid-1) are exact
+integer ops on both sides).  The pixel-center latitude uses
+``(exp(v) - exp(-v)) / 2`` explicitly (not np.sinh) because DuckDB has
+no sinh — both sides share the formula, and lat/lon are rounded to 6dp
+(the repo's float-gate convention) so 1-ulp libm differences cannot
+surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..geo import tiles
+from ..relational import hash_part
+
+NUM_PARTS = 32
+
+
+def _pixel_key(t: pa.Table, z: int, kbits: int,
+               lon_col: str, lat_col: str) -> np.ndarray:
+    """Packed global pixel id: tile math at zoom z+kbits, one int64."""
+    lon = t[lon_col].combine_chunks().to_numpy()
+    lat = t[lat_col].combine_chunks().to_numpy()
+    gx, gy = tiles.tile_xy(lon, lat, z + kbits)
+    return (gx << np.int64(z + kbits + 1)) | gy
+
+
+def rasterize_tiles(pts: ray.data.Dataset, z: int = 10, grid: int = 64,
+                    lon_col: str = "lon", lat_col: str = "lat",
+                    num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Sparse zoom-``z`` raster of point counts at ``grid``x``grid``
+    pixels per tile: (tile_x, tile_y, px, py, n), one row per touched
+    pixel."""
+    kbits = int(np.log2(grid))
+    if (1 << kbits) != grid:
+        raise ValueError(f"grid must be a power of two, got {grid}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = _pixel_key(t, z, kbits, lon_col, lat_col)
+        g = pa.table({"pix": pa.array(key)}).group_by("pix") \
+            .aggregate([([], "count_all")])
+        k = g["pix"].combine_chunks().to_numpy()
+        return pa.table({
+            "pix": g["pix"],
+            "pn": pc.cast(g["count_all"], pa.int64()),
+            "part": pa.array(hash_part(k, num_parts)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("pix").aggregate([("pn", "sum")])
+        pix = g["pix"].combine_chunks().to_numpy()
+        gx = pix >> np.int64(z + kbits + 1)
+        gy = pix & np.int64((1 << (z + kbits + 1)) - 1)
+        return pa.table({
+            "tile_x": pa.array(gx >> np.int64(kbits)),
+            "tile_y": pa.array(gy >> np.int64(kbits)),
+            "px": pa.array(gx & np.int64(grid - 1)),
+            "py": pa.array(gy & np.int64(grid - 1)),
+            "n": pc.cast(g["pn_sum"], pa.int64()),
+        })
+
+    return pts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def raster_to_features(raster: ray.data.Dataset, z: int, grid: int,
+                       min_n: int = 2) -> ray.data.Dataset:
+    """Vectorize hotspot pixels: rows with n >= ``min_n`` become point
+    features at the pixel center — (tile_x, tile_y, px, py, n, lon6,
+    lat6).  Pure per-batch math; streams."""
+    kbits = int(np.log2(grid))
+    nglob = float(1 << (z + kbits))
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_n))
+        gx = (t["tile_x"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy()
+        gy = (t["tile_y"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy()
+        lon = (gx + 0.5) / nglob * 360.0 - 180.0
+        v = np.pi * (1.0 - 2.0 * (gy + 0.5) / nglob)
+        # explicit (e^v - e^-v)/2: DuckDB has no sinh, both sides share
+        # this exact form (module docstring)
+        lat = np.degrees(np.arctan((np.exp(v) - np.exp(-v)) / 2.0))
+        from ..util import round_half_away
+        return t.append_column("lon6", pa.array(round_half_away(lon, 6))) \
+                .append_column("lat6", pa.array(round_half_away(lat, 6)))
+
+    return raster.map_batches(vectorize, batch_format="pyarrow")
+
+
+def pack_tile_grids(raster: ray.data.Dataset, grid: int,
+                    num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Dense per-tile rasters for a renderer sink: (tile_x, tile_y,
+    grid_bytes) with ``grid``x``grid`` row-major uint32 counts.  The
+    sparse raster re-partitions by TILE (coarser than the pixel exchange
+    key, so a tile's pixels meet in one partition) and each partition
+    scatters its rows into the dense grids."""
+    def partial(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].combine_chunks().to_numpy()
+        ty = t["tile_y"].combine_chunks().to_numpy()
+        key = (tx << np.int64(32)) | ty
+        return t.append_column("part", pa.array(hash_part(key, num_parts)))
+
+    def pack(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].combine_chunks().to_numpy()
+        ty = t["tile_y"].combine_chunks().to_numpy()
+        key = (tx << np.int64(32)) | ty
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, len(key))
+        px = t["px"].combine_chunks().to_numpy()[order]
+        py = t["py"].combine_chunks().to_numpy()[order]
+        n = t["n"].combine_chunks().to_numpy()[order]
+        blobs = []
+        for i in range(len(uniq)):
+            dense = np.zeros(grid * grid, np.uint32)
+            s, e = bounds[i], bounds[i + 1]
+            dense[py[s:e] * grid + px[s:e]] = n[s:e]
+            blobs.append(dense.tobytes())
+        return pa.table({
+            "tile_x": pa.array(uniq >> np.int64(32)),
+            "tile_y": pa.array(uniq & np.int64((1 << 32) - 1)),
+            "grid_bytes": pa.array(blobs, pa.binary()),
+        })
+
+    return raster.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack, batch_format="pyarrow")

@@ -83,3 +83,48 @@ def test_s2_cell_invariants():
     # nearby points share coarse cells far more often than far points
     near = s2.cell_id(lon + 1e-7, lat + 1e-7, 10)
     assert (near == c10).mean() > 0.99
+
+
+def test_rasterize_pack_and_vectorize_consistency(ray_session):
+    """Dense per-tile grids scatter exactly the sparse raster; hotspot
+    vectorization lands pixel centers inside the pixel's tile; the
+    raster total equals the input point count."""
+    import numpy as np
+    import ray.data
+
+    from go_osm_ray.geo import tiles
+    from go_osm_ray.pipelines.raster import (pack_tile_grids,
+                                             raster_to_features,
+                                             rasterize_tiles)
+
+    rng = np.random.RandomState(7)
+    n, z, grid = 5000, 6, 16
+    lon = rng.uniform(-170, 170, n)
+    lat = rng.uniform(-80, 80, n)
+    # plant a hotspot so min_n filtering is non-trivial
+    lon[:50] = 10.0001
+    lat[:50] = 20.0001
+    pts = ray.data.from_arrow(
+        __import__("pyarrow").table({"lon": lon, "lat": lat}))
+    raster = rasterize_tiles(pts, z=z, grid=grid).materialize()
+    sparse = raster.to_pandas()
+    assert sparse["n"].sum() == n
+    assert (sparse["px"] < grid).all() and (sparse["py"] < grid).all()
+
+    # dense packing reproduces the sparse counts cell-for-cell
+    dense = pack_tile_grids(raster, grid=grid).to_pandas()
+    by_tile = {(r.tile_x, r.tile_y):
+               np.frombuffer(r.grid_bytes, np.uint32).reshape(grid, grid)
+               for r in dense.itertuples()}
+    assert len(by_tile) == len(sparse.groupby(["tile_x", "tile_y"]))
+    for r in sparse.itertuples():
+        assert by_tile[(r.tile_x, r.tile_y)][r.py, r.px] == r.n
+    assert sum(g.sum() for g in by_tile.values()) == n
+
+    # vectorized hotspots: pixel centers map back to the same pixel
+    feats = raster_to_features(raster, z=z, grid=grid, min_n=25).to_pandas()
+    assert len(feats) >= 1
+    gx, gy = tiles.tile_xy(feats["lon6"].to_numpy(),
+                           feats["lat6"].to_numpy(), z + 4)
+    assert (gx == feats["tile_x"] * grid + feats["px"]).all()
+    assert (gy == feats["tile_y"] * grid + feats["py"]).all()
