@@ -225,6 +225,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round(f'DEGREES(ATAN((EXP({_v16}) - EXP(-{_v16})) / 2.0))', 6)} AS lat6
         FROM c WHERE n >= 2"""
 
+    q["tile_pyramid"] = f"""
+        WITH {_pts_cte(images)}, {_g16},
+        p AS (SELECT 9 AS zoom, gx // 2 AS gxl, gy // 2 AS gyl, n FROM c
+              UNION ALL SELECT 8, gx // 4, gy // 4, n FROM c
+              UNION ALL SELECT 7, gx // 8, gy // 8, n FROM c),
+        m AS (SELECT zoom, gxl, gyl, CAST(sum(n) AS BIGINT) AS n FROM p
+              GROUP BY zoom, gxl, gyl)
+        SELECT zoom, gxl // 64 AS tile_x, gyl // 64 AS tile_y,
+               gxl % 64 AS px, gyl % 64 AS py, n FROM m"""
+
     q["cell_histogram"] = f"""
         WITH {_pts_cte(images)}
         SELECT cell_r7, CAST(count(*) AS BIGINT) AS n FROM

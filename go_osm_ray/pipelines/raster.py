@@ -120,6 +120,63 @@ def raster_to_features(raster: ray.data.Dataset, z: int, grid: int,
     return raster.map_batches(vectorize, batch_format="pyarrow")
 
 
+def tile_pyramid(raster: ray.data.Dataset, z: int, z_min: int,
+                 grid: int, num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Hierarchical rollup: from the zoom-``z`` sparse raster, the FULL
+    pyramid of coarser levels ``z-1 .. z_min`` — the tile-pyramid build
+    every map renderer runs after rasterization.  Each level halves the
+    global pixel ids, so one pass emits every ancestor level per row
+    (level count is small and fixed: z - z_min), then ONE exchange merges
+    all levels at once — partitioned by (level, pixel) hash, never a
+    per-level shuffle cascade.  Output: (zoom, tile_x, tile_y, px, py, n)
+    for zoom in [z_min, z-1]."""
+    kbits = int(np.log2(grid))
+    levels = z - z_min
+    if levels <= 0:
+        raise ValueError("z_min must be < z")
+
+    def partial(t: pa.Table) -> pa.Table:
+        gx = (t["tile_x"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy()
+        gy = (t["tile_y"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        zs, xs, ys, ns = [], [], [], []
+        for d in range(1, levels + 1):
+            zs.append(np.full(len(n), z - d, np.int64))
+            xs.append(gx >> np.int64(d))
+            ys.append(gy >> np.int64(d))
+            ns.append(n)
+        zc = np.concatenate(zs)
+        xc = np.concatenate(xs)
+        yc = np.concatenate(ys)
+        key = (zc << np.int64(58)) | (xc << np.int64(29)) | yc
+        g = pa.table({"key": pa.array(key), "pn": pa.array(np.concatenate(ns))}) \
+            .group_by("key").aggregate([("pn", "sum")])
+        k = g["key"].combine_chunks().to_numpy()
+        return pa.table({"key": g["key"],
+                         "pn": pc.cast(g["pn_sum"], pa.int64()),
+                         "part": pa.array(hash_part(k, num_parts))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("key").aggregate([("pn", "sum")])
+        key = g["key"].combine_chunks().to_numpy()
+        zc = key >> np.int64(58)
+        gx = (key >> np.int64(29)) & np.int64((1 << 29) - 1)
+        gy = key & np.int64((1 << 29) - 1)
+        return pa.table({
+            "zoom": pa.array(zc),
+            "tile_x": pa.array(gx >> np.int64(kbits)),
+            "tile_y": pa.array(gy >> np.int64(kbits)),
+            "px": pa.array(gx & np.int64(grid - 1)),
+            "py": pa.array(gy & np.int64(grid - 1)),
+            "n": pc.cast(g["pn_sum"], pa.int64()),
+        })
+
+    return raster.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
 def pack_tile_grids(raster: ray.data.Dataset, grid: int,
                     num_parts: int = NUM_PARTS) -> ray.data.Dataset:
     """Dense per-tile rasters for a renderer sink: (tile_x, tile_y,
