@@ -38,6 +38,11 @@ KNN_FEATURE_KEY = "amenity"
 ANN_QUERY_MAX_ID = 8   # vec_id < 8 are queries; >= 8 are candidates
 ANN_K = 3
 STOPWORDS = ["the", "a", "and", "of", "to"]
+# mixture_sample gate: weights chosen so some sources cap at rate 1
+# (target exceeds availability), some get fractional rates, the rest 0
+MIXTURE_WEIGHTS = (("src0", 0.4), ("src1", 0.3), ("src2", 0.2),
+                   ("src3", 0.1))
+MIXTURE_BUDGET_FRAC = 0.2
 SESSION_GAP_MIN = 30
 TOKEN_RE = "[A-Za-z]+|[0-9]+|\\S"
 TOKEN_PACK_SEQ_LEN = 512
@@ -585,6 +590,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["priority_sample"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {md5i}, doc_id LIMIT 64"""
+
+    # mixture rebalance: per-source keep thresholds derived from target
+    # mixture weights over a char budget; the rate arithmetic keeps the
+    # exact association of pipelines/sample.mixture_rates (module
+    # docstring: float discipline) so FLOOR agrees bit-for-bit
+    wvals = ", ".join(f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS)
+    q["mixture_sample"] = f"""
+        WITH avail AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS a
+                       FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(a) AS DOUBLE) AS t FROM avail),
+        w(source, wt) AS (VALUES {wvals}),
+        thr AS (SELECT avail.source,
+                       CAST(FLOOR(LEAST(1.0, (wt * {MIXTURE_BUDGET_FRAC} * t) / a)
+                                  * 1000) AS BIGINT) AS th
+                FROM avail JOIN w ON avail.source = w.source CROSS JOIN tot)
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN thr ON d.source = thr.source
+        WHERE {md5i} % 1000 < th"""
 
     # sample_n=101 puts each q on an integer order-statistic index, so
     # quantile_cont interpolates nothing and numpy agrees bit-exactly

@@ -187,3 +187,68 @@ def grouped_quantiles(ds: ray.data.Dataset, col: str, group_col: str,
     parts = ds.select_columns([group_col, id_col, col]) \
         .map_batches(partial, batch_format="pyarrow")
     return single_merge(parts, merge)
+
+
+def mixture_rates(ds: ray.data.Dataset, weights: dict[str, float],
+                  budget_frac: float, group_col: str = "source",
+                  size_col: str = "n_chars",
+                  mod: int = 1000) -> dict[str, int]:
+    """Per-group integer keep thresholds realizing a target corpus
+    MIXTURE: group ``g`` should contribute ``weights[g]`` of a total
+    budget of ``budget_frac`` x the corpus size (in ``size_col`` units,
+    e.g. chars as the token proxy).  rate_g = min(1, target_g /
+    available_g); the returned thresholds plug into the md5 Bernoulli
+    filter (``thr_g = floor(rate_g * mod)``, keep iff ``hash % mod <
+    thr_g``), keeping the sample shuffle-free, restart-stable and
+    oracle-checkable like every sampler here.
+
+    The availability aggregate is a per-block Acero partial over the
+    BOUNDED group key space (a handful of sources) -> one guarded merge
+    -> a tiny driver collect (len(weights) rows).  Groups without a
+    weight get threshold 0 (dropped) — the mixture defines the corpus.
+
+    Float discipline: rate is computed as ``(w * budget_frac * total) /
+    avail * mod`` in exactly that association on BOTH sides (numpy here,
+    the SQL mirror in oracle.py), so the floor can't straddle a
+    libm-difference boundary."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, size_col]).group_by(group_col) \
+            .aggregate([(size_col, "sum")])
+        return g.rename_columns([group_col, "sz"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate([("sz", "sum")])
+        return g.rename_columns([group_col, "sz"])
+
+    import ray as _ray
+    refs = single_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                        merge).to_arrow_refs()
+    avail_t = pa.concat_tables(
+        t.replace_schema_metadata(None) for t in _ray.get(refs)
+        if t.num_rows)
+    avail = dict(zip(avail_t[group_col].to_pylist(),
+                     (float(x) for x in avail_t["sz"].to_pylist())))
+    total = float(sum(avail.values()))
+    thr: dict[str, int] = {}
+    for g, a in avail.items():
+        w = weights.get(g)
+        if w is None or a <= 0:
+            thr[g] = 0
+            continue
+        rate = (w * budget_frac * total) / a
+        thr[g] = int(np.floor(min(1.0, rate) * mod))
+    return thr
+
+
+def mixture_sample(ds: ray.data.Dataset, weights: dict[str, float],
+                   budget_frac: float, id_col: str = "doc_id",
+                   group_col: str = "source", size_col: str = "n_chars",
+                   mod: int = 1000) -> ray.data.Dataset:
+    """Rebalance the corpus to a target per-group mixture: compute the
+    per-group thresholds (one bounded aggregate pass), then one
+    embarrassingly-parallel md5-Bernoulli filter — the data-mixing step
+    of a training pipeline (downsample the dominant web crawl, keep all
+    of the small high-quality sources) at two narrow passes total."""
+    thr = mixture_rates(ds, weights, budget_frac, group_col, size_col, mod)
+    return stratified_sample(ds, id_col, group_col, rates=thr,
+                             default_pct=0, mod=mod)

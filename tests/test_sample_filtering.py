@@ -223,3 +223,33 @@ def test_redact_kernel():
                         "call 555 0199 ext 7", "clean"]})
     out = redact_batch(t, "s")["s"].to_pylist()
     assert out == ["mail <EMAIL> now", "call <NUM> <NUM> ext <NUM>", "clean"]
+
+
+def test_mixture_sample_semantics(ray_session):
+    """Rates derive from target weights: a source whose target exceeds
+    availability caps at keep-all; unweighted sources drop entirely; the
+    realized char share of fractional sources approaches its target."""
+    import ray.data
+
+    from go_osm_ray.pipelines.sample import mixture_rates, mixture_sample
+
+    n = 4000
+    src = np.repeat(["big", "small", "junk"], [n - 400, 200, 200])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(src),
+        "n_chars": pa.array(np.full(n, 100, np.int64)),
+    })
+    ds = ray.data.from_arrow(t)
+    weights = {"big": 0.5, "small": 0.5}
+    thr = mixture_rates(ds, weights, budget_frac=0.1)
+    # total chars 400k, budget 40k; small: target 20k > avail 20k -> 1.0
+    assert thr["small"] == 1000
+    assert thr["junk"] == 0
+    # big: target 20k / avail 360k
+    assert thr["big"] == int(np.floor(20_000 / 360_000 * 1000))
+
+    out = mixture_sample(ds, weights, budget_frac=0.1).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("small", 0) == 200 and "junk" not in by.index
+    assert abs(by["big"] / (n - 400) - 20_000 / 360_000) < 0.02
