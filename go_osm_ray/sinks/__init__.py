@@ -10,3 +10,7 @@ from .geojson import (  # noqa: F401
     write_geojson,
     write_geojsonl,
 )
+from .tiles import (  # noqa: F401
+    raster_max_n,
+    render_tile_pngs,
+)

@@ -128,3 +128,42 @@ def test_rasterize_pack_and_vectorize_consistency(ray_session):
                            feats["lat6"].to_numpy(), z + 4)
     assert (gx == feats["tile_x"] * grid + feats["px"]).all()
     assert (gy == feats["tile_y"] * grid + feats["py"]).all()
+
+
+def test_raster_and_mixture_partition_invariant(ray_session):
+    """New-op guarantee shared with every pipeline here: identical
+    output under any block composition (1 block vs many)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    import parity
+    from go_osm_ray.pipelines.raster import rasterize_tiles, tile_pyramid
+    from go_osm_ray.pipelines.sample import mixture_sample
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    t = pa.table({"lon": rng.uniform(-170, 170, n),
+                  "lat": rng.uniform(-80, 80, n)})
+    outs = []
+    for blocks in (1, 8):
+        pts = ray.data.from_arrow(t).repartition(blocks)
+        r = rasterize_tiles(pts, z=6, grid=16).materialize()
+        pyr = tile_pyramid(r, z=6, z_min=4, grid=16)
+        outs.append((parity.canonicalize(r.to_pandas()),
+                     parity.canonicalize(pyr.to_pandas())))
+    pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+    d = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(np.where(np.arange(n) % 3 == 0, "a", "b")),
+        "n_chars": pa.array(rng.randint(50, 500, n).astype(np.int64)),
+    })
+    mix = []
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(d).repartition(blocks)
+        mix.append(parity.canonicalize(mixture_sample(
+            ds, {"a": 0.7, "b": 0.3}, 0.25).to_pandas()))
+    pd.testing.assert_frame_equal(mix[0], mix[1])
