@@ -121,6 +121,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_range_join", "grouped_quantiles", "embed_covariance",
         "embed_kmeans", "quality_funnel", "span_dedup", "text_normalize",
         "tile_raster", "raster_features", "tile_pyramid", "mixture_sample",
+        "flagship_decode",
     ]
     q_times = {}
     for name in bench_queries:

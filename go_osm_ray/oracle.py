@@ -285,6 +285,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
           GROUP BY p.image_id, e.feature_id
           HAVING count(*) % 2 = 1)"""
     q["pip_join"] = f"WITH {pip_core} SELECT image_id, feature_id FROM hits"
+
+    # fused flagship-with-decode: spatial columns from the SQL ray-cast,
+    # pixel summary from the python-oracle expected parquet (built below
+    # by ensure_expected — referenced lazily here, resolved after it runs)
+    q["flagship_decode"] = f"""
+        WITH {pip_core},
+        agg AS (SELECT image_id, min(feature_id) AS pipf FROM hits
+                GROUP BY image_id)
+        SELECT p.image_id,
+               {tiles.sql_cell_id('p.lon', 'p.lat', 7)} AS cell_r7,
+               {tiles.sql_tile_x('p.lon', 14)} AS tile14_x,
+               {tiles.sql_tile_y('p.lat', 14)} AS tile14_y,
+               COALESCE(a.pipf, -1) AS pip_feature_id,
+               st.mean_px6
+        FROM pts p
+        LEFT JOIN agg a ON a.image_id = p.image_id
+        JOIN read_parquet('__EXP_IMAGE_STATS__') st
+          ON st.image_id = p.image_id"""
     # cell-prefix-sharded PIP must produce the identical hit set
     q["pip_join_sharded"] = q["pip_join"]
     q["pip_feature_counts"] = f"""
@@ -743,6 +761,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["ann_ivf_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_ivf_topk']}')"
     q["embed_kmeans"] = f"SELECT vec_id, cluster FROM read_parquet('{exp['embed_kmeans']}')"
     q["image_stats"] = f"SELECT image_id, ok, w_px, h_px, mean_px6 FROM read_parquet('{exp['image_stats']}')"
+    q["flagship_decode"] = q["flagship_decode"].replace(
+        "__EXP_IMAGE_STATS__", exp["image_stats"])
     q["image_verify"] = f"SELECT image_id, dims_ok, pixels_ok, caption_ok, psnr6 FROM read_parquet('{exp['image_verify']}')"
     q["image_ahash"] = f"SELECT image_id, ahash FROM read_parquet('{exp['image_ahash']}')"
     q["image_sig_dedup"] = f"SELECT ahash, keeper_id, group_n FROM read_parquet('{exp['image_sig_dedup']}')"

@@ -149,7 +149,8 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
              knn_feats_ref: ray.ObjectRef | None = None,
              resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),
              pip_concurrency=None, batch_size: int = 4096,
-             prepartition: bool | None = None) -> ray.data.Dataset:
+             prepartition: bool | None = None,
+             decode_stats: bool = False) -> ray.data.Dataset:
     """The headline spatial-join + tiling pipeline (BASELINE.json metric):
     geotag decode -> H-cell + S2-analog + slippy-tile assignment ->
     point-in-polygon tagging (left join: every image kept,
@@ -161,7 +162,15 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
     cheap relative to the PIP/kNN scans, so extra operator boundaries
     would only re-ship batches through the object store. Both spatial
     kernels are L2-tiled so concurrent actors scale near-linearly
-    (NearestFeature docstring)."""
+    (NearestFeature docstring).
+
+    ``decode_stats=True`` folds the image DECODE into the same fused
+    pass (north_star verbatim: "geotagged rows ... are assigned H3 cells
+    ... then joined against OSM-derived polygon layers ... stateful
+    decode/index actors run in actor pools"): the byte payload is
+    decoded once per row, summarized (mean_px6), and DROPPED before the
+    batch flows on — pixels never transit a second operator boundary.
+    Pass the byte-heavy input with a small ``batch_size``."""
     from ..geo.pip import PolygonIndex
     from ..util import default_pool
 
@@ -176,6 +185,16 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
                         if knn_feats_ref is not None else None)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            mean6 = None
+            if decode_stats and "bytes" in batch.column_names:
+                mean = []
+                for f, b in zip(batch["fmt"].to_pylist(),
+                                batch["bytes"].to_pylist()):
+                    px = codecs.decode(b, f)
+                    mean.append(round(float(px.mean()), 6))
+                mean6 = pa.array(mean, pa.float64())
+                batch = batch.drop_columns(
+                    [c for c in ("bytes", "fmt") if c in batch.column_names])
             batch = assign_tiles(assign_cells(decode_geotag(batch)))
             px = batch["lon"].combine_chunks().to_numpy()
             py = batch["lat"].combine_chunks().to_numpy()
@@ -188,6 +207,8 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
             if self.knn is not None:
                 near = self.knn.nearest(px, py)
                 batch = batch.append_column("knn_feature_id", pa.array(near))
+            if mean6 is not None:
+                batch = batch.append_column("mean_px6", mean6)
             return batch
 
     pool = pip_concurrency or default_pool(24)
