@@ -148,6 +148,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('n.lon', 7)} AS x0, {sql_round('n.lat', 7)} AS y0
         FROM {ways} w JOIN {nodes} n ON n.id = w.refs[1]"""
 
+    # planar shoelace area + ring perimeter per closed way; engine sums
+    # per-way segments via cumsum differences — identical element values,
+    # fp-order drift ~1e-15 vs the 5e-10 round-9 granularity
+    q["osm_way_area"] = f"""
+        WITH cw AS (SELECT id, refs FROM {ways}
+                    WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),
+        exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                       generate_subscripts(refs, 1) AS seq,
+                       len(refs) AS np FROM cw),
+        pts AS (SELECT e.way_id, e.seq, e.np, n.lon AS x, n.lat AS y
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, np, x, y,
+                       lead(x) OVER (PARTITION BY way_id ORDER BY seq) AS x2,
+                       lead(y) OVER (PARTITION BY way_id ORDER BY seq) AS y2
+                FROM pts),
+        agg AS (SELECT way_id, max(np) AS np, count(*) AS resolved,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE x * y2 - x2 * y END) AS a2,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE sqrt((x2-x)*(x2-x) + (y2-y)*(y2-y)) END) AS pl
+                FROM seg GROUP BY way_id)
+        SELECT way_id, CAST(np AS BIGINT) AS n_points,
+               {sql_round('abs(a2) / 2.0', 9)} AS area9,
+               {sql_round('pl', 9)} AS perim9
+        FROM agg WHERE resolved = np"""
+
     er = Expression(RETENTION_EXPR)
     cols = {"id", "uid", "version"}
     q["osm_semi_join_retention"] = f"""

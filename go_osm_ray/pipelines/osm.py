@@ -259,6 +259,71 @@ def way_geometry(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.Da
     return ways.map_batches(fn, batch_format="pyarrow")
 
 
+def way_geom_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Planar polygon metrics per closed way: shoelace area + ring
+    perimeter (degree units, half-away-rounded to 9 decimals).
+
+    The natural extension of the reference's way->geometry materialization
+    (/root/reference/osm/Planet.go:59-78 stops at the coordinate list;
+    area/length is what a consumer computes next). Physical plan mirrors
+    ``way_geometry``: broadcast node table (ray.put once, read per actor),
+    per-batch offsets math — the per-way segment sums are two cumsum
+    differences over the flattened ref coordinates, no explode and no
+    per-way Python. Ways with any unresolvable ref are dropped (mirrors
+    the oracle's resolved = n_points guard).
+    """
+    from ..relational import broadcast_table
+    from ..util import round_half_away as _rnd
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+        first = flat[offsets[:-1].clip(max=max(len(flat) - 1, 0))]
+        last = flat[(offsets[1:] - 1).clip(min=0)]
+        closed = (n >= 4) & (first == last)
+
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == flat if len(nid_s) else np.zeros(len(flat), bool)
+        # a way is kept iff closed AND every ref resolved
+        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+            if len(flat) else np.zeros(0, np.int64)
+        keep = closed & (nf == n)
+
+        x = np.where(found, nlon[jj], 0.0)
+        y = np.where(found, nlat[jj], 0.0)
+        # consecutive-pair contributions over the flat arrays; sums taken
+        # per way via prefix-sum differences so way boundaries never mix
+        # (the last in-way index offsets[k+1]-1 has no successor segment)
+        if len(flat) >= 2:
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            seg = np.sqrt((x[1:] - x[:-1]) ** 2 + (y[1:] - y[:-1]) ** 2)
+        else:
+            cross = seg = np.zeros(0, np.float64)
+        pc_ = np.concatenate([[0.0], np.cumsum(cross)])
+        pl_ = np.concatenate([[0.0], np.cumsum(seg)])
+        lo = offsets[:-1].clip(max=max(len(cross), 0))
+        hi = (offsets[1:] - 1).clip(min=0, max=max(len(cross), 0))
+        a2 = pc_[hi] - pc_[lo]
+        pl = pl_[hi] - pl_[lo]
+        return pa.table({
+            "way_id": batch["id"].combine_chunks().filter(pa.array(keep)),
+            "n_points": pa.array(n[keep], pa.int64()),
+            "area9": pa.array(_rnd(np.abs(a2[keep]) / 2.0, 9)),
+            "perim9": pa.array(_rnd(pl[keep], 9)),
+        })
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
 def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                         expression: str) -> ray.data.Dataset:
     """The J2 retention rule (/root/reference/osm/MarshalPlanet.go:100-141):
