@@ -103,6 +103,21 @@ def cells_covering_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat:
             | (gx.ravel() << np.int64(XY_BITS)) | gy.ravel())
 
 
+def quadkey(x: np.ndarray, y: np.ndarray, z: int) -> np.ndarray:
+    """Bing-maps quadkey string per tile: z base-4 digits, digit i =
+    x-bit + 2*y-bit at level i (most-significant first). Vectorized over
+    rows — the per-level loop is O(z <= 29), not O(rows); the digit
+    matrix is viewed as fixed-width bytes in one shot."""
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    digits = np.empty((len(x), z), np.uint8)
+    for i in range(z):
+        shift = z - 1 - i
+        digits[:, i] = (((x >> shift) & 1) + 2 * ((y >> shift) & 1)
+                        + ord("0")).astype(np.uint8)
+    return np.ascontiguousarray(digits).view(f"S{z}").ravel()
+
+
 # ---------------------------------------------------------------- SQL mirrors
 
 def sql_tile_x(lon_expr: str, z: int) -> str:
@@ -114,6 +129,16 @@ def sql_tile_y(lat_expr: str, z: int) -> str:
     n = 1 << z
     return ("CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS({lat})) + 1.0/COS(RADIANS({lat}))) / PI()) "
             "/ 2.0 * {n}), 0), {nm1}) AS BIGINT)").format(lat=lat_expr, n=n, nm1=n - 1)
+
+
+def sql_quadkey(x_expr: str, y_expr: str, z: int) -> str:
+    """SQL mirror of ``quadkey`` — z concatenated base-4 digit chars."""
+    parts = [
+        f"CAST(((({x_expr}) >> {z - 1 - i}) & 1) "
+        f"+ 2 * ((({y_expr}) >> {z - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(z)
+    ]
+    return "(" + " || ".join(parts) + ")"
 
 
 def sql_cell_id(lon_expr: str, lat_expr: str, res: int) -> str:

@@ -247,6 +247,14 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
                gx % 64 AS px, gy % 64 AS py, n FROM c"""
 
+    q["images_quadkey"] = f"""
+        WITH {_pts_cte(images)},
+        qt AS (SELECT image_id, {tiles.sql_tile_x('lon', 14)} AS tx,
+                      {tiles.sql_tile_y('lat', 14)} AS ty FROM pts)
+        SELECT image_id, {tiles.sql_quadkey('tx', 'ty', 14)} AS qk14,
+               {tiles.sql_quadkey('tx >> 4', 'ty >> 4', 10)} AS qk10
+        FROM qt"""
+
     _v16 = "(PI() * (1.0 - 2.0 * (gy + 0.5) / 65536.0))"
     q["raster_features"] = f"""
         WITH {_pts_cte(images)}, {_g16}
