@@ -255,6 +255,23 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {tiles.sql_quadkey('tx >> 4', 'ty >> 4', 10)} AS qk10
         FROM qt"""
 
+    # 3x3 stencil density over occupied r9 cells; the 9-offset equi-join
+    # is the SQL dual of the engine's searchsorted ring lookups
+    _xyb = 1 << tiles.XY_BITS
+    q["cell_ring"] = f"""
+        WITH {_pts_cte(images)},
+        cc AS (SELECT {tiles.sql_cell_id('lon', 'lat', 9)} AS cell,
+                      count(*) AS n FROM pts GROUP BY cell),
+        xy AS (SELECT cell, n, (cell // {_xyb}) % {_xyb} AS x,
+                      cell % {_xyb} AS y FROM cc),
+        offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                (0,1),(1,-1),(1,0),(1,1))
+        SELECT a.cell AS cell_r9, CAST(a.n AS BIGINT) AS n,
+               CAST(sum(b.n) AS BIGINT) AS ring_n
+        FROM xy a CROSS JOIN offs o
+        JOIN xy b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+        GROUP BY a.cell, a.n"""
+
     _v16 = "(PI() * (1.0 - 2.0 * (gy + 0.5) / 65536.0))"
     q["raster_features"] = f"""
         WITH {_pts_cte(images)}, {_g16}

@@ -798,3 +798,53 @@ def tagged_nodes(nodes: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """Nodes carrying a tag key — the kNN feature layer."""
     from ..stages.filters import make_key_filter
     return nodes.map_batches(make_key_filter(keep=[key]), batch_format="pyarrow")
+
+
+def cell_ring_density(pts: ray.data.Dataset, res: int = 9) -> ray.data.Dataset:
+    """3x3 stencil density per occupied geocell: for every cell at ``res``
+    holding at least one point, its own count plus the summed counts of
+    the 8 edge/corner neighbors — the spatial-smoothing join every
+    heatmap / hot-cell detector needs before thresholding.
+
+    Physical plan: per-block partial counts (combiner) -> ONE guarded
+    merge task (the cell key space at res<=9 is bounded by geometry —
+    2^res x 2^res globally — not by data size, the cell_histogram
+    argument) -> the 9-offset ring sum inside that task as nine sorted
+    searchsorted lookups over the merged count vector, no pairwise join.
+    World-edge cells take no wraparound: out-of-range neighbors simply
+    contribute 0 (mirrored by the oracle's equi-join finding no row).
+    """
+    from ..geo import tiles as T
+    from ..relational import single_merge
+    from ..stages.assign import make_cell_assigner
+
+    cells = pts.map_batches(make_cell_assigner((res,)),
+                            batch_format="pyarrow")
+    col = f"cell_r{res}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks().to_numpy()
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({col: pa.array(u), "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(col).aggregate([("pn", "sum")])
+        cell = g[col].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        _, x, y = T.cell_to_xy(cell)
+        # pack (x, y) so one sorted array serves all nine offset lookups
+        key = (x << np.int64(32)) | y
+        order = np.argsort(key, kind="stable")
+        key_s, n_s = key[order], n[order]
+        ring = np.zeros(len(cell), np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                q = ((x + dx) << np.int64(32)) | (y + dy)
+                j = np.searchsorted(key_s, q).clip(max=max(len(key_s) - 1, 0))
+                hit = key_s[j] == q if len(key_s) else np.zeros(len(q), bool)
+                ring[hit] += n_s[j[hit]]
+        return pa.table({col: pa.array(cell), "n": pa.array(n),
+                         "ring_n": pa.array(ring)})
+
+    return single_merge(cells.map_batches(partial, batch_format="pyarrow"),
+                        merge)
