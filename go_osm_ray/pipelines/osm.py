@@ -324,6 +324,100 @@ def way_geom_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.
     return ways.map_batches(fn, batch_format="pyarrow")
 
 
+SIMPLIFY_EPS = 0.003  # degrees; shared with the pyoracle scalar reference
+
+
+def _dp_keep_mask(x: np.ndarray, y: np.ndarray, eps2: float) -> np.ndarray:
+    """Douglas-Peucker kept-point mask (iterative, first-max tie rule).
+
+    Distances use the point-to-SEGMENT form (not the infinite chord) so
+    closed rings — whose top-level chord is degenerate because first ==
+    last — simplify sanely. The per-split scan is one vectorized numpy
+    expression over the span; only the split recursion is a Python stack,
+    bounded by the way's point count."""
+    n = len(x)
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay, bx, by = x[i], y[i], x[j], y[j]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        px, py = x[i + 1:j], y[i + 1:j]
+        if L2 == 0.0:
+            d2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+        else:
+            t = np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+            qx, qy = ax + t * dx, ay + t * dy
+            d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        k = int(np.argmax(d2))
+        if d2[k] > eps2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify_ways(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                  eps: float = SIMPLIFY_EPS) -> ray.data.Dataset:
+    """Douglas-Peucker simplification per way (planar degree tolerance).
+
+    Emits (way_id, n_points, n_kept, kept_seq_sum) where kept_seq_sum is
+    the sum of kept 0-based positions — an integer checksum of WHICH
+    points survived, immune to float formatting drift. Ways with any
+    unresolvable ref are dropped (way_geom_stats semantics); ways with
+    < 3 points pass through unchanged (endpoints always kept).
+
+    Parallelism is across ways (map_batches over the broadcast node
+    table); within a way the split scan is vectorized and the recursion
+    depth is bounded by the way's own point count, so per-task cost is
+    O(points^2) worst case on a ~1e1-point way — negligible next to the
+    batch's resolve step."""
+    from ..relational import broadcast_table
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+    eps2 = float(eps) * float(eps)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == flat if len(nid_s) else np.zeros(len(flat), bool)
+        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+            if len(flat) else np.zeros(0, np.int64)
+        keep_way = (n >= 2) & (nf == n)
+
+        x_all = np.where(found, nlon[jj], 0.0)
+        y_all = np.where(found, nlat[jj], 0.0)
+        wid = batch["id"].combine_chunks().to_numpy()
+        out_id, out_np, out_nk, out_ss = [], [], [], []
+        for w in np.flatnonzero(keep_way):
+            lo, hi = offsets[w], offsets[w + 1]
+            m = _dp_keep_mask(x_all[lo:hi], y_all[lo:hi], eps2)
+            out_id.append(wid[w])
+            out_np.append(int(hi - lo))
+            out_nk.append(int(m.sum()))
+            out_ss.append(int(np.flatnonzero(m).sum()))
+        return pa.table({
+            "way_id": pa.array(out_id, pa.int64()),
+            "n_points": pa.array(out_np, pa.int64()),
+            "n_kept": pa.array(out_nk, pa.int64()),
+            "kept_seq_sum": pa.array(out_ss, pa.int64()),
+        })
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
 def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                         expression: str) -> ray.data.Dataset:
     """The J2 retention rule (/root/reference/osm/MarshalPlanet.go:100-141):

@@ -553,6 +553,59 @@ def _video_frames_table(sf: float, k: int = 2) -> pa.Table:
 
 # ------------------------------------------------------------ cache layer
 
+def _simplify_ways_table(sf: float) -> pa.Table:
+    """Scalar recursive Douglas-Peucker reference for simplify_ways:
+    python-float point-to-segment distances, explicit recursion, strict
+    first-max update — shares only the epsilon constant with the engine's
+    vectorized span kernel."""
+    from .pipelines.osm import SIMPLIFY_EPS
+    d = datagen.scale_dir(sf)
+    nt = pq.read_table(str(d / "osm_nodes.parquet"),
+                       columns=["id", "lon", "lat"])
+    coord = {i: (lo, la) for i, lo, la in
+             zip(nt["id"].to_pylist(), nt["lon"].to_pylist(),
+                 nt["lat"].to_pylist())}
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    eps2 = SIMPLIFY_EPS * SIMPLIFY_EPS
+
+    def seg_d2(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            return (px - ax) * (px - ax) + (py - ay) * (py - ay)
+        t = ((px - ax) * dx + (py - ay) * dy) / L2
+        t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+        qx, qy = ax + t * dx, ay + t * dy
+        return (px - qx) * (px - qx) + (py - qy) * (py - qy)
+
+    def dp(xs, ys, i, j, keep):
+        if j - i < 2:
+            return
+        best, bd = -1, -1.0
+        for k in range(i + 1, j):
+            d2 = seg_d2(xs[k], ys[k], xs[i], ys[i], xs[j], ys[j])
+            if d2 > bd:
+                bd, best = d2, k
+        if bd > eps2:
+            keep.add(best)
+            dp(xs, ys, i, best, keep)
+            dp(xs, ys, best, j, keep)
+
+    rows = {"way_id": [], "n_points": [], "n_kept": [], "kept_seq_sum": []}
+    for wid, refs in zip(wt["id"].to_pylist(), wt["refs"].to_pylist()):
+        if len(refs) < 2 or any(r not in coord for r in refs):
+            continue
+        xs = [coord[r][0] for r in refs]
+        ys = [coord[r][1] for r in refs]
+        keep = {0, len(refs) - 1}
+        dp(xs, ys, 0, len(refs) - 1, keep)
+        rows["way_id"].append(wid)
+        rows["n_points"].append(len(refs))
+        rows["n_kept"].append(len(keep))
+        rows["kept_seq_sum"].append(sum(keep))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -569,6 +622,7 @@ _BUILDERS = {
     "image_sig_dedup": _image_sig_dedup_table,
     "audio_features": _audio_features_table,
     "video_frames": _video_frames_table,
+    "way_simplify": _simplify_ways_table,
 }
 
 
