@@ -762,6 +762,30 @@ def build(sf: float = 0.01) -> dict[str, str]:
                COALESCE({sql_round('sm / nt', 6)}, 0.0) AS tfidf6
         FROM documents d LEFT JOIN s USING (doc_id)"""
 
+    # add-one-smoothed bigram LM self-trained on the corpus; the ordered
+    # unnest (generate_subscripts) makes the consecutive-pair join the
+    # SQL dual of the engine's shifted-array bigram stream
+    q["lm_score"] = f"""
+        WITH lt AS (SELECT doc_id, {split_toks} AS lf FROM documents),
+        toks AS (SELECT doc_id, unnest(lf) AS w,
+                        generate_subscripts(lf, 1) AS i FROM lt),
+        pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                  FROM toks a JOIN toks b
+                  ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        big AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+        uni AS (SELECT w AS w1, count(*) AS n1 FROM toks GROUP BY w),
+        v AS (SELECT count(DISTINCT w) AS vs FROM toks),
+        sc AS (SELECT p.doc_id,
+                      LN((b.n12 + 1.0) / (u.n1 + (SELECT vs FROM v))) AS lp
+               FROM pairs p
+               JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+               JOIN uni u ON u.w1 = p.w1),
+        agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS s
+                FROM sc GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+               COALESCE({sql_round('agg.s', 6)}, 0.0) AS lm6
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id"""
+
     # trigram-shingle overlap of every train doc against the eval set
     # (doc_id % 100 == 7); string shingles here, crc-hashed shingles in
     # the engine — distinct counts equal barring 2^-64 collisions (the

@@ -158,3 +158,132 @@ def contamination_check(docs: ray.data.Dataset, eval_mod: int = 100,
             "contaminated": pa.array(ov6 >= threshold),
         })
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_counts(docs: ray.data.Dataset, text_col: str = "text",
+                  num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(w1, w2, n12): corpus bigram counts over consecutive in-doc tokens.
+    Per block the pair stream collapses to one row per distinct bigram
+    (factorize + bincount combiner); the exchange then moves
+    O(block_vocab^2) partial rows at most, never the token stream."""
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64())})
+        if len(toks) < 2:
+            return empty
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        m = row[:-1] == row[1:]
+        if not m.any():
+            return empty
+        w1, w2 = toks[:-1][m], toks[1:][m]
+        c1, u1 = pd.factorize(w1)
+        c2, u2 = pd.factorize(w2)
+        code = c1.astype(np.int64) * len(u2) + c2
+        uc, n = np.unique(code, return_counts=True)
+        out = pa.table({
+            "w1": pa.array(u1[uc // len(u2)], pa.string()),
+            "w2": pa.array(u2[uc % len(u2)], pa.string()),
+            "pn": pa.array(n.astype(np.int64)),
+        })
+        h = _col_hash(out["w1"]) * np.uint64(1000003) ^ _col_hash(out["w2"])
+        return out.append_column("part", pa.array(hash_part(h, num_parts)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["w1", "w2"]) \
+            .aggregate([("pn", "sum")])
+        return g.rename_columns(["w1", "w2", "n12"])
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def word_counts(docs: ray.data.Dataset, text_col: str = "text",
+                num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(word, n): total token occurrences (not document frequency)."""
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks = _tokens_flat(t[text_col].combine_chunks())
+        if not len(toks):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        u, n = np.unique(toks.astype(str), return_counts=True)
+        out = pa.table({"word": pa.array(u, pa.string()),
+                        "pn": pa.array(n.astype(np.int64))})
+        return out.append_column(
+            "part", pa.array(hash_part(_col_hash(out["word"]), num_parts)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["word"]) \
+            .aggregate([("pn", "sum")])
+        return g.rename_columns(["word", "n"])
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def lm_score(docs: ray.data.Dataset, text_col: str = "text",
+             id_col: str = "doc_id", nd: int = 6) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, lm6): add-one-smoothed bigram log-likelihood —
+    the KenLM-style fluency filter of LLM data pipelines, self-trained
+    on the corpus.  lm6 = sum over consecutive token pairs of
+    ln((n12 + 1) / (n1 + V)) with V the distinct vocabulary size.
+
+    Scale shape: the model (bigram + unigram tables) builds as combiner
+    partials over a bounded vocabulary, broadcasts once via ray.put, and
+    scoring is embarrassingly parallel.  For open web vocabularies cap
+    the model to top-V bigrams first (sketch.cms_heavy_hitters) — the
+    smoothed fallback absorbs the dropped tail by design."""
+    big = _collect_small(bigram_counts(docs, text_col))
+    uni = _collect_small(word_counts(docs, text_col))
+    v_size = uni.num_rows
+    model_ref = ray.put((big.combine_chunks(), uni.combine_chunks()))
+
+    state: dict = {}
+
+    def score(t: pa.Table) -> pa.Table:
+        if "n12" not in state:
+            b, u = ray.get(model_ref)
+            k1 = pd.Series(b["w1"].to_pylist(), dtype=object)
+            k2 = pd.Series(b["w2"].to_pylist(), dtype=object)
+            state["n12"] = pd.Series(
+                b["n12"].to_numpy(zero_copy_only=False).astype(np.float64),
+                index=k1.str.cat(k2, sep="\x00"))
+            state["n1"] = pd.Series(
+                u["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+                index=u["word"].to_pylist())
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        nb = np.zeros(len(counts), np.int64)
+        sums = np.zeros(len(counts), np.float64)
+        if len(toks) >= 2:
+            row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            m = row[:-1] == row[1:]
+            if m.any():
+                w1 = pd.Series(toks[:-1][m], dtype=object)
+                w2 = pd.Series(toks[1:][m], dtype=object)
+                n12 = state["n12"].reindex(
+                    w1.str.cat(w2, sep="\x00")).to_numpy(np.float64)
+                n12 = np.nan_to_num(n12, nan=0.0)
+                n1 = state["n1"].reindex(w1).to_numpy(np.float64)
+                n1 = np.nan_to_num(n1, nan=0.0)
+                lp = np.log((n12 + 1.0) / (n1 + float(v_size)))
+                rows = row[:-1][m]
+                np.add.at(sums, rows, lp)
+                nb = np.bincount(rows, minlength=len(counts)).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "n_bigrams": pa.array(nb),
+            "lm6": pa.array(round_half_away(sums, nd), pa.float64()),
+        })
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _collect_small(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a provably bounded-size Dataset to one Arrow table."""
+    live = [t.replace_schema_metadata(None)
+            for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not live:
+        return pa.table({})
+    return pa.concat_tables([t.select(live[0].column_names) for t in live])
