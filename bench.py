@@ -122,6 +122,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "embed_kmeans", "quality_funnel", "span_dedup", "text_normalize",
         "tile_raster", "raster_features", "tile_pyramid", "mixture_sample",
         "flagship_decode",
+        "osm_way_area", "images_quadkey", "cell_ring", "way_simplify",
+        "lm_score",
     ]
     q_times = {}
     for name in bench_queries:
