@@ -182,6 +182,22 @@ def build(sf: float = 0.01) -> dict[str, str]:
           UNION ALL
           SELECT id FROM {nodes} WHERE {er.to_sql(cols)})"""
 
+    # connected components of ways joined by shared node refs; label
+    # closure via recursive reachability (components are small by
+    # construction, so the closure is cheap — embed_neardup_keep pattern)
+    q["way_components"] = f"""
+        WITH RECURSIVE exp AS (
+          SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id <> b.way_id),
+        reach(way_id, lbl) AS (
+          SELECT id, id FROM {ways}
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN ed e ON e.a = r.way_id)
+        SELECT way_id, CAST(min(lbl) AS BIGINT) AS component_id
+        FROM reach GROUP BY way_id"""
+
     q["osm_ref_degree"] = f"""
         SELECT ref AS id, CAST(count(*) AS BIGINT) AS n_refs_to
         FROM (SELECT unnest(refs) AS ref FROM {ways})

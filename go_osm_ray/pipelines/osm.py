@@ -438,6 +438,74 @@ def semi_join_retention(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     return partitioned_distinct(ref_ids.union(pass_nodes), "id")
 
 
+def way_components(ways: ray.data.Dataset,
+                   num_parts: int = 32) -> ray.data.Dataset:
+    """Connected components of the way graph (ways joined by any shared
+    node ref): (way_id, component_id = min way id in the component) —
+    the road-network/ring-assembly grouping every OSM consumer builds
+    on top of the reference's way/node model.
+
+    Scale shape: the shared-node edge list is generated as STAR edges —
+    per ref, every sharing way connects to the group's minimum way id —
+    so a node shared by k ways emits k-1 edges, never k^2 (the hot-bucket
+    cap lesson applied to graph building). Edges co-partition by ref
+    hash; components run on the BSP min-label propagation exchange
+    (pipelines.text.dedup_groups_distributed — no single-task
+    union-find). Self-edges from every way keep isolated ways in the
+    output with their own id as the component.
+    """
+    from ..relational import hash_part
+    from .text import dedup_groups_distributed
+
+    exploded = explode_refs(ways).select_columns(["way_id", "ref"])
+
+    def part_by_ref(t: pa.Table) -> pa.Table:
+        r = t["ref"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(r, num_parts)))
+
+    def star_edges(t: pa.Table) -> pa.Table:
+        r = t["ref"].combine_chunks().to_numpy()
+        w = t["way_id"].combine_chunks().to_numpy()
+        order = np.lexsort((w, r))
+        r, w = r[order], w[order]
+        if len(r):
+            keep = np.ones(len(r), bool)
+            keep[1:] = (r[1:] != r[:-1]) | (w[1:] != w[:-1])
+            r, w = r[keep], w[keep]
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]]) \
+            if len(r) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(r)]) if len(r) else np.empty(0, np.int64)
+        hub = np.repeat(w[starts], counts)   # min way id per ref group
+        m = hub != w                         # drop the hub's self row
+        a, b = hub[m], w[m]
+        if len(a):  # distinct (a, b) within the partition
+            key = np.lexsort((b, a))
+            a, b = a[key], b[key]
+            keep = np.ones(len(a), bool)
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    edges = exploded.map_batches(part_by_ref, batch_format="pyarrow") \
+        .groupby("part").map_groups(star_edges, batch_format="pyarrow")
+
+    def self_edges(t: pa.Table) -> pa.Table:
+        w = t["id"].combine_chunks()
+        return pa.table({"a": w, "b": w})
+
+    # materialize the pair graph once: dedup_groups_distributed reads it
+    # twice (edge build + label init), and its size is bounded by
+    # ways + star edges — already the reduced graph, never the ref stream
+    pairs = edges.union(ways.select_columns(["id"])
+                        .map_batches(self_edges, batch_format="pyarrow")) \
+        .materialize()
+    comps = dedup_groups_distributed(pairs, num_parts=num_parts)
+    return comps.map_batches(
+        lambda t: t.rename_columns(["way_id", "component_id"]),
+        batch_format="pyarrow")
+
+
 def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:
     """(id, n_refs_to) for node ids referenced >= min_degree times across all
     ways — duplicate detection as data (vs error-on-dup ingest,
