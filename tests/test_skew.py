@@ -77,3 +77,25 @@ def test_dedup_keep_anti_join_path_matches_broadcast(ray_session):
     anti = dedup_keep(docs, pairs, broadcast_limit=0).to_pandas()
     assert sorted(bc["doc_id"]) == sorted(anti["doc_id"])
     assert sorted(bc["doc_id"]) == [0, 50_000, 50_001]
+
+
+def test_way_components_hot_node_stays_linear(ray_session):
+    """A node shared by k ways must emit k-1 star edges, never k^2 —
+    and the component must still close over all k ways."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_osm_ray.pipelines.osm import way_components
+
+    K = 2_000
+    # every way references hot node 7 plus one private node
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(K, dtype=np.int64)),
+        "refs": pa.array([[7, 100_000 + i] for i in range(K)],
+                         pa.list_(pa.int64())),
+    }))
+    out = way_components(ways, num_parts=4).to_pandas()
+    assert len(out) == K
+    # one component, labeled by the minimum way id
+    assert (out["component_id"] == 0).all()
