@@ -408,6 +408,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM r WHERE rank <= {ANN_K}"""
 
+    # int8 scalar-quantized ANN: per-dim min/max calibration, half-away
+    # quantization (shared rounding formula), INTEGER dot products — the
+    # scores compare exactly, no float tolerance needed
+    _sq_q = sql_round(
+        "CASE WHEN mx > mn THEN (x - mn) * 255.0 / (mx - mn) "
+        "ELSE 0.0 END", 0)
+    q["ann_sq_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+        mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+        qv AS (SELECT vec_id, i, CAST({_sq_q} AS BIGINT) AS q
+               FROM e JOIN mm USING (i)),
+        dots AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                        sum(a.q * b.q) AS dot
+                 FROM qv a JOIN qv b USING (i)
+                 WHERE a.vec_id < {ANN_QUERY_MAX_ID}
+                   AND b.vec_id >= {ANN_QUERY_MAX_ID}
+                 GROUP BY a.vec_id, b.vec_id),
+        r AS (SELECT query_id, vec_id, dot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, vec_id) AS rank
+              FROM dots)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+               CAST(dot AS BIGINT) AS dot
+        FROM r WHERE rank <= {ANN_K}"""
+
     # embed near-dup over the augmented table (the pipeline's
     # plant_neardups is mirrored 1:1: v' = v + alpha * reverse(v))
     q["embed_neardup"] = f"""

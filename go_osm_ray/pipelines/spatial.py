@@ -848,3 +848,97 @@ def cell_ring_density(pts: ray.data.Dataset, res: int = 9) -> ray.data.Dataset:
 
     return single_merge(cells.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+def embedding_minmax(embeddings: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-dimension (min, max) over an embedding column — the
+    calibration pass of scalar quantization. Per-block partials (one row
+    per dim) merge elementwise; the dim count is a model constant, so the
+    merge is bounded at any corpus size."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].combine_chunks()
+                     .to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({"i": pa.array(np.arange(d, dtype=np.int64)),
+                         "mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0))})
+
+    parts = [t for t in ray.get(
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables([x.replace_schema_metadata(None) for x in parts])
+    g = t.group_by("i").aggregate([("mn", "min"), ("mx", "max")])
+    order = np.argsort(g["i"].combine_chunks().to_numpy())
+    return (g["mn_min"].combine_chunks().to_numpy()[order],
+            g["mx_max"].combine_chunks().to_numpy()[order])
+
+
+def _sq_quantize(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """uint8 scalar quantization, half-away rounding (sql_round mirror);
+    degenerate dims (mx == mn) quantize to 0."""
+    from ..util import round_half_away
+    span = mx - mn
+    x = np.where(span > 0, (m - mn) * 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    return round_half_away(x, 0).astype(np.int64)
+
+
+class SQTopK:
+    """Actor-pool partial top-k over scalar-quantized embeddings: the
+    int8 memory-scale ANN path (4x smaller vectors than float32, integer
+    dot products — exact-comparable, no float drift). Quantized query
+    matrix and per-dim calibration load once per actor."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, minmax_ref: ray.ObjectRef,
+                 k: int):
+        q: pa.Table = ray.get(queries_ref)
+        self.mn, self.mx = ray.get(minmax_ref)
+        self.qid = q["vec_id"].to_numpy()
+        qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        self.qm = _sq_quantize(qm, self.mn, self.mx)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)).astype(np.float64)
+        cq = _sq_quantize(emb, self.mn, self.mx)
+        vids = batch["vec_id"].combine_chunks().to_numpy()
+        dots = cq @ self.qm.T  # (n, q) int64
+        k = min(self.k, dots.shape[0])
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dots.shape[1]):
+            col = dots[:, qi]
+            # top-k by (dot desc, vec_id asc): lexsort ascending on
+            # (-dot, vid), take first k
+            idx = np.lexsort((vids, -col))[:k]
+            out_q.append(np.full(k, self.qid[qi], np.int64))
+            out_v.append(vids[idx])
+            out_d.append(col[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dot": pa.array(np.concatenate(out_d)),
+        })
+
+
+def ann_sq_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
+                minmax_ref: ray.ObjectRef, k: int,
+                concurrency: int | tuple[int, int] | None = None,
+                batch_size: int = 4096) -> ray.data.Dataset:
+    """Exact top-k by integer dot product over scalar-quantized vectors —
+    same combiner shape as ann_topk; the quantized scores make the merge
+    (and the oracle comparison) integer-exact."""
+    from ..util import default_pool
+    partials = embeddings.map_batches(
+        SQTopK, fn_constructor_args=(queries_ref, minmax_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(8))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dot", "vec_id"],
+                            ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "rank", "vec_id", "dot"]]
+    return partials.groupby("query_id").map_groups(final,
+                                                   batch_format="pandas")
