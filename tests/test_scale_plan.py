@@ -389,3 +389,62 @@ def test_asof_join_wide_span_no_overflow(ray_session):
     gp = got["prev_event_id"].fillna(-1).astype(np.int64).tolist()
     wp = want["event_id_r"].fillna(-1).astype(np.int64).tolist()
     assert gp == wp
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_way_components_invariant_under_partitioning(ray_session, parts):
+    """Star-edge generation and the BSP label exchange must give the
+    same components at any partition count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.osm import way_components
+
+    rng = np.random.default_rng(11)
+    refs = [sorted(rng.choice(60, size=3, replace=False).tolist())
+            for _ in range(40)]
+    ways = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(40, dtype=np.int64)),
+        "refs": pa.array(refs, pa.list_(pa.int64())),
+    }))
+    got = way_components(ways, num_parts=parts).to_pandas() \
+        .sort_values("way_id").reset_index(drop=True)
+    key = list(zip(got["way_id"], got["component_id"]))
+    ref = getattr(test_way_components_invariant_under_partitioning,
+                  "_ref", None)
+    if ref is None:
+        test_way_components_invariant_under_partitioning._ref = key
+        assert len(got) == 40
+    else:
+        assert key == ref
+
+
+def test_way_geom_stats_matches_scalar_shoelace(ray_session):
+    """Cumsum-difference segment sums equal the direct per-way shoelace
+    on a hand-built fixture (two rings + one open line + a dangling ref)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.osm import way_geom_stats
+
+    nodes = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 1.0, 0.0]),
+        "lat": pa.array([0.0, 0.0, 1.0, 1.0]),
+    }))
+    ways = rd.from_arrow(pa.table({
+        "id": pa.array([10, 11, 12, 13], pa.int64()),
+        "refs": pa.array([[1, 2, 3, 4, 1],   # unit square, area 1, perim 4
+                          [1, 2, 3, 1],      # right triangle, area .5
+                          [1, 2, 3],         # open line -> dropped
+                          [1, 2, 99, 1]],    # dangling ref -> dropped
+                         pa.list_(pa.int64())),
+    }))
+    got = way_geom_stats(nodes, ways).to_pandas() \
+        .sort_values("way_id").reset_index(drop=True)
+    assert list(got["way_id"]) == [10, 11]
+    assert list(got["area9"]) == [1.0, 0.5]
+    assert got["perim9"][0] == 4.0
+    assert abs(got["perim9"][1] - (2 + 2 ** 0.5)) < 1e-9
