@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -236,8 +237,50 @@ def lm_score(docs: ray.data.Dataset, text_col: str = "text",
     scoring is embarrassingly parallel.  For open web vocabularies cap
     the model to top-V bigrams first (sketch.cms_heavy_hitters) — the
     smoothed fallback absorbs the dropped tail by design."""
-    big = _collect_small(bigram_counts(docs, text_col))
-    uni = _collect_small(word_counts(docs, text_col))
+    # ONE fused exchange for both model tables: unigram rows ride the
+    # bigram exchange with w2 = '' sentinel (tokens are whitespace-split,
+    # so '' can never be a real word) — halves the fixed shuffle cost
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64())})
+        if not len(toks):
+            return empty
+        u, n = np.unique(toks.astype(str), return_counts=True)
+        w1 = [u]
+        w2 = [np.full(len(u), "", dtype=object)]
+        pn = [n.astype(np.int64)]
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        m = row[:-1] == row[1:] if len(toks) > 1 else np.zeros(0, bool)
+        if m.any():
+            b1, b2 = toks[:-1][m], toks[1:][m]
+            c1, u1 = pd.factorize(b1)
+            c2, u2 = pd.factorize(b2)
+            code = c1.astype(np.int64) * len(u2) + c2
+            uc, nb = np.unique(code, return_counts=True)
+            w1.append(u1[uc // len(u2)])
+            w2.append(u2[uc % len(u2)])
+            pn.append(nb.astype(np.int64))
+        out = pa.table({"w1": pa.array(np.concatenate(w1), pa.string()),
+                        "w2": pa.array(np.concatenate(w2), pa.string()),
+                        "pn": pa.array(np.concatenate(pn))})
+        h = _col_hash(out["w1"]) * np.uint64(1000003) ^ _col_hash(out["w2"])
+        return out.append_column("part", pa.array(hash_part(h, NUM_PARTS)))
+
+    def mrg(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["w1", "w2"]) \
+            .aggregate([("pn", "sum")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    model = _collect_small(
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part").map_groups(mrg, batch_format="pyarrow"))
+    is_uni = pc.equal(model["w2"], "")
+    uni = model.filter(is_uni).drop_columns(["w2"]) \
+        .rename_columns(["word", "n"])
+    big = model.filter(pc.invert(is_uni)).rename_columns(["w1", "w2", "n12"])
     v_size = uni.num_rows
     model_ref = ray.put((big.combine_chunks(), uni.combine_chunks()))
 
