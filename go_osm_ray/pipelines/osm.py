@@ -449,13 +449,15 @@ def way_components(ways: ray.data.Dataset,
     per ref, every sharing way connects to the group's minimum way id —
     so a node shared by k ways emits k-1 edges, never k^2 (the hot-bucket
     cap lesson applied to graph building). Edges co-partition by ref
-    hash; components run on the BSP min-label propagation exchange
-    (pipelines.text.dedup_groups_distributed — no single-task
-    union-find). Self-edges from every way keep isolated ways in the
-    output with their own id as the component.
+    hash; components run on the static-edge pointer-jumping BSP
+    (pipelines.text.min_label_components_static: edges shard to disk
+    once, each round shuffles ONLY labels, convergence in O(log
+    diameter) rounds — road networks are exactly the deep-chain graphs
+    one-hop propagation cannot finish). Self-edges from every way keep
+    isolated ways in the output with their own id as the component.
     """
     from ..relational import hash_part
-    from .text import dedup_groups_distributed
+    from .text import min_label_components_static
 
     exploded = explode_refs(ways).select_columns(["way_id", "ref"])
 
@@ -494,13 +496,13 @@ def way_components(ways: ray.data.Dataset,
         w = t["id"].combine_chunks()
         return pa.table({"a": w, "b": w})
 
-    # materialize the pair graph once: dedup_groups_distributed reads it
-    # twice (edge build + label init), and its size is bounded by
+    # materialize the pair graph once: the components runner reads it
+    # twice (edge shard build + label init), and its size is bounded by
     # ways + star edges — already the reduced graph, never the ref stream
     pairs = edges.union(ways.select_columns(["id"])
                         .map_batches(self_edges, batch_format="pyarrow")) \
         .materialize()
-    comps = dedup_groups_distributed(pairs, num_parts=num_parts)
+    comps = min_label_components_static(pairs, num_parts=num_parts)
     return comps.map_batches(
         lambda t: t.rename_columns(["way_id", "component_id"]),
         batch_format="pyarrow")

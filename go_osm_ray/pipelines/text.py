@@ -662,6 +662,14 @@ def dedup_groups_distributed(pairs: ray.data.Dataset,
         labels = labels.materialize()
         if changed == 0:
             break
+    else:
+        # one hop per round: a component whose min-node eccentricity
+        # exceeds max_iters would silently get WRONG labels — refuse.
+        # (Deep graphs: use min_label_components_static, which pointer-
+        # jumps in O(log diameter) rounds.)
+        raise RuntimeError(
+            f"dedup_groups_distributed: labels still changing after "
+            f"{max_iters} rounds — component diameter exceeds max_iters")
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["id"], "group_id": t["val"]})
@@ -727,6 +735,158 @@ def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
     out = out.materialize()
     changed = int(out.sum("changed") or 0)
     return out.drop_columns(["changed"]), changed
+
+
+def min_label_components_static(pairs: ray.data.Dataset,
+                                num_parts: int = 32,
+                                max_iters: int = 64,
+                                work_dir: str | None = None,
+                                ) -> ray.data.Dataset:
+    """Connected components shuffling ONLY labels: the edge list is
+    static across BSP rounds, so re-exchanging it every round (what
+    ``dedup_groups_distributed`` pays: labels UNION edges through two
+    groupbys per round) is pure waste at scale. Here edges are written
+    ONCE as per-partition parquet shards keyed by hash(src) — the
+    polygon-shard manifest pattern — and each round is ONE exchange:
+    the round kernel for partition p takes the label candidates routed
+    to p, min-merges them, reads its edge shard locally, and emits the
+    pushed candidates already keyed by hash(dst) for the next round.
+
+    ``work_dir`` must be storage every worker can read (node-local /tmp
+    on one machine; a shared filesystem or object store on a cluster —
+    same contract as the resumable XML/tile shard writers). Output
+    matches dedup_groups: (doc_id, group_id = min id in component).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = work_dir or tempfile.mkdtemp(prefix="go_osm_ray_cc_")
+    os.makedirs(d, exist_ok=True)
+
+    def shard(t: pa.Table) -> pa.Table:
+        p = int(t["part"][0].as_py())
+        path = os.path.join(d, f"edges-{p:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t.select(["src", "dst"]), tmp)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "n_edges": pa.array([t.num_rows], pa.int64())})
+
+    def edges_both(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        m = a != b
+        src = np.concatenate([a[m], b[m]])
+        dst = np.concatenate([b[m], a[m]])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "part": pa.array(_part_of(src, num_parts))})
+
+    manifest = pairs.map_batches(edges_both, batch_format="pyarrow") \
+        .groupby("part").map_groups(shard, batch_format="pyarrow") \
+        .to_pandas()
+    has_shard = set(manifest["part"].tolist())
+
+    # row kinds in the label stream: 0 = self label row (id, label),
+    # 1 = candidate label value for id, 2 = pointer-jump request
+    # ("node `val` asks for the label of node `id`")
+    def init_candidates(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["a"].combine_chunks().to_numpy(),
+            t["b"].combine_chunks().to_numpy()]))
+        return pa.table({
+            "id": pa.array(ids), "val": pa.array(ids),
+            "kind": pa.array(np.ones(len(ids), np.int8)),
+            "part": pa.array(_part_of(ids, num_parts)),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        p = int(t["part"][0].as_py())
+        ids = t["id"].combine_chunks().to_numpy()
+        vals = t["val"].combine_chunks().to_numpy()
+        kind = t["kind"].combine_chunks().to_numpy()
+        lab = kind <= 1
+        order = np.lexsort((vals[lab], ids[lab]))
+        ids_s, vals_s = ids[lab][order], vals[lab][order]
+        self_s = (kind[lab] == 0)[order]
+        uid, starts = np.unique(ids_s, return_index=True)
+        new = vals_s[starts]  # min candidate per id (sorted by val)
+        old = np.full(len(uid), np.iinfo(np.int64).max)
+        sm = np.flatnonzero(self_s)
+        if len(sm):
+            j = np.searchsorted(uid, ids_s[sm])
+            np.minimum.at(old, j, vals_s[sm])
+        changed = new < old
+        out_id = [uid]
+        out_val = [new]
+        out_kind = [np.zeros(len(uid), np.int8)]
+        out_part = [np.full(len(uid), p, np.int64)]
+        # answer pointer-jump requests: label(about) back to the asker —
+        # only when it shortcuts (label(about) < about)
+        req = np.flatnonzero(kind == 2)
+        if len(req) and len(uid):
+            about, asker = ids[req], vals[req]
+            j = np.searchsorted(uid, about).clip(max=len(uid) - 1)
+            hit = (uid[j] == about) & (new[j] < about)
+            if hit.any():
+                out_id.append(asker[hit])
+                out_val.append(new[j[hit]])
+                out_kind.append(np.ones(int(hit.sum()), np.int8))
+                out_part.append(_part_of(asker[hit], num_parts))
+        # push changed labels along local edges (delta propagation: an
+        # unchanged label was already pushed the round it last dropped)
+        if changed.any() and p in has_shard:
+            e = pq.read_table(os.path.join(d, f"edges-{p:05d}.parquet"))
+            src = e["src"].to_numpy()
+            dst = e["dst"].to_numpy()
+            j = np.searchsorted(uid, src).clip(max=max(len(uid) - 1, 0))
+            hit = (uid[j] == src) & changed[j]
+            out_id.append(dst[hit])
+            out_val.append(new[j[hit]])
+            out_kind.append(np.ones(int(hit.sum()), np.int8))
+            out_part.append(_part_of(dst[hit], num_parts))
+        # re-issue pointer-jump requests for every non-root label:
+        # label(id) may itself improve later, so ask again each round
+        nr = new < uid
+        if nr.any():
+            out_id.append(new[nr])
+            out_val.append(uid[nr])
+            out_kind.append(np.full(int(nr.sum()), 2, np.int8))
+            out_part.append(_part_of(new[nr], num_parts))
+        oid = np.concatenate(out_id)
+        res = pa.table({
+            "id": pa.array(oid),
+            "val": pa.array(np.concatenate(out_val)),
+            "kind": pa.array(np.concatenate(out_kind)),
+            "part": pa.array(np.concatenate(out_part).astype(np.int64)),
+        })
+        return res.append_column(
+            "changed", pa.array(np.concatenate(
+                [changed.astype(np.int64)] +
+                [np.zeros(len(x), np.int64) for x in out_id[1:]])))
+
+    state = pairs.map_batches(init_candidates, batch_format="pyarrow")
+    # pointer jumping converges in O(log diameter) rounds; answers are
+    # one round behind label updates, so the fixpoint test is TWO
+    # consecutive all-quiet rounds (everything in flight has landed)
+    quiet = 0
+    for _ in range(max_iters):
+        state = state.groupby("part") \
+            .map_groups(kernel, batch_format="pyarrow").materialize()
+        quiet = quiet + 1 if int(state.sum("changed") or 0) == 0 else 0
+        if quiet >= 2:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_components_static: no fixpoint in {max_iters} "
+            f"rounds — raise max_iters (graph diameter beyond 2^iters?)")
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.array(
+            t["kind"].combine_chunks().to_numpy() == 0))
+        return pa.table({"doc_id": keep["id"], "group_id": keep["val"]})
+    return state.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,

@@ -448,3 +448,67 @@ def test_way_geom_stats_matches_scalar_shoelace(ray_session):
     assert list(got["area9"]) == [1.0, 0.5]
     assert got["perim9"][0] == 4.0
     assert abs(got["perim9"][1] - (2 + 2 ** 0.5)) < 1e-9
+
+
+def test_min_label_static_matches_union_find_deep_chain(ray_session,
+                                                        tmp_path):
+    """A 300-deep chain needs 299 one-hop propagation rounds — far past
+    dedup_groups_distributed's max_iters, where it must now REFUSE
+    (silently-wrong labels before this guard). The static pointer-jump
+    variant converges in O(log diameter) rounds and must match the
+    union-find exactly."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.text import (dedup_groups,
+                                           dedup_groups_distributed,
+                                           min_label_components_static)
+
+    rng = np.random.default_rng(5)
+    a = np.arange(0, 299, dtype=np.int64)
+    chain = pd.DataFrame({"a": a, "b": a + 1})
+    cross = pd.DataFrame({"a": rng.integers(0, 300, 40),
+                          "b": rng.integers(300, 600, 40)})
+    selfp = pd.DataFrame({"a": [900, 901], "b": [900, 901]})
+    pairs = rd.from_pandas(pd.concat([chain, cross, selfp])).materialize()
+
+    want = dedup_groups(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = min_label_components_static(
+        pairs, num_parts=5, work_dir=str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["group_id"].iloc[:300] == 0).all()
+
+    with _pt.raises(RuntimeError, match="diameter"):
+        dedup_groups_distributed(pairs, num_parts=5, max_iters=8)
+
+
+def test_min_label_static_matches_distributed_shallow(ray_session,
+                                                      tmp_path):
+    """On shallow graphs (the near-dup shape) all three component
+    implementations agree."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.text import (dedup_groups,
+                                           dedup_groups_distributed,
+                                           min_label_components_static)
+
+    rng = np.random.default_rng(7)
+    pairs = rd.from_pandas(pd.DataFrame({
+        "a": rng.integers(0, 80, 120),
+        "b": rng.integers(0, 80, 120),
+    })).materialize()
+    want = dedup_groups(pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = min_label_components_static(
+        pairs, num_parts=4, work_dir=str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    old = dedup_groups_distributed(pairs, num_parts=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(old, want)
