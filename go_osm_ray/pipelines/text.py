@@ -898,8 +898,10 @@ def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
     Scale switches, each with identical output: connected components run
     the one-guarded-task union-find while the edge list stays under
-    ``single_task_edge_limit`` and the BSP min-label propagation
-    (``dedup_groups_distributed``) beyond it; the drop list broadcasts
+    ``single_task_edge_limit`` and the static-edge pointer-jumping BSP
+    (``min_label_components_static`` — one label exchange per round,
+    O(log diameter) rounds, loud failure instead of silent wrong labels
+    on deep graphs) beyond it; the drop list broadcasts
     while small (one ray.put, one vectorized membership filter per
     batch) and switches to the hash-partitioned ANTI join
     (relational.partitioned_anti_filter, VERDICT r2 #9) past
@@ -907,7 +909,7 @@ def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,
     corpus-sized drop list to every task."""
     pairs = pairs.materialize()  # consumed by the count probe + CC build
     if pairs.count() > single_task_edge_limit:
-        groups = dedup_groups_distributed(pairs)
+        groups = min_label_components_static(pairs)
     else:
         groups = dedup_groups(pairs)
     drops = groups.filter(expr="doc_id != group_id") \

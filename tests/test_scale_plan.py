@@ -512,3 +512,26 @@ def test_min_label_static_matches_distributed_shallow(ray_session,
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     pd.testing.assert_frame_equal(old, want)
+
+
+def test_dedup_keep_static_cc_path_matches(ray_session):
+    """Forcing the edge limit to 0 routes dedup_keep through the
+    static-edge CC runner; output must equal the union-find path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.text import dedup_keep
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [f"d{i}" for i in range(20)],
+    }))
+    pairs = rd.from_pandas(pd.DataFrame({
+        "a": [0, 1, 5, 9], "b": [1, 2, 6, 9],
+    })).materialize()
+    want = sorted(dedup_keep(docs, pairs).to_pandas()["doc_id"])
+    got = sorted(dedup_keep(docs, pairs, single_task_edge_limit=0)
+                 .to_pandas()["doc_id"])
+    assert got == want
+    assert 1 not in got and 2 not in got and 6 not in got
