@@ -737,32 +737,23 @@ def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
     return out.drop_columns(["changed"]), changed
 
 
-def min_label_components_static(pairs: ray.data.Dataset,
-                                num_parts: int = 32,
-                                max_iters: int = 64,
-                                work_dir: str | None = None,
-                                ) -> ray.data.Dataset:
-    """Connected components shuffling ONLY labels: the edge list is
-    static across BSP rounds, so re-exchanging it every round (what
-    ``dedup_groups_distributed`` pays: labels UNION edges through two
-    groupbys per round) is pure waste at scale. Here edges are written
-    ONCE as per-partition parquet shards keyed by hash(src) — the
-    polygon-shard manifest pattern — and each round is ONE exchange:
-    the round kernel for partition p takes the label candidates routed
-    to p, min-merges them, reads its edge shard locally, and emits the
-    pushed candidates already keyed by hash(dst) for the next round.
-
-    ``work_dir`` must be storage every worker can read (node-local /tmp
-    on one machine; a shared filesystem or object store on a cluster —
-    same contract as the resumable XML/tile shard writers). Output
-    matches dedup_groups: (doc_id, group_id = min id in component).
+def shard_static_edges(pairs: ray.data.Dataset, num_parts: int,
+                       work_dir: str | None = None
+                       ) -> tuple[str, set[int]]:
+    """Write the (a, b) pair list as BOTH-direction per-partition edge
+    shards keyed by hash(src) — the one-time cost that lets iterative
+    graph algorithms (components, PageRank) shuffle only their per-node
+    state each round while every round's kernel reads its own edge shard
+    locally. ``work_dir`` must be readable by every worker (node-local
+    /tmp single-node; shared fs / object store on a cluster — the
+    resumable-shard-writer contract). Returns (dir, parts with a shard).
     """
     import os
     import tempfile
 
     import pyarrow.parquet as pq
 
-    d = work_dir or tempfile.mkdtemp(prefix="go_osm_ray_cc_")
+    d = work_dir or tempfile.mkdtemp(prefix="go_osm_ray_graph_")
     os.makedirs(d, exist_ok=True)
 
     def shard(t: pa.Table) -> pa.Table:
@@ -786,7 +777,34 @@ def min_label_components_static(pairs: ray.data.Dataset,
     manifest = pairs.map_batches(edges_both, batch_format="pyarrow") \
         .groupby("part").map_groups(shard, batch_format="pyarrow") \
         .to_pandas()
-    has_shard = set(manifest["part"].tolist())
+    return d, set(manifest["part"].tolist())
+
+
+def min_label_components_static(pairs: ray.data.Dataset,
+                                num_parts: int = 32,
+                                max_iters: int = 64,
+                                work_dir: str | None = None,
+                                ) -> ray.data.Dataset:
+    """Connected components shuffling ONLY labels: the edge list is
+    static across BSP rounds, so re-exchanging it every round (what
+    ``dedup_groups_distributed`` pays: labels UNION edges through two
+    groupbys per round) is pure waste at scale. Here edges are written
+    ONCE as per-partition parquet shards keyed by hash(src) — the
+    polygon-shard manifest pattern — and each round is ONE exchange:
+    the round kernel for partition p takes the label candidates routed
+    to p, min-merges them, reads its edge shard locally, and emits the
+    pushed candidates already keyed by hash(dst) for the next round.
+
+    ``work_dir`` must be storage every worker can read (node-local /tmp
+    on one machine; a shared filesystem or object store on a cluster —
+    same contract as the resumable XML/tile shard writers). Output
+    matches dedup_groups: (doc_id, group_id = min id in component).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    d, has_shard = shard_static_edges(pairs, num_parts, work_dir)
 
     # row kinds in the label stream: 0 = self label row (id, label),
     # 1 = candidate label value for id, 2 = pointer-jump request

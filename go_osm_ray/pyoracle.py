@@ -606,6 +606,50 @@ def _simplify_ways_table(sf: float) -> pa.Table:
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
 
 
+def _way_pagerank_table(sf: float) -> pa.Table:
+    """Scalar PageRank reference for way_pagerank: python-dict star-edge
+    graph, per-node float sums in plain loops — shares only the damping
+    / iteration constants and the rank formula with the engine's
+    static-shard exchange."""
+    from collections import defaultdict
+
+    from .pipelines.osm import PAGERANK_DAMPING, PAGERANK_ITERS
+    from .util import round_half_away
+    d = datagen.scale_dir(sf)
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    ids = wt["id"].to_pylist()
+    byref: dict[int, list[int]] = defaultdict(list)
+    for wid, refs in zip(ids, wt["refs"].to_pylist()):
+        for r in set(refs):
+            byref[r].append(wid)
+    pairs: set[tuple[int, int]] = set()
+    for ws in byref.values():
+        hub = min(ws)
+        for w in ws:
+            if w != hub:
+                pairs.add((hub, w))
+    deg: dict[int, int] = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    n = len(ids)
+    base = (1.0 - PAGERANK_DAMPING) / float(n)
+    pr = {i: 1.0 / float(n) for i in ids}
+    for _ in range(PAGERANK_ITERS):
+        s: dict[int, float] = defaultdict(float)
+        for a, b in pairs:
+            s[b] += pr[a] / deg[a]
+            s[a] += pr[b] / deg[b]
+        pr = {i: base + PAGERANK_DAMPING * s[i] for i in ids}
+    out = sorted(ids)
+    return pa.table({
+        "way_id": pa.array(out, pa.int64()),
+        "deg": pa.array([deg[i] for i in out], pa.int64()),
+        "pr9": pa.array([float(round_half_away(np.float64(pr[i]), 9))
+                         for i in out], pa.float64()),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -623,6 +667,7 @@ _BUILDERS = {
     "audio_features": _audio_features_table,
     "video_frames": _video_frames_table,
     "way_simplify": _simplify_ways_table,
+    "way_pagerank": _way_pagerank_table,
 }
 
 
