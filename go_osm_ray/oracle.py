@@ -182,6 +182,38 @@ def build(sf: float = 0.01) -> dict[str, str]:
           UNION ALL
           SELECT id FROM {nodes} WHERE {er.to_sql(cols)})"""
 
+    # haversine way length in meters (sphere R shared with the engine);
+    # the expression mirrors the engine's op order — residual sub-ulp
+    # libm drift is 12 orders below the millimeter rounding
+    from .pipelines.osm import EARTH_R_M
+    _d2r = "(PI() / 180.0)"
+    _sdp = f"SIN(((y2 * {_d2r}) - (y * {_d2r})) / 2.0)"
+    _sdl = f"SIN(((x2 - x) * {_d2r}) / 2.0)"
+    _hava = (f"LEAST({_sdp} * {_sdp} + COS(y * {_d2r}) * COS(y2 * {_d2r}) "
+             f"* {_sdl} * {_sdl}, 1.0)")
+    q["osm_way_length"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq,
+                            len(refs) AS np,
+                            (len(refs) >= 4
+                             AND refs[1] = refs[len(refs)]) AS closed
+                     FROM {ways} WHERE len(refs) >= 2),
+        pts AS (SELECT e.way_id, e.seq, e.np, e.closed, n.lon AS x,
+                       n.lat AS y
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, np, closed, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        agg AS (SELECT way_id, max(np) AS np, bool_or(closed) AS closed,
+                       count(*) AS resolved,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE 2.0 * {EARTH_R_M!r}
+                                     * ASIN(SQRT({_hava})) END) AS ln
+                FROM seg GROUP BY way_id)
+        SELECT way_id, CAST(np AS BIGINT) AS n_points, closed,
+               {sql_round('ln', 3)} AS len_m3
+        FROM agg WHERE resolved = np"""
+
     # connected components of ways joined by shared node refs; label
     # closure via recursive reachability (components are small by
     # construction, so the closure is cheap — embed_neardup_keep pattern)

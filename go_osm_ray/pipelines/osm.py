@@ -324,6 +324,70 @@ def way_geom_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset) -> ray.data.
     return ways.map_batches(fn, batch_format="pyarrow")
 
 
+EARTH_R_M = 6371000.0  # sphere radius shared with the SQL mirror
+
+
+def way_length_m(nodes: ray.data.Dataset,
+                 ways: ray.data.Dataset) -> ray.data.Dataset:
+    """Geodesic (haversine, sphere radius EARTH_R_M) length per way in
+    meters — lines and rings alike; the metric consumers actually want
+    where way_geom_stats' planar degrees are unit-checking. Same
+    broadcast-node + cumsum-difference plan; per-segment haversine is
+    one vectorized expression whose exact op order is mirrored in the
+    SQL oracle (sub-ulp libm drift vanishes under the millimeter
+    rounding). Emits (way_id, n_points, closed, len_m3)."""
+    from ..relational import broadcast_table
+    from ..util import round_half_away as _rnd
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+    d2r = np.pi / 180.0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+        first = flat[offsets[:-1].clip(max=max(len(flat) - 1, 0))]
+        last = flat[(offsets[1:] - 1).clip(min=0)]
+        closed = (n >= 4) & (first == last)
+
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == flat if len(nid_s) else np.zeros(len(flat), bool)
+        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+            if len(flat) else np.zeros(0, np.int64)
+        keep = (n >= 2) & (nf == n)
+
+        x = np.where(found, nlon[jj], 0.0)
+        y = np.where(found, nlat[jj], 0.0)
+        if len(flat) >= 2:
+            p1 = y[:-1] * d2r
+            p2 = y[1:] * d2r
+            sdp = np.sin((p2 - p1) / 2.0)
+            sdl = np.sin((x[1:] - x[:-1]) * d2r / 2.0)
+            a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl,
+                           1.0)
+            seg = 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
+        else:
+            seg = np.zeros(0, np.float64)
+        ps = np.concatenate([[0.0], np.cumsum(seg)])
+        lo = offsets[:-1].clip(max=max(len(seg), 0))
+        hi = (offsets[1:] - 1).clip(min=0, max=max(len(seg), 0))
+        ln = ps[hi] - ps[lo]
+        return pa.table({
+            "way_id": batch["id"].combine_chunks().filter(pa.array(keep)),
+            "n_points": pa.array(n[keep], pa.int64()),
+            "closed": pa.array(closed[keep]),
+            "len_m3": pa.array(_rnd(ln[keep], 3)),
+        })
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
 SIMPLIFY_EPS = 0.003  # degrees; shared with the pyoracle scalar reference
 
 
