@@ -570,12 +570,10 @@ def way_components(ways: ray.data.Dataset,
         w = t["id"].combine_chunks()
         return pa.table({"a": w, "b": w})
 
-    # materialize the pair graph once: the components runner reads it
-    # twice (edge shard build + label init), and its size is bounded by
-    # ways + star edges — already the reduced graph, never the ref stream
+    # no materialize: the BSP runner consumes the pair graph exactly ONCE
+    # (the shard-build exchange); node universe comes from the shards
     pairs = edges.union(ways.select_columns(["id"])
-                        .map_batches(self_edges, batch_format="pyarrow")) \
-        .materialize()
+                        .map_batches(self_edges, batch_format="pyarrow"))
     comps = min_label_components_static(pairs, num_parts=num_parts)
     return comps.map_batches(
         lambda t: t.rename_columns(["way_id", "component_id"]),
@@ -589,24 +587,31 @@ PAGERANK_ITERS = 10
 def way_pagerank(ways: ray.data.Dataset, damping: float = PAGERANK_DAMPING,
                  iters: int = PAGERANK_ITERS,
                  num_parts: int = 8) -> ray.data.Dataset:
-    """PageRank over the undirected shared-node way graph — the
+    """PageRank over the STAR-REDUCED shared-node way graph — the
     iterative-numeric sibling of way_components on the same static edge
-    shards: each of the ``iters`` rounds is ONE label exchange (per-node
-    rank rows routed by hash(id)); the kernel folds incoming
-    contributions, updates its nodes' ranks, reads its edge shard
-    locally and emits next-round contributions pr(u)/deg(u) keyed by
-    hash(dst). Isolated ways (no shared node) hold the dangling rank
-    (1-d)/N throughout; dangling mass is not redistributed (documented
+    shards. NOTE the graph: per shared node, members wire only to the
+    ref group's minimum way id (the k-1 star reduction way_components
+    uses), which is connectivity-equivalent to the full shared-node
+    adjacency but NOT rank-equivalent — ranks and deg are those of the
+    star graph (the scalar oracle mirrors the same reduction). Keeping
+    the reduction is deliberate: the full pairwise edge set is k^2 per
+    hot node, the exact blow-up the hot-bucket cap exists to avoid.
+
+    Physical plan: star edges -> one hash(a) exchange for GLOBAL pair
+    dedup (parallel edges are idempotent for min-label but WRONG for
+    rank sums) -> both-direction edge shards + way-id node markers
+    written once (shard_static_edges) -> resident BSP actors
+    (state.bsp._PageRankPart): degree is counted locally from the shard,
+    each of the ``iters`` rounds is one actor RPC exchanging only
+    (dst, pr/deg) contribution payloads through the object store.
+    Isolated ways (no shared node) hold the dangling rank (1-d)/N
+    throughout; dangling mass is not redistributed (documented
     simplification, mirrored exactly by the scalar oracle). Emits
     (way_id, deg, pr9)."""
     from ..relational import hash_part
-    from ..util import round_half_away
+    from ..state.bsp import run_pagerank
     from .text import shard_static_edges
 
-    # star edges dedup only WITHIN a ref partition: the same (hub, w)
-    # pair reached through two refs in different partitions would become
-    # a parallel edge — idempotent for min-label, WRONG for rank sums.
-    # One more hash(a) exchange makes the pair set globally distinct.
     def pair_part(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy()
         return t.append_column("part", pa.array(hash_part(a, num_parts)))
@@ -623,131 +628,11 @@ def way_pagerank(ways: ray.data.Dataset, damping: float = PAGERANK_DAMPING,
 
     pairs = shared_node_star_edges(ways, num_parts) \
         .map_batches(pair_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(pair_dedup, batch_format="pyarrow") \
-        .materialize()
-    d, has_shard = shard_static_edges(pairs, num_parts)
-    n_ways = ways.count()
-    init_pr = 1.0 / float(n_ways)
-    base = (1.0 - damping) / float(n_ways)
-
-    # setup exchange: node markers + per-block degree partials fold into
-    # one self row (id, deg, pr0) per way
-    def markers(t: pa.Table) -> pa.Table:
-        ids = t["id"].combine_chunks().to_numpy()
-        return pa.table({
-            "id": pa.array(ids), "val": pa.array(np.zeros(len(ids))),
-            "deg": pa.array(np.zeros(len(ids), np.int64)),
-            "kind": pa.array(np.full(len(ids), 0, np.int8)),
-            "part": pa.array(hash_part(ids, num_parts)),
-        })
-
-    def deg_partials(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        b = t["b"].combine_chunks().to_numpy()
-        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
-        return pa.table({
-            "id": pa.array(u), "val": pa.array(np.zeros(len(u))),
-            "deg": pa.array(c.astype(np.int64)),
-            "kind": pa.array(np.full(len(u), 1, np.int8)),
-            "part": pa.array(hash_part(u, num_parts)),
-        })
-
-    def setup(t: pa.Table) -> pa.Table:
-        p = int(t["part"][0].as_py())
-        ids = t["id"].combine_chunks().to_numpy()
-        deg = t["deg"].combine_chunks().to_numpy()
-        kind = t["kind"].combine_chunks().to_numpy()
-        uid = np.unique(ids[kind == 0])
-        dsum = np.zeros(len(uid), np.int64)
-        dm = kind == 1
-        j = np.searchsorted(uid, ids[dm]).clip(max=max(len(uid) - 1, 0))
-        ok = uid[j] == ids[dm] if len(uid) else np.zeros(dm.sum(), bool)
-        np.add.at(dsum, j[ok], deg[dm][ok])
-        return pa.table({
-            "id": pa.array(uid),
-            "val": pa.array(np.full(len(uid), init_pr)),
-            "deg": pa.array(dsum),
-            "kind": pa.array(np.zeros(len(uid), np.int8)),
-            "part": pa.array(np.full(len(uid), p, np.int64)),
-        })
-
-    state = ways.select_columns(["id"]) \
-        .map_batches(markers, batch_format="pyarrow") \
-        .union(pairs.map_batches(deg_partials, batch_format="pyarrow")) \
-        .groupby("part").map_groups(setup, batch_format="pyarrow") \
-        .materialize()
-
-    import os
-
-    import pyarrow.parquet as pq
-
-    def make_round(fold: bool, emit: bool):
-        def kernel(t: pa.Table) -> pa.Table:
-            p = int(t["part"][0].as_py())
-            ids = t["id"].combine_chunks().to_numpy()
-            vals = t["val"].combine_chunks().to_numpy()
-            deg = t["deg"].combine_chunks().to_numpy()
-            kind = t["kind"].combine_chunks().to_numpy()
-            sm = kind == 0
-            uid = ids[sm]
-            order = np.argsort(uid, kind="stable")
-            uid = uid[order]
-            pr = vals[sm][order]
-            dg = deg[sm][order]
-            if fold:
-                cm = kind == 1
-                s = np.zeros(len(uid), np.float64)
-                j = np.searchsorted(uid, ids[cm]) \
-                    .clip(max=max(len(uid) - 1, 0))
-                ok = uid[j] == ids[cm] if len(uid) else \
-                    np.zeros(int(cm.sum()), bool)
-                np.add.at(s, j[ok], vals[cm][ok])
-                pr = base + damping * s
-            out_id = [uid]
-            out_val = [pr]
-            out_deg = [dg]
-            out_kind = [np.zeros(len(uid), np.int8)]
-            out_part = [np.full(len(uid), p, np.int64)]
-            if emit and p in has_shard:
-                e = pq.read_table(os.path.join(d, f"edges-{p:05d}.parquet"))
-                src = e["src"].to_numpy()
-                dst = e["dst"].to_numpy()
-                j = np.searchsorted(uid, src).clip(max=max(len(uid) - 1, 0))
-                ok = uid[j] == src if len(uid) else np.zeros(len(src), bool)
-                contrib = pr[j[ok]] / dg[j[ok]].astype(np.float64)
-                out_id.append(dst[ok])
-                out_val.append(contrib)
-                out_deg.append(np.zeros(int(ok.sum()), np.int64))
-                out_kind.append(np.ones(int(ok.sum()), np.int8))
-                out_part.append(hash_part(dst[ok], num_parts))
-            return pa.table({
-                "id": pa.array(np.concatenate(out_id)),
-                "val": pa.array(np.concatenate(out_val)),
-                "deg": pa.array(np.concatenate(out_deg)),
-                "kind": pa.array(np.concatenate(out_kind)),
-                "part": pa.array(np.concatenate(out_part).astype(np.int64)),
-            })
-        return kernel
-
-    # round 0 emits from the initial ranks; rounds 1..iters fold + emit;
-    # the final round folds only
-    state = state.groupby("part") \
-        .map_groups(make_round(fold=False, emit=True),
-                    batch_format="pyarrow").materialize()
-    for it in range(iters):
-        state = state.groupby("part") \
-            .map_groups(make_round(fold=True, emit=(it < iters - 1)),
-                        batch_format="pyarrow").materialize()
-
-    def finish(t: pa.Table) -> pa.Table:
-        keep = t.filter(pa.array(
-            t["kind"].combine_chunks().to_numpy() == 0))
-        return pa.table({
-            "way_id": keep["id"], "deg": keep["deg"],
-            "pr9": pa.array(round_half_away(
-                keep["val"].combine_chunks().to_numpy(), 9)),
-        })
-    return state.map_batches(finish, batch_format="pyarrow")
+        .groupby("part").map_groups(pair_dedup, batch_format="pyarrow")
+    d, has_shard, owned = shard_static_edges(
+        pairs, num_parts, extra_nodes=ways.select_columns(["id"]))
+    return run_pagerank(d, has_shard, num_parts, iters, damping,
+                        cleanup=owned)
 
 
 def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:

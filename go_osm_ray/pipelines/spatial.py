@@ -588,16 +588,30 @@ def detect_hot_cells(pts: ray.data.Dataset, cell_col: str,
                      hot_fraction: float = 0.002) -> tuple[list[int], int]:
     """Cells holding more than ``hot_fraction`` of all rows (the skewed
     urban cells the north rule requires salting): per-block partial
-    counts -> one merge task. Returns (hot cell ids, total rows)."""
+    counts -> the bounded hash-partition combiner merge
+    (relational.partial_groupby_agg) -> DISTRIBUTED filter. Only the hot
+    list (at most 1/hot_fraction entries by definition) ever reaches the
+    driver — the round-3 plan merged every partial row in one task and
+    to_pandas'd it, a scale-killer at blocks x cells-per-block rows."""
+    from ..relational import partial_groupby_agg
+
     def partial(t: pa.Table) -> pa.Table:
         c = t[cell_col].combine_chunks().to_numpy()
         u, n = np.unique(c, return_counts=True)
         return pa.table({"cell": pa.array(u), "pn": pa.array(n.astype(np.int64))})
-    pdf = pts.map_batches(partial, batch_format="pyarrow") \
-             .repartition(1).to_pandas()
-    agg = pdf.groupby("cell")["pn"].sum()
-    total = int(agg.sum())
-    return agg[agg > total * hot_fraction].index.astype(np.int64).tolist(), total
+
+    agg = partial_groupby_agg(
+        pts.map_batches(partial, batch_format="pyarrow"),
+        ["cell"], [("pn", "sum")]).materialize()
+    total = int(agg.sum("pn_sum") or 0)
+    cut = total * hot_fraction
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t["pn_sum"], cut))
+
+    hot = agg.map_batches(only_hot, batch_format="pyarrow").take_all()
+    return sorted(int(r["cell"]) for r in hot), total
 
 
 def salted_cell_histogram(images: ray.data.Dataset, resolution: int = 7,

@@ -738,21 +738,38 @@ def _min_label_round(labels: ray.data.Dataset, edges: ray.data.Dataset,
 
 
 def shard_static_edges(pairs: ray.data.Dataset, num_parts: int,
-                       work_dir: str | None = None
-                       ) -> tuple[str, set[int]]:
+                       work_dir: str | None = None,
+                       extra_nodes: "ray.data.Dataset | None" = None,
+                       ) -> tuple[str, set[int], bool]:
     """Write the (a, b) pair list as BOTH-direction per-partition edge
-    shards keyed by hash(src) — the one-time cost that lets iterative
+    shards keyed by hash(src) — the one-time exchange that lets iterative
     graph algorithms (components, PageRank) shuffle only their per-node
-    state each round while every round's kernel reads its own edge shard
-    locally. ``work_dir`` must be readable by every worker (node-local
-    /tmp single-node; shared fs / object store on a cluster — the
-    resumable-shard-writer contract). Returns (dir, parts with a shard).
-    """
+    state each round while the static adjacency loads ONCE into each BSP
+    actor (``state.bsp``). Self pairs (a == b) and every id of
+    ``extra_nodes`` (column "id") become node-marker rows (dst = -1) so
+    edge-less nodes still enter the actor's node universe.
+
+    ``work_dir`` must be readable by every worker. The node-local /tmp
+    default is only valid on a single-node cluster: with >1 alive node a
+    BSP actor scheduled elsewhere would fail mid-build, so this FAILS
+    FAST and demands an explicit shared-fs/object-store path. Returns
+    (dir, parts with a shard, owned) — ``owned`` means this call created
+    a temp dir the consumer must clean up (the BSP runners do, right
+    after their actors load)."""
     import os
     import tempfile
 
     import pyarrow.parquet as pq
 
+    owned = work_dir is None
+    if owned:
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+        if alive > 1:
+            raise ValueError(
+                "shard_static_edges: default work_dir is node-local /tmp, "
+                f"but this cluster has {alive} alive nodes — pass a "
+                "work_dir on a shared filesystem/object store that every "
+                "worker can read")
     d = work_dir or tempfile.mkdtemp(prefix="go_osm_ray_graph_")
     os.makedirs(d, exist_ok=True)
 
@@ -769,15 +786,26 @@ def shard_static_edges(pairs: ray.data.Dataset, num_parts: int,
         a = t["a"].combine_chunks().to_numpy()
         b = t["b"].combine_chunks().to_numpy()
         m = a != b
-        src = np.concatenate([a[m], b[m]])
-        dst = np.concatenate([b[m], a[m]])
+        # real edges in both directions; a==b rows as node markers
+        src = np.concatenate([a[m], b[m], a[~m]])
+        dst = np.concatenate([b[m], a[m],
+                              np.full(int((~m).sum()), -1, a.dtype)])
         return pa.table({"src": pa.array(src), "dst": pa.array(dst),
                          "part": pa.array(_part_of(src, num_parts))})
 
-    manifest = pairs.map_batches(edges_both, batch_format="pyarrow") \
-        .groupby("part").map_groups(shard, batch_format="pyarrow") \
-        .to_pandas()
-    return d, set(manifest["part"].tolist())
+    def node_markers(t: pa.Table) -> pa.Table:
+        ids = t["id"].combine_chunks().to_numpy()
+        return pa.table({"src": pa.array(ids),
+                         "dst": pa.array(np.full(len(ids), -1, ids.dtype)),
+                         "part": pa.array(_part_of(ids, num_parts))})
+
+    rows = pairs.map_batches(edges_both, batch_format="pyarrow")
+    if extra_nodes is not None:
+        rows = rows.union(extra_nodes.map_batches(
+            node_markers, batch_format="pyarrow"))
+    manifest = rows.groupby("part") \
+        .map_groups(shard, batch_format="pyarrow").to_pandas()
+    return d, set(manifest["part"].tolist()), owned
 
 
 def min_label_components_static(pairs: ray.data.Dataset,
@@ -788,123 +816,27 @@ def min_label_components_static(pairs: ray.data.Dataset,
     """Connected components shuffling ONLY labels: the edge list is
     static across BSP rounds, so re-exchanging it every round (what
     ``dedup_groups_distributed`` pays: labels UNION edges through two
-    groupbys per round) is pure waste at scale. Here edges are written
-    ONCE as per-partition parquet shards keyed by hash(src) — the
-    polygon-shard manifest pattern — and each round is ONE exchange:
-    the round kernel for partition p takes the label candidates routed
-    to p, min-merges them, reads its edge shard locally, and emits the
-    pushed candidates already keyed by hash(dst) for the next round.
+    groupbys per round) is pure waste at scale. Edges are written ONCE
+    as per-partition parquet shards keyed by hash(src)
+    (``shard_static_edges``), then each partition becomes a resident BSP
+    actor (``state.bsp._ComponentsPart``) that loads its shard ONCE and
+    exchanges ONLY per-node label messages — min-merge, delta pushes
+    along local edges, and pointer-jump (label-of-label) requests, so
+    convergence is O(log diameter) rounds. The per-round cost is one
+    actor RPC with object-store routed payloads, not a Dataset
+    sort-shuffle (the retired groupby runner paid 2-4 s of fixed shuffle
+    per round regardless of payload).
 
     ``work_dir`` must be storage every worker can read (node-local /tmp
-    on one machine; a shared filesystem or object store on a cluster —
-    same contract as the resumable XML/tile shard writers). Output
-    matches dedup_groups: (doc_id, group_id = min id in component).
-    """
-    import os
+    on one machine — the default FAILS FAST on a multi-node cluster; a
+    shared filesystem or object store otherwise); a temp default dir is
+    deleted as soon as the actors have loaded. Output matches
+    dedup_groups: (doc_id, group_id = min id in component)."""
+    from ..state.bsp import run_components
 
-    import pyarrow.parquet as pq
-
-    d, has_shard = shard_static_edges(pairs, num_parts, work_dir)
-
-    # row kinds in the label stream: 0 = self label row (id, label),
-    # 1 = candidate label value for id, 2 = pointer-jump request
-    # ("node `val` asks for the label of node `id`")
-    def init_candidates(t: pa.Table) -> pa.Table:
-        ids = np.unique(np.concatenate([
-            t["a"].combine_chunks().to_numpy(),
-            t["b"].combine_chunks().to_numpy()]))
-        return pa.table({
-            "id": pa.array(ids), "val": pa.array(ids),
-            "kind": pa.array(np.ones(len(ids), np.int8)),
-            "part": pa.array(_part_of(ids, num_parts)),
-        })
-
-    def kernel(t: pa.Table) -> pa.Table:
-        p = int(t["part"][0].as_py())
-        ids = t["id"].combine_chunks().to_numpy()
-        vals = t["val"].combine_chunks().to_numpy()
-        kind = t["kind"].combine_chunks().to_numpy()
-        lab = kind <= 1
-        order = np.lexsort((vals[lab], ids[lab]))
-        ids_s, vals_s = ids[lab][order], vals[lab][order]
-        self_s = (kind[lab] == 0)[order]
-        uid, starts = np.unique(ids_s, return_index=True)
-        new = vals_s[starts]  # min candidate per id (sorted by val)
-        old = np.full(len(uid), np.iinfo(np.int64).max)
-        sm = np.flatnonzero(self_s)
-        if len(sm):
-            j = np.searchsorted(uid, ids_s[sm])
-            np.minimum.at(old, j, vals_s[sm])
-        changed = new < old
-        out_id = [uid]
-        out_val = [new]
-        out_kind = [np.zeros(len(uid), np.int8)]
-        out_part = [np.full(len(uid), p, np.int64)]
-        # answer pointer-jump requests: label(about) back to the asker —
-        # only when it shortcuts (label(about) < about)
-        req = np.flatnonzero(kind == 2)
-        if len(req) and len(uid):
-            about, asker = ids[req], vals[req]
-            j = np.searchsorted(uid, about).clip(max=len(uid) - 1)
-            hit = (uid[j] == about) & (new[j] < about)
-            if hit.any():
-                out_id.append(asker[hit])
-                out_val.append(new[j[hit]])
-                out_kind.append(np.ones(int(hit.sum()), np.int8))
-                out_part.append(_part_of(asker[hit], num_parts))
-        # push changed labels along local edges (delta propagation: an
-        # unchanged label was already pushed the round it last dropped)
-        if changed.any() and p in has_shard:
-            e = pq.read_table(os.path.join(d, f"edges-{p:05d}.parquet"))
-            src = e["src"].to_numpy()
-            dst = e["dst"].to_numpy()
-            j = np.searchsorted(uid, src).clip(max=max(len(uid) - 1, 0))
-            hit = (uid[j] == src) & changed[j]
-            out_id.append(dst[hit])
-            out_val.append(new[j[hit]])
-            out_kind.append(np.ones(int(hit.sum()), np.int8))
-            out_part.append(_part_of(dst[hit], num_parts))
-        # re-issue pointer-jump requests for every non-root label:
-        # label(id) may itself improve later, so ask again each round
-        nr = new < uid
-        if nr.any():
-            out_id.append(new[nr])
-            out_val.append(uid[nr])
-            out_kind.append(np.full(int(nr.sum()), 2, np.int8))
-            out_part.append(_part_of(new[nr], num_parts))
-        oid = np.concatenate(out_id)
-        res = pa.table({
-            "id": pa.array(oid),
-            "val": pa.array(np.concatenate(out_val)),
-            "kind": pa.array(np.concatenate(out_kind)),
-            "part": pa.array(np.concatenate(out_part).astype(np.int64)),
-        })
-        return res.append_column(
-            "changed", pa.array(np.concatenate(
-                [changed.astype(np.int64)] +
-                [np.zeros(len(x), np.int64) for x in out_id[1:]])))
-
-    state = pairs.map_batches(init_candidates, batch_format="pyarrow")
-    # pointer jumping converges in O(log diameter) rounds; answers are
-    # one round behind label updates, so the fixpoint test is TWO
-    # consecutive all-quiet rounds (everything in flight has landed)
-    quiet = 0
-    for _ in range(max_iters):
-        state = state.groupby("part") \
-            .map_groups(kernel, batch_format="pyarrow").materialize()
-        quiet = quiet + 1 if int(state.sum("changed") or 0) == 0 else 0
-        if quiet >= 2:
-            break
-    else:
-        raise RuntimeError(
-            f"min_label_components_static: no fixpoint in {max_iters} "
-            f"rounds — raise max_iters (graph diameter beyond 2^iters?)")
-
-    def finish(t: pa.Table) -> pa.Table:
-        keep = t.filter(pa.array(
-            t["kind"].combine_chunks().to_numpy() == 0))
-        return pa.table({"doc_id": keep["id"], "group_id": keep["val"]})
-    return state.map_batches(finish, batch_format="pyarrow")
+    d, has_shard, owned = shard_static_edges(pairs, num_parts, work_dir)
+    return run_components(d, has_shard, num_parts, max_iters,
+                          cleanup=owned)
 
 
 def dedup_keep(docs: ray.data.Dataset, pairs: ray.data.Dataset,

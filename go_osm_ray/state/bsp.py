@@ -1,0 +1,297 @@
+"""Actor-resident BSP for iterative graph algorithms (components, PageRank).
+
+Why actors, not per-round Dataset groupbys: each
+``groupby("part").map_groups`` round in Ray Data pays a fixed sort-shuffle
+(measured 2-4 s per round on this box at ANY payload size), and an iterative
+algorithm pays it every round — way_components needed ~10 rounds = ~33 s at
+sf0.1 with the Dataset runner. The edge list is STATIC across rounds and the
+per-node label/rank vector is shared mutable state read-modify-written every
+round — exactly the "shared mutable index" case where the Dataset API can't
+express the semantics and raw Ray actors are the sanctioned fallback.
+
+Topology: one actor per hash partition (``relational.hash_part`` keys both
+the edge shards and every exchange). Each actor loads its edge shard ONCE in
+``__init__`` from the shard dir ``shard_static_edges`` wrote (after all
+actors report ready the driver DELETES the dir when it owns it — the graph
+lives in actor memory from then on). Each round is one actor RPC whose
+outbound pushes return as ``n_live`` separate ObjectRefs (``num_returns``);
+the driver routes the REFS to the destination actors' next ``step`` —
+payload bytes move actor-to-actor through the object store and never through
+the driver. The driver fetches only the tiny per-round ``changed`` counter.
+
+Partitioning assumptions (documented per the custom-operator rule):
+- node ids are non-negative int64; ``hash_part(id)`` places a node's state,
+  and BOTH directions of every edge are sharded by hash(src), so a node's
+  full adjacency is local to its actor and every message's destination
+  partition is guaranteed to hold a shard (hence an actor);
+- one partition's edge shard + label vector must fit in one actor's heap —
+  size ``num_parts`` to the graph (edges / desired shard bytes), not to the
+  CPU count; actors are ``num_cpus=0`` + SPREAD because their work is
+  bursty vectorized numpy between waits, and a round must not deadlock when
+  ``num_parts`` exceeds the CPU count (pytest runs at num_cpus=4).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..relational import hash_part
+
+
+class _ShardPart:
+    """Shared shard-loading base: node universe, src-sorted edges, the
+    precomputed src->uid index, and vectorized outbox routing."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int]):
+        import pyarrow.parquet as pq
+        self.part = part
+        self.num_parts = num_parts
+        self.live_arr = np.asarray(live_parts, np.int64)  # sorted
+        self.n_live = len(live_parts)
+        t = pq.read_table(os.path.join(shard_dir,
+                                       f"edges-{part:05d}.parquet"))
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        self.uid = np.unique(src)         # markers (dst == -1) count too
+        real = dst != -1
+        src, dst = src[real], dst[real]
+        order = np.argsort(src, kind="stable")
+        self.src, self.dst = src[order], dst[order]
+        # src -> position in uid, fixed across rounds
+        self.src_j = np.searchsorted(self.uid, self.src)
+
+    def ready(self) -> int:
+        return len(self.uid)
+
+    def _fold_index(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """uid positions for inbound message ids (masked: a message for a
+        node this shard doesn't hold is dropped, which cannot happen by the
+        sharding invariant but must not corrupt state if it did)."""
+        j = np.searchsorted(self.uid, ids).clip(max=max(len(self.uid) - 1, 0))
+        ok = self.uid[j] == ids if len(self.uid) else \
+            np.zeros(len(ids), bool)
+        return j, ok
+
+    def _dest_segments(self, ids: np.ndarray) -> list[np.ndarray]:
+        """Row-index array per live destination actor for target node ids
+        (vectorized: hash -> live-slot via searchsorted over live parts)."""
+        dest = hash_part(ids, self.num_parts)
+        slot = np.searchsorted(self.live_arr, dest) \
+            .clip(max=max(self.n_live - 1, 0))
+        ok = self.live_arr[slot] == dest if self.n_live else \
+            np.zeros(len(dest), bool)
+        slot = np.where(ok, slot, self.n_live)  # drop-bucket for misses
+        order = np.argsort(slot, kind="stable")
+        bounds = np.searchsorted(slot[order], np.arange(self.n_live + 1))
+        return [order[bounds[i]:bounds[i + 1]] for i in range(self.n_live)]
+
+
+@ray.remote(num_cpus=0)
+class _ComponentsPart(_ShardPart):
+    """One partition of pointer-jumping min-label connected components.
+
+    Message kinds on the exchange (same protocol as the retired Dataset
+    runner): 1 = candidate label value for a node, 2 = pointer-jump request
+    ("node ``val`` asks for the label of node ``id``")."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int]):
+        super().__init__(shard_dir, part, num_parts, live_parts)
+        self.label = self.uid.copy()      # init: own id
+        self.first = True                 # round 0 pushes everything
+
+    def step(self, *inbox):
+        uid, label = self.uid, self.label
+        cand_id, cand_val = [], []
+        req_about, req_asker = [], []
+        for msg in inbox:
+            if msg is None:
+                continue
+            ids, vals, kinds = msg
+            c = kinds == 1
+            cand_id.append(ids[c])
+            cand_val.append(vals[c])
+            r = kinds == 2
+            req_about.append(ids[r])
+            req_asker.append(vals[r])
+        # --- fold candidate labels (kind 1) ------------------------------
+        changed = np.zeros(len(uid), bool)
+        if cand_id and len(uid):
+            cid = np.concatenate(cand_id)
+            cval = np.concatenate(cand_val)
+            j, ok = self._fold_index(cid)
+            new = label.copy()
+            np.minimum.at(new, j[ok], cval[ok])
+            changed = new < label
+            self.label = label = new
+        if self.first:
+            changed = np.ones(len(uid), bool)
+            self.first = False
+        out_id, out_val, out_kind = [], [], []
+        # --- answer pointer-jump requests when they shortcut --------------
+        if req_about and len(uid):
+            about = np.concatenate(req_about)
+            asker = np.concatenate(req_asker)
+            j, ok = self._fold_index(about)
+            hit = ok & (label[j] < about)
+            if hit.any():
+                out_id.append(asker[hit])
+                out_val.append(label[j[hit]])
+                out_kind.append(np.ones(int(hit.sum()), np.int8))
+        # --- push changed labels along local edges (delta propagation) ----
+        if changed.any() and len(self.src):
+            hit = changed[self.src_j]
+            if hit.any():
+                out_id.append(self.dst[hit])
+                out_val.append(label[self.src_j[hit]])
+                out_kind.append(np.ones(int(hit.sum()), np.int8))
+        # --- re-issue pointer-jump requests for every non-root ------------
+        # (label(u) may itself improve later, so ask again each round)
+        nr = label < uid
+        if nr.any():
+            out_id.append(label[nr])
+            out_val.append(uid[nr])
+            out_kind.append(np.full(int(nr.sum()), 2, np.int8))
+        if out_id:
+            ids = np.concatenate(out_id)
+            vals = np.concatenate(out_val)
+            kinds = np.concatenate(out_kind)
+            segs = self._dest_segments(ids)
+            boxes = [None if len(s) == 0 else (ids[s], vals[s], kinds[s])
+                     for s in segs]
+        else:
+            boxes = [None] * self.n_live
+        return (*boxes, int(changed.sum()))
+
+    def result(self) -> pa.Table:
+        return pa.table({"doc_id": pa.array(self.uid),
+                         "group_id": pa.array(self.label)})
+
+
+def run_components(shard_dir: str, live_parts: set[int], num_parts: int,
+                   max_iters: int, cleanup: bool = False) -> ray.data.Dataset:
+    """Drive the components actors to the 2-consecutive-quiet fixpoint
+    (pointer-jump answers land one round behind label updates, so one quiet
+    round can still have messages in flight). Raises past ``max_iters``
+    rather than returning silently-wrong labels."""
+    live = sorted(live_parts)
+    if not live:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "group_id": pa.array([], pa.int64())}))
+    actors = [
+        _ComponentsPart.options(scheduling_strategy="SPREAD")
+        .remote(shard_dir, p, num_parts, live) for p in live]
+    ray.get([a.ready.remote() for a in actors])
+    if cleanup:                         # graph now lives in actor memory
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    n = len(actors)
+    inbox: list[list] = [[] for _ in range(n)]
+    quiet = 0
+    for _ in range(max_iters):
+        outs = [a.step.options(num_returns=n + 1).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = [[outs[si][di] for si in range(n)] for di in range(n)]
+        changed = sum(ray.get([o[n] for o in outs]))
+        quiet = quiet + 1 if changed == 0 else 0
+        if quiet >= 2:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_components_static: no fixpoint in {max_iters} "
+            f"rounds — raise max_iters (graph diameter beyond 2^iters?)")
+    return ray.data.from_arrow_refs(
+        [a.result.remote() for a in actors]).materialize()
+
+
+@ray.remote(num_cpus=0)
+class _PageRankPart(_ShardPart):
+    """One partition of undirected PageRank on the static edge shards.
+    Degree is computed LOCALLY (both directions of the globally-deduped
+    edge set are sharded by hash(src), so count-of-src == undirected
+    degree) — the Dataset runner's separate degree exchange is gone.
+    Dangling (edge-less) nodes hold (1-d)/N throughout; dangling mass is
+    not redistributed (documented simplification, mirrored exactly by the
+    scalar oracle)."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int], damping: float):
+        super().__init__(shard_dir, part, num_parts, live_parts)
+        self.damping = damping
+        self.deg = (np.searchsorted(self.src, self.uid, side="right")
+                    - np.searchsorted(self.src, self.uid, side="left")
+                    ).astype(np.int64)
+        self.pr = np.empty(0)
+        self.base = 0.0
+        self.edge_segs = self._dest_segments(self.dst)  # static routing
+
+    def set_n(self, n_total: int) -> None:
+        self.pr = np.full(len(self.uid), 1.0 / float(n_total))
+        self.base = (1.0 - self.damping) / float(n_total)
+
+    def _emit(self):
+        contrib = self.pr[self.src_j] / self.deg[self.src_j].astype(
+            np.float64)
+        return [None if len(s) == 0 else (self.dst[s], contrib[s])
+                for s in self.edge_segs]
+
+    def step(self, fold: bool, emit: bool, *inbox):
+        if fold:
+            s = np.zeros(len(self.uid), np.float64)
+            for msg in inbox:
+                if msg is None:
+                    continue
+                ids, vals = msg
+                j, ok = self._fold_index(ids)
+                np.add.at(s, j[ok], vals[ok])
+            self.pr = self.base + self.damping * s
+        if emit:
+            return (*self._emit(), 0)
+        return (*([None] * self.n_live), 0)
+
+    def result(self) -> pa.Table:
+        from ..util import round_half_away
+        return pa.table({
+            "way_id": pa.array(self.uid),
+            "deg": pa.array(self.deg),
+            "pr9": pa.array(round_half_away(self.pr, 9)),
+        })
+
+
+def run_pagerank(shard_dir: str, live_parts: set[int], num_parts: int,
+                 iters: int, damping: float,
+                 cleanup: bool = False) -> ray.data.Dataset:
+    """Round 0 emits from the uniform init ranks; rounds 1..iters-1 fold
+    then emit; the final round folds only — the same schedule as the
+    retired Dataset runner so the scalar oracle matches at 9-decimal
+    rounding."""
+    live = sorted(live_parts)
+    if not live:
+        return ray.data.from_arrow(pa.table(
+            {"way_id": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64()),
+             "pr9": pa.array([], pa.float64())}))
+    actors = [
+        _PageRankPart.options(scheduling_strategy="SPREAD")
+        .remote(shard_dir, p, num_parts, live, damping) for p in live]
+    counts = ray.get([a.ready.remote() for a in actors])
+    if cleanup:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    ray.get([a.set_n.remote(int(sum(counts))) for a in actors])
+    n = len(actors)
+    inbox: list[list] = [[] for _ in range(n)]
+    schedule = [(False, True)] + [(True, it < iters - 1)
+                                  for it in range(iters)]
+    for fold, emit in schedule:
+        outs = [a.step.options(num_returns=n + 1).remote(fold, emit,
+                                                         *inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = [[outs[si][di] for si in range(n)] for di in range(n)]
+        ray.get([o[n] for o in outs])    # barrier per BSP round
+    return ray.data.from_arrow_refs(
+        [a.result.remote() for a in actors]).materialize()
