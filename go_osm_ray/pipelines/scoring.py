@@ -59,6 +59,29 @@ def document_frequencies(docs: ray.data.Dataset, text_col: str = "text",
         .groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
+def build_vocab(docs: ray.data.Dataset, text_col: str = "text",
+                max_vocab: int | None = None) -> pa.Table:
+    """The (word, df) broadcast table for tfidf_score: full vocabulary,
+    or — with ``max_vocab`` — the global top-V by df (per-partition top-V
+    then one bounded merge of num_parts x V rows; ties break by word so
+    the cap is deterministic). Guaranteed <= max_vocab rows when set."""
+    df_tbl = document_frequencies(docs, text_col)
+    if max_vocab is not None:
+        def local_top(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(t.select(["word", "df"]), sort_keys=[
+                ("df", "descending"), ("word", "ascending")])
+            return t.select(["word", "df"]).take(idx[:max_vocab])
+        df_tbl = single_merge(
+            df_tbl.map_batches(local_top, batch_format="pyarrow"),
+            local_top)
+    refs = df_tbl.to_arrow_refs()
+    live = [t.select(["word", "df"]) for t in ray.get(refs) if t.num_rows]
+    vocab = pa.concat_tables([t.replace_schema_metadata(None) for t in live]) \
+        if live else pa.table({"word": pa.array([], pa.string()),
+                               "df": pa.array([], pa.int64())})
+    return vocab.combine_chunks()
+
+
 def tfidf_score(docs: ray.data.Dataset, n_docs: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 nd: int = 6,
@@ -78,21 +101,8 @@ def tfidf_score(docs: ray.data.Dataset, n_docs: int,
     broadcast is V rows no matter the corpus.  When even V is too
     large, the remaining path is a word-hash co-partition of tokens
     against df shards (not needed at any tested scale)."""
-    df_tbl = document_frequencies(docs, text_col)
-    if max_vocab is not None:
-        def local_top(t: pa.Table) -> pa.Table:
-            idx = pc.sort_indices(t.select(["word", "df"]), sort_keys=[
-                ("df", "descending"), ("word", "ascending")])
-            return t.select(["word", "df"]).take(idx[:max_vocab])
-        df_tbl = single_merge(
-            df_tbl.map_batches(local_top, batch_format="pyarrow"),
-            local_top)
-    refs = df_tbl.to_arrow_refs()
-    live = [t.select(["word", "df"]) for t in ray.get(refs) if t.num_rows]
-    vocab = pa.concat_tables([t.replace_schema_metadata(None) for t in live]) \
-        if live else pa.table({"word": pa.array([], pa.string()),
-                               "df": pa.array([], pa.int64())})
-    vocab_ref = ray.put(vocab.combine_chunks())
+    vocab = build_vocab(docs, text_col, max_vocab)
+    vocab_ref = ray.put(vocab)
 
     state: dict = {}  # lut built once per task, not per batch
 

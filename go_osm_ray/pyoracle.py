@@ -44,14 +44,48 @@ def _docs(sf: float) -> tuple[list[int], list[str]]:
 
 # ------------------------------------------------------------ minhash pairs
 
+def _bucket_candidates(buckets: dict, max_bucket: int | None
+                       ) -> set[tuple[int, int]]:
+    """Unordered candidate pairs from LSH buckets, mirroring the engine's
+    hot-bucket cap (text._bucket_pairs_vec): a bucket with more than
+    ``max_bucket`` members emits the sorted-id CHAIN (c-1 consecutive
+    pairs), not the O(c^2) clique — so the documented recall reduction at
+    the cap boundary is itself oracle-checked (ADVICE r3) instead of the
+    engine/oracle contract silently diverging at exactly the scale the
+    cap targets."""
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        if max_bucket is not None and len(ms) > max_bucket:
+            cand.update(zip(ms[:-1], ms[1:]))
+            continue
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    return cand
+
+
 def _minhash_pairs_table(sf: float, threshold: float = 0.5,
-                         num_hashes: int = 64, bands: int = 16) -> pa.Table:
+                         num_hashes: int = 64, bands: int = 16,
+                         max_bucket: int | None = None) -> pa.Table:
     """Brute-force reference for minhash_lsh_pairs: scalar per-doc
-    signatures, python-dict banding, all-pairs bucket expansion, scalar
+    signatures, python-dict banding, bucket expansion (clique, or the
+    engine-mirrored chain above ``max_bucket`` — defaults to None here
+    because the gated corpora never produce an oversized bucket, which
+    tests/test_skew.py asserts via the capped variant), scalar
     set-Jaccard verify.  Same (a, b, jac6) the distributed exchange must
     produce."""
-    from .pipelines.text import _SH_MULT, jaccard, minhash_signature
     ids, texts = _docs(sf)
+    return minhash_pairs_from(ids, texts, threshold, num_hashes, bands,
+                              max_bucket)
+
+
+def minhash_pairs_from(ids, texts, threshold: float = 0.5,
+                       num_hashes: int = 64, bands: int = 16,
+                       max_bucket: int | None = None) -> pa.Table:
+    """Core of _minhash_pairs_table on an explicit corpus (so planted-skew
+    tests can oracle-check the capped contract)."""
+    from .pipelines.text import _SH_MULT, jaccard, minhash_signature
     r = num_hashes // bands
     sigs = {i: minhash_signature(t, num_hashes) for i, t in zip(ids, texts)}
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -63,12 +97,7 @@ def _minhash_pairs_table(sf: float, threshold: float = 0.5,
                 for j in range(r):
                     h = h * _SH_MULT + s[b * r + j]
             buckets.setdefault((b, int(h)), []).append(i)
-    cand: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        for x in range(len(members)):
-            for y in range(x + 1, len(members)):
-                a, b2 = members[x], members[y]
-                cand.add((a, b2) if a < b2 else (b2, a))
+    cand = _bucket_candidates(buckets, max_bucket)
     text_of = dict(zip(ids, texts))
     rows_a, rows_b, rows_j = [], [], []
     for a, b2 in sorted(cand):
@@ -84,13 +113,46 @@ def _minhash_pairs_table(sf: float, threshold: float = 0.5,
 
 # ------------------------------------------------------------ simhash pairs
 
-def _simhash_pairs_table(sf: float, max_hamming: int = 3) -> pa.Table:
+def simhash_pairs_from(ids, texts, max_hamming: int = 3,
+                       max_bucket: int | None = None) -> pa.Table:
+    """Engine-mirrored simhash reference on an explicit corpus: 4x16-bit
+    banding, hot-bucket chain cap, exact hamming verify — so planted-skew
+    tests can oracle-check the capped contract (ADVICE r3)."""
+    from .pipelines.text import simhash64
+    sigs = np.array([simhash64(t) for t in texts], np.uint64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, s in zip(ids, sigs):
+        for b in range(4):
+            key = int((s >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+            buckets.setdefault((b, key), []).append(i)
+    cand = sorted(_bucket_candidates(buckets, max_bucket))
+    sig_of = dict(zip(ids, sigs))
+    rows = []
+    for a0, b0 in cand:
+        h0 = int(bin(int(sig_of[a0] ^ sig_of[b0])).count("1"))
+        if h0 <= max_hamming:
+            rows.append((a0, b0, h0))
+    return pa.table({
+        "a": pa.array([r[0] for r in rows], pa.int64()),
+        "b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def _simhash_pairs_table(sf: float, max_hamming: int = 3,
+                         max_bucket: int | None = None) -> pa.Table:
     """Brute-force reference for simhash_pairs: scalar per-doc simhash64,
     ALL-pairs hamming (no banding — any pair with hamming <= 3 shares at
     least one of the engine's 4 bands by pigeonhole, so the engine's
-    banded plan must recover exactly this set)."""
+    banded plan must recover exactly this set).  With ``max_bucket`` set,
+    candidates come from the engine's 4x16-bit banding with the
+    hot-bucket CHAIN cap mirrored (ADVICE r3) before the hamming filter,
+    so the capped contract is oracle-checkable on planted skew corpora
+    (the gated corpora never produce an oversized bucket; the driver gate
+    itself would flag divergence if one appeared)."""
     from .pipelines.text import simhash64
     ids, texts = _docs(sf)
+    if max_bucket is not None:
+        return simhash_pairs_from(ids, texts, max_hamming, max_bucket)
     sigs = np.array([simhash64(t) for t in texts], np.uint64)
     idv = np.array(ids, np.int64)
     x = sigs[:, None] ^ sigs[None, :]

@@ -253,3 +253,34 @@ def test_mixture_sample_semantics(ray_session):
     by = out.groupby("source").size()
     assert by.get("small", 0) == 200 and "junk" not in by.index
     assert abs(by["big"] / (n - 400) - 20_000 / 360_000) < 0.02
+
+
+def test_tfidf_vocab_cap_bounds_broadcast(ray_session):
+    """VERDICT r3 #6: a huge-vocabulary corpus must not grow the idf
+    broadcast past max_vocab. Plant a corpus whose tail vocabulary is
+    all df=1 (every doc carries unique junk tokens): the capped
+    broadcast is exactly V rows AND the scores equal the uncapped
+    run's, because out-of-vocab tokens score ln(N/1) = ln N which IS
+    the exact idf of a df=1 word."""
+    import ray.data
+    from go_osm_ray.pipelines.scoring import build_vocab, tfidf_score
+
+    n = 60
+    common = "alpha beta gamma delta epsilon"
+    texts = [f"{common} uniq{i}a uniq{i}b uniq{i}c" for i in range(n)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}))
+
+    v = 5  # keep exactly the 5 common (df=n) words
+    vocab = build_vocab(docs, max_vocab=v)
+    assert vocab.num_rows == v
+    assert set(vocab["word"].to_pylist()) == set(common.split())
+    full = build_vocab(docs)
+    assert full.num_rows == 5 + 3 * n  # the cap bound a real blowup
+
+    capped = tfidf_score(docs, n, max_vocab=v).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exact = tfidf_score(docs, n).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(capped.tfidf6.to_numpy(), exact.tfidf6.to_numpy())

@@ -99,3 +99,39 @@ def test_way_components_hot_node_stays_linear(ray_session):
     assert len(out) == K
     # one component, labeled by the minimum way id
     assert (out["component_id"] == 0).all()
+
+
+def test_capped_contract_is_oracle_checked(ray_session):
+    """ADVICE r3: the hot-bucket cap's recall reduction must itself be
+    oracle-checked, not only asserted linear.  Plant a corpus whose LSH
+    bucket EXCEEDS a small cap, run engine and the engine-mirrored capped
+    pyoracle, and require exact pair-set parity — while the UNCAPPED
+    oracle (the gated default) returns the full clique, proving the cap
+    binds on this corpus."""
+    import pandas as pd
+    import ray.data
+
+    from go_osm_ray.pipelines.text import minhash_lsh_pairs, simhash_pairs
+    from go_osm_ray.pyoracle import minhash_pairs_from, simhash_pairs_from
+
+    n = 40
+    ids = list(range(n)) + [900]
+    texts = [BOILER] * n + ["something else entirely, unrelated words"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    got_m = norm(minhash_lsh_pairs(docs, max_bucket=8).to_pandas())
+    want_m = norm(minhash_pairs_from(ids, texts, max_bucket=8).to_pandas())
+    pd.testing.assert_frame_equal(got_m, want_m)
+    assert len(got_m) == n - 1            # chain, engine == capped oracle
+    full_m = minhash_pairs_from(ids, texts, max_bucket=None)
+    assert len(full_m) == n * (n - 1) // 2  # the cap binds vs the clique
+
+    got_s = norm(simhash_pairs(docs, max_bucket=8).to_pandas())
+    want_s = norm(simhash_pairs_from(ids, texts, max_bucket=8).to_pandas())
+    pd.testing.assert_frame_equal(got_s, want_s)
+    assert len(got_s) == n - 1
