@@ -134,7 +134,39 @@ _FUNCTIONS: dict[str, dict] = {
               "sql": lambda a: f"CAST({a} AS BIGINT)"},
     "float64": {"fn": lambda a: pc.cast(_arr(a), pa.float64()),
                 "sql": lambda a: f"CAST({a} AS DOUBLE)"},
+    # dfl.NewFuntionMapWithDefaults remainder (reference
+    # cmd/osm/main.go:252): element-wise min/max/abs, substring
+    # membership, and list membership over split() arrays
+    "min": {"fn": lambda *xs: pc.min_element_wise(
+                *[_arr(x) if not isinstance(x, (int, float)) else x
+                  for x in xs]),
+            "sql": lambda *xs: f"least({', '.join(xs)})"},
+    "max": {"fn": lambda *xs: pc.max_element_wise(
+                *[_arr(x) if not isinstance(x, (int, float)) else x
+                  for x in xs]),
+            "sql": lambda *xs: f"greatest({', '.join(xs)})"},
+    "abs": {"fn": lambda a: pc.abs(_arr(a)),
+            "sql": lambda a: f"abs({a})"},
+    "contains": {"fn": lambda a, p: pc.match_substring(
+                     _arr(a), pattern=_scalar(p)),
+                 "sql": lambda a, p: f"contains({a}, {p})"},
+    "has": {"fn": lambda a, v: _list_has(a, v),
+            "sql": lambda a, v: f"list_contains({a}, {v})"},
 }
+
+
+def _list_has(a, v):
+    """Membership in a list column (e.g. split() output): flatten once,
+    compare, and segment-OR with a cumsum over the list offsets — no
+    python loop over rows."""
+    import numpy as np
+    a = _arr(a)
+    eq = pc.fill_null(pc.equal(a.flatten(), _scalar(v)), False)
+    x = eq.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = np.asarray(a.offsets, np.int64)
+    off = off - off[0]
+    cum = np.concatenate([np.zeros(1, np.int64), np.cumsum(x)])
+    return pa.array((cum[off[1:]] - cum[off[:-1]]) > 0)
 
 
 def _scalar(v):

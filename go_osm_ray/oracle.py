@@ -27,8 +27,12 @@ DROP_KEY = "name"
 SUB_BBOX = (-77.05, 38.85, -76.95, 38.95)
 EXPR_FILTER = "(@craft like brewery) or (@craft like distillery)"
 # function-map surface (SURVEY §2.9 / DFL FunctionMap): len + nested
-# upper + prefix, mirrored into SQL by Expression.to_sql
-EXPR_UDF = "len(@name) >= 7 or prefix(upper(@name), 'D')"
+# upper + prefix + the r4 dfl-stdlib remainder (min/max element-wise,
+# substring contains, list membership over split), all mirrored into
+# SQL by Expression.to_sql so the driver gate exercises each builtin
+EXPR_UDF = ("len(@name) >= 7 or prefix(upper(@name), 'D') "
+            "or max(len(@name), 5) >= 15 or min(len(@name), 3) == 1 "
+            "or contains(@name, 'aint') or has(split(@name, ' '), 'St')")
 RETENTION_EXPR = "@building like yes or @amenity like cafe"
 PROJECT_KEYS = ["amenity", "name"]
 PER_KEY_KEYS = ["amenity", "craft", "building", "name"]

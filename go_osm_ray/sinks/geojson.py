@@ -34,16 +34,24 @@ def _props(tags) -> dict:
 
 
 def nodes_to_features(nodes: ray.data.Dataset) -> ray.data.Dataset:
-    """Node -> GeoJSON Feature rows (id, type, geometry, properties)."""
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    """Node -> GeoJSON Feature rows (id, type, geometry, properties).
+
+    Input batches are zero-copy Arrow; the OUTPUT blocks are pandas by
+    necessity — GeoJSON geometry is union-typed (Point coordinates are
+    list<double>, Polygon list<list<list<double>>>) and properties are
+    open maps, which ``write_json`` must serialize as real JSON objects,
+    so the feature columns are python dicts, not an Arrow struct."""
+    def fn(t: pa.Table) -> pd.DataFrame:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
         return pd.DataFrame({
-            "type": ["Feature"] * len(df),
-            "id": df["id"].astype(np.int64),
-            "geometry": [{"type": "Point", "coordinates": [lon, lat]}
-                         for lon, lat in zip(df["lon"], df["lat"])],
-            "properties": [_props(t) for t in df["tags"]],
+            "type": ["Feature"] * t.num_rows,
+            "id": t["id"].combine_chunks().to_numpy(),
+            "geometry": [{"type": "Point", "coordinates": [x, y]}
+                         for x, y in zip(lon, lat)],
+            "properties": [_props(tg) for tg in t["tags"].to_pylist()],
         })
-    return nodes.map_batches(fn, batch_format="pandas")
+    return nodes.map_batches(fn, batch_format="pyarrow")
 
 
 def ways_to_features(way_coords: ray.data.Dataset,
@@ -64,12 +72,15 @@ def ways_to_features(way_coords: ray.data.Dataset,
         wid = t["way_id"].combine_chunks().to_numpy()
         return t.append_column("part", pa.array(hash_part(wid, num_parts)))
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        wid = df["way_id"].to_numpy()
-        order = np.lexsort((df["pos"].to_numpy(), wid))
+    def assemble(t: pa.Table) -> pd.DataFrame:
+        # Arrow in (zero-copy numpy views); pandas out only because the
+        # geometry column is union-typed python dicts (see
+        # nodes_to_features)
+        wid = t["way_id"].combine_chunks().to_numpy()
+        order = np.lexsort((t["pos"].combine_chunks().to_numpy(), wid))
         wid_s = wid[order]
-        lon = df["lon"].to_numpy()[order]
-        lat = df["lat"].to_numpy()[order]
+        lon = t["lon"].combine_chunks().to_numpy()[order]
+        lat = t["lat"].combine_chunks().to_numpy()[order]
         fids, starts = np.unique(wid_s, return_index=True)
         bounds = np.append(starts, len(wid_s))
         geoms = []
@@ -87,7 +98,7 @@ def ways_to_features(way_coords: ray.data.Dataset,
                              "properties": [{} for _ in fids]})
 
     return way_coords.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(assemble, batch_format="pandas")
+        .groupby("part").map_groups(assemble, batch_format="pyarrow")
 
 
 def write_geojsonl(features: ray.data.Dataset, out_dir: str) -> None:

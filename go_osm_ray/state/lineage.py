@@ -119,24 +119,27 @@ def write_partitioned(ds, out_dir: str, key_col: str,
             return batch.filter(pc.invert(pc.is_in(keys, value_set=done_arr)))
         ds = ds.map_batches(prune, batch_format="pyarrow")
 
-    def write_one(df: pd.DataFrame) -> pd.DataFrame:
-        key = str(df[key_col].iloc[0])
+    def write_one(t: pa.Table) -> pa.Table:
+        key = str(t[key_col][0].as_py())
         if fail_keys and key in fail_keys:
             raise RuntimeError(f"injected failure before partition {key}")
         part_dir = os.path.join(out_dir, f"part-{key}")
         os.makedirs(part_dir, exist_ok=True)
         data_path = os.path.join(part_dir, "data.parquet")
         tmp = f"{data_path}.tmp.{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        pq.write_table(t, tmp)  # Arrow straight to parquet, no pandas hop
         os.replace(tmp, data_path)
         rec = LineageRecord(
-            key=key, rows=len(df), bytes=os.path.getsize(data_path),
-            digest=value_digest(df), path=data_path,
+            key=key, rows=t.num_rows, bytes=os.path.getsize(data_path),
+            # digest stays the pandas-canonical form so manifests written
+            # before this port still verify on resume
+            digest=value_digest(t.to_pandas()), path=data_path,
             completed_at=time.time())
         _atomic_write_bytes(_record_path(out_dir, key),
                             json.dumps(asdict(rec)).encode())
-        return pd.DataFrame({"key": [rec.key], "rows": [rec.rows]})
+        return pa.table({"key": pa.array([rec.key], pa.string()),
+                         "rows": pa.array([rec.rows], pa.int64())})
 
     # drive the distributed write; group tasks run one-per-partition
-    ds.groupby(key_col).map_groups(write_one, batch_format="pandas").count()
+    ds.groupby(key_col).map_groups(write_one, batch_format="pyarrow").count()
     return read_manifest(out_dir)

@@ -96,3 +96,46 @@ def test_register_function_engine_and_sql(table):
     oracle = [r[0] for r in con.execute(
         f"SELECT id FROM t WHERE {sql} ORDER BY id").fetchall()]
     assert oracle == got
+
+
+def test_dfl_stdlib_remainder_builtins():
+    """r4 additions to the function map (reference
+    cmd/osm/main.go:252 dfl.NewFuntionMapWithDefaults remainder):
+    element-wise min/max, abs, substring contains, list membership."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_osm_ray.expr import _FUNCTIONS
+
+    f = {k: v["fn"] for k, v in _FUNCTIONS.items()}
+    s = {k: v["sql"] for k, v in _FUNCTIONS.items()}
+    a = pa.array([1, 5, 9], pa.int64())
+    assert f["min"](a, 4).to_pylist() == [1, 4, 4]
+    assert f["max"](a, 4).to_pylist() == [4, 5, 9]
+    assert f["abs"](pa.array([-3, 0, 2])).to_pylist() == [3, 0, 2]
+    txt = pa.array(["saint mark", "x", None])
+    assert f["contains"](txt, "aint").to_pylist() == [True, False, None]
+    lists = pa.array([["a", "St"], ["b"], []], pa.list_(pa.string()))
+    assert f["has"](lists, "St").to_pylist() == [True, False, False]
+    # SQL mirrors render DuckDB-runnable text
+    import duckdb
+    con = duckdb.connect()
+    assert con.execute(f"SELECT {s['min']('1', '4')}").fetchone()[0] == 1
+    assert con.execute(f"SELECT {s['max']('1', '4')}").fetchone()[0] == 4
+    assert con.execute(f"SELECT {s['abs']('-3')}").fetchone()[0] == 3
+    contains_sql = s["contains"]("'saint'", "'aint'")
+    assert con.execute(f"SELECT {contains_sql}").fetchone()[0]
+    has_sql = s["has"]("['a','St']", "'St'")
+    assert con.execute(f"SELECT {has_sql}").fetchone()[0]
+
+
+def test_list_has_sliced_offsets():
+    """has() must respect non-zero list offsets (sliced batches)."""
+    import pyarrow as pa
+
+    from go_osm_ray.expr import _list_has
+
+    lists = pa.array([["q"], ["a", "St"], ["b"], ["St"]],
+                     pa.list_(pa.string())).slice(1, 3)
+    assert _list_has(lists, "St").to_pylist() == [True, False, True]
