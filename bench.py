@@ -202,7 +202,12 @@ def main():
     if "--scaling" in sys.argv:
         from go_osm_ray import datagen
         datagen.ensure_tables_for_dir(sf_dir)
-        os.environ.setdefault("GRAFT_SCALE_REP", "100")
+        # r4: the grid-pruned kNN cut per-row flagship compute ~4x, so the
+        # r3 rep=100 job became overhead-dominated (setup ~5 s serial vs
+        # ~10 s of parallel work at 32 cpus); rep=400 keeps the measured
+        # job per-row-compute-dominated at both parallelism levels — the
+        # documented purpose of GRAFT_SCALE_REP
+        os.environ.setdefault("GRAFT_SCALE_REP", "400")
         # INTERLEAVED (8, 32) pairs: this shared-host box drifts 10-20%
         # over minutes, so measuring all 8-cpu runs then all 32-cpu runs
         # biases the ratio by whatever the host did in between; adjacent

@@ -51,3 +51,37 @@ def test_empty_and_miss():
     assert len(pi) == 0
     pi, fid = idx.query(np.array([0.5]), np.array([0.25]))
     assert fid.tolist() == [7]
+
+
+def test_nearest_grid_path_equals_full_scan(ray_session):
+    """The r4 grid-pruned NearestFeature must return EXACTLY the tiled
+    full scan's answers (including smallest-id tie-breaks and points far
+    outside the feature bbox) — the boundary-proof contract."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from go_osm_ray.pipelines.spatial import NearestFeature, _exact_scan
+
+    rng = np.random.default_rng(11)
+    m = 3000  # above the 512 grid threshold
+    fx = rng.uniform(-77.2, -76.9, m)
+    fy = rng.uniform(38.7, 39.0, m)
+    fid = rng.permutation(m).astype(np.int64)
+    # plant exact duplicate coordinates with different ids (tie-break)
+    fx[100] = fx[200]; fy[100] = fy[200]
+    fx[5] = fx[6]; fy[5] = fy[6]
+    t = pa.table({"id": pa.array(fid), "lon": pa.array(fx),
+                  "lat": pa.array(fy)})
+    nf = NearestFeature(ray.put(t))
+    assert nf.grid is not None
+    # queries: inside, on bucket edges, far outside the bbox, exact hits
+    px = np.concatenate([rng.uniform(-77.2, -76.9, 4000),
+                         np.array([-80.0, -76.0, -77.05, fx[0], fx[100]]),
+                         rng.uniform(-77.5, -76.6, 500)])
+    py = np.concatenate([rng.uniform(38.7, 39.0, 4000),
+                         np.array([38.0, 40.0, 38.85, fy[0], fy[100]]),
+                         rng.uniform(38.4, 39.3, 500)])
+    got = nf.nearest(px, py)
+    want = _exact_scan(px, py, nf.fid, nf.fx, nf.fy)
+    assert np.array_equal(got, want)
