@@ -922,6 +922,9 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_sig_dedup"] = f"SELECT ahash, keeper_id, group_n FROM read_parquet('{exp['image_sig_dedup']}')"
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"
+    q["relation_multipolygons"] = (
+        "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
+        f"read_parquet('{exp['relation_multipolygons']}')")
     q["audio_features"] = f"SELECT media_id, band, energy6 FROM read_parquet('{exp['audio_features']}')"
     q["video_frames"] = f"SELECT media_id, frame_idx, frame_len FROM read_parquet('{exp['video_frames']}')"
 

@@ -780,3 +780,210 @@ def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     for c in ("nodes_n", "ways_n", "rels_n"):
         out[c] = out[c].fillna(0).astype(np.int64)
     return out
+
+
+def relation_multipolygons(relations: ray.data.Dataset,
+                           ways: ray.data.Dataset,
+                           nodes: ray.data.Dataset,
+                           num_parts: int = 32) -> ray.data.Dataset:
+    """Multipolygon assembly from relation way-members — the one OSM
+    capability real consumers want that the reference never built: it
+    parses members (/root/reference/osm/Relation.go:13-16) but resolves
+    them nowhere (SURVEY §1.2; VERDICT r3 next-#9).
+
+    Semantics (mirrored exactly by the scalar pyoracle):
+    - way members only; role 'inner' -> inner pool, anything else
+      (incl. the OSM-conventional empty role) -> outer pool; (way, role)
+      pairs deduped per relation.
+    - rings stitch by matching endpoint NODE REFS: start from the unused
+      way with the smallest id; extend the chain's tail with the
+      smallest-id unused way sharing that endpoint (forward match
+      preferred over reversed); a chain that returns to its start with
+      >= 4 points (closing repeat included) is a ring, anything stuck or
+      shorter counts in n_open.
+    - ring area = |fsum(x_i*y_{i+1} - x_{i+1}*y_i)| / 2 in squared
+      degrees; area6 = round_half_away(fsum(outer) - fsum(inner), 6).
+      math.fsum is exactly rounded, so engine and oracle agree
+      bit-for-bit regardless of accumulation order (the way_simplify
+      float-parity lesson, generalized).
+
+    Physical plan (one broadcast + two exchanges): the relation
+    membership table is the SMALL side (relations are ~1% of way volume
+    on real OSM) and broadcasts once; ways semi-join against it at the
+    read so only member ways' coordinates resolve (prune-at-read);
+    resolved coordinate rows exchange ONCE by hash(way_id) to pack one
+    (refs, xs, ys) row per way, replicate per owning relation, and
+    exchange ONCE by hash(rel_id); the stitch kernel loops python only
+    across a single relation's member ways. Emits (relation_id, n_outer,
+    n_inner, n_open, area6)."""
+    import math
+
+    from ..relational import broadcast_table, hash_part
+    from ..util import round_half_away
+
+    def explode_members(t: pa.Table) -> pa.Table:
+        mem = t["members"].combine_chunks()
+        offs = np.asarray(mem.offsets, np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        flat = mem.flatten()
+        rel = pc.take(t["id"].combine_chunks(), pa.array(idx))
+        typ = flat.field("type")
+        is_way = pc.equal(typ, "way")
+        inner = pc.equal(flat.field("role"), "inner")
+        out = pa.table({
+            "rel_id": rel,
+            "way_ref": flat.field("ref"),
+            "inner": inner,
+        }).filter(is_way)
+        return out
+
+    members = relations.select_columns(["id", "members"]) \
+        .map_batches(explode_members, batch_format="pyarrow")
+    mem_ref = broadcast_table(members, ["rel_id", "way_ref", "inner"])
+
+    state: dict = {}
+
+    def member_ways_only(t: pa.Table) -> pa.Table:
+        if "wset" not in state:
+            state["wset"] = np.unique(
+                ray.get(mem_ref)["way_ref"].to_numpy())
+        wids = t["id"].combine_chunks().to_numpy()
+        j = np.searchsorted(state["wset"], wids) \
+            .clip(max=max(len(state["wset"]) - 1, 0))
+        keep = state["wset"][j] == wids if len(state["wset"]) else \
+            np.zeros(len(wids), bool)
+        return t.filter(pa.array(keep))
+
+    coords = join_refs_to_coords(
+        ways.map_batches(member_ways_only, batch_format="pyarrow"), nodes)
+
+    def part_by_way(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def pack_and_assign(t: pa.Table) -> pa.Table:
+        """One (refs, xs, ys) row per (relation, member way, role)."""
+        mem = ray.get(mem_ref)
+        m_rel = mem["rel_id"].to_numpy()
+        m_way = mem["way_ref"].to_numpy()
+        m_inner = mem["inner"].to_numpy(zero_copy_only=False)
+        wid = t["way_id"].combine_chunks().to_numpy()
+        order = np.lexsort((t["pos"].combine_chunks().to_numpy(), wid))
+        wid_s = wid[order]
+        ref_s = t["ref"].combine_chunks().to_numpy()[order]
+        lon_s = t["lon"].combine_chunks().to_numpy()[order]
+        lat_s = t["lat"].combine_chunks().to_numpy()[order]
+        uw, starts = np.unique(wid_s, return_index=True)
+        bounds = np.append(starts, len(wid_s))
+        rows = {"rel_id": [], "inner": [], "way_id": [],
+                "refs": [], "xs": [], "ys": [], "part": []}
+        j = np.searchsorted(uw, m_way).clip(max=max(len(uw) - 1, 0))
+        hit = uw[j] == m_way if len(uw) else np.zeros(len(m_way), bool)
+        parts = hash_part(m_rel, num_parts)
+        for mi in np.flatnonzero(hit):
+            s, e = int(bounds[j[mi]]), int(bounds[j[mi] + 1])
+            rows["rel_id"].append(int(m_rel[mi]))
+            rows["inner"].append(bool(m_inner[mi]))
+            rows["way_id"].append(int(m_way[mi]))
+            rows["refs"].append(ref_s[s:e].tolist())
+            rows["xs"].append(lon_s[s:e].tolist())
+            rows["ys"].append(lat_s[s:e].tolist())
+            rows["part"].append(int(parts[mi]))
+        return pa.table({
+            "rel_id": pa.array(rows["rel_id"], pa.int64()),
+            "inner": pa.array(rows["inner"], pa.bool_()),
+            "way_id": pa.array(rows["way_id"], pa.int64()),
+            "refs": pa.array(rows["refs"], pa.list_(pa.int64())),
+            "xs": pa.array(rows["xs"], pa.list_(pa.float64())),
+            "ys": pa.array(rows["ys"], pa.list_(pa.float64())),
+            "part": pa.array(rows["part"], pa.int64()),
+        })
+
+    packed = coords.map_batches(part_by_way, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack_and_assign, batch_format="pyarrow")
+
+    def stitch_pool(pool: list[tuple[int, list, list, list]]):
+        """(n_rings, n_open, ring areas) for one role pool; ways sorted
+        by id, (way, role) already deduped."""
+        used = [False] * len(pool)
+        rings, n_open, areas = 0, 0, []
+        for i in range(len(pool)):
+            if used[i]:
+                continue
+            used[i] = True
+            refs = list(pool[i][1])
+            xs = list(pool[i][2])
+            ys = list(pool[i][3])
+            while len(refs) >= 2 and refs[0] != refs[-1]:
+                nxt, rev = -1, False
+                for k in range(len(pool)):
+                    if used[k] or len(pool[k][1]) < 2:
+                        continue
+                    if pool[k][1][0] == refs[-1]:
+                        nxt, rev = k, False
+                        break
+                    if pool[k][1][-1] == refs[-1]:
+                        nxt, rev = k, True
+                        break
+                if nxt < 0:
+                    break
+                used[nxt] = True
+                r2, x2, y2 = pool[nxt][1], pool[nxt][2], pool[nxt][3]
+                if rev:
+                    r2, x2, y2 = r2[::-1], x2[::-1], y2[::-1]
+                refs.extend(r2[1:])
+                xs.extend(x2[1:])
+                ys.extend(y2[1:])
+            if len(refs) >= 4 and refs[0] == refs[-1]:
+                rings += 1
+                areas.append(abs(math.fsum(
+                    xs[k] * ys[k + 1] - xs[k + 1] * ys[k]
+                    for k in range(len(xs) - 1))) / 2.0)
+            else:
+                n_open += 1
+        return rings, n_open, areas
+
+    def stitch(t: pa.Table) -> pa.Table:
+        rel = t["rel_id"].combine_chunks().to_numpy()
+        order = np.argsort(rel, kind="stable")
+        rel_s = rel[order]
+        inner = t["inner"].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        wid = t["way_id"].combine_chunks().to_numpy()[order]
+        refs = t["refs"].to_pylist()
+        xs = t["xs"].to_pylist()
+        ys = t["ys"].to_pylist()
+        urel, starts = np.unique(rel_s, return_index=True)
+        bounds = np.append(starts, len(rel_s))
+        out = {"relation_id": [], "n_outer": [], "n_inner": [],
+               "n_open": [], "area6": []}
+        for i, r in enumerate(urel):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            pools: dict[bool, dict[int, tuple]] = {False: {}, True: {}}
+            for k in range(s, e):
+                oi = order[k]
+                pools[bool(inner[k])].setdefault(
+                    int(wid[k]), (int(wid[k]), refs[oi], xs[oi], ys[oi]))
+            res = {}
+            for role in (False, True):
+                pool = [pools[role][w] for w in sorted(pools[role])]
+                res[role] = stitch_pool(pool)
+            area = math.fsum(res[False][2]) - math.fsum(res[True][2])
+            out["relation_id"].append(int(r))
+            out["n_outer"].append(res[False][0])
+            out["n_inner"].append(res[True][0])
+            out["n_open"].append(res[False][1] + res[True][1])
+            out["area6"].append(float(round_half_away(
+                np.array([area]), 6)[0]))
+        return pa.table({
+            "relation_id": pa.array(out["relation_id"], pa.int64()),
+            "n_outer": pa.array(out["n_outer"], pa.int64()),
+            "n_inner": pa.array(out["n_inner"], pa.int64()),
+            "n_open": pa.array(out["n_open"], pa.int64()),
+            "area6": pa.array(out["area6"], pa.float64()),
+        })
+
+    return packed.groupby("part").map_groups(stitch,
+                                             batch_format="pyarrow")

@@ -712,6 +712,94 @@ def _way_pagerank_table(sf: float) -> pa.Table:
     })
 
 
+def _relation_multipolygons_table(sf: float) -> pa.Table:
+    """Scalar multipolygon-assembly reference: pure-python dict stitching
+    over the relation member ways, written independently of the engine's
+    two-exchange plan. Shared contract (see
+    pipelines.osm.relation_multipolygons): inner role -> inner pool,
+    everything else outer; (way, role) deduped; chains extend at the tail
+    with the smallest-id unused way (forward match preferred); closed
+    chains of >= 4 points are rings; ring area = |fsum shoelace| / 2 and
+    area6 = round6(fsum(outer) - fsum(inner)) — math.fsum makes both
+    sides exactly rounded, so order of accumulation cannot diverge."""
+    import math
+
+    from .util import round_half_away
+    d = datagen.scale_dir(sf)
+    nt = pq.read_table(str(d / "osm_nodes.parquet"),
+                       columns=["id", "lon", "lat"])
+    coord = dict(zip(nt["id"].to_pylist(),
+                     zip(nt["lon"].to_pylist(), nt["lat"].to_pylist())))
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    way_refs = dict(zip(wt["id"].to_pylist(), wt["refs"].to_pylist()))
+    rt = pq.read_table(str(d / "osm_relations.parquet"),
+                       columns=["id", "members"])
+
+    def stitch(pool_ways: list[int]) -> tuple[int, int, list[float]]:
+        seqs = [(w, [r for r in way_refs[w] if r in coord])
+                for w in sorted(pool_ways)]
+        used = [False] * len(seqs)
+        rings, n_open, areas = 0, 0, []
+        for i in range(len(seqs)):
+            if used[i]:
+                continue
+            used[i] = True
+            chain = list(seqs[i][1])
+            while len(chain) >= 2 and chain[0] != chain[-1]:
+                nxt, rev = -1, False
+                for k in range(len(seqs)):
+                    if used[k] or len(seqs[k][1]) < 2:
+                        continue
+                    if seqs[k][1][0] == chain[-1]:
+                        nxt, rev = k, False
+                        break
+                    if seqs[k][1][-1] == chain[-1]:
+                        nxt, rev = k, True
+                        break
+                if nxt < 0:
+                    break
+                used[nxt] = True
+                ext = seqs[nxt][1][::-1] if rev else seqs[nxt][1]
+                chain.extend(ext[1:])
+            if len(chain) >= 4 and chain[0] == chain[-1]:
+                rings += 1
+                pts = [coord[r] for r in chain]
+                areas.append(abs(math.fsum(
+                    pts[k][0] * pts[k + 1][1] - pts[k + 1][0] * pts[k][1]
+                    for k in range(len(pts) - 1))) / 2.0)
+            else:
+                n_open += 1
+        return rings, n_open, areas
+
+    rows = {"relation_id": [], "n_outer": [], "n_inner": [],
+            "n_open": [], "area6": []}
+    for rid, members in zip(rt["id"].to_pylist(), rt["members"].to_pylist()):
+        pools: dict[bool, set[int]] = {False: set(), True: set()}
+        for m in members:
+            # the engine's coordinate join drops unresolved refs, so a
+            # way only reaches its stitch kernel with >= 1 resolved ref
+            if (m["type"] == "way" and m["ref"] in way_refs
+                    and any(r in coord for r in way_refs[m["ref"]])):
+                pools[m["role"] == "inner"].add(m["ref"])
+        if not pools[False] and not pools[True]:
+            continue  # engine only sees relations with >= 1 way member
+        ro = stitch(sorted(pools[False]))
+        ri = stitch(sorted(pools[True]))
+        rows["relation_id"].append(rid)
+        rows["n_outer"].append(ro[0])
+        rows["n_inner"].append(ri[0])
+        rows["n_open"].append(ro[1] + ri[1])
+        rows["area6"].append(float(round_half_away(
+            np.array([math.fsum(ro[2]) - math.fsum(ri[2])]), 6)[0]))
+    return pa.table({
+        "relation_id": pa.array(rows["relation_id"], pa.int64()),
+        "n_outer": pa.array(rows["n_outer"], pa.int64()),
+        "n_inner": pa.array(rows["n_inner"], pa.int64()),
+        "n_open": pa.array(rows["n_open"], pa.int64()),
+        "area6": pa.array(rows["area6"], pa.float64()),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -730,6 +818,7 @@ _BUILDERS = {
     "video_frames": _video_frames_table,
     "way_simplify": _simplify_ways_table,
     "way_pagerank": _way_pagerank_table,
+    "relation_multipolygons": _relation_multipolygons_table,
 }
 
 
