@@ -41,6 +41,13 @@ TILE_ZOOMS = (10, 12, 14)
 KNN_FEATURE_KEY = "amenity"
 ANN_QUERY_MAX_ID = 8   # vec_id < 8 are queries; >= 8 are candidates
 ANN_K = 3
+# clip_filter: keep rows whose image-tower/text-tower cosine (first vs
+# second half of the 64-dim embedding) rounds to >= threshold at 6 digits
+CLIP_THRESHOLD = 0.25
+# phash_pairs: hamming radius (11 phash bands are exact for d <= 10) and
+# the deterministic id cap bounding the O(n^2) brute-force oracle
+PHASH_MAX_HAMMING = 10
+PHASH_PAIR_CAP = 4000
 STOPWORDS = ["the", "a", "and", "of", "to"]
 # mixture_sample gate: weights chosen so some sources cap at rate 1
 # (target exceeds availability), some get fractional rates, the rest 0
@@ -443,6 +450,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM s)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
         FROM r WHERE rank <= {ANN_K}"""
+
+    # clip_filter: both towers ride the same row (halves of the 64-dim
+    # embedding); DOUBLE[] cast forces DuckDB's float64 kernel (float
+    # lists run float32 — measured 1.2e-7 drift vs the engine's float64
+    # math; the cast brings parity to 2e-16, 9 orders under the rounding
+    # grid). Threshold applies to the ROUNDED value on both sides.
+    _clip_cos = sql_round(
+        "list_cosine_similarity((embedding::DOUBLE[])[1:32], "
+        "(embedding::DOUBLE[])[33:64])", 6)
+    q["clip_filter"] = f"""
+        SELECT vec_id, {_clip_cos} AS cos6
+        FROM embeddings
+        WHERE {_clip_cos} >= {CLIP_THRESHOLD}"""
+
+    # phash_pairs: brute-force O(n^2) hamming join on the id-capped
+    # subset — the independent plan the banded multi-index exchange
+    # must reproduce exactly (the banding is lossless for d <= 10)
+    q["phash_pairs"] = f"""
+        WITH im AS (SELECT CAST(substring(image_id, 4) AS BIGINT) AS iid,
+                           phash
+                    FROM {images}
+                    WHERE CAST(substring(image_id, 4) AS BIGINT)
+                          < {PHASH_PAIR_CAP})
+        SELECT a.iid AS a, b.iid AS b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM im a JOIN im b ON a.iid < b.iid
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}"""
 
     # int8 scalar-quantized ANN: per-dim min/max calibration, half-away
     # quantization (shared rounding formula), INTEGER dot products — the

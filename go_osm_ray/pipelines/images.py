@@ -304,3 +304,90 @@ def image_sig_dedup(images: ray.data.Dataset, max_hamming: int = 6,
 
     return ah.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+# 11 bands partition the 64 phash bits: widths 6x9 + 5x2.  Pigeonhole:
+# a pair within hamming distance d <= 10 is identical in at least one
+# band, so banded exact-match blocking is a LOSSLESS candidate generator
+# (multi-index hamming, Norouzi et al. "Fast Search in Hamming Space
+# with Multi-Index Hashing", CVPR 2012 — public method).
+PHASH_BANDS: list[tuple[int, int]] = [(0, 6), (6, 6), (12, 6), (18, 6),
+                                      (24, 6), (30, 6), (36, 6), (42, 6),
+                                      (48, 6), (54, 5), (59, 5)]
+
+
+def phash_hamming_pairs(images: ray.data.Dataset, max_hamming: int = 10,
+                        num_parts: int = 32,
+                        max_bucket: int | None = None) -> ray.data.Dataset:
+    """Image near-duplicate PAIRS by perceptual-hash hamming distance —
+    the pairwise complement of image_sig_dedup (which collapses EXACT
+    signature groups): (a, b, hamming) for every image pair whose 64-bit
+    phash differs in <= ``max_hamming`` bits.
+
+    Distributed plan (the repo's standard banded exchange, text.py):
+      1. map_batches emits one (band_id, band_key, id, phash) row per
+         band — 11 bands covering all 64 bits, exact for d <= 10;
+      2. hash-partition exchange on the packed bucket key;
+      3. partition-local vectorized candidate pairs (text._bucket_pairs_vec);
+      4. verify: popcount(xor) <= d from the phash carried through the
+         exchange (24 B/row — never the payload bytes);
+      5. global pair dedup via the packed-key merge exchange.
+
+    ``max_bucket=None`` keeps in-bucket expansion exhaustive so the gate
+    is exact; production corpora with dense top-band buckets (morton-
+    style hashes cluster high bits geographically) should pass the
+    text.MAX_BUCKET chain cap and accept its documented recall note.
+    """
+    from .text import (_bucket_pairs_vec, _by_partition, _dedup_pairs,
+                       _pair_merge)
+    from ..relational import hash_part
+
+    nb = len(PHASH_BANDS)
+
+    def band_stage(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(
+            t["image_id"].combine_chunks(), 3, 99), pa.int64()).to_numpy()
+        ph = t["phash"].combine_chunks().to_numpy().view(np.uint64)
+        n = len(ids)
+        keys = np.empty((n, nb), np.int64)
+        for bi, (start, width) in enumerate(PHASH_BANDS):
+            keys[:, bi] = ((ph >> np.uint64(start))
+                           & np.uint64((1 << width) - 1)).astype(np.int64)
+        band_id = np.tile(np.arange(nb, dtype=np.int64), n)
+        key_flat = keys.ravel()
+        packed = key_flat.astype(np.uint64) * np.uint64(nb) \
+            + band_id.astype(np.uint64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, nb)),
+            "band_id": pa.array(band_id),
+            "band_key": pa.array(key_flat),
+            "sig": pa.array(np.repeat(ph.view(np.int64), nb)),
+            "part": pa.array(hash_part(packed, num_parts)),
+        })
+
+    rows = images.select_columns(["image_id", "phash"]) \
+        .map_batches(band_stage, batch_format="pyarrow", batch_size=4096)
+
+    empty = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("hamming", pa.int64())])
+
+    def pairgen(t: pa.Table) -> pa.Table:
+        key = (t["band_key"].combine_chunks().to_numpy() * nb
+               + t["band_id"].combine_chunks().to_numpy())
+        doc = t["doc_id"].combine_chunks().to_numpy()
+        sig = t["sig"].combine_chunks().to_numpy()
+        a, b, _, _ = _bucket_pairs_vec(key, doc, sig, max_bucket=max_bucket)
+        a, b = _dedup_pairs(a, b)
+        if not len(a):
+            return empty.empty_table()
+        ud, uidx = np.unique(doc, return_index=True)
+        sig_u = sig[uidx].astype(np.uint64)
+        x = sig_u[np.searchsorted(ud, a)] ^ sig_u[np.searchsorted(ud, b)]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
+                         "hamming": pa.array(ham[m])}, schema=empty)
+
+    pairs = _by_partition(rows, pairgen)
+    return _pair_merge(pairs, [("hamming", "min")], num_parts)

@@ -1,0 +1,111 @@
+"""Round-4 ops: clip_filter (image-text cosine curation) and
+phash_hamming_pairs (banded multi-index hamming join).
+
+The driver-grade gates live in test_oracle_parity.py (both ops are
+oracle_sql-gated); these tests pin the properties the SQL gate cannot
+see — banding losslessness against a planted radius-edge pair, and the
+filter's rounding-boundary contract.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from go_osm_ray.pipelines.images import PHASH_BANDS, phash_hamming_pairs
+from go_osm_ray.pipelines.vectors import clip_filter
+
+
+def test_phash_bands_partition_all_64_bits():
+    seen = set()
+    for start, width in PHASH_BANDS:
+        bits = set(range(start, start + width))
+        assert not (seen & bits), "bands overlap"
+        seen |= bits
+    assert seen == set(range(64))
+    # pigeonhole guarantee: exact for d <= len(bands) - 1 = 10
+    assert len(PHASH_BANDS) == 11
+
+
+def _img_ds(ids, phashes):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "image_id": pa.array([f"img{int(i):012d}" for i in ids]),
+        "phash": pa.array(np.asarray(phashes, np.uint64).view(np.int64)),
+    }))
+
+
+def test_phash_pairs_planted_radius_edge(ray_session):
+    """A pair at EXACTLY d=10 (the radius) must be found — it differs in
+    10 bands and agrees in exactly one, so any band-coverage bug drops
+    it; a pair at d=11 must not appear."""
+    base = np.uint64(0x0123456789ABCDEF)
+    # flip one bit inside each of the first 10 bands -> d=10, band 10 intact
+    d10 = base
+    for start, _w in PHASH_BANDS[:10]:
+        d10 ^= np.uint64(1) << np.uint64(start)
+    # additionally flip a bit in the last band -> d=11, no shared band
+    d11 = d10 ^ (np.uint64(1) << np.uint64(PHASH_BANDS[10][0]))
+    ds = _img_ds([1, 2, 3], [base, d10, d11])
+    t = pa.concat_tables(
+        list(phash_hamming_pairs(ds, max_hamming=10)
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    pairs = {(a, b): h for a, b, h in
+             zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                 t["hamming"].to_pylist())}
+    assert pairs.get((1, 2)) == 10
+    assert (1, 3) not in pairs          # d=11: outside the radius
+    assert (2, 3) in pairs              # d=1: trivially inside
+
+
+def test_phash_pairs_match_bruteforce(ray_session):
+    """Banded exchange == O(n^2) scan on a random corpus (seeded)."""
+    rs = np.random.RandomState(7)
+    n = 400
+    base = rs.randint(0, 1 << 62, n // 2).astype(np.uint64)
+    # half are noisy copies (flip 0-12 random bits), half independent
+    noisy = base.copy()
+    for i in range(len(noisy)):
+        for b in rs.choice(64, rs.randint(0, 13), replace=False):
+            noisy[i] ^= np.uint64(1) << np.uint64(b)
+    ph = np.r_[base, noisy]
+    ids = np.arange(n)
+    t = pa.concat_tables(
+        list(phash_hamming_pairs(_img_ds(ids, ph), max_hamming=10)
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    got = {(a, b, h) for a, b, h in zip(t["a"].to_pylist(),
+                                        t["b"].to_pylist(),
+                                        t["hamming"].to_pylist())}
+    x = ph[:, None] ^ ph[None, :]
+    pcnt = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(2)
+    ii, jj = np.triu_indices(n, 1)
+    want = {(int(a), int(b), int(pcnt[a, b]))
+            for a, b in zip(ii, jj) if pcnt[a, b] <= 10}
+    assert got == want
+
+
+def test_clip_filter_threshold_on_rounded_value(ray_session):
+    """The keep decision applies to the ROUNDED cosine (the SQL mirror's
+    contract): a raw cosine just under the threshold that rounds UP to
+    it must be kept."""
+    import ray.data
+    d = 8   # towers of 4
+    # cos = 0.2499998 -> rounds to 0.25 (half-away, 6 digits) -> kept;
+    # 3e-7 above the 0.2499995 round-up boundary, an order beyond the
+    # ~6e-8 float32-storage perturbation of the cosine
+    a = np.array([1.0, 0.0, 0.0, 0.0])
+    target = 0.2499998
+    b = np.array([target, np.sqrt(1 - target * target), 0.0, 0.0])
+    # and one clearly below: cos = 0.2 -> dropped
+    b2 = np.array([0.2, np.sqrt(1 - 0.04), 0.0, 0.0])
+    emb = [np.r_[a, b], np.r_[a, b2]]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([e.astype(np.float32) for e in emb],
+                              pa.list_(pa.float32())),
+    }))
+    out = clip_filter(ds, threshold=0.25).take_all()
+    kept = {r["vec_id"]: r["cos6"] for r in out}
+    assert 2 not in kept
+    assert 1 in kept and abs(kept[1] - 0.25) < 1e-12
