@@ -175,7 +175,12 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
     from ..util import default_pool
 
     assign_cells = make_cell_assigner(resolutions)
-    assign_tiles = make_tile_assigner(zooms)
+    # int32 tile coords + dropping the spent phash shrink the fused
+    # pass's output rows ~22% (147 -> ~115 B/row) — output-block build
+    # is the measured DRAM-bound term at high actor counts (BASELINE.md
+    # round-4 rows), so narrower blocks lift BOTH the absolute rate and
+    # the shared-DRAM 8->32 scaling ratio
+    assign_tiles = make_tile_assigner(zooms, dtype=np.int32)
 
     class FlagshipStage:
         def __init__(self):
@@ -209,6 +214,10 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
                 batch = batch.append_column("knn_feature_id", pa.array(near))
             if mean6 is not None:
                 batch = batch.append_column("mean_px6", mean6)
+            if "phash" in batch.column_names:
+                # lon/lat carry the decoded geotag; re-shipping the spent
+                # 8 B/row hash through every downstream block is waste
+                batch = batch.drop_columns(["phash"])
             return batch
 
     pool = pip_concurrency or default_pool(24)

@@ -38,14 +38,22 @@ def make_cell_assigner(resolutions: tuple[int, ...] = (7, 8, 9, 10, 11),
 
 
 def make_tile_assigner(zooms: tuple[int, ...] = (10, 12, 14),
-                       lon_col: str = "lon", lat_col: str = "lat"):
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       dtype=None):
     """Closure adding ``tile{z}_x`` / ``tile{z}_y`` columns (slippy z/x/y,
-    the math of /root/reference/osm/Node.go:26-33, clamped)."""
+    the math of /root/reference/osm/Node.go:26-33, clamped).
+
+    ``dtype=np.int32`` narrows the emitted columns (tile coords fit
+    int32 for every zoom <= 29) — the fused flagship pass uses it to cut
+    object-store output traffic; gated queries keep the default int64 so
+    their DuckDB schema compare is untouched."""
     def assign(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].combine_chunks().to_numpy()
         lat = batch[lat_col].combine_chunks().to_numpy()
         for z in zooms:
             x, y = tiles.tile_xy(lon, lat, z)
+            if dtype is not None:
+                x, y = x.astype(dtype), y.astype(dtype)
             batch = batch.append_column(f"tile{z}_x", pa.array(x))
             batch = batch.append_column(f"tile{z}_y", pa.array(y))
         return batch
