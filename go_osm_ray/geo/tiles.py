@@ -118,6 +118,40 @@ def quadkey(x: np.ndarray, y: np.ndarray, z: int) -> np.ndarray:
     return np.ascontiguousarray(digits).view(f"S{z}").ravel()
 
 
+GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype=np.uint8)
+
+
+def geohash(lon: np.ndarray, lat: np.ndarray, precision: int = 6) -> np.ndarray:
+    """Vectorized standard geohash (even ``precision``): quantize lon and
+    lat to 5*precision/2 bits each, interleave lon-first with the morton
+    bit spread, then map each 5-bit group through the base-32 alphabet.
+
+    Mathematically identical to the textbook bisection construction
+    (``pyoracle._scalar_geohash`` implements THAT form as the independent
+    oracle): bit k of the quantized index equals the k-th bisection
+    comparison.  The float paths only disagree within ~1 ulp of a cell
+    boundary; the morton cell-center decode (geo/morton.py) keeps every
+    input >= half a 2^25-cell (~5e-6 deg) away from any <=15-bit geohash
+    boundary, ~6 orders of magnitude above the float error, so the two
+    constructions are bit-identical on this data model."""
+    if precision % 2 or not 0 < precision <= 12:
+        raise ValueError(f"precision must be even in (0, 12], got {precision}")
+    from .morton import _part1by1
+    half = 5 * precision // 2
+    n = 1 << half
+    ix = np.clip(np.floor((np.asarray(lon, np.float64) + 180.0) / 360.0 * n),
+                 0, n - 1).astype(np.uint64)
+    iy = np.clip(np.floor((np.asarray(lat, np.float64) + 90.0) / 180.0 * n),
+                 0, n - 1).astype(np.uint64)
+    word = (_part1by1(ix) << np.uint64(1)) | _part1by1(iy)
+    chars = np.empty((len(ix), precision), np.uint8)
+    for c in range(precision):
+        idx = ((word >> np.uint64(5 * (precision - 1 - c)))
+               & np.uint64(31)).astype(np.int64)
+        chars[:, c] = GEOHASH32[idx]
+    return np.ascontiguousarray(chars).view(f"S{precision}").ravel()
+
+
 # ---------------------------------------------------------------- SQL mirrors
 
 def sql_tile_x(lon_expr: str, z: int) -> str:

@@ -478,6 +478,52 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM im a JOIN im b ON a.iid < b.iid
         WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}"""
 
+    # image_dedup_keep: true connected components over the same brute-
+    # force pair set via recursive closure (pairs are tiny under the id
+    # cap), keep each component's smallest id — the independent plan the
+    # engine's banded-LSH + union-find/BSP purge must reproduce exactly
+    q["image_dedup_keep"] = f"""
+        WITH RECURSIVE im AS (
+          SELECT CAST(substring(image_id, 4) AS BIGINT) AS iid, phash
+          FROM {images}
+          WHERE CAST(substring(image_id, 4) AS BIGINT) < {PHASH_PAIR_CAP}),
+        p AS (SELECT a.iid AS a, b.iid AS b
+              FROM im a JOIN im b ON a.iid < b.iid
+              WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}),
+        e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        reach(s, d) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d),
+        dropped AS (SELECT DISTINCT s FROM reach WHERE d < s)
+        SELECT iid FROM im WHERE iid NOT IN (SELECT s FROM dropped)"""
+
+    # image curation funnel: cumulative per-fmt survival counts; the
+    # aspect bound is an integer cross-multiply on both sides
+    _f1 = "w * h >= 512"
+    _f2 = f"{_f1} AND greatest(w, h) * 2 <= least(w, h) * 3"
+    _f3 = f"{_f2} AND length(caption) >= 34"
+    q["image_curation_funnel"] = f"""
+        SELECT fmt, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN {_f1} THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+               CAST(sum(CASE WHEN {_f2} THEN 1 ELSE 0 END) AS BIGINT) AS n_aspect,
+               CAST(sum(CASE WHEN {_f3} THEN 1 ELSE 0 END) AS BIGINT) AS n_caption
+        FROM {images} GROUP BY fmt"""
+
+    # per-cell bounding box: min/max of the bit-exact decoded lon/lat,
+    # rounded AFTER aggregation by the shared sql_round mirror
+    q["cell_bbox"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell_r7,
+                     lon, lat FROM pts)
+        SELECT cell_r7,
+               {sql_round('min(lon)', 6)} AS lon_min6,
+               {sql_round('max(lon)', 6)} AS lon_max6,
+               {sql_round('min(lat)', 6)} AS lat_min6,
+               {sql_round('max(lat)', 6)} AS lat_max6,
+               CAST(count(*) AS BIGINT) AS n
+        FROM c GROUP BY cell_r7"""
+
     # int8 scalar-quantized ANN: per-dim min/max calibration, half-away
     # quantization (shared rounding formula), INTEGER dot products — the
     # scores compare exactly, no float tolerance needed
@@ -956,6 +1002,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_sig_dedup"] = f"SELECT ahash, keeper_id, group_n FROM read_parquet('{exp['image_sig_dedup']}')"
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"
+    q["images_geohash"] = f"SELECT image_id, gh6, gh4 FROM read_parquet('{exp['images_geohash']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

@@ -400,3 +400,54 @@ def phash_hamming_pairs(images: ray.data.Dataset, max_hamming: int = 10,
 
     pairs = _by_partition(rows, pairgen)
     return _pair_merge(pairs, [("hamming", "min")], num_parts)
+
+
+def curation_funnel(images: ray.data.Dataset, min_pixels: int = 512,
+                    aspect_num: int = 3, aspect_den: int = 2,
+                    min_caption_chars: int = 34) -> ray.data.Dataset:
+    """Per-format image curation funnel (the LAION/DataComp accounting
+    view, the image sibling of filtering.quality_funnel): how many images
+    of each ``fmt`` survive each CUMULATIVE filter stage —
+
+      n_total   — all images
+      n_px      — AND w*h >= min_pixels            (resolution floor)
+      n_aspect  — AND max(w,h)*aspect_den <= min(w,h)*aspect_num
+                  (aspect ratio <= aspect_num/aspect_den, kept as an
+                  INTEGER cross-multiply so the DuckDB mirror is exact)
+      n_caption — AND length(caption) >= min_caption_chars
+
+    One vectorized metadata-only pass (never touches ``bytes``), Acero
+    per-block partials per fmt, one bounded merge (format spaces are
+    codec-catalog-sized)."""
+    from ..relational import single_merge
+
+    cols = ("n_total", "n_px", "n_aspect", "n_caption")
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["w"].combine_chunks().to_numpy().astype(np.int64)
+        h = t["h"].combine_chunks().to_numpy().astype(np.int64)
+        cap = pc.utf8_length(t["caption"].combine_chunks()).to_numpy()
+        f1 = (w * h) >= min_pixels
+        f2 = f1 & (np.maximum(w, h) * aspect_den
+                   <= np.minimum(w, h) * aspect_num)
+        f3 = f2 & (cap >= min_caption_chars)
+        stage = pa.table({
+            "fmt": t["fmt"].combine_chunks(),
+            "n_total": pa.array(np.ones(len(t), np.int64)),
+            "n_px": pa.array(f1.astype(np.int64)),
+            "n_aspect": pa.array(f2.astype(np.int64)),
+            "n_caption": pa.array(f3.astype(np.int64)),
+        })
+        g = stage.group_by("fmt").aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["fmt", *cols])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("fmt").aggregate([(c, "sum") for c in cols])
+        out = {"fmt": g["fmt"]}
+        for c in cols:
+            out[c] = pc.cast(g[f"{c}_sum"], pa.int64())
+        return pa.table(out)
+
+    meta = images.select_columns(["fmt", "w", "h", "caption"])
+    return single_merge(meta.map_batches(partial, batch_format="pyarrow"),
+                        merge)

@@ -1114,3 +1114,48 @@ def ann_sq_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
     return partials.groupby("query_id").map_groups(
         _topk_final("dot", ["query_id", "rank", "vec_id", "dot"], k),
         batch_format="pyarrow")
+
+
+def cell_bbox(pts: ray.data.Dataset, res: int = 7,
+              batch_size: int = 65536) -> ray.data.Dataset:
+    """Per-geocell bounding box + count: for every occupied cell at
+    ``res``, the min/max lon/lat of its points (rounded to 6 digits
+    post-aggregation) and the point count — the tile-extent summary a
+    renderer or spatial-partitioner derives before fetching payloads.
+
+    Physical plan: the assigner fuses into the decode stage, then ONE
+    combiner exchange (relational.partial_groupby_agg — per-block Acero
+    partials, bounded hash partition of the cell key, per-partition
+    Acero merge).  Rows moved = O(occupied cells x blocks), never
+    O(points); min/max/sum are associative so the partials are exact.
+    Rounding happens AFTER the merge (monotone, so round(min)=min(round))
+    and mirrors util.sql_round in the DuckDB oracle."""
+    from ..relational import partial_groupby_agg
+    from ..stages.assign import make_cell_assigner
+    from ..util import round_half_away
+
+    assign = make_cell_assigner((res,))
+    cell_col = f"cell_r{res}"
+
+    def project(t: pa.Table) -> pa.Table:
+        a = assign(t)
+        return a.select([cell_col, "lon", "lat"])
+
+    cells = pts.map_batches(project, batch_format="pyarrow",
+                            batch_size=batch_size)
+    agg = partial_groupby_agg(
+        cells, [cell_col],
+        [("lon", "min"), ("lon", "max"), ("lat", "min"), ("lat", "max"),
+         ("lat", "count")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            cell_col: t[cell_col],
+            "lon_min6": round_half_away(t["lon_min"], 6),
+            "lon_max6": round_half_away(t["lon_max"], 6),
+            "lat_min6": round_half_away(t["lat_min"], 6),
+            "lat_max6": round_half_away(t["lat_max"], 6),
+            "n": pc.cast(t["lat_count"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -466,6 +466,51 @@ def _images_s2_table(sf: float, levels: tuple[int, ...] = (10, 14)) -> pa.Table:
     return pa.table(out)
 
 
+def _scalar_geohash(lon: float, lat: float, precision: int) -> str:
+    """Textbook geohash: alternating lon/lat interval bisection, 5 bits
+    per base-32 char — the independent construction mirroring the
+    engine's quantize+morton-interleave kernel (geo/tiles.geohash; the
+    two agree exactly because every input sits >= half a 2^25 morton
+    cell away from any bisection boundary)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    out, ch, bit, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if lon >= mid:
+                ch, lo_x = ch * 2 + 1, mid
+            else:
+                ch, hi_x = ch * 2, mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if lat >= mid:
+                ch, lo_y = ch * 2 + 1, mid
+            else:
+                ch, hi_y = ch * 2, mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(b32[ch])
+            ch, bit = 0, 0
+    return "".join(out)
+
+
+def _images_geohash_table(sf: float, precision: int = 6,
+                          prefix: int = 4) -> pa.Table:
+    t = _images_rows(sf, ["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    gh6, gh4 = [], []
+    for p in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(int(p))
+        g = _scalar_geohash(lon, lat, precision)
+        gh6.append(g)
+        gh4.append(g[:prefix])
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     f"gh{precision}": pa.array(gh6, pa.string()),
+                     f"gh{prefix}": pa.array(gh4, pa.string())})
+
+
 # ------------------------------------------------------- image / media
 
 def _images_rows(sf: float, columns: list[str]) -> pa.Table:
@@ -819,6 +864,7 @@ _BUILDERS = {
     "way_simplify": _simplify_ways_table,
     "way_pagerank": _way_pagerank_table,
     "relation_multipolygons": _relation_multipolygons_table,
+    "images_geohash": _images_geohash_table,
 }
 
 

@@ -1,5 +1,6 @@
-"""Round-4 ops: clip_filter (image-text cosine curation) and
-phash_hamming_pairs (banded multi-index hamming join).
+"""Round-4 ops: clip_filter (image-text cosine curation),
+phash_hamming_pairs (banded multi-index hamming join), geohash encoding,
+image_dedup_keep (phash-CC purge), curation_funnel, cell_bbox.
 
 The driver-grade gates live in test_oracle_parity.py (both ops are
 oracle_sql-gated); these tests pin the properties the SQL gate cannot
@@ -10,6 +11,8 @@ filter's rounding-boundary contract.
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 from go_osm_ray.pipelines.images import PHASH_BANDS, phash_hamming_pairs
 from go_osm_ray.pipelines.vectors import clip_filter
@@ -109,3 +112,98 @@ def test_clip_filter_threshold_on_rounded_value(ray_session):
     kept = {r["vec_id"]: r["cos6"] for r in out}
     assert 2 not in kept
     assert 1 in kept and abs(kept[1] - 0.25) < 1e-12
+
+
+def test_geohash_known_landmarks():
+    """Published geohash values (geohash.org): independent ground truth
+    that doesn't route through either repo implementation."""
+    from go_osm_ray.geo.tiles import geohash
+    lon = np.array([2.2945, -77.0365, 151.2153, -0.1278])
+    lat = np.array([48.8584, 38.8977, -33.8568, 51.5074])
+    got = [g.decode() for g in geohash(lon, lat, 6)]
+    assert got == ["u09tun", "dqcjqc", "r3gx2u", "gcpvj0"]
+    # hierarchical prefix property: precision-4 hash is the 6-char prefix
+    got4 = [g.decode() for g in geohash(lon, lat, 4)]
+    assert got4 == [g[:4] for g in got]
+    with pytest.raises(ValueError):
+        geohash(lon, lat, 5)  # odd precision unsupported (documented)
+
+
+def test_geohash_engine_matches_scalar_bisection():
+    from go_osm_ray.geo.tiles import geohash
+    from go_osm_ray.pyoracle import _scalar_geohash
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    vec = [g.decode() for g in geohash(lon, lat, 6)]
+    ref = [_scalar_geohash(float(a), float(b), 6) for a, b in zip(lon, lat)]
+    assert vec == ref
+
+
+def test_curation_funnel_monotone_and_total(ray_session):
+    from go_osm_ray.pipelines.images import curation_funnel
+    n = 3000
+    idx = np.arange(n)
+    w = np.array([16, 24, 32], np.int32)[idx % 3]
+    h = np.array([16, 24, 32], np.int32)[(idx // 3) % 3]
+    t = pa.table({
+        "fmt": pa.array(np.where(idx % 2 == 0, "png", "raw")),
+        "w": pa.array(w), "h": pa.array(h),
+        "caption": pa.array([f"c{'x' * (i % 60)}" for i in idx]),
+    })
+    out = curation_funnel(ray.data.from_arrow(t).repartition(6)).to_pandas()
+    assert int(out["n_total"].sum()) == n
+    for a, b in (("n_total", "n_px"), ("n_px", "n_aspect"),
+                 ("n_aspect", "n_caption")):
+        assert (out[a] >= out[b]).all()  # cumulative stages only shrink
+    # the aspect bound actually bites: 32x16 (ratio 2 > 3/2) passes the
+    # pixel floor but not the aspect stage
+    assert int(out["n_px"].sum()) > int(out["n_aspect"].sum())
+
+
+def test_cell_bbox_contains_points(ray_session):
+    from go_osm_ray.pipelines.spatial import cell_bbox
+    from go_osm_ray.geo.tiles import cell_id
+    rng = np.random.RandomState(3)
+    n = 5000
+    lon = rng.uniform(-170, 170, n)
+    lat = rng.uniform(-80, 80, n)
+    pts = ray.data.from_arrow(pa.table({
+        "image_id": pa.array([f"p{i}" for i in range(n)]),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+    })).repartition(8)
+    out = cell_bbox(pts, res=5).to_pandas()
+    assert int(out["n"].sum()) == n
+    cells = cell_id(lon, lat, 5)
+    by_cell = out.set_index("cell_r5")
+    # every point within its cell's reported (rounded) bbox, with the
+    # 6-digit rounding slack
+    eps = 5e-7 + 1e-9
+    for c, lo in ((cells[i], i) for i in range(0, n, 97)):
+        row = by_cell.loc[c]
+        assert row["lon_min6"] - eps <= lon[lo] <= row["lon_max6"] + eps
+        assert row["lat_min6"] - eps <= lat[lo] <= row["lat_max6"] + eps
+
+
+def test_image_dedup_keep_planted_components(ray_session):
+    """Plant two hamming-adjacent phash clusters; keep = min id of each
+    cluster plus every singleton."""
+    from go_osm_ray.pipelines.images import phash_hamming_pairs
+    from go_osm_ray.pipelines.text import dedup_keep
+    base1, base2 = 0x0123456789ABCD00, 0x7EDCBA9876543200
+    rows = []
+    for i, flip in enumerate((0, 1, 2)):        # cluster A: ids 0,1,2
+        rows.append((i, base1 ^ (1 << flip)))
+    for i, flip in enumerate((0, 3)):           # cluster B: ids 10,11
+        rows.append((10 + i, base2 ^ (1 << flip)))
+    rows += [(20, 0x5555000055550000), (21, 0x00AA00AA00AA00AA)]  # singletons
+    t = pa.table({
+        "image_id": pa.array([f"img{i:012d}" for i, _ in rows]),
+        "phash": pa.array([p for _, p in rows], pa.int64()),
+        "iid": pa.array([i for i, _ in rows], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    pairs = phash_hamming_pairs(ds, max_hamming=4)
+    kept = dedup_keep(ds.select_columns(["iid"]), pairs, id_col="iid") \
+        .to_pandas()["iid"].sort_values().tolist()
+    assert kept == [0, 10, 20, 21]
