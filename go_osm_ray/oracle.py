@@ -48,6 +48,8 @@ CLIP_THRESHOLD = 0.25
 # the deterministic id cap bounding the O(n^2) brute-force oracle
 PHASH_MAX_HAMMING = 10
 PHASH_PAIR_CAP = 4000
+# zonal_stats raster resolution: zoom-10 tiles x 256px grid = zoom-18 pixels
+ZONAL_Z, ZONAL_GRID = 10, 256
 STOPWORDS = ["the", "a", "and", "of", "to"]
 # mixture_sample gate: weights chosen so some sources cap at rate 1
 # (target exceeds availability), some get fractional rates, the rest 0
@@ -306,6 +308,51 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
                gx % 64 AS px, gy % 64 AS py, n FROM c"""
 
+    # closed-way polygon edge set (shared by the PIP family + zonal_stats)
+    poly_edges = f"""cw AS (SELECT id AS feature_id, refs FROM {ways}
+               WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),
+        vert AS (SELECT cw.feature_id, unnest(cw.refs) AS ref,
+                        generate_subscripts(cw.refs, 1) AS pos FROM cw),
+        vc AS (SELECT v.feature_id, v.pos, n.lon AS x, n.lat AS y
+               FROM vert v JOIN {nodes} n ON n.id = v.ref),
+        edges AS (SELECT feature_id, x AS x1, y AS y1,
+                         lead(x) OVER (PARTITION BY feature_id ORDER BY pos) AS x2,
+                         lead(y) OVER (PARTITION BY feature_id ORDER BY pos) AS y2
+                  FROM vc),
+        e2 AS (SELECT * FROM edges WHERE x2 IS NOT NULL)"""
+
+    # zonal statistics (raster x vector overlay): zoom-18 pixel counts,
+    # centers back-projected with the shared explicit-sinh formula, PIP
+    # ray-cast per center against the polygon edge set, per-feature
+    # aggregates with post-merge rounded mean — mirrors
+    # pipelines/raster.zonal_stats (z=10, grid=256)
+    _zn = float(1 << (ZONAL_Z + 8))  # grid 256 = 2^8
+    _zv = f"(pi() * (1.0 - 2.0 * (gy + 0.5) / {_zn!r}))"
+    q["zonal_stats"] = f"""
+        WITH {_pts_cte(images)},
+        g AS (SELECT {tiles.sql_tile_x('lon', ZONAL_Z + 8)} AS gx,
+                     {tiles.sql_tile_y('lat', ZONAL_Z + 8)} AS gy FROM pts),
+        c AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n
+              FROM g GROUP BY gx, gy),
+        ctr AS (SELECT gx, gy, n,
+                       ((gx + 0.5) / {_zn!r} * 360.0 - 180.0) AS clon,
+                       degrees(atan((exp({_zv}) - exp(-{_zv})) / 2.0)) AS clat
+                FROM c),
+        {poly_edges},
+        hits AS (
+          SELECT ctr.gx, ctr.gy, ctr.n, e.feature_id
+          FROM ctr, e2 e
+          WHERE ((e.y1 > ctr.clat) <> (e.y2 > ctr.clat))
+            AND (ctr.clon < (e.x2 - e.x1) * (ctr.clat - e.y1)
+                            / (e.y2 - e.y1) + e.x1)
+          GROUP BY ctr.gx, ctr.gy, ctr.n, e.feature_id
+          HAVING count(*) % 2 = 1)
+        SELECT feature_id, CAST(count(*) AS BIGINT) AS n_pixels,
+               CAST(sum(n) AS BIGINT) AS pts_sum,
+               CAST(max(n) AS BIGINT) AS n_max,
+               {sql_round('CAST(sum(n) AS DOUBLE) / count(*)', 6)} AS mean6
+        FROM hits GROUP BY feature_id"""
+
     q["images_quadkey"] = f"""
         WITH {_pts_cte(images)},
         qt AS (SELECT image_id, {tiles.sql_tile_x('lon', 14)} AS tx,
@@ -376,17 +423,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # ---- graft: spatial joins --------------------------------------------
     pip_core = f"""
         {_pts_cte(images)},
-        cw AS (SELECT id AS feature_id, refs FROM {ways}
-               WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),
-        vert AS (SELECT cw.feature_id, unnest(cw.refs) AS ref,
-                        generate_subscripts(cw.refs, 1) AS pos FROM cw),
-        vc AS (SELECT v.feature_id, v.pos, n.lon AS x, n.lat AS y
-               FROM vert v JOIN {nodes} n ON n.id = v.ref),
-        edges AS (SELECT feature_id, x AS x1, y AS y1,
-                         lead(x) OVER (PARTITION BY feature_id ORDER BY pos) AS x2,
-                         lead(y) OVER (PARTITION BY feature_id ORDER BY pos) AS y2
-                  FROM vc),
-        e2 AS (SELECT * FROM edges WHERE x2 IS NOT NULL),
+        {poly_edges},
         hits AS (
           SELECT p.image_id, e.feature_id
           FROM pts p, e2 e

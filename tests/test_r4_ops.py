@@ -207,3 +207,34 @@ def test_image_dedup_keep_planted_components(ray_session):
     kept = dedup_keep(ds.select_columns(["iid"]), pairs, id_col="iid") \
         .to_pandas()["iid"].sort_values().tolist()
     assert kept == [0, 10, 20, 21]
+
+
+def test_zonal_stats_partition_invariant(ray_session):
+    """Zonal aggregates must not depend on block layout (combiner
+    exchange exactness)."""
+    import pandas as pd
+    import parity
+    from go_osm_ray.geo.pip import PolygonIndex
+    from go_osm_ray.pipelines.raster import rasterize_tiles, zonal_stats
+    rng = np.random.RandomState(5)
+    n = 4000
+    lon = rng.uniform(-1.0, 1.0, n)
+    lat = rng.uniform(-1.0, 1.0, n)
+    # two square polygons, one containing the origin quadrant
+    idx = PolygonIndex(
+        np.array([7, 9], np.int64),
+        [np.array([-0.5, 0.5, 0.5, -0.5, -0.5]),
+         np.array([0.6, 0.9, 0.9, 0.6, 0.6])],
+        [np.array([-0.5, -0.5, 0.5, 0.5, -0.5]),
+         np.array([0.6, 0.6, 0.9, 0.9, 0.6])])
+    ref = ray.put(idx)
+    outs = []
+    for blocks in (1, 8):
+        pts = ray.data.from_arrow(pa.table({
+            "lon": pa.array(lon), "lat": pa.array(lat)})).repartition(blocks)
+        r = rasterize_tiles(pts, z=6, grid=16)
+        outs.append(parity.canonicalize(
+            zonal_stats(r, ref, z=6, grid=16).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 2           # both polygons see pixels
+    assert (outs[0]["pts_sum"] >= outs[0]["n_pixels"]).all()
