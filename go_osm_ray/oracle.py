@@ -50,6 +50,8 @@ PHASH_MAX_HAMMING = 10
 PHASH_PAIR_CAP = 4000
 # zonal_stats raster resolution: zoom-10 tiles x 256px grid = zoom-18 pixels
 ZONAL_Z, ZONAL_GRID = 10, 256
+# radius_join: keep pairs whose ROUNDED (3-digit) haversine meters <= this
+RADIUS_JOIN_M = 5000.0
 STOPWORDS = ["the", "a", "and", "of", "to"]
 # mixture_sample gate: weights chosen so some sources cap at rate 1
 # (target exceeds availability), some get fractional rates, the rest 0
@@ -352,6 +354,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(max(n) AS BIGINT) AS n_max,
                {sql_round('CAST(sum(n) AS DOUBLE) / count(*)', 6)} AS mean6
         FROM hits GROUP BY feature_id"""
+
+    # radius_join: full cross join + the way_length haversine term-for-
+    # term (lat operands converted THEN subtracted, lon subtracted THEN
+    # converted — the engine kernel's exact op order); threshold on the
+    # ROUNDED distance (clip_filter's boundary contract)
+    _rj_sdp = f"SIN(((f.lat * {_d2r}) - (p.lat * {_d2r})) / 2.0)"
+    _rj_sdl = f"SIN(((f.lon - p.lon) * {_d2r}) / 2.0)"
+    _rj_a = (f"LEAST({_rj_sdp} * {_rj_sdp} + COS(p.lat * {_d2r}) "
+             f"* COS(f.lat * {_d2r}) * {_rj_sdl} * {_rj_sdl}, 1.0)")
+    _rj_d = sql_round(f"2.0 * {EARTH_R_M!r} * ASIN(SQRT({_rj_a}))", 3)
+    q["radius_join"] = f"""
+        WITH {_pts_cte(images)},
+        f AS (SELECT id, lon, lat FROM {nodes}
+              WHERE {_has_key('tags', KNN_FEATURE_KEY)}),
+        d AS (SELECT p.image_id, f.id AS feature_id, {_rj_d} AS dist_m3
+              FROM pts p, f)
+        SELECT image_id, feature_id, dist_m3
+        FROM d WHERE dist_m3 <= {RADIUS_JOIN_M!r}"""
 
     q["images_quadkey"] = f"""
         WITH {_pts_cte(images)},

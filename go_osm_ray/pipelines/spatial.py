@@ -1159,3 +1159,100 @@ def cell_bbox(pts: ray.data.Dataset, res: int = 7,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def radius_join(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
+                radius_m: float = 5000.0,
+                concurrency: int | tuple[int, int] | None = None,
+                batch_size: int = 4096) -> ray.data.Dataset:
+    """Distance-within spatial join — the third classic next to PIP
+    (containment) and kNN (nearest): (image_id, feature_id, dist_m3)
+    for every pair whose haversine distance (sphere EARTH_R_M, the
+    osm.way_length formula term-for-term) rounds at 3 digits to
+    <= ``radius_m``.  The keep decision applies to the ROUNDED distance
+    (clip_filter's boundary contract) so engine and SQL mirror agree
+    exactly at the radius boundary.
+
+    Plan: broadcast small side (one ray.put, read per actor in
+    ``__init__``); per batch a conservative spherical-cap bounding-box
+    prune — |dlat| <= r and sin(dlon/2) <= sin(r/2)/sqrt(cos phi_f
+    cos phi_p), both evaluated at the layer's extreme latitude, so the
+    box provably supersets every radius ball around a feature — then a
+    chunked vectorized haversine verify over the survivors only.  With
+    a continent-wide feature layer, swap the single box for the kNN
+    cell-bucket layer (build_knn_feature_cells); the verify kernel is
+    unchanged."""
+    from .osm import EARTH_R_M
+    from ..util import default_pool, round_half_away
+
+    class RadiusJoin:
+        def __init__(self, ref):
+            t = ray.get(ref)
+            self.fid = t["id"].to_numpy()
+            self.fx = t["lon"].to_numpy()
+            self.fy = t["lat"].to_numpy()
+            rad = radius_m / EARTH_R_M
+            dlat = np.degrees(rad)
+            self.lat0 = float(self.fy.min()) - dlat if len(self.fy) else 1.0
+            self.lat1 = float(self.fy.max()) + dlat if len(self.fy) else 0.0
+            if len(self.fy):
+                phimax = min(np.radians(89.9),
+                             np.radians(float(np.abs(self.fy).max())) + rad)
+                s = min(1.0, np.sin(rad / 2.0) / max(np.cos(phimax), 1e-12))
+                dlon = float(np.degrees(2.0 * np.arcsin(s)))
+                self.lon0 = float(self.fx.min()) - dlon
+                self.lon1 = float(self.fx.max()) + dlon
+            else:
+                self.lon0, self.lon1 = 1.0, 0.0
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lon = t["lon"].combine_chunks().to_numpy()
+            lat = t["lat"].combine_chunks().to_numpy()
+            ids = t["image_id"].combine_chunks()
+            keep = ((lon >= self.lon0) & (lon <= self.lon1)
+                    & (lat >= self.lat0) & (lat <= self.lat1))
+            idx = np.flatnonzero(keep)
+            d2r = np.pi / 180.0
+            oi: list[np.ndarray] = []
+            of: list[np.ndarray] = []
+            od: list[np.ndarray] = []
+            for lo in range(0, len(idx), 256):
+                sl = idx[lo:lo + 256]
+                p1 = lat[sl] * d2r
+                cp1 = np.cos(p1)
+                for flo in range(0, len(self.fid), 512):
+                    fs = slice(flo, flo + 512)
+                    p2 = self.fy[fs] * d2r
+                    # term-for-term the osm.way_length haversine: lat
+                    # operands converted THEN subtracted, lon subtracted
+                    # THEN converted (mirrored by the SQL oracle)
+                    sdp = np.sin((p2[None, :] - p1[:, None]) / 2.0)
+                    sdl = np.sin((self.fx[fs][None, :] - lon[sl][:, None])
+                                 * d2r / 2.0)
+                    a = np.minimum(sdp * sdp
+                                   + cp1[:, None] * np.cos(p2)[None, :]
+                                   * sdl * sdl, 1.0)
+                    d3 = round_half_away(
+                        2.0 * EARTH_R_M * np.arcsin(np.sqrt(a)), 3)
+                    ii, jj = np.nonzero(d3 <= radius_m)
+                    if len(ii):
+                        oi.append(sl[ii])
+                        of.append(self.fid[fs][jj])
+                        od.append(d3[ii, jj])
+            if not oi:
+                return pa.table({
+                    "image_id": pa.array([], pa.string()),
+                    "feature_id": pa.array([], pa.int64()),
+                    "dist_m3": pa.array([], pa.float64())})
+            return pa.table({
+                "image_id": pc.take(ids, pa.array(np.concatenate(oi))),
+                "feature_id": pa.array(np.concatenate(of)),
+                "dist_m3": pa.array(np.concatenate(od)),
+            })
+
+    pool = concurrency or default_pool()
+    pts = images.repartition(_fanout(pool)) \
+        .map_batches(decode_geotag, batch_format="pyarrow")
+    return pts.map_batches(RadiusJoin, fn_constructor_args=(feats_ref,),
+                           batch_format="pyarrow", batch_size=batch_size,
+                           concurrency=pool)

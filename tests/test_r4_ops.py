@@ -238,3 +238,32 @@ def test_zonal_stats_partition_invariant(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert len(outs[0]) == 2           # both polygons see pixels
     assert (outs[0]["pts_sum"] >= outs[0]["n_pixels"]).all()
+
+
+def test_radius_join_boundary_and_highlat_prune(ray_session):
+    """Points just inside/outside the radius at HIGH latitude: the
+    spherical-cap lon bound must widen by 1/cos(lat) (a naive flat bbox
+    would prune the inside-east point); the keep decision applies to the
+    3-digit ROUNDED distance."""
+    from go_osm_ray.pipelines.osm import EARTH_R_M
+    from go_osm_ray.pipelines.spatial import radius_join
+    from go_osm_ray.geo import morton
+    R = 5000.0
+    flat, flon = 60.0, 10.0
+    feats = ray.put(pa.table({
+        "id": pa.array([77], pa.int64()),
+        "lon": pa.array([flon]), "lat": pa.array([flat])}))
+    # displacement east at lat 60: dlon for arc s is ~ s/(EARTH_R cos lat)
+    dlon_in = np.degrees((R - 50.0) / (EARTH_R_M * np.cos(np.radians(flat))))
+    dlon_out = np.degrees((R + 50.0) / (EARTH_R_M * np.cos(np.radians(flat))))
+    lons = np.array([flon + dlon_in, flon + dlon_out, flon])
+    lats = np.array([flat, flat, flat + np.degrees((R - 50.0) / EARTH_R_M)])
+    phash = morton.encode_phash(lons, lats, np.arange(3))
+    # morton quantization moves each point <= ~1.2 m — inside the 50 m slack
+    imgs = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["in_east", "out_east", "in_north"]),
+        "phash": pa.array(phash)}))
+    out = radius_join(imgs, feats, radius_m=R).to_pandas()
+    assert sorted(out["image_id"]) == ["in_east", "in_north"]
+    assert (out["dist_m3"] <= R).all()
+    assert (out["feature_id"] == 77).all()
