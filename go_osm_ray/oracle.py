@@ -355,6 +355,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('CAST(sum(n) AS DOUBLE) / count(*)', 6)} AS mean6
         FROM hits GROUP BY feature_id"""
 
+    # osm_apply_diff: CDC changeset merge — the synthetic delta recipe
+    # (pipelines/osm.make_node_diff) mirrored 1:1, survivor = max
+    # version per id, delete ids removed
+    from .pipelines.osm import (DIFF_CREATE_EVERY, DIFF_CREATE_OFFSET,
+                                DIFF_DELETE_EVERY, DIFF_LON_SHIFT,
+                                DIFF_MODIFY_EVERY)
+    q["osm_apply_diff"] = f"""
+        WITH base AS (SELECT id, CAST(version AS BIGINT) AS version,
+                             lon, lat FROM {nodes}),
+        allr AS (
+          SELECT id, version, lon, lat FROM base
+          UNION ALL
+          SELECT id, version + 1, lon + {DIFF_LON_SHIFT!r}, lat
+          FROM base WHERE id % {DIFF_MODIFY_EVERY} = 0
+          UNION ALL
+          SELECT id + {DIFF_CREATE_OFFSET}, CAST(1 AS BIGINT), lon, lat
+          FROM base WHERE id % {DIFF_CREATE_EVERY} = 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY version DESC) AS rn
+              FROM allr)
+        SELECT id, version, {sql_round('lon', 7)} AS lon7,
+               {sql_round('lat', 7)} AS lat7
+        FROM r
+        WHERE rn = 1 AND id NOT IN
+              (SELECT id FROM base WHERE id % {DIFF_DELETE_EVERY} = 0)"""
+
     # radius_join: full cross join + the way_length haversine term-for-
     # term (lat operands converted THEN subtracted, lon subtracted THEN
     # converted — the engine kernel's exact op order); threshold on the

@@ -987,3 +987,101 @@ def relation_multipolygons(relations: ray.data.Dataset,
 
     return packed.groupby("part").map_groups(stitch,
                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------------- changeset merge
+
+DIFF_MODIFY_EVERY = 50
+DIFF_DELETE_EVERY = 97
+DIFF_CREATE_EVERY = 131
+DIFF_CREATE_OFFSET = 10_000_000
+DIFF_LON_SHIFT = 0.001
+
+
+def make_node_diff(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic synthetic changeset derived from the snapshot (the
+    plant_neardups pattern — engine and oracle derive the SAME delta from
+    the same table): every DIFF_MODIFY_EVERY-th id re-appears with
+    version+1 and lon shifted DIFF_LON_SHIFT; every DIFF_DELETE_EVERY-th
+    id gets a delete marker; every DIFF_CREATE_EVERY-th id spawns a new
+    node at id+DIFF_CREATE_OFFSET with version 1.
+
+    The reference parses OSM snapshots only — .osc changeset application
+    (the real-world update path) exists in neither repo; this realizes it
+    as the CDC upsert/delete merge every snapshot-maintenance pipeline
+    needs (reference data model: /root/reference/osm/Element.go:8-15)."""
+    def fn(t: pa.Table) -> pa.Table:
+        iid = t["id"].combine_chunks().to_numpy()
+        ver = t["version"].combine_chunks().to_numpy().astype(np.int64)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        m = iid % DIFF_MODIFY_EVERY == 0
+        d = iid % DIFF_DELETE_EVERY == 0
+        c = iid % DIFF_CREATE_EVERY == 0
+        out_id = np.concatenate([iid[m], iid[d],
+                                 iid[c] + DIFF_CREATE_OFFSET])
+        out_ver = np.concatenate([ver[m] + 1, np.zeros(d.sum(), np.int64),
+                                  np.ones(c.sum(), np.int64)])
+        out_lon = np.concatenate([lon[m] + DIFF_LON_SHIFT, lon[d], lon[c]])
+        out_lat = np.concatenate([lat[m], lat[d], lat[c]])
+        deleted = np.zeros(len(out_id), bool)
+        deleted[m.sum():m.sum() + d.sum()] = True
+        return pa.table({
+            "id": pa.array(out_id), "version": pa.array(out_ver),
+            "lon": pa.array(out_lon), "lat": pa.array(out_lat),
+            "deleted": pa.array(deleted),
+        })
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+def apply_diff(base: ray.data.Dataset, delta: ray.data.Dataset,
+               num_parts: int = 32) -> ray.data.Dataset:
+    """CDC merge: apply an upsert/delete changeset to a snapshot —
+    surviving row per id = highest version among base+delta rows, ids
+    carrying a delete marker removed entirely.
+
+    Plan: both streams normalized to (id, version, lon, lat, deleted),
+    ONE hash-partition exchange on id (every id wholly inside one
+    partition — no global sort), per-partition vectorized lexsort +
+    boundary reduceat kernel.  Output (id, version, lon7, lat7) with the
+    shared 7-digit rounding mirror."""
+    from ..relational import hash_part
+    from ..util import round_half_away
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["id"],
+            "version": pc.cast(t["version"], pa.int64()),
+            "lon": t["lon"], "lat": t["lat"],
+            "deleted": pa.array(np.zeros(len(t), bool)),
+        })
+
+    both = base.select_columns(["id", "version", "lon", "lat"]) \
+        .map_batches(norm, batch_format="pyarrow").union(delta)
+
+    def part_of(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(
+            hash_part(t["id"].combine_chunks().to_numpy(), num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        iid = t["id"].combine_chunks().to_numpy()
+        ver = t["version"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        dl = t["deleted"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ver, iid))
+        iid, ver, lon, lat, dl = (iid[order], ver[order], lon[order],
+                                  lat[order], dl[order])
+        starts = np.flatnonzero(np.r_[True, iid[1:] != iid[:-1]])
+        ends = np.r_[starts[1:], len(iid)] - 1   # max-version row per id
+        has_del = np.add.reduceat(dl.astype(np.int64), starts) > 0
+        keep = ends[~has_del]
+        return pa.table({
+            "id": pa.array(iid[keep]),
+            "version": pa.array(ver[keep]),
+            "lon7": pa.array(round_half_away(lon[keep], 7)),
+            "lat7": pa.array(round_half_away(lat[keep], 7)),
+        })
+
+    return both.map_batches(part_of, batch_format="pyarrow") \
+        .groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -267,3 +267,37 @@ def test_radius_join_boundary_and_highlat_prune(ray_session):
     assert sorted(out["image_id"]) == ["in_east", "in_north"]
     assert (out["dist_m3"] <= R).all()
     assert (out["feature_id"] == 77).all()
+
+
+def test_apply_diff_semantics_and_partition_invariance(ray_session):
+    """CDC merge: modify wins by version, delete removes the id even when
+    a higher-version modify exists, creates appear; result independent of
+    block layout."""
+    import pandas as pd
+    import parity
+    from go_osm_ray.pipelines.osm import apply_diff
+    base = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "version": pa.array([5, 1, 2, 9], pa.int64()),
+        "lon": pa.array([10.0, 20.0, 30.0, 40.0]),
+        "lat": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    delta = pa.table({
+        "id": pa.array([1, 2, 2, 99], pa.int64()),
+        "version": pa.array([6, 7, 0, 1], pa.int64()),
+        "lon": pa.array([11.0, 21.0, 0.0, 99.0]),
+        "lat": pa.array([1.5, 2.5, 0.0, 9.9]),
+        "deleted": pa.array([False, False, True, False]),
+    })
+    outs = []
+    for blocks in (1, 4):
+        b = ray.data.from_arrow(base).repartition(blocks)
+        d = ray.data.from_arrow(delta).repartition(blocks)
+        outs.append(parity.canonicalize(apply_diff(b, d).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = {int(r["id"]): (int(r["version"]), r["lon7"])
+           for _, r in outs[0].iterrows()}
+    assert got[1] == (6, 11.0)       # modify supersedes base v5
+    assert 2 not in got              # delete wins over the v7 modify
+    assert got[3] == (2, 30.0)       # untouched base row
+    assert got[99] == (1, 99.0)      # create
