@@ -1086,6 +1086,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"
     q["images_geohash"] = f"SELECT image_id, gh6, gh4 FROM read_parquet('{exp['images_geohash']}')"
+    q["ann_pq_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_pq_topk']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

@@ -840,14 +840,17 @@ def salted_cell_histogram(images: ray.data.Dataset, resolution: int = 7,
         .groupby("part").map_groups(merge_cell, batch_format="pyarrow")
 
 
-def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
-                  iters: int = 3, sample: int = 4096) -> np.ndarray:
-    """Deterministic coarse quantizer for IVF: k-means on a deterministic
-    HASH-SAMPLE of vec_ids (seed-free — same input, same centroids,
-    independent of block order/partitioning), initialized with evenly
-    spaced sample vectors. The sample is a streamed map_batches filter +
-    one small collect; the round-2 form paid a whole-dataset all-to-all
-    sort for the same 4096 rows (VERDICT r2 #4)."""
+def _priority_sample_matrix(embeddings: ray.data.Dataset,
+                            sample: int = 4096) -> np.ndarray:
+    """Deterministic HASH-PRIORITY sample of embedding rows as one
+    normalized float64 matrix (seed-free — same input, same rows,
+    independent of block order/partitioning): the global sample = the
+    ``sample`` rows with the smallest id-hash priorities; each block
+    pre-trims to its local smallest ``sample`` (a mergeable combiner),
+    the driver takes the global smallest. One streamed pass, no count(),
+    no sort (the round-2 form paid a whole-dataset all-to-all sort for
+    the same 4096 rows, VERDICT r2 #4). Shared by the IVF coarse
+    quantizer and the PQ codebook trainer."""
     ds = embeddings.select_columns(["vec_id", "embedding"])
     gold = np.uint64(0x9E3779B97F4A7C15)
 
@@ -855,10 +858,6 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
         with np.errstate(over="ignore"):
             return (vid.astype(np.uint64) * gold) >> np.uint64(33)
 
-    # deterministic PRIORITY sampling in ONE pass (no count(), no sort):
-    # the global sample = the `sample` rows with the smallest id-hash
-    # priorities; each block pre-trims to its local smallest `sample`
-    # (a mergeable combiner), the driver takes the global smallest
     def pick(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].combine_chunks().to_numpy()
         if len(vid) <= sample:
@@ -880,7 +879,15 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
     order = best[np.argsort(vid[best], kind="stable")]
     x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[order] \
         .astype(np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def ivf_centroids(embeddings: ray.data.Dataset, n_lists: int,
+                  iters: int = 3, sample: int = 4096) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: k-means on the
+    hash-priority sample (_priority_sample_matrix), initialized with
+    evenly spaced sample vectors."""
+    x = _priority_sample_matrix(embeddings, sample)
     cent = x[np.linspace(0, len(x) - 1, n_lists).astype(np.int64)].copy()
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
@@ -1256,3 +1263,113 @@ def radius_join(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
     return pts.map_batches(RadiusJoin, fn_constructor_args=(feats_ref,),
                            batch_format="pyarrow", batch_size=batch_size,
                            concurrency=pool)
+
+
+# --------------------------------------------------------- product quant
+
+PQ_M, PQ_KSUB = 16, 256
+
+
+def pq_codebooks(embeddings: ray.data.Dataset, m: int = PQ_M,
+                 ksub: int = PQ_KSUB, iters: int = 3,
+                 sample: int = 4096) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al.): split the
+    normalized vector into ``m`` contiguous subspaces and run the same
+    deterministic Lloyd recipe as ivf_centroids independently per
+    subspace (hash-priority sample, evenly spaced init) — (m, ksub,
+    d/m) float64.  Subspace centroids are NOT re-normalized (they
+    approximate vector pieces, not directions)."""
+    x = _priority_sample_matrix(embeddings, sample)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[np.linspace(0, len(xs) - 1, ksub).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mk = assign == c
+                if mk.any():
+                    cent[c] = xs[mk].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(xn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes: per subspace, index of the nearest codeword
+    (same broadcast expression as training — row-independent, so batch
+    boundaries cannot change a code)."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(xn), m), np.int64)
+    for j in range(m):
+        xs = xn[:, j * dsub:(j + 1) * dsub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+class PQTopK:
+    """PQ-ADC ANN stage: queries precompute per-subspace lookup tables
+    (query piece @ codebook.T) once per actor; each candidate batch is
+    encoded to m uint-codes and scored by m table lookups accumulated in
+    fixed subspace order (bit-deterministic regardless of batching) —
+    the classic asymmetric-distance approximation of the dot product.
+    Emits mergeable per-batch top-k partials like TopKCosine/IVFTopK."""
+
+    def __init__(self, queries_ref: ray.ObjectRef, books_ref: ray.ObjectRef,
+                 k: int):
+        q: pa.Table = ray.get(queries_ref)
+        self.qid = q["vec_id"].to_numpy()
+        qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.books = ray.get(books_ref)
+        m, _, dsub = self.books.shape
+        self.tabs = np.stack([
+            qm[:, j * dsub:(j + 1) * dsub] @ self.books[j].T
+            for j in range(m)])                 # (m, nq, ksub)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = batch["vec_id"].combine_chunks().to_numpy()
+        codes = pq_encode(emb, self.books)
+        m = self.books.shape[0]
+        s = np.zeros((len(self.qid), len(vids)), np.float64)
+        for j in range(m):                      # fixed accumulation order
+            s += self.tabs[j][:, codes[:, j]]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qid)):
+            k = min(self.k, len(vids))
+            top = np.lexsort((vids, -s[qi]))[:k]
+            out_q.append(np.full(k, self.qid[qi], np.int64))
+            out_v.append(vids[top].astype(np.int64))
+            out_s.append(s[qi][top])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "adc": pa.array(np.concatenate(out_s))})
+
+
+def ann_pq_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
+                k: int, m: int = PQ_M, ksub: int = PQ_KSUB,
+                concurrency: int | tuple[int, int] | None = None,
+                batch_size: int = 4096) -> ray.data.Dataset:
+    """Approximate top-k by PQ asymmetric-distance computation — the
+    memory-side ANN next to IVF (routing) and SQ (int8): codes are
+    m bytes/vector vs 8*d for raw float64, the compression that lets a
+    100-TB embedding corpus fit a RAM-resident index."""
+    from ..util import default_pool
+    books_ref = ray.put(pq_codebooks(embeddings, m, ksub))
+    partials = embeddings.map_batches(
+        PQTopK, fn_constructor_args=(queries_ref, books_ref, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(8))
+    return partials.groupby("query_id").map_groups(
+        _topk_final("adc", ["query_id", "rank", "vec_id"], k),
+        batch_format="pyarrow")

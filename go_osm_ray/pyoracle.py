@@ -342,6 +342,70 @@ def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
                      "vec_id": pa.array(np.concatenate(rows_v))})
 
 
+def _ann_pq_table(sf: float, m: int = 16, ksub: int = 256,
+                  iters: int = 3, sample: int = 4096) -> pa.Table:
+    """Single-matrix reference for ann_pq_topk: the same deterministic
+    per-subspace Lloyd codebook definition (hash-priority sample, evenly
+    spaced init, identical broadcast distance expression) evaluated in
+    ONE numpy pass, then whole-matrix ADC scoring with one global top-k
+    per query — no blocks, no partial merges.  Output (query_id, rank,
+    vec_id) only, so the gate checks the distributed plan's encode/
+    lookup/merge routing exactly."""
+    from .oracle import ANN_K, ANN_QUERY_MAX_ID
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    qsel = vid < ANN_QUERY_MAX_ID
+    qid, qm = vid[qsel], emb[qsel]
+    cvid, cemb = vid[~qsel], emb[~qsel]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cemb = cemb / np.linalg.norm(cemb, axis=1, keepdims=True)
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        pri = (cvid.astype(np.uint64) * gold) >> np.uint64(33)
+    best = np.lexsort((cvid, pri))[:sample]
+    order = best[np.argsort(cvid[best], kind="stable")]
+    x = cemb[order]
+    d = x.shape[1]
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[np.linspace(0, len(xs) - 1, ksub).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mk = assign == c
+                if mk.any():
+                    cent[c] = xs[mk].mean(axis=0)
+        books[j] = cent
+
+    codes = np.empty((len(cemb), m), np.int64)
+    for j in range(m):
+        xs = cemb[:, j * dsub:(j + 1) * dsub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    tabs = np.stack([qm[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                     for j in range(m)])
+    s = np.zeros((len(qid), len(cvid)), np.float64)
+    for j in range(m):
+        s += tabs[j][:, codes[:, j]]
+    rows_q, rows_r, rows_v = [], [], []
+    for qi in range(len(qid)):
+        k = min(ANN_K, len(cvid))
+        top = np.lexsort((cvid, -s[qi]))[:k]
+        rows_q.append(np.full(k, qid[qi], np.int64))
+        rows_r.append(np.arange(1, k + 1, dtype=np.int64))
+        rows_v.append(cvid[top].astype(np.int64))
+    return pa.table({"query_id": pa.array(np.concatenate(rows_q)),
+                     "rank": pa.array(np.concatenate(rows_r)),
+                     "vec_id": pa.array(np.concatenate(rows_v))})
+
+
 def _kmeans_table(sf: float, n_clusters: int = 8, iters: int = 3,
                   sample: int = 4096) -> pa.Table:
     """Whole-matrix reference for vectors.kmeans_assign: same quantizer
@@ -865,6 +929,7 @@ _BUILDERS = {
     "way_pagerank": _way_pagerank_table,
     "relation_multipolygons": _relation_multipolygons_table,
     "images_geohash": _images_geohash_table,
+    "ann_pq_topk": _ann_pq_table,
 }
 
 

@@ -190,3 +190,18 @@ def test_image_sig_dedup_groups_planted_reencodes(ray_session):
     sig = dict(zip((int(s[3:]) for s in ah["image_id"]), ah["ahash"]))
     same = sum(sig[i] == sig[i + 1_000_000_000] for i in range(0, 2000, 100))
     assert same == 20  # every lossless re-encode collapses exactly
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ-ADC path must reach >= 0.5 mean recall@k vs the exact scan at
+    m=8 x 16 codewords on the synthetic embeddings (lossy by design —
+    the gate for EXACT reproduction is the pyoracle parity check)."""
+    import __ray_entry__ as E
+    exact = parity.to_pandas(E.queries()["ann_topk"](SF))
+    approx = parity.to_pandas(E.queries()["ann_pq_topk"](SF))
+    recalls = []
+    for q in exact["query_id"].unique():
+        ex = set(exact[exact["query_id"] == q]["vec_id"])
+        ap = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(ex & ap) / len(ex))
+    assert np.mean(recalls) >= 0.5, recalls
