@@ -46,26 +46,21 @@ def _run_flagship(sf_dir: str, rep: int = 1, pool: int | None = None):
     times — deterministic and identical at every parallelism level) so
     the scaling measurement runs a job big enough that per-row spatial
     compute, not actor-pool spin-up, dominates."""
-    import __ray_entry__ as E
-    import ray as _ray
     import ray.data as rd
     from go_osm_ray import datagen
     from go_osm_ray.oracle import KNN_FEATURE_KEY
     from go_osm_ray.pipelines.images import flagship
-    from go_osm_ray.pipelines.spatial import build_polygon_index, tagged_nodes
-    from go_osm_ray.relational import broadcast_table
-    from concurrent.futures import ThreadPoolExecutor
+    from go_osm_ray.pipelines.spatial import (build_polygon_index_task,
+                                              feature_layer_task)
     t0 = time.perf_counter()
-    nodes = E._read_gen(sf_dir, "osm_nodes", ["id", "lon", "lat", "tags"])
-    ways = E._read_gen(sf_dir, "osm_ways", ["id", "refs"])
-    # the two small-side builds are independent Dataset jobs — overlap them
-    with ThreadPoolExecutor(2) as ex:
-        f_idx = ex.submit(lambda: _ray.put(build_polygon_index(
-            nodes.select_columns(["id", "lon", "lat"]), ways)))
-        f_feats = ex.submit(lambda: broadcast_table(
-            tagged_nodes(nodes, KNN_FEATURE_KEY), ["id", "lon", "lat"]))
-        idx_ref, feats_ref = f_idx.result(), f_feats.result()
-    img_path = datagen.ensure_tables_for_dir(sf_dir)["images"]
+    paths = datagen.ensure_tables_for_dir(sf_dir)
+    # the two small-side builds launch as single Ray tasks over direct
+    # parquet reads: the refs return INSTANTLY and the builds overlap the
+    # streaming read/decode below (downstream actors ray.get in __init__)
+    # — the r4-measured ~3 s serial Dataset-join stall is gone
+    idx_ref = build_polygon_index_task(paths["osm_nodes"], paths["osm_ways"])
+    feats_ref = feature_layer_task(paths["osm_nodes"], KNN_FEATURE_KEY)
+    img_path = paths["images"]
     # images is a part-file directory; expand it so the replicated list
     # is a plain file list (repeated directory paths break metadata fetch)
     import glob as _glob

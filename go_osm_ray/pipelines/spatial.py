@@ -1373,3 +1373,73 @@ def ann_pq_topk(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
     return partials.groupby("query_id").map_groups(
         _topk_final("adc", ["query_id", "rank", "vec_id"], k),
         batch_format="pyarrow")
+
+
+def build_polygon_index_task(nodes_path: str, ways_path: str,
+                             grid_res: int | None = None) -> ray.ObjectRef:
+    """The single-index polygon-layer build as ONE Ray task over a
+    direct pyarrow read — returns its ObjectRef immediately, so the
+    ~3 s build (measured at sf0.1: a 4-stage Ray Data join + collect)
+    OVERLAPS the flagship's read/decode stream instead of serializing in
+    front of it (PIPTagger ray.gets the ref in ``__init__``).  Result is
+    identical to build_polygon_index (pytest-asserted): same closed-ring
+    filter, same drop-unfound-ref lookup, same (way, pos) vertex order.
+    The Dataset build remains the path for non-parquet table registries;
+    build_polygon_shards remains the at-scale sharded form."""
+    @ray.remote(num_cpus=1)
+    def _build(np_: str, wp: str, gr):
+        import pyarrow.parquet as pq2
+        nt = pq2.read_table(np_, columns=["id", "lon", "lat"])
+        wt = pq2.read_table(wp, columns=["id", "refs"])
+        refs = wt["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+        if len(flat):
+            first = flat[offsets[:-1].clip(max=len(flat) - 1)]
+            last = flat[(offsets[1:] - 1).clip(min=0)]
+        else:
+            first = last = np.empty(0, np.int64)
+        cidx = np.flatnonzero((n >= 4) & (first == last))
+        counts = n[cidx]
+        wids = np.repeat(wt["id"].combine_chunks().to_numpy()[cidx], counts)
+        pos = _ragged_arange(counts)
+        tak = np.repeat(offsets[cidx], counts) + pos
+        r = flat[tak]
+        ids = nt["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        lon = nt["lon"].to_numpy()[order]
+        lat = nt["lat"].to_numpy()[order]
+        j = np.searchsorted(sorted_ids, r)
+        j = np.clip(j, 0, max(len(sorted_ids) - 1, 0))
+        found = sorted_ids[j] == r if len(sorted_ids) \
+            else np.zeros(len(r), bool)
+        wids, pos, j = wids[found], pos[found], j[found]
+        x, y = lon[j], lat[j]
+        order2 = np.lexsort((pos, wids))
+        wid_s, lon_s, lat_s = wids[order2], x[order2], y[order2]
+        fids, starts = np.unique(wid_s, return_index=True)
+        bounds = np.append(starts, len(wid_s))
+        xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+        ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+        return PolygonIndex(fids.astype(np.int64), xs, ys, grid_res=gr)
+
+    return _build.remote(nodes_path, ways_path, grid_res)
+
+
+def feature_layer_task(nodes_path: str, key: str) -> ray.ObjectRef:
+    """The kNN feature-layer build (tagged_nodes + broadcast_table) as
+    ONE Ray task over a direct pyarrow read — same instant-ObjectRef
+    overlap trick as build_polygon_index_task; content identical to the
+    Dataset path (pytest-asserted)."""
+    from ..stages.filters import make_key_filter
+
+    @ray.remote(num_cpus=1)
+    def _build(np_: str, k: str) -> pa.Table:
+        import pyarrow.parquet as pq2
+        t = pq2.read_table(np_, columns=["id", "lon", "lat", "tags"])
+        t = make_key_filter(keep=[k])(t)
+        return t.select(["id", "lon", "lat"]).combine_chunks()
+
+    return _build.remote(nodes_path, key)

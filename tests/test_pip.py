@@ -85,3 +85,40 @@ def test_nearest_grid_path_equals_full_scan(ray_session):
     got = nf.nearest(px, py)
     want = _exact_scan(px, py, nf.fid, nf.fx, nf.fy)
     assert np.array_equal(got, want)
+
+
+def test_polygon_index_task_matches_dataset_build(ray_session):
+    """The one-task direct-parquet build must produce the identical
+    polygon layer (ids, vertex arrays, grid) as the Dataset-join build."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from go_osm_ray import datagen
+    from go_osm_ray.pipelines.spatial import (build_polygon_index,
+                                              build_polygon_index_task)
+    paths = datagen.ensure_tables(0.001)
+    nodes = rd.read_parquet(paths["osm_nodes"], columns=["id", "lon", "lat"])
+    ways = rd.read_parquet(paths["osm_ways"], columns=["id", "refs"])
+    a = build_polygon_index(nodes, ways)
+    b = ray.get(build_polygon_index_task(paths["osm_nodes"],
+                                         paths["osm_ways"]))
+    assert np.array_equal(a.feature_ids, b.feature_ids)
+    assert np.array_equal(a.offsets, b.offsets)
+    assert np.array_equal(a.vx, b.vx) and np.array_equal(a.vy, b.vy)
+    assert a.grid_res == b.grid_res
+
+
+def test_feature_layer_task_matches_dataset_build(ray_session):
+    import ray
+    import ray.data as rd
+    from go_osm_ray import datagen
+    from go_osm_ray.oracle import KNN_FEATURE_KEY
+    from go_osm_ray.pipelines.spatial import feature_layer_task, tagged_nodes
+    from go_osm_ray.relational import broadcast_table
+    paths = datagen.ensure_tables(0.001)
+    nodes = rd.read_parquet(paths["osm_nodes"],
+                            columns=["id", "lon", "lat", "tags"])
+    a = ray.get(broadcast_table(tagged_nodes(nodes, KNN_FEATURE_KEY),
+                                ["id", "lon", "lat"]))
+    b = ray.get(feature_layer_task(paths["osm_nodes"], KNN_FEATURE_KEY))
+    assert a.equals(b)
