@@ -167,3 +167,79 @@ def clip_filter(ds: ray.data.Dataset, threshold: float = 0.25,
             "cos6": pa.array(c6[keep], pa.float64()),
         })
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semdedup(ds: ray.data.Dataset, n_clusters: int = 8,
+             threshold: float = 0.95, nd: int = 6,
+             col: str = "embedding", id_col: str = "vec_id",
+             chunk: int = 1024) -> ray.data.Dataset:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embedding space with the
+    deterministic quantizer (spatial.ivf_centroids — seed-free), then
+    WITHIN each cluster drop every row whose cosine to ANY
+    lower-vec_id cluster member reaches ``threshold``.  Emits one row
+    per input: (vec_id, cluster, maxcos6, kept) where maxcos6 is the
+    max cosine to earlier members rounded half-away to ``nd`` digits
+    (-2.0 sentinel for each cluster's first member) and the keep
+    decision compares the ROUNDED value (the repo's float-parity
+    contract).
+
+    Scale plan: centroids broadcast once (ray.put); assignment is one
+    matmul per batch; the only exchange is the groupby(cluster) that
+    co-locates each cluster.  The O(c^2) in-cluster similarity runs as
+    ``chunk``-row gemm slabs against the earlier-member prefix, so
+    peak memory is chunk x cluster_size, never c^2.  At 100 TB
+    n_clusters scales with the corpus (the paper uses ~1e5 clusters)
+    so cluster size — the partitioning assumption this op relies on —
+    stays worker-bounded; hot clusters are the caller's signal to
+    raise n_clusters, exactly as the paper tunes k.
+
+    The reference has no embedding ops at all (go-osm is pure
+    OSM-XML); this belongs to the brief's training-data dedup family
+    next to minhash/simhash/embedding_neardup.
+    """
+    from .spatial import ivf_centroids
+    sub = ds.select_columns([id_col, col])
+    if (id_col, col) != ("vec_id", "embedding"):
+        sub = sub.rename_columns({id_col: "vec_id", col: "embedding"})
+    cent_ref = ray.put(ivf_centroids(sub, n_clusters))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        if not len(t):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             col: t[col]})
+        x = _stack(t, col)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "cluster": pa.array(np.argmax(x @ cent.T, axis=1)
+                                .astype(np.int64)),
+            col: t[col].combine_chunks(),
+        })
+
+    def purge(g: pa.Table) -> pa.Table:
+        vid = g[id_col].combine_chunks().to_numpy()
+        order = np.argsort(vid)          # ids unique -> total order
+        vid = vid[order]
+        x = _stack(g, col)[order]
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        n = len(vid)
+        maxcos = np.full(n, -2.0)
+        for i0 in range(1, n, chunk):
+            i1 = min(i0 + chunk, n)
+            sims = x[i0:i1] @ x[:i1].T   # (slab, prefix)
+            mask = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
+            maxcos[i0:i1] = np.where(mask, sims, -np.inf).max(axis=1)
+        c6 = round_half_away(maxcos, nd)
+        return pa.table({
+            id_col: pa.array(vid, pa.int64()),
+            "cluster": pa.array(
+                np.full(n, g["cluster"][0].as_py(), np.int64)),
+            "maxcos6": pa.array(c6, pa.float64()),
+            "kept": pa.array(c6 < threshold),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(purge, batch_format="pyarrow")

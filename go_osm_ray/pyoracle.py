@@ -909,6 +909,61 @@ def _relation_multipolygons_table(sf: float) -> pa.Table:
     })
 
 
+def _semdedup_table(sf: float, n_clusters: int = 8,
+                    threshold: float = 0.95, nd: int = 6,
+                    every: int = 50, id_offset: int = 100_000,
+                    alpha: float = 0.1, iters: int = 3,
+                    sample: int = 4096) -> pa.Table:
+    """Whole-matrix reference for vectors.semdedup over the
+    plant_neardups-augmented embedding table: the scalar plant mirror
+    (v + alpha*reverse(v), cast through the table's float32 element
+    type exactly as the engine's perturb stage does), ONE Lloyd pass on
+    the full matrix (_lloyd_centroids — the shared quantizer
+    definition), then per cluster the full O(c^2) cosine matrix with a
+    strict lower-triangle max — no blocks, no slab chunking, no
+    groupby exchange."""
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb32 = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float32)
+    m = (vid % every) == 0
+    planted = (emb32[m].astype(np.float64)
+               + alpha * emb32[m].astype(np.float64)[:, ::-1]) \
+        .astype(np.float32)
+    all_vid = np.concatenate([vid, vid[m] + id_offset])
+    x = np.vstack([emb32, planted]).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = _lloyd_centroids(all_vid, x, n_clusters, iters, sample)
+    cl = np.argmax(x @ cent.T, axis=1).astype(np.int64)
+    out_v, out_c, out_m = [], [], []
+    for c in range(n_clusters):
+        sel = np.flatnonzero(cl == c)
+        if not len(sel):
+            continue
+        mv = all_vid[sel]
+        o = np.argsort(mv)
+        mv, xm = mv[o], x[sel][o]
+        sims = xm @ xm.T
+        n = len(mv)
+        tri = np.tril(np.ones((n, n), bool), -1)
+        maxcos = np.where(tri, sims, -np.inf).max(axis=1)
+        maxcos[0] = -2.0
+        out_v.append(mv)
+        out_c.append(np.full(n, c, np.int64))
+        out_m.append(maxcos)
+    vids = np.concatenate(out_v)
+    cls = np.concatenate(out_c)
+    from .util import round_half_away
+    c6 = np.concatenate([round_half_away(m_, nd) for m_ in out_m]) \
+        if out_m else np.array([])
+    o = np.argsort(vids)
+    return pa.table({"vec_id": pa.array(vids[o], pa.int64()),
+                     "cluster": pa.array(cls[o], pa.int64()),
+                     "maxcos6": pa.array(c6[o], pa.float64()),
+                     "kept": pa.array(c6[o] < threshold)})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -930,6 +985,7 @@ _BUILDERS = {
     "relation_multipolygons": _relation_multipolygons_table,
     "images_geohash": _images_geohash_table,
     "ann_pq_topk": _ann_pq_table,
+    "semdedup": _semdedup_table,
 }
 
 
