@@ -298,6 +298,34 @@ def build(sf: float = 0.01) -> dict[str, str]:
         for z in TILE_ZOOMS)
     q["images_tiles"] = f"WITH {_pts_cte(images)} SELECT image_id, {tile_cols} FROM pts"
 
+    # multi-aspect training-batch packing: same integer cut ladder as
+    # pipelines/images.assign_aspect_bucket (shared constants), rank by
+    # the windowed row number the engine computes distributively
+    from .pipelines.images import ASPECT_BUCKETS
+    _cuts = " + ".join(
+        f"(CASE WHEN w2 * {b1[1] * b2[1]} >= h2 * {b1[0] * b2[0]} "
+        f"THEN 1 ELSE 0 END)"
+        for b1, b2 in zip(ASPECT_BUCKETS, ASPECT_BUCKETS[1:]))
+    _bw = " ".join(f"WHEN {i} THEN {b[0]}" for i, b in enumerate(ASPECT_BUCKETS))
+    _bh = " ".join(f"WHEN {i} THEN {b[1]}" for i, b in enumerate(ASPECT_BUCKETS))
+    q["aspect_bucket_pack"] = f"""
+        WITH t AS (
+          SELECT image_id,
+                 CAST({_cuts} AS BIGINT) AS bucket
+          FROM (SELECT image_id,
+                       CAST(w AS BIGINT) * w AS w2,
+                       CAST(h AS BIGINT) * h AS h2 FROM {images})),
+        r AS (
+          SELECT image_id, bucket,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY image_id) - 1 AS rn
+          FROM t)
+        SELECT image_id, bucket,
+               CAST(CASE bucket {_bw} END AS BIGINT) AS bucket_w,
+               CAST(CASE bucket {_bh} END AS BIGINT) AS bucket_h,
+               rn // 64 AS batch_idx, rn % 64 AS slot
+        FROM r"""
+
     # raster<->vector (north_rule): pixel math is tile math at zoom
     # z + log2(grid) = 10 + 6; the engine derives tile/pixel from the
     # same global pixel ids by exact integer ops (pipelines/raster.py)

@@ -451,3 +451,128 @@ def curation_funnel(images: ray.data.Dataset, min_pixels: int = 512,
     meta = images.select_columns(["fmt", "w", "h", "caption"])
     return single_merge(meta.map_batches(partial, batch_format="pyarrow"),
                         merge)
+
+
+# (bw, bh) training buckets sorted by aspect ratio ascending — the
+# SDXL-style multi-aspect layout quantized to exact small rationals
+# (0.5, 2/3, 3/4, 1, 4/3, 3/2, 2) so bucket boundaries are decidable in
+# integer arithmetic.
+ASPECT_BUCKETS = [(768, 1536), (832, 1248), (864, 1152), (1024, 1024),
+                  (1152, 864), (1248, 832), (1536, 768)]
+
+
+def assign_aspect_bucket(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact nearest-log-aspect bucket index: the cut between adjacent
+    buckets i, i+1 is their geometric-mean ratio, and ``ar >= cut_i``
+    is evaluated as the INTEGER cross-multiplication
+    ``w*w*(bh_i*bh_{i+1}) >= h*h*(bw_i*bw_{i+1})`` — no float logs, so
+    the DuckDB mirror is the identical int64 comparison ladder (the
+    same trick image curation_funnel uses for its aspect gate)."""
+    w2 = w.astype(np.int64) ** 2
+    h2 = h.astype(np.int64) ** 2
+    bucket = np.zeros(len(w), np.int64)
+    for i in range(len(ASPECT_BUCKETS) - 1):
+        bw1, bh1 = ASPECT_BUCKETS[i]
+        bw2, bh2 = ASPECT_BUCKETS[i + 1]
+        bucket += (w2 * (bh1 * bh2) >= h2 * (bw1 * bw2)).astype(np.int64)
+    return bucket
+
+
+def aspect_bucket_pack(images: ray.data.Dataset, batch_size: int = 64,
+                       range_size: int = 64, num_parts: int = 32,
+                       ) -> ray.data.Dataset:
+    """Multi-aspect training-batch packing: every image goes to its
+    exact nearest-aspect bucket (ASPECT_BUCKETS) and gets a
+    deterministic (batch_idx, slot) position in the image_id-ordered
+    stream of its bucket — the batching layout aspect-bucketed
+    diffusion training consumes (one resolution per micro-batch).
+    Emits (image_id, bucket, bucket_w, bucket_h, batch_idx, slot).
+
+    Physical plan (the token_pack recipe, §2.9-adjacent): bucket
+    assignment is row-local integer math; per-bucket global ranks come
+    from (a) bounded per-(bucket, id-range) Acero count partials whose
+    per-range totals collect to the driver for an exclusive prefix
+    (rows collected = n_buckets x n_ranges — past ~1e5 ranges the
+    token_pack phase-B super-range tree is the drop-in scale path),
+    and (b) ONE narrow hash(range) exchange of (image_id, bucket) rows
+    so each partition kernel ranks its ranges locally (sort by id,
+    cumcount per (bucket, range), rebase on the broadcast prefix).
+    The wide columns (bytes) never enter the exchange."""
+    from ..relational import hash_part
+
+    n_cuts = len(ASPECT_BUCKETS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        iid = pc.cast(pc.utf8_slice_codeunits(
+            t["image_id"].combine_chunks(), 3, 15), pa.int64()).to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        h = t["h"].combine_chunks().to_numpy()
+        b = assign_aspect_bucket(w, h)
+        return pa.table({
+            "image_id": t["image_id"].combine_chunks(),
+            "iid": pa.array(iid),
+            "bucket": pa.array(b),
+            "rkey": pa.array(iid // range_size),
+        })
+
+    tagged = images.select_columns(["image_id", "w", "h"]) \
+        .map_batches(tag, batch_format="pyarrow").materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket", "rkey"]).append_column(
+            "one", pa.array(np.ones(len(t), np.int64))) \
+            .group_by(["bucket", "rkey"]).aggregate([("one", "sum")])
+        return g.rename_columns(["bucket", "rkey", "n"])
+
+    parts = [b.replace_schema_metadata(None) for b in
+             ray.get(tagged.map_batches(count_partial,
+                                        batch_format="pyarrow")
+                     .to_arrow_refs())]
+    counts = pa.concat_tables([b for b in parts if b.num_rows]) \
+        .group_by(["bucket", "rkey"]).aggregate([("n", "sum")]) \
+        .rename_columns(["bucket", "rkey", "n"])
+    cb = counts["bucket"].to_numpy()
+    cr = counts["rkey"].to_numpy()
+    cn = counts["n"].to_numpy()
+    o = np.lexsort((cr, cb))
+    cb, cr, cn = cb[o], cr[o], cn[o]
+    base = np.concatenate([[0], np.cumsum(cn)[:-1]])
+    # restart the prefix at each bucket boundary
+    starts = np.flatnonzero(np.concatenate([[True], cb[1:] != cb[:-1]]))
+    base = base - np.repeat(base[starts], np.diff(
+        np.concatenate([starts, [len(cb)]])))
+    big = np.int64(1) << np.int64(40)
+    off_ref = ray.put((cb * big + cr, base))
+
+    def part_col(t: pa.Table) -> pa.Table:
+        return t.append_column("part", pa.array(
+            hash_part(t["rkey"].combine_chunks().to_numpy(), num_parts)))
+
+    bw = np.array([b[0] for b in ASPECT_BUCKETS], np.int64)
+    bh = np.array([b[1] for b in ASPECT_BUCKETS], np.int64)
+
+    def rank_kernel(t: pa.Table) -> pa.Table:
+        keys_sorted, bases = ray.get(off_ref)
+        iid = t["iid"].combine_chunks().to_numpy()
+        b = t["bucket"].combine_chunks().to_numpy()
+        r = t["rkey"].combine_chunks().to_numpy()
+        k = b * big + r
+        o = np.lexsort((iid, k))
+        ks, iids = k[o], iid[o]
+        run = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        lens = np.diff(np.concatenate([run, [len(ks)]]))
+        within = np.arange(len(ks)) - np.repeat(run, lens)
+        grp_base = bases[np.searchsorted(keys_sorted, ks[run])]
+        rank = within + np.repeat(grp_base, lens)
+        bo = b[o]
+        return pa.table({
+            "image_id": t["image_id"].combine_chunks().take(pa.array(o)),
+            "bucket": pa.array(bo),
+            "bucket_w": pa.array(bw[bo]),
+            "bucket_h": pa.array(bh[bo]),
+            "batch_idx": pa.array(rank // batch_size),
+            "slot": pa.array(rank % batch_size),
+        })
+
+    return tagged.map_batches(part_col, batch_format="pyarrow") \
+        .groupby("part").map_groups(rank_kernel, batch_format="pyarrow")
