@@ -773,6 +773,27 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos
         FROM w JOIN dd USING (win)"""
 
+    q["line_dedup"] = """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+             c AS (SELECT doc_id, g.i,
+                          array_to_string(
+                            ws[(g.i - 1) * 10 + 1 : g.i * 10], ' ') AS chunk
+                   FROM w
+                   JOIN (SELECT unnest(range(1, 1 + (SELECT CAST(
+                           ceil(max(len(ws)) / 10.0) AS BIGINT) FROM w))) AS i) g
+                     ON (g.i - 1) * 10 < len(w.ws)),
+             dd AS (SELECT chunk FROM c GROUP BY chunk
+                    HAVING COUNT(DISTINCT doc_id) > 1)
+        SELECT c.doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(COUNT(*) FILTER (WHERE dd.chunk IS NULL) AS BIGINT)
+                 AS n_kept,
+               COALESCE(string_agg(c.chunk, ' ' ORDER BY c.i)
+                          FILTER (WHERE dd.chunk IS NULL), '') AS text_clean
+        FROM c LEFT JOIN dd ON c.chunk = dd.chunk
+        GROUP BY c.doc_id"""
+
     q["text_normalize"] = """
         SELECT doc_id,
                trim(regexp_replace(lower(nfc_normalize(text)),

@@ -130,3 +130,107 @@ def span_dedup(docs: ray.data.Dataset, text_col: str = "text",
         lambda t: window_batch(t, text_col, num_parts, carry),
         batch_format="pyarrow")
     return wins.groupby("part").map_groups(_resolve, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- line dedup
+
+LINE_K = 10  # words per pseudo-line
+
+
+def _chunk_lists(t: pa.Table, text_col: str, k: int
+                 ) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Row-major flat chunk strings + per-row chunk counts: split each
+    text into consecutive ``k``-word pseudo-lines (the last may be
+    short).  The python loop is over the bounded chunk-index range
+    (max_words/k per batch), each step two Arrow kernels (list_slice +
+    binary_join) over the whole column — never a loop over rows."""
+    words = pc.split_pattern(t[text_col].combine_chunks(), " ")
+    nw = pc.list_value_length(words).to_numpy().astype(np.int64)
+    n_chunks = -(-nw // k)  # ceil
+    max_c = int(n_chunks.max()) if len(n_chunks) else 0
+    per_c = []          # chunk strings, c-major
+    rows_c = []         # source row index per chunk
+    for c in range(max_c):
+        mask = n_chunks > c
+        sel = words.filter(pa.array(mask))
+        ch = pc.binary_join(pc.list_slice(sel, c * k, (c + 1) * k), " ")
+        per_c.append(ch.combine_chunks() if isinstance(ch, pa.ChunkedArray)
+                     else ch)
+        rows_c.append(np.flatnonzero(mask))
+    if not per_c:
+        return (pa.array([], pa.string()), pa.array([], pa.int64()),
+                n_chunks)
+    flat_cmaj = pa.concat_arrays(per_c)
+    rows = np.concatenate(rows_c)
+    cidx = np.concatenate([np.full(len(r), c, np.int64)
+                           for c, r in enumerate(rows_c)])
+    order = np.lexsort((cidx, rows))  # -> row-major
+    return (flat_cmaj.take(pa.array(order)),
+            pa.array(cidx[order]), n_chunks)
+
+
+def line_dedup(docs: ray.data.Dataset, k: int = LINE_K,
+               text_col: str = "text",
+               num_parts: int = 32) -> ray.data.Dataset:
+    """C4-style corpus line dedup (Raffel et al. 2020 §2.2 apply the
+    rule at three-sentence granularity; here a "line" is a consecutive
+    ``k``-word pseudo-line, the delimiter these whitespace-stream docs
+    have): any line occurring in >= 2 DISTINCT documents is removed
+    from every document, and each doc is rewritten from its kept lines.
+    Emits (doc_id, n_chunks, n_kept, text_clean).
+
+    Physical plan: (1) per-block chunking, block-level (chunk, doc)
+    pre-dedup, then a hash(chunk) partition exchange so each distinct
+    line resolves in exactly one partition (the span_dedup exchange);
+    (2) the duplicated-line set collects to the driver and broadcasts
+    ONCE via ray.put — it is the corpus's repeated boilerplate, tiny
+    next to the corpus (C4 removed 0.02% of text this way); if it ever
+    outgrows the driver, partitioned_semi_filter + a doc_id re-exchange
+    is the drop-in scale path; (3) the rewrite is a row-local pass over
+    the original blocks (is_in against the broadcast set + one
+    binary_join), so document bytes never shuffle."""
+    import ray
+
+    def chunk_pairs(t: pa.Table) -> pa.Table:
+        flat, _, n_chunks = _chunk_lists(t, text_col, k)
+        doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(), n_chunks)
+        pre = pa.table({"chunk": flat, "doc_id": pa.array(doc)}) \
+            .group_by(["chunk", "doc_id"]).aggregate([])
+        return pre.append_column("part", pa.array(
+            hash_part(_str_hash64(pre["chunk"].combine_chunks()),
+                      num_parts)))
+
+    def dup_lines(t: pa.Table) -> pa.Table:
+        g = t.group_by("chunk").aggregate([("doc_id", "count_distinct")])
+        return pa.table({"chunk": g.filter(
+            pc.greater(g["doc_id_count_distinct"], 1))["chunk"]})
+
+    dups = docs.map_batches(chunk_pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(dup_lines, batch_format="pyarrow")
+    dup_blocks = [b.replace_schema_metadata(None)
+                  for b in ray.get(dups.to_arrow_refs())]
+    dup_set = pa.concat_arrays(
+        [b["chunk"].combine_chunks() for b in dup_blocks if b.num_rows]) \
+        if any(b.num_rows for b in dup_blocks) else pa.array([], pa.string())
+    dup_ref = ray.put(dup_set)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        flat, _, n_chunks = _chunk_lists(t, text_col, k)
+        keep = pc.fill_null(pc.invert(pc.is_in(flat, value_set=dup)),
+                            True).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(t)), n_chunks)
+        n_kept = np.bincount(rows[keep], minlength=len(t)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n_kept)])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)))
+        clean = pc.binary_join(kept_list, " ")
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_chunks": pa.array(n_chunks),
+            "n_kept": pa.array(n_kept),
+            "text_clean": clean,
+        })
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
