@@ -427,6 +427,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT image_id, feature_id, dist_m3
         FROM d WHERE dist_m3 <= {RADIUS_JOIN_M!r}"""
 
+    # envelope-overlap self-join: brute-force O(n^2) range join over the
+    # per-way bboxes; the engine's grid cells + owner-cell dedup must
+    # reproduce this exact pair set
+    _ov = ("(LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0)) * "
+           "(LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0))")
+    q["bbox_overlap_join"] = f"""
+        WITH bb AS (
+          SELECT w.id AS way_id, min(n.lon) AS x0, min(n.lat) AS y0,
+                 max(n.lon) AS x1, max(n.lat) AS y1
+          FROM (SELECT id, unnest(refs) AS r FROM {ways}) w
+          JOIN {nodes} n ON n.id = w.r
+          GROUP BY w.id)
+        SELECT a.way_id AS a, b.way_id AS b, {sql_round(_ov, 6)} AS ov6
+        FROM bb a JOIN bb b
+          ON a.way_id < b.way_id
+         AND a.x0 <= b.x1 AND b.x0 <= a.x1
+         AND a.y0 <= b.y1 AND b.y0 <= a.y1"""
+
     q["images_quadkey"] = f"""
         WITH {_pts_cte(images)},
         qt AS (SELECT image_id, {tiles.sql_tile_x('lon', 14)} AS tx,

@@ -1443,3 +1443,134 @@ def feature_layer_task(nodes_path: str, key: str) -> ray.ObjectRef:
         return t.select(["id", "lon", "lat"]).combine_chunks()
 
     return _build.remote(nodes_path, key)
+
+
+# ------------------------------------------------------ bbox overlap join
+
+def way_bboxes(nodes: ray.data.Dataset, ways: ray.data.Dataset
+               ) -> ray.data.Dataset:
+    """(way_id, x0, y0, x1, y1): per-way envelope over the RESOLVED
+    refs (ways whose refs all dangle are dropped, mirroring the
+    oracle's inner join).  Same physical plan as way_geom_stats: node
+    table broadcast once, per-batch offsets math + min/max reduceat —
+    no explode, no per-way python."""
+    from ..relational import broadcast_table
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s, nlon, nlat = (nid[order], nt["lon"].to_numpy()[order],
+                             nt["lat"].to_numpy()[order])
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = (nid_s[jj] == flat) if len(nid_s) \
+            else np.zeros(len(flat), bool)
+        rc = np.add.reduceat(
+            found, offsets[:-1].clip(max=max(len(flat) - 1, 0))) \
+            if len(offsets) > 1 and len(flat) else np.zeros(
+                max(len(offsets) - 1, 0), np.int64)
+        rc[np.diff(offsets) == 0] = 0  # reduceat quirk on empty segments
+        keep = rc > 0
+        lon_r, lat_r = nlon[jj[found]], nlat[jj[found]]
+        starts = np.concatenate([[0], np.cumsum(rc[keep])[:-1]]) \
+            .astype(np.int64)
+        return pa.table({
+            "way_id": batch["id"].combine_chunks().filter(pa.array(keep)),
+            "x0": pa.array(np.minimum.reduceat(lon_r, starts)
+                           if len(starts) else np.empty(0)),
+            "y0": pa.array(np.minimum.reduceat(lat_r, starts)
+                           if len(starts) else np.empty(0)),
+            "x1": pa.array(np.maximum.reduceat(lon_r, starts)
+                           if len(starts) else np.empty(0)),
+            "y1": pa.array(np.maximum.reduceat(lat_r, starts)
+                           if len(starts) else np.empty(0)),
+        })
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
+def bbox_overlap_join(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      cell_deg: float = 0.02, num_parts: int = 32,
+                      nd: int = 6) -> ray.data.Dataset:
+    """Envelope (bbox) overlap SELF-JOIN over the way layer — the
+    filter step of every polygon-polygon spatial join (the refinement
+    PIP/clip runs only on these candidates).  Emits (a, b, ov6) for
+    every unordered way pair whose envelopes intersect (touching
+    counts), ov6 = rectangle intersection area rounded half-away.
+
+    Scale plan — grid candidate cells with OWNER-CELL dedup (no
+    distinct shuffle): each bbox replicates to the ``cell_deg`` grid
+    cells it covers (tiny expansion while bbox << cell); cells
+    hash-exchange ONCE; per partition, intra-cell pairs come from the
+    shared LSH pair kernel (_bucket_pairs_vec) and a pair is emitted
+    ONLY by the unique cell containing the overlap region's min corner
+    (max(ax0,bx0), max(ay0,by0)) — every surviving pair is produced
+    exactly once globally, so no second dedup exchange exists.
+    ``cell_deg`` is the skew knob: it must be sized to data density
+    (hot urban cells -> smaller cells), exactly like the PIP shard
+    grid.  Oracle: brute-force O(n^2) range self-join in DuckDB."""
+    from ..relational import hash_part
+    from ..util import round_half_away
+    from .text import _bucket_pairs_vec
+
+    bb = way_bboxes(nodes, ways)
+
+    def cover(t: pa.Table) -> pa.Table:
+        x0 = t["x0"].combine_chunks().to_numpy()
+        y0 = t["y0"].combine_chunks().to_numpy()
+        x1 = t["x1"].combine_chunks().to_numpy()
+        y1 = t["y1"].combine_chunks().to_numpy()
+        cx0 = np.floor((x0 + 180.0) / cell_deg).astype(np.int64)
+        cx1 = np.floor((x1 + 180.0) / cell_deg).astype(np.int64)
+        cy0 = np.floor((y0 + 90.0) / cell_deg).astype(np.int64)
+        cy1 = np.floor((y1 + 90.0) / cell_deg).astype(np.int64)
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = (nx * ny).astype(np.int64)
+        row = np.repeat(np.arange(len(rep)), rep)
+        # per-replica local cell offset (col-major within each bbox)
+        k = np.arange(len(row)) - np.repeat(
+            np.concatenate([[0], np.cumsum(rep)[:-1]]), rep)
+        cx = cx0[row] + k % nx[row]
+        cy = cy0[row] + k // nx[row]
+        cell = cx * np.int64(1 << 32) + cy
+        return pa.table({
+            "cell": pa.array(cell),
+            "way_id": t["way_id"].combine_chunks().take(pa.array(row)),
+            "x0": pa.array(x0[row]), "y0": pa.array(y0[row]),
+            "x1": pa.array(x1[row]), "y1": pa.array(y1[row]),
+            "part": pa.array(hash_part(cell, num_parts)),
+        })
+
+    def pairs(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        wid = t["way_id"].combine_chunks().to_numpy()
+        x0 = t["x0"].combine_chunks().to_numpy()
+        y0 = t["y0"].combine_chunks().to_numpy()
+        x1 = t["x1"].combine_chunks().to_numpy()
+        y1 = t["y1"].combine_chunks().to_numpy()
+        ii, jj = _bucket_pairs_vec(cell, np.arange(len(cell), dtype=np.int64))
+        if not len(ii):
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "ov6": pa.array([], pa.float64())})
+        ox = np.maximum(x0[ii], x0[jj])
+        oy = np.maximum(y0[ii], y0[jj])
+        ex = np.minimum(x1[ii], x1[jj])
+        ey = np.minimum(y1[ii], y1[jj])
+        own = ((np.floor((ox + 180.0) / cell_deg).astype(np.int64)
+                * np.int64(1 << 32)
+                + np.floor((oy + 90.0) / cell_deg).astype(np.int64))
+               == cell[ii])
+        m = (ox <= ex) & (oy <= ey) & own & (wid[ii] != wid[jj])
+        ii, jj = ii[m], jj[m]
+        a = np.minimum(wid[ii], wid[jj])
+        b = np.maximum(wid[ii], wid[jj])
+        ov = (ex[m] - ox[m]) * (ey[m] - oy[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "ov6": pa.array(round_half_away(ov, nd))})
+
+    return bb.map_batches(cover, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs, batch_format="pyarrow")
