@@ -870,6 +870,22 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM w"""
 
     # ---- relational --------------------------------------------------------
+    from .pipelines.relq import EVENT_TYPES
+    _piv = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{ty}') AS BIGINT) "
+        f"AS n_{ty}" for ty in EVENT_TYPES)
+    q["events_pivot"] = f"""
+        SELECT user_id, {_piv},
+               {sql_round('sum(value)', 2)} AS value_sum2
+        FROM events GROUP BY user_id"""
+
+    q["orders_rollup"] = f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_round('sum(o_totalprice)', 2)} AS total2
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
     q["q1_pricing"] = f"""
         SELECT l_returnflag, l_linestatus,
                {sql_round('sum(l_quantity)', 2)} AS sum_qty,

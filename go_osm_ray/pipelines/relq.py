@@ -474,3 +474,84 @@ def sessionize(events: ray.data.Dataset, gap_s: int = 1800,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_partition, batch_format="pyarrow"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(events: ray.data.Dataset,
+                 num_parts: int = 32) -> ray.data.Dataset:
+    """Per-user event-type PIVOT: (user_id, n_click, n_error,
+    n_purchase, n_signup, n_view, value_sum2).  The pivot is free under
+    the combiner pattern — each block appends five int64 indicator
+    columns (one Arrow comparison each) and collapses them with ONE
+    Acero hash aggregation, so the exchange moves one partial row per
+    (user, block), never events.  SQL mirror: COUNT(*) FILTER."""
+    from ..relational import partial_groupby_agg
+
+    def indicators(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        cols = {"user_id": t["user_id"].combine_chunks(),
+                "value": t["value"].combine_chunks()}
+        for ty in EVENT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        return pa.table(cols)
+
+    aggs = [(f"n_{ty}", "sum") for ty in EVENT_TYPES] + [("value", "sum")]
+    g = partial_groupby_agg(
+        events.map_batches(indicators, batch_format="pyarrow"),
+        ["user_id"], aggs, num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in EVENT_TYPES:
+            cols[f"n_{ty}"] = t[f"n_{ty}_sum"]
+        cols["value_sum2"] = pa.array(
+            round_half_away(t["value_sum"], 2), pa.float64())
+        return pa.table(cols)
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_rollup(orders: ray.data.Dataset,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """GROUP BY ROLLUP (o_orderstatus, o_orderpriority): counts and
+    total price at all three levels, NULLing the rolled-up key like
+    SQL. ONE combiner exchange produces the finest level; the coarser
+    levels are exact re-aggregations of that small per-key table in a
+    single bounded task (rows = key-combination count, never data),
+    summed in sorted key order so the result is partition-invariant."""
+    from ..relational import partial_groupby_agg, single_merge
+
+    fine = partial_groupby_agg(
+        orders.select_columns(["o_orderstatus", "o_orderpriority",
+                               "o_totalprice"]),
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_totalprice", "sum"), ("o_totalprice", "count")],
+        num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("o_orderstatus", "ascending"),
+                       ("o_orderpriority", "ascending")])
+        st = t["o_orderstatus"].combine_chunks()
+        pr = t["o_orderpriority"].combine_chunks()
+        s = t["o_totalprice_sum"].combine_chunks().to_numpy()
+        n = t["o_totalprice_count"].combine_chunks().to_numpy()
+        lv1 = pa.table({"o_orderstatus": st, "s": pa.array(s),
+                        "n": pa.array(n)}) \
+            .group_by("o_orderstatus").aggregate([("s", "sum"),
+                                                  ("n", "sum")]) \
+            .sort_by([("o_orderstatus", "ascending")])
+        rows_st = pa.concat_arrays(
+            [st, lv1["o_orderstatus"].combine_chunks(),
+             pa.array([None], st.type)])
+        rows_pr = pa.concat_arrays(
+            [pr, pa.nulls(len(lv1), pr.type), pa.array([None], pr.type)])
+        sums = np.concatenate([s, lv1["s_sum"].to_numpy(), [s.sum()]])
+        ns = np.concatenate([n, lv1["n_sum"].to_numpy(), [n.sum()]])
+        return pa.table({
+            "o_orderstatus": rows_st,
+            "o_orderpriority": rows_pr,
+            "n": pa.array(ns, pa.int64()),
+            "total2": pa.array(round_half_away(sums, 2), pa.float64()),
+        })
+    return single_merge(fine, finish)
