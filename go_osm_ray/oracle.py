@@ -880,7 +880,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM events GROUP BY user_id"""
 
     q["orders_rollup"] = f"""
-        SELECT o_orderstatus, o_orderpriority,
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
                {sql_round('sum(o_totalprice)', 2)} AS total2
         FROM orders

@@ -541,11 +541,14 @@ def orders_rollup(orders: ray.data.Dataset,
             .group_by("o_orderstatus").aggregate([("s", "sum"),
                                                   ("n", "sum")]) \
             .sort_by([("o_orderstatus", "ascending")])
+        # 'ALL' sentinel instead of SQL's rollup NULL: the gate's
+        # value-hash treats None vs NaN as distinct, and no real key is
+        # ever null here (oracle mirrors with COALESCE)
         rows_st = pa.concat_arrays(
             [st, lv1["o_orderstatus"].combine_chunks(),
-             pa.array([None], st.type)])
+             pa.array(["ALL"], st.type)])
         rows_pr = pa.concat_arrays(
-            [pr, pa.nulls(len(lv1), pr.type), pa.array([None], pr.type)])
+            [pr, pa.array(["ALL"] * (len(lv1) + 1), pr.type)])
         sums = np.concatenate([s, lv1["s_sum"].to_numpy(), [s.sum()]])
         ns = np.concatenate([n, lv1["n_sum"].to_numpy(), [n.sum()]])
         return pa.table({
