@@ -243,3 +243,79 @@ def semdedup(ds: ray.data.Dataset, n_clusters: int = 8,
 
     return ds.map_batches(assign, batch_format="pyarrow") \
         .groupby("cluster").map_groups(purge, batch_format="pyarrow")
+
+
+def kcenter_sample(ds: ray.data.Dataset, k: int = 16,
+                   col: str = "embedding", id_col: str = "vec_id",
+                   nd: int = 6) -> pa.Table:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point traversal)
+    in cosine distance — the diversity-maximizing sample a curation
+    pipeline draws before expensive labeling/inspection.  Deterministic:
+    round 0 picks the smallest vec_id (all distances are the 2.0
+    sentinel when no center exists); every later round picks the row
+    maximizing distance-to-chosen-set, ties to the smaller id.  Returns
+    a small driver-side table (rank, vec_id, dist6) — k rows.
+
+    Scale plan: the narrow (id, vector) projection materializes ONCE
+    into the object store; each of the k rounds is one map_batches over
+    those cached blocks computing a matmul against the <=k chosen
+    centers (broadcast per round as a k x d array) and collapsing to
+    ONE candidate row per block — (id, dist, 8d vector bytes), so only
+    block-count rows reach the driver and the vector of the winner
+    arrives with it (no second lookup pass).  k passes, zero shuffles.
+
+    The reference has no sampling ops; this joins the training-data
+    sampler family (det/stratified/priority/mixture) as the
+    diversity-coreset member."""
+    import ray
+
+    from ..util import round_half_away
+
+    emb = ds.select_columns([id_col, col]).materialize()
+    chosen_ids: list[int] = []
+    chosen_vecs: list[np.ndarray] = []
+    dists: list[float] = []
+
+    for _ in range(k):
+        state = ray.put((np.array(chosen_ids, np.int64),
+                         np.array(chosen_vecs, np.float64)
+                         if chosen_vecs else np.zeros((0, 0))))
+
+        def cand(t: pa.Table) -> pa.Table:
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "d": pa.array([], pa.float64()),
+                              "v": pa.array([], pa.binary())})
+            ids = t[id_col].combine_chunks().to_numpy()
+            if not len(ids):
+                return empty
+            x = _stack(t, col)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            cids, c = ray.get(state)
+            d = (1.0 - (x @ c.T).max(axis=1)) if c.size                 else np.full(len(ids), 2.0)
+            d[np.isin(ids, cids)] = -np.inf
+            if not np.isfinite(d).any():
+                return empty
+            j = np.lexsort((ids, -d))[0]
+            return pa.table({id_col: pa.array([int(ids[j])], pa.int64()),
+                             "d": pa.array([float(d[j])], pa.float64()),
+                             "v": pa.array([x[j].tobytes()], pa.binary())})
+
+        parts = [b.replace_schema_metadata(None) for b in
+                 ray.get(emb.map_batches(cand, batch_format="pyarrow")
+                         .to_arrow_refs()) if b.num_rows]
+        if not parts:
+            break
+        cat = pa.concat_tables(parts)
+        ids = cat[id_col].to_numpy()
+        d = cat["d"].to_numpy()
+        j = np.lexsort((ids, -d))[0]
+        chosen_ids.append(int(ids[j]))
+        chosen_vecs.append(np.frombuffer(cat["v"][j].as_py(), np.float64))
+        dists.append(float(d[j]))
+
+    return pa.table({
+        "rank": pa.array(np.arange(len(chosen_ids)), pa.int64()),
+        id_col: pa.array(chosen_ids, pa.int64()),
+        "dist6": pa.array(round_half_away(np.array(dists), nd),
+                          pa.float64()),
+    })

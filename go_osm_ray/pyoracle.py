@@ -909,6 +909,40 @@ def _relation_multipolygons_table(sf: float) -> pa.Table:
     })
 
 
+def _kcenter_table(sf: float, k: int = 16, nd: int = 6) -> pa.Table:
+    """Whole-matrix reference for vectors.kcenter_sample: one
+    sequential Gonzalez traversal over the full normalized matrix —
+    an explicit per-round argmax with python tie-breaking, no blocks,
+    no per-block candidates."""
+    from .util import round_half_away
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    order = np.argsort(vid)
+    vid, x = vid[order], x[order]
+    chosen = [0]  # smallest vec_id
+    dists = [2.0]
+    mind = 1.0 - x @ x[0]
+    mind[0] = -np.inf
+    for _ in range(k - 1):
+        j = int(np.lexsort((vid, -mind))[0])
+        if not np.isfinite(mind[j]):
+            break
+        chosen.append(j)
+        dists.append(float(mind[j]))
+        mind = np.minimum(mind, 1.0 - x @ x[j])
+        mind[j] = -np.inf
+    return pa.table({
+        "rank": pa.array(np.arange(len(chosen)), pa.int64()),
+        "vec_id": pa.array(vid[chosen], pa.int64()),
+        "dist6": pa.array(round_half_away(np.array(dists), nd),
+                          pa.float64()),
+    })
+
+
 def _semdedup_table(sf: float, n_clusters: int = 8,
                     threshold: float = 0.95, nd: int = 6,
                     every: int = 50, id_offset: int = 100_000,
@@ -986,6 +1020,7 @@ _BUILDERS = {
     "images_geohash": _images_geohash_table,
     "ann_pq_topk": _ann_pq_table,
     "semdedup": _semdedup_table,
+    "kcenter_sample": _kcenter_table,
 }
 
 
