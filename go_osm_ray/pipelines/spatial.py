@@ -1475,6 +1475,10 @@ def way_bboxes(nodes: ray.data.Dataset, ways: ray.data.Dataset
                 max(len(offsets) - 1, 0), np.int64)
         rc[np.diff(offsets) == 0] = 0  # reduceat quirk on empty segments
         keep = rc > 0
+        if not keep.any():
+            z = pa.array([], pa.float64())
+            return pa.table({"way_id": pa.array([], batch["id"].type),
+                             "x0": z, "y0": z, "x1": z, "y1": z})
         lon_r, lat_r = nlon[jj[found]], nlat[jj[found]]
         starts = np.concatenate([[0], np.cumsum(rc[keep])[:-1]]) \
             .astype(np.int64)

@@ -1,0 +1,187 @@
+"""Session-4 ops: semdedup, aspect_bucket_pack, line_dedup,
+bbox_overlap_join, events_pivot/orders_rollup, kcenter_sample.
+
+Driver-grade value gates live in test_oracle_parity.py; these pin the
+properties the oracle cannot see — partition invariance (the same
+answer under adversarial block splits), exactly-once pair emission in
+the owner-cell dedup, chunked-slab equivalence in semdedup, and the
+deterministic traversal order of the coreset sampler.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+
+def _split(t: pa.Table, n: int):
+    """Dataset from n adversarially uneven slices of one table."""
+    cuts = np.linspace(0, t.num_rows, n + 1).astype(int)
+    if n > 1:
+        cuts[1] = min(1, t.num_rows)  # force a 1-row first block
+    blocks = [t.slice(a, b - a) for a, b in zip(cuts[:-1], cuts[1:])
+              if b > a]
+    return ray.data.from_arrow(blocks)
+
+
+def _collect(ds) -> pa.Table:
+    blocks = [b.replace_schema_metadata(None)
+              for b in ray.get(ds.to_arrow_refs())]
+    blocks = [b for b in blocks if b.num_rows]
+    return pa.concat_tables(blocks) if blocks else None
+
+
+# ------------------------------------------------------------- semdedup
+
+def _emb_table(n=240, d=16, dup_every=10):
+    i = np.arange(n, dtype=np.int64)
+    rs = ((i[:, None] * 2654435761 + np.arange(d)[None, :] * 97) % 1000) \
+        / 500.0 - 1.0
+    x = rs.astype(np.float64)
+    # plant exact duplicates of every dup_every-th row under larger ids
+    m = (i % dup_every) == 0
+    ids = np.concatenate([i, i[m] + 1_000_000])
+    vecs = np.vstack([x, x[m]])
+    return pa.table({"vec_id": pa.array(ids),
+                     "embedding": pa.array(list(vecs.astype(np.float32)),
+                                           pa.list_(pa.float32()))})
+
+
+def test_semdedup_drops_planted_exact_dups(ray_session):
+    from go_osm_ray.pipelines.vectors import semdedup
+    t = _emb_table()
+    out = _collect(semdedup(ray.data.from_arrow(t), n_clusters=4,
+                            threshold=0.999999))
+    kept = dict(zip(out["vec_id"].to_pylist(), out["kept"].to_pylist()))
+    assert len(kept) == t.num_rows
+    for vid in range(0, 240, 10):
+        assert kept[vid], "original must survive"
+        assert not kept[vid + 1_000_000], "planted exact dup must drop"
+
+
+def test_semdedup_partition_and_chunk_invariant(ray_session):
+    from go_osm_ray.pipelines.vectors import semdedup
+    t = _emb_table(n=120)
+    a = _collect(semdedup(_split(t, 1), n_clusters=4, chunk=7)) \
+        .sort_by([("vec_id", "ascending")])
+    b = _collect(semdedup(_split(t, 9), n_clusters=4, chunk=1024)) \
+        .sort_by([("vec_id", "ascending")])
+    assert a.equals(b)
+
+
+# ---------------------------------------------------- aspect_bucket_pack
+
+def test_aspect_bucket_cuts_are_nearest_log_ratio():
+    from go_osm_ray.pipelines.images import (ASPECT_BUCKETS,
+                                             assign_aspect_bucket)
+    rng = np.random.RandomState(7)
+    w = rng.randint(64, 4096, 500).astype(np.int64)
+    h = rng.randint(64, 4096, 500).astype(np.int64)
+    got = assign_aspect_bucket(w, h)
+    lr = np.log(w / h)
+    want = np.argmin(np.abs(
+        lr[:, None] - np.log([bw / bh for bw, bh in ASPECT_BUCKETS])), axis=1)
+    assert (got == want).all()
+
+
+def test_aspect_bucket_pack_is_dense_and_ordered(ray_session):
+    from go_osm_ray.pipelines.images import aspect_bucket_pack
+    n = 500
+    i = np.arange(n)
+    t = pa.table({
+        "image_id": pa.array([f"img{v:012d}" for v in i]),
+        "w": pa.array((16 + (i % 3) * 8).astype(np.int32)),
+        "h": pa.array((16 + ((i // 3) % 3) * 8).astype(np.int32)),
+    })
+    out = _collect(aspect_bucket_pack(_split(t, 7), batch_size=8)) \
+        .sort_by([("bucket", "ascending"), ("batch_idx", "ascending"),
+                  ("slot", "ascending")])
+    df = out.to_pandas()
+    for b, g in df.groupby("bucket"):
+        ranks = g.batch_idx.to_numpy() * 8 + g.slot.to_numpy()
+        assert (ranks == np.arange(len(g))).all(), "ranks dense per bucket"
+        assert g.image_id.is_monotonic_increasing, "rank order = id order"
+
+
+# ------------------------------------------------------------ line_dedup
+
+def test_line_dedup_rewrite_roundtrip(ray_session):
+    from go_osm_ray.pipelines.spans import line_dedup
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j k l",     # chunk0 dup with doc2
+            "a b c d e f g h i j z z z",   # chunk0 dup with doc1
+            "unique words only here",
+        ]),
+    })
+    out = _collect(line_dedup(ray.data.from_arrow(docs), k=10)) \
+        .sort_by([("doc_id", "ascending")])
+    assert out["n_chunks"].to_pylist() == [2, 2, 1]
+    assert out["n_kept"].to_pylist() == [1, 1, 1]
+    assert out["text_clean"].to_pylist() == ["k l", "z z z",
+                                             "unique words only here"]
+
+
+def test_line_dedup_partition_invariant(ray_session):
+    from go_osm_ray.pipelines.spans import line_dedup
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    a = _collect(line_dedup(_split(t, 1))).sort_by([("doc_id", "ascending")])
+    b = _collect(line_dedup(_split(t, 11))).sort_by([("doc_id", "ascending")])
+    assert a.equals(b)
+
+
+# ----------------------------------------------------- bbox_overlap_join
+
+def test_bbox_overlap_exactly_once_across_cells(ray_session):
+    """Two bboxes overlapping across MANY grid cells must emit their
+    pair exactly once (owner-cell dedup), including cell-boundary
+    straddlers."""
+    from go_osm_ray.pipelines.spatial import bbox_overlap_join
+    nodes = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lon": pa.array([0.001, 0.099, 0.05, 0.121]),
+        "lat": pa.array([0.001, 0.099, 0.05, 0.121]),
+    })
+    # way 10 spans cells; way 20 overlaps it; way 30 is disjoint
+    ways = pa.table({
+        "id": pa.array([10, 20, 30], pa.int64()),
+        "refs": pa.array([[1, 2], [3, 4], [4, 4]], pa.list_(pa.int64())),
+    })
+    out = _collect(bbox_overlap_join(
+        ray.data.from_arrow(nodes), ray.data.from_arrow(ways),
+        cell_deg=0.02))
+    pairs = sorted(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert pairs == [(10, 20), (20, 30)]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_bbox_overlap_partition_invariant(ray_session):
+    from go_osm_ray.pipelines.spatial import bbox_overlap_join
+    from go_osm_ray import datagen
+    import pyarrow.parquet as pq
+    p = datagen.ensure_tables(0.001)
+    nodes = pq.read_table(p["osm_nodes"], columns=["id", "lon", "lat"])
+    ways = pq.read_table(p["osm_ways"], columns=["id", "refs"])
+    a = _collect(bbox_overlap_join(_split(nodes, 1), _split(ways, 1)))
+    b = _collect(bbox_overlap_join(_split(nodes, 5), _split(ways, 7),
+                                   cell_deg=0.05, num_parts=5))
+    key = [("a", "ascending"), ("b", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
+
+
+# ------------------------------------------------------- kcenter_sample
+
+def test_kcenter_deterministic_and_decreasing(ray_session):
+    from go_osm_ray.pipelines.vectors import kcenter_sample
+    t = _emb_table(n=150)
+    a = kcenter_sample(_split(t, 1), k=8)
+    b = kcenter_sample(_split(t, 13), k=8)
+    assert a.equals(b), "traversal must not depend on block layout"
+    d = a["dist6"].to_pylist()
+    assert d[0] == 2.0
+    assert all(x >= y - 1e-9 for x, y in zip(d[1:], d[2:])), \
+        "selection-time distances are non-increasing"
