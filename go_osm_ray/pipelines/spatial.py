@@ -1578,3 +1578,125 @@ def bbox_overlap_join(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
     return bb.map_batches(cover, batch_format="pyarrow") \
         .groupby("part").map_groups(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- per-cell convex hull
+
+def _strict_hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the strict convex hull (collinear boundary points
+    excluded), CCW from the lexicographically smallest point — Andrew's
+    monotone chain.  The sequential chain loop runs only over the
+    block-local points of one cell; hull-of-hulls merging keeps every
+    later input tiny."""
+    order = np.lexsort((y, x))
+    # dedup exact duplicate points (keep first in sort order)
+    xs, ys = x[order], y[order]
+    uniq = np.concatenate([[True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])])
+    order = order[uniq]
+    if len(order) <= 2:
+        return order
+
+    def chain(idx):
+        h: list[int] = []
+        for i in idx:
+            while len(h) >= 2:
+                ax, ay = x[h[-2]], y[h[-2]]
+                bx, by = x[h[-1]], y[h[-1]]
+                if (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax) <= 0:
+                    h.pop()
+                else:
+                    break
+            h.append(i)
+        return h
+
+    lower = chain(order)
+    upper = chain(order[::-1])
+    return np.array(lower[:-1] + upper[:-1], np.int64)
+
+
+def _hull_area(x: np.ndarray, y: np.ndarray) -> float:
+    """Exactly-rounded shoelace (math.fsum), so engine and oracle agree
+    bit-for-bit regardless of summation order."""
+    import math
+    if len(x) < 3:
+        return 0.0
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return abs(math.fsum((x * y2 - x2 * y).tolist())) / 2.0
+
+
+def cell_convex_hull(pts: ray.data.Dataset, res: int = 7,
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     num_parts: int = 32) -> ray.data.Dataset:
+    """(cell, n_pts, n_hull, area6): strict convex hull of the points
+    in every occupied res-``res`` cell — the per-region footprint
+    summary (coverage extent per city-scale cell) of a geotagged
+    corpus.
+
+    Scale plan — hull-of-hulls COMBINER: a hull vertex of the union is
+    always a hull vertex of any subset containing it, so each block
+    collapses every cell it sees to its local strict hull (plus one
+    exact point count), the exchange ships only hull vertices (O(h)
+    per cell per block, h ~ log points), and one partition-local chain
+    over collected vertices finishes each cell exactly.  The python
+    chain loop is bounded by block-local per-cell points; everything
+    around it (cell keys, dedup, sort) is numpy.  Area is fsum
+    shoelace — exactly rounded, so partial/merge order cannot move it."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].combine_chunks().to_numpy()
+        lat = t[lat_col].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        order = np.argsort(cell, kind="stable")
+        cs, lo, la = cell[order], lon[order], lat[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        ends = np.concatenate([starts[1:], [len(cs)]])
+        out_c, out_x, out_y, out_n = [], [], [], []
+        for s, e in zip(starts, ends):
+            hx, hy = lo[s:e], la[s:e]
+            hidx = _strict_hull(hx, hy)
+            out_c.append(np.full(len(hidx), cs[s], np.int64))
+            out_x.append(hx[hidx])
+            out_y.append(hy[hidx])
+            n = np.zeros(len(hidx), np.int64)
+            n[0] = e - s
+            out_n.append(n)
+        if not out_c:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        c = np.concatenate(out_c)
+        return pa.table({"cell": pa.array(c),
+                         "x": pa.array(np.concatenate(out_x)),
+                         "y": pa.array(np.concatenate(out_y)),
+                         "n": pa.array(np.concatenate(out_n)),
+                         "part": pa.array(hash_part(c, num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        x = t["x"].combine_chunks().to_numpy()
+        y = t["y"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cs, xs, ys, ns = cell[order], x[order], y[order], n[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        ends = np.concatenate([starts[1:], [len(cs)]])
+        rows = {"cell": [], "n_pts": [], "n_hull": [], "area6": []}
+        for s, e in zip(starts, ends):
+            hidx = _strict_hull(xs[s:e], ys[s:e])
+            rows["cell"].append(int(cs[s]))
+            rows["n_pts"].append(int(ns[s:e].sum()))
+            rows["n_hull"].append(len(hidx))
+            rows["area6"].append(float(round_half_away(
+                np.float64(_hull_area(xs[s:e][hidx], ys[s:e][hidx])), 6)))
+        return pa.table({"cell": pa.array(rows["cell"], pa.int64()),
+                         "n_pts": pa.array(rows["n_pts"], pa.int64()),
+                         "n_hull": pa.array(rows["n_hull"], pa.int64()),
+                         "area6": pa.array(rows["area6"], pa.float64())})
+
+    return pts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")

@@ -998,6 +998,80 @@ def _semdedup_table(sf: float, n_clusters: int = 8,
                      "kept": pa.array(c6[o] < threshold)})
 
 
+# ------------------------------------------------- per-cell convex hull
+
+def _jarvis_strict(pts: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Strict convex hull of unique points by gift wrapping (Jarvis
+    march) — a deliberately different algorithm from the engine's
+    monotone-chain hull-of-hulls combiner.  Collinear boundary points
+    are excluded by walking to the FARTHEST point among orientation
+    ties, so only corner vertices survive (matching the engine's strict
+    `<= 0` chain pop)."""
+    if len(pts) <= 2:
+        return list(pts)
+    start = min(pts)
+    hull = []
+    cur = start
+    while True:
+        hull.append(cur)
+        nxt = None
+        for p in pts:
+            if p == cur:
+                continue
+            if nxt is None:
+                nxt = p
+                continue
+            cr = ((nxt[0] - cur[0]) * (p[1] - cur[1])
+                  - (nxt[1] - cur[1]) * (p[0] - cur[0]))
+            d_p = (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2
+            d_n = (nxt[0] - cur[0]) ** 2 + (nxt[1] - cur[1]) ** 2
+            if cr < 0.0 or (cr == 0.0 and d_p > d_n):
+                nxt = p
+        cur = nxt
+        if cur == start:
+            break
+    return hull
+
+
+def _cell_hull_table(sf: float, res: int = 7) -> pa.Table:
+    """(cell, n_pts, n_hull, area6) per occupied cell, scalar plan:
+    per-row morton decode + scalar slippy cell, per-cell Jarvis strict
+    hull, fsum shoelace — independent of spatial.cell_convex_hull's
+    vectorized hull-of-hulls exchange."""
+    from .util import round_half_away
+    t = _images_rows(sf, ["phash"])
+    cells: dict[int, list[tuple[float, float]]] = {}
+    n = 1 << res
+    for ph in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(ph)
+        r = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        y = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                        / math.pi) / 2.0 * n)
+        x = min(max(int(x), 0), n - 1)
+        y = min(max(int(y), 0), n - 1)
+        cell = (res << 58) | (x << 29) | y
+        cells.setdefault(cell, []).append((lon, lat))
+    rows: dict[str, list] = {"cell": [], "n_pts": [], "n_hull": [], "area6": []}
+    for cell in sorted(cells):
+        pts = cells[cell]
+        hull = _jarvis_strict(sorted(set(pts)))
+        if len(hull) >= 3:
+            area = abs(math.fsum(
+                px * qy - qx * py
+                for (px, py), (qx, qy) in zip(hull, hull[1:] + hull[:1]))) / 2.0
+        else:
+            area = 0.0
+        rows["cell"].append(cell)
+        rows["n_pts"].append(len(pts))
+        rows["n_hull"].append(len(hull))
+        rows["area6"].append(float(round_half_away(np.float64(area), 6)))
+    return pa.table({"cell": pa.array(rows["cell"], pa.int64()),
+                     "n_pts": pa.array(rows["n_pts"], pa.int64()),
+                     "n_hull": pa.array(rows["n_hull"], pa.int64()),
+                     "area6": pa.array(rows["area6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1021,6 +1095,7 @@ _BUILDERS = {
     "ann_pq_topk": _ann_pq_table,
     "semdedup": _semdedup_table,
     "kcenter_sample": _kcenter_table,
+    "cell_convex_hull": _cell_hull_table,
 }
 
 

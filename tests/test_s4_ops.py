@@ -185,3 +185,76 @@ def test_kcenter_deterministic_and_decreasing(ray_session):
     assert d[0] == 2.0
     assert all(x >= y - 1e-9 for x, y in zip(d[1:], d[2:])), \
         "selection-time distances are non-increasing"
+
+
+# ---------------------------------------------------- cell_convex_hull
+
+def _pts_table(n=400, seed=7):
+    rs = np.random.RandomState(seed)
+    # three dense clusters so several cells hold many points, plus a
+    # collinear run and exact duplicates inside one cell
+    lon = np.concatenate([rs.uniform(2.0, 2.4, n),
+                          rs.uniform(-70.1, -70.0, n // 2),
+                          np.linspace(30.0, 30.001, 16),   # collinear (lat const)
+                          np.full(8, 2.2)])                # duplicates
+    lat = np.concatenate([rs.uniform(48.0, 48.3, n),
+                          rs.uniform(-33.1, -33.0, n // 2),
+                          np.full(16, 10.5),
+                          np.full(8, 48.15)])
+    return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+
+def test_strict_hull_excludes_collinear_boundary_points():
+    from go_osm_ray.pipelines.spatial import _strict_hull
+    # unit square with edge midpoints and center: strict hull = 4 corners
+    x = np.array([0.0, 1.0, 1.0, 0.0, 0.5, 1.0, 0.5, 0.0, 0.5])
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.0, 0.5, 1.0, 0.5, 0.5])
+    h = _strict_hull(x, y)
+    assert len(h) == 4
+    assert sorted(zip(x[h], y[h])) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    # all-collinear: two endpoints survive
+    x = np.linspace(0, 1, 9)
+    h = _strict_hull(x, 2.0 * x)
+    assert len(h) == 2
+
+
+def test_cell_convex_hull_partition_invariant(ray_session):
+    from go_osm_ray.pipelines.spatial import cell_convex_hull
+    t = _pts_table()
+    ref = None
+    for nblocks in (1, 3, 17):
+        out = _collect(cell_convex_hull(_split(t, nblocks), res=7)) \
+            .sort_by("cell")
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref), f"split into {nblocks} blocks diverged"
+    # sanity: total points conserved, hull never larger than the cell count
+    assert int(pa.compute.sum(ref["n_pts"]).as_py()) == t.num_rows
+    assert all(h <= n for h, n in zip(ref["n_hull"].to_pylist(),
+                                      ref["n_pts"].to_pylist()))
+
+
+def test_cell_convex_hull_matches_scalar_jarvis(ray_session):
+    from go_osm_ray.pipelines.spatial import cell_convex_hull
+    from go_osm_ray.pyoracle import _jarvis_strict
+    from go_osm_ray.geo import tiles
+    import math
+    t = _pts_table(seed=11)
+    out = _collect(cell_convex_hull(_split(t, 5), res=7)).sort_by("cell")
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    cells = tiles.cell_id(lon, lat, 7)
+    for cell, nh, a6 in zip(out["cell"].to_pylist(),
+                            out["n_hull"].to_pylist(),
+                            out["area6"].to_pylist()):
+        m = cells == cell
+        hull = _jarvis_strict(sorted(set(zip(lon[m], lat[m]))))
+        assert len(hull) == nh
+        if len(hull) >= 3:
+            area = abs(math.fsum(
+                px * qy - qx * py
+                for (px, py), (qx, qy) in zip(hull, hull[1:] + hull[:1]))) / 2
+        else:
+            area = 0.0
+        assert round(abs(a6 - area), 5) == 0
