@@ -1700,3 +1700,128 @@ def cell_convex_hull(pts: ray.data.Dataset, res: int = 7,
 
     return pts.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+# -------------------------------------------------- grid DBSCAN clustering
+
+def grid_dbscan(pts: ray.data.Dataset, res: int = 7, min_pts: int = 2,
+                lon_col: str = "lon", lat_col: str = "lat",
+                num_parts: int = 32,
+                single_task_edge_limit: int = 2_000_000,
+                broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+    """(cell, cluster, n_pts): density-grid DBSCAN — occupied res-``res``
+    cells holding >= ``min_pts`` points are core cells; 8-adjacent core
+    cells merge into one cluster labelled by the component's smallest
+    cell id (hotspot / place detection over a geotagged corpus).
+
+    Scale plan: points collapse to exact per-cell counts through the
+    combiner exchange (O(cells x blocks) partial rows, never O(points)),
+    so everything after stage 1 runs on the CELL table, orders of
+    magnitude smaller than the corpus.  Adjacency needs no spatial join:
+    two cells are 8-adjacent iff they share a 2x2 window, so each core
+    cell emits its four window keys, a hash-partitioned exchange groups
+    windows (<= 4 members each), and a pair is emitted exactly once — in
+    the unique window anchored at the pair's coordinate minimum (the
+    owner-window rule of bbox_overlap_join).  Components reuse the
+    text-dedup machinery: one guarded union-find task while the edge
+    list is small, the static-shard pointer-jumping BSP past
+    ``single_task_edge_limit``.  Labels broadcast while small and fall
+    back to the hash-partitioned join past ``broadcast_limit``."""
+    from ..geo import tiles
+    from ..relational import (broadcast_table, hash_join, hash_part,
+                              partial_groupby_agg)
+    from .text import dedup_groups, min_label_components_static
+
+    xy_mask = np.int64((1 << tiles.XY_BITS) - 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].combine_chunks().to_numpy()
+        lat = t[lat_col].combine_chunks().to_numpy()
+        return pa.table({"cell": pa.array(tiles.cell_id(lon, lat, res))})
+
+    counts = partial_groupby_agg(pts.map_batches(assign, batch_format="pyarrow"),
+                                 ["cell"], [("cell", "count")],
+                                 num_parts=num_parts)
+    core = counts.filter(expr=f"cell_count >= {int(min_pts)}").materialize()
+
+    def windows(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        x = (cell >> np.int64(tiles.XY_BITS)) & xy_mask
+        y = cell & xy_mask
+        # four 2x2 windows contain (x, y): anchors (x-1..x, y-1..y);
+        # +1 offset keeps the packed key nonnegative at the x=0/y=0 edge
+        ax = np.repeat(x, 4) + np.tile(np.array([-1, -1, 0, 0]), len(x))
+        ay = np.repeat(y, 4) + np.tile(np.array([-1, 0, -1, 0]), len(x))
+        wkey = ((ax + 1) << np.int64(32)) | (ay + 1)
+        return pa.table({"wkey": pa.array(wkey),
+                         "cell": pa.array(np.repeat(cell, 4)),
+                         "part": pa.array(hash_part(wkey, num_parts))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        wkey = t["wkey"].combine_chunks().to_numpy()
+        cell = t["cell"].combine_chunks().to_numpy()
+        order = np.lexsort((cell, wkey))
+        wk, cl = wkey[order], cell[order]
+        starts = np.flatnonzero(np.concatenate([[True], wk[1:] != wk[:-1]]))
+        cnt = np.diff(np.concatenate([starts, [len(wk)]]))
+        out_a, out_b = [], []
+        # vectorize over pair SLOTS, not windows: a window holds <= 4
+        # cells, so six (i, j) slot combinations cover every pair
+        for i, j in ((0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3)):
+            sel = np.flatnonzero(cnt > j)
+            if not len(sel):
+                continue
+            a = cl[starts[sel] + i]
+            b = cl[starts[sel] + j]
+            anchor_x = ((wk[starts[sel]] >> np.int64(32)) & np.int64((1 << 31) - 1)) - 1
+            anchor_y = (wk[starts[sel]] & np.int64((1 << 31) - 1)) - 1
+            ax_, ay_ = (a >> np.int64(tiles.XY_BITS)) & xy_mask, a & xy_mask
+            bx_, by_ = (b >> np.int64(tiles.XY_BITS)) & xy_mask, b & xy_mask
+            own = (np.minimum(ax_, bx_) == anchor_x) \
+                & (np.minimum(ay_, by_) == anchor_y)
+            out_a.append(np.minimum(a[own], b[own]))
+            out_b.append(np.maximum(a[own], b[own]))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    edge_ds = core.map_batches(windows, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs, batch_format="pyarrow") \
+        .materialize()
+    if edge_ds.count() > single_task_edge_limit:
+        groups = min_label_components_static(edge_ds)
+    else:
+        groups = dedup_groups(edge_ds)
+    groups = groups.materialize()
+
+    if groups.count() <= broadcast_limit:
+        ref = broadcast_table(groups, ["doc_id", "group_id"])
+
+        def label(t: pa.Table) -> pa.Table:
+            g = ray.get(ref)
+            keys = g["doc_id"].combine_chunks().to_numpy()
+            vals = g["group_id"].combine_chunks().to_numpy()
+            order = np.argsort(keys)
+            keys, vals = keys[order], vals[order]
+            cell = t["cell"].combine_chunks().to_numpy()
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, cell), 0, len(keys) - 1)
+                hit = keys[pos] == cell
+                cluster = np.where(hit, vals[pos], cell)
+            else:
+                cluster = cell
+            return pa.table({"cell": pa.array(cell),
+                             "cluster": pa.array(cluster),
+                             "n_pts": t["cell_count"]})
+        return core.map_batches(label, batch_format="pyarrow")
+
+    joined = hash_join(core, groups, on="cell", right_on="doc_id",
+                       how="left_outer", num_partitions=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks()
+        cluster = pc.coalesce(t["group_id"].combine_chunks(), cell)
+        return pa.table({"cell": cell, "cluster": cluster,
+                         "n_pts": t["cell_count"]})
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1072,6 +1072,54 @@ def _cell_hull_table(sf: float, res: int = 7) -> pa.Table:
                      "area6": pa.array(rows["area6"], pa.float64())})
 
 
+def _grid_dbscan_table(sf: float, res: int = 7, min_pts: int = 2) -> pa.Table:
+    """(cell, cluster, n_pts) scalar plan: per-row slippy cell counts,
+    then plain BFS over the 8-neighbour lattice of core cells — no
+    window keys, no union-find, fully independent of the engine's
+    owner-window pair exchange + pointer-jump components."""
+    t = _images_rows(sf, ["phash"])
+    n = 1 << res
+    counts: dict[tuple[int, int], int] = {}
+    for ph in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(ph)
+        r = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        y = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                        / math.pi) / 2.0 * n)
+        xy = (min(max(int(x), 0), n - 1), min(max(int(y), 0), n - 1))
+        counts[xy] = counts.get(xy, 0) + 1
+    core = {xy for xy, c in counts.items() if c >= min_pts}
+
+    def cid(xy: tuple[int, int]) -> int:
+        return (res << 58) | (xy[0] << 29) | xy[1]
+
+    seen: set[tuple[int, int]] = set()
+    label: dict[tuple[int, int], int] = {}
+    for start in core:
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        i = 0
+        while i < len(comp):
+            cx, cy = comp[i]
+            i += 1
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx, cy + dy)
+                    if nb in core and nb not in seen:
+                        seen.add(nb)
+                        comp.append(nb)
+        lab = min(cid(xy) for xy in comp)
+        for xy in comp:
+            label[xy] = lab
+
+    rows = sorted((cid(xy), label[xy], counts[xy]) for xy in core)
+    return pa.table({"cell": pa.array([r[0] for r in rows], pa.int64()),
+                     "cluster": pa.array([r[1] for r in rows], pa.int64()),
+                     "n_pts": pa.array([r[2] for r in rows], pa.int64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1096,6 +1144,7 @@ _BUILDERS = {
     "semdedup": _semdedup_table,
     "kcenter_sample": _kcenter_table,
     "cell_convex_hull": _cell_hull_table,
+    "grid_dbscan": _grid_dbscan_table,
 }
 
 

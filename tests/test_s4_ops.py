@@ -258,3 +258,70 @@ def test_cell_convex_hull_matches_scalar_jarvis(ray_session):
         else:
             area = 0.0
         assert round(abs(a6 - area), 5) == 0
+
+
+# -------------------------------------------------------- grid_dbscan
+
+def _cell_center(x, y, res=7):
+    """lon/lat landing exactly in slippy cell (x, y) at res."""
+    import math
+    n = 1 << res
+    lon = (x + 0.5) / n * 360.0 - 180.0
+    yn = (y + 0.5) / n
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yn))))
+    return lon, lat
+
+
+def test_grid_dbscan_planted_geometry(ray_session):
+    from go_osm_ray.pipelines.spatial import grid_dbscan
+    from go_osm_ray.geo import tiles
+    # chain A: cells (40,40),(41,41),(42,40) — diagonal adjacency merges;
+    # isolated B: (50,50); sparse C: (60,60) with 1 pt (< min_pts, dropped)
+    plan = [((40, 40), 3), ((41, 41), 2), ((42, 40), 5),
+            ((50, 50), 4), ((60, 60), 1)]
+    lon, lat = [], []
+    for (x, y), k in plan:
+        lo, la = _cell_center(x, y)
+        lon += [lo] * k
+        lat += [la] * k
+    t = pa.table({"lon": pa.array(lon, pa.float64()),
+                  "lat": pa.array(lat, pa.float64())})
+    out = _collect(grid_dbscan(_split(t, 4), res=7, min_pts=2)) \
+        .sort_by("cell")
+    cells = {c: (cl, n) for c, cl, n in zip(out["cell"].to_pylist(),
+                                            out["cluster"].to_pylist(),
+                                            out["n_pts"].to_pylist())}
+    def cid(x, y):
+        return int(tiles.cell_id(np.array([_cell_center(x, y)[0]]),
+                                 np.array([_cell_center(x, y)[1]]), 7)[0])
+    assert len(cells) == 4  # (60,60) dropped below min_pts
+    a = cid(40, 40)
+    assert cells[cid(40, 40)] == (a, 3)
+    assert cells[cid(41, 41)][0] == a  # diagonal merge
+    assert cells[cid(42, 40)][0] == a  # transitive through (41,41)
+    assert cells[cid(50, 50)][0] == cid(50, 50)  # isolated singleton
+
+
+def test_grid_dbscan_partition_invariant(ray_session):
+    from go_osm_ray.pipelines.spatial import grid_dbscan
+    rs = np.random.RandomState(3)
+    # dense blob straddling many adjacent cells + scattered noise
+    lon = np.concatenate([rs.uniform(10.0, 13.0, 600),
+                          rs.uniform(-120, -100, 100)])
+    lat = np.concatenate([rs.uniform(45.0, 47.0, 600),
+                          rs.uniform(10, 30, 100)])
+    t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    ref = None
+    for nblocks in (1, 7, 23):
+        out = _collect(grid_dbscan(_split(t, nblocks), res=9, min_pts=2)) \
+            .sort_by("cell")
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref), f"{nblocks} blocks diverged"
+    # every cluster label is a member cell of its own cluster
+    by_cluster = {}
+    for c, cl in zip(ref["cell"].to_pylist(), ref["cluster"].to_pylist()):
+        by_cluster.setdefault(cl, []).append(c)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
