@@ -969,6 +969,31 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM o GROUP BY user_id"""
 
+    # events_funnel: greedy first-occurrence semantics are a chain of
+    # windowed mins — each step joins on the previous step's anchor
+    from .pipelines.relq import FUNNEL_STEPS, FUNNEL_WINDOW_S
+    s1, s2, s3 = FUNNEL_STEPS
+    q["events_funnel"] = f"""
+        WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = '{s1}' GROUP BY user_id),
+             f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                    JOIN f1 USING (user_id)
+                    WHERE e.event_type = '{s2}' AND e.ts > f1.t1
+                      AND e.ts <= f1.t1 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+                    GROUP BY e.user_id),
+             f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                    JOIN f2 USING (user_id)
+                    WHERE e.event_type = '{s3}' AND e.ts > f2.t2
+                      AND e.ts <= f2.t2 + INTERVAL {FUNNEL_WINDOW_S} SECOND
+                    GROUP BY e.user_id)
+        SELECT f1.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth,
+               CAST(CASE WHEN t3 IS NOT NULL
+                         THEN (epoch_us(t3) - epoch_us(t1)) // 1000
+                         ELSE -1 END AS BIGINT) AS dur_ms
+        FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)"""
+
     # ---- deterministic sampling / filtering family (pipelines/sample.py,
     # pipelines/filtering.py, relational.bloom_semi_join): every decision
     # keys on md5_number_lower so the SQL reproduces the EXACT rows ------

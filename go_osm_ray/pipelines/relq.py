@@ -558,3 +558,89 @@ def orders_rollup(orders: ray.data.Dataset,
             "total2": pa.array(round_half_away(sums, 2), pa.float64()),
         })
     return single_merge(fine, finish)
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 24 * 3600
+
+
+def events_funnel(events: ray.data.Dataset,
+                  steps: tuple[str, ...] = FUNNEL_STEPS,
+                  window_s: int = FUNNEL_WINDOW_S,
+                  num_parts: int = 16) -> ray.data.Dataset:
+    """(user_id, depth, dur_ms): ordered conversion funnel with
+    first-occurrence (greedy) semantics — step 1 anchors at the user's
+    EARLIEST ``steps[0]`` event, and each later step k anchors at the
+    earliest ``steps[k]`` event strictly after step k-1 and within
+    ``window_s`` of it.  ``depth`` is the deepest step reached (users
+    with no step-1 event are absent); ``dur_ms`` is the whole-funnel
+    duration for completers and -1 otherwise (sentinel, not NULL, so
+    the driver's value hash is stable).
+
+    Scale plan: the read keeps only (user_id, ts, event_type) rows whose
+    type participates in the funnel (pushed filter — error/other events
+    never leave the scan), those shuffle ONCE by bounded user-hash
+    partition, and one vectorized kernel per partition resolves every
+    step: per-user segment ids via lexsort + reduceat anchors, one
+    boolean mask + minimum.reduceat per step — no per-user group calls,
+    no window-function sort of the full event log."""
+    step_list = list(steps)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(step_list))
+        t = t.filter(m)
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    w_us = np.int64(window_s) * 1_000_000
+    inf = np.iinfo(np.int64).max
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array(np.empty(0, np.int64))
+            return pa.table({"user_id": e, "depth": e, "dur_ms": e})
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ety = t["event_type"]
+        order = np.lexsort((ts, uid))
+        u, ts = uid[order], ts[order]
+        step_masks = [pc.equal(ety, name).combine_chunks()
+                      .to_numpy(zero_copy_only=False)[order]
+                      for name in step_list]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        seg = np.cumsum(new_user) - 1          # per-row user segment id
+        n_users = len(starts)
+
+        t_prev = None                           # per-user anchor, int64 us
+        t_first = None
+        depth = np.zeros(n_users, np.int64)
+        for k, is_step in enumerate(step_masks):
+            if k == 0:
+                cand = is_step
+            else:
+                anchored = t_prev[seg]
+                cand = is_step & (anchored < inf) & (ts > anchored) \
+                    & (ts <= anchored + w_us)
+            val = np.where(cand, ts, inf)
+            t_k = np.minimum.reduceat(val, starts)
+            # reduceat on an empty trailing segment cannot happen: every
+            # segment is nonempty by construction
+            reached = t_k < inf
+            depth += reached.astype(np.int64)
+            if k == 0:
+                t_first = t_k
+            t_prev = t_k
+        keep = depth >= 1
+        dur = np.full(n_users, -1, np.int64)
+        full = depth == len(step_list)
+        dur[full] = (t_prev[full] - t_first[full]) // 1000
+        return pa.table({"user_id": pa.array(u[starts][keep]),
+                         "depth": pa.array(depth[keep], pa.int64()),
+                         "dur_ms": pa.array(dur[keep], pa.int64())})
+
+    return (events.select_columns(["user_id", "ts", "event_type"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_partition, batch_format="pyarrow"))

@@ -325,3 +325,47 @@ def test_grid_dbscan_partition_invariant(ray_session):
         by_cluster.setdefault(cl, []).append(c)
     for cl, members in by_cluster.items():
         assert cl == min(members)
+
+
+# ------------------------------------------------------- events_funnel
+
+def _ev(user, ts_s, ty):
+    return (user, np.datetime64("2024-01-01", "us") + np.timedelta64(ts_s, "s"), ty)
+
+
+def test_events_funnel_greedy_window_semantics(ray_session):
+    from go_osm_ray.pipelines.relq import events_funnel
+    H = 3600
+    rows = [
+        # u1 completes: view@0, click@1h, purchase@1.5h  -> dur 5400s
+        _ev(1, 0, "view"), _ev(1, H, "click"), _ev(1, H + 1800, "purchase"),
+        # u2: click 25h after view -> outside 24h window -> depth 1
+        _ev(2, 0, "view"), _ev(2, 25 * H, "click"),
+        # u3: click BEFORE the first view -> not counted -> depth 1
+        _ev(3, 2 * H, "view"), _ev(3, H, "click"),
+        # u4: greedy trap — early click inside window, purchase only
+        # within window of a LATER click; greedy anchors at the early
+        # click, purchase 30h after it -> depth 2
+        _ev(4, 0, "view"), _ev(4, H, "click"), _ev(4, 23 * H, "click"),
+        _ev(4, 31 * H, "purchase"),
+        # u5: no view at all -> absent
+        _ev(5, 0, "click"), _ev(5, H, "purchase"),
+        # u6: ties/strictness — click at the same instant as view is NOT
+        # strictly after -> depth 1
+        _ev(6, 0, "view"), _ev(6, 0, "click"),
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.timestamp("us")),
+                  "event_type": pa.array([r[2] for r in rows])})
+    got = {}
+    for nblocks in (1, 5):
+        out = _collect(events_funnel(_split(t, nblocks)))
+        cur = {u: (d, m) for u, d, m in zip(out["user_id"].to_pylist(),
+                                            out["depth"].to_pylist(),
+                                            out["dur_ms"].to_pylist())}
+        if got:
+            assert cur == got, "partition split diverged"
+        got = cur
+    assert got == {1: (3, 5400 * 1000), 2: (1, -1), 3: (1, -1),
+                   4: (2, -1), 6: (1, -1)}
