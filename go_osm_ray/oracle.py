@@ -293,6 +293,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
         f"{tiles.sql_cell_id('lon', 'lat', r)} AS cell_r{r}" for r in CELL_RESOLUTIONS)
     q["images_cells"] = f"WITH {_pts_cte(images)} SELECT image_id, {cell_cols} FROM pts"
 
+    # cross-modal geo x text: caption tokens aggregated per res-7 cell
+    lon_e7, lat_e7 = morton.sql_decode_exprs("phash")
+    q["cell_caption_stats"] = f"""
+        WITH tok AS (
+          SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                 unnest(string_split(lower(caption), ' ')) AS w
+          FROM (SELECT {lon_e7} AS lon, {lat_e7} AS lat, caption
+                FROM {images})),
+        cnt AS (SELECT cell, w, count(*) AS n FROM tok GROUP BY cell, w),
+        top AS (SELECT cell, w, n, row_number() OVER (
+                    PARTITION BY cell ORDER BY n DESC, w ASC) AS rk
+                FROM cnt),
+        tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_tokens
+                FROM cnt GROUP BY cell)
+        SELECT tot.cell, tot.n_tokens, top.w AS top_token,
+               CAST(top.n AS BIGINT) AS top_n
+        FROM tot JOIN top USING (cell) WHERE top.rk = 1"""
+
     tile_cols = ", ".join(
         f"{tiles.sql_tile_x('lon', z)} AS tile{z}_x, {tiles.sql_tile_y('lat', z)} AS tile{z}_y"
         for z in TILE_ZOOMS)

@@ -1825,3 +1825,68 @@ def grid_dbscan(pts: ray.data.Dataset, res: int = 7, min_pts: int = 2,
         return pa.table({"cell": cell, "cluster": cluster,
                          "n_pts": t["cell_count"]})
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------- per-cell caption token stats
+
+def cell_caption_stats(images: ray.data.Dataset, res: int = 7,
+                       num_parts: int = 32) -> ray.data.Dataset:
+    """(cell, n_tokens, top_token, top_n): caption-token statistics per
+    occupied res-``res`` cell — the cross-modal (geo x text) aggregate a
+    captioned-image corpus needs for regional vocabulary audits.
+    ``top_token`` is the cell's most frequent caption token, ties broken
+    lexicographically.
+
+    Scale plan: each block collapses to (cell, token, n) partials with
+    ONE Acero hash aggregation (bounded by the block's distinct
+    (cell, token) pairs, never its rows), partials exchange by a bounded
+    cell-hash partition, and one vectorized merge per partition
+    (lexsort + reduceat, then a (cell, -n, token) sort picking the first
+    row per cell) emits exact results.  Tokenization is Arrow
+    (utf8_lower + split_pattern) — no Python over rows."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..stages.assign import decode_geotag
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        toks = pc.split_pattern(pc.utf8_lower(t["caption"].combine_chunks()),
+                                " ")
+        offsets = np.asarray(toks.offsets, np.int64)
+        flat = toks.flatten()
+        rep = np.repeat(cell, np.diff(offsets))
+        pairs = pa.table({"cell": pa.array(rep), "w": flat})
+        agg = pairs.group_by(["cell", "w"]).aggregate([("cell", "count")])
+        cells = agg["cell"].combine_chunks().to_numpy()
+        return pa.table({"cell": agg["cell"],
+                         "w": agg["w"],
+                         "n": agg["cell_count"],
+                         "part": pa.array(hash_part(cells, num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy()
+        # merge partials: exact counts per (cell, token)
+        order = np.lexsort((w, cell))
+        cell, w, n = cell[order], w[order], n[order]
+        new = np.r_[True, (cell[1:] != cell[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new)
+        mc, mw = cell[starts], w[starts]
+        mn = np.add.reduceat(n, starts)
+        # per-cell totals and the (count desc, token asc) winner
+        order2 = np.lexsort((mw, -mn, mc))
+        c2, w2, n2 = mc[order2], mw[order2], mn[order2]
+        cstart = np.flatnonzero(np.r_[True, c2[1:] != c2[:-1]])
+        totals = np.add.reduceat(n2, cstart)
+        return pa.table({"cell": pa.array(c2[cstart], pa.int64()),
+                         "n_tokens": pa.array(totals, pa.int64()),
+                         "top_token": pa.array(w2[cstart].tolist(),
+                                               pa.string()),
+                         "top_n": pa.array(n2[cstart], pa.int64())})
+
+    return images.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")

@@ -369,3 +369,27 @@ def test_events_funnel_greedy_window_semantics(ray_session):
         got = cur
     assert got == {1: (3, 5400 * 1000), 2: (1, -1), 3: (1, -1),
                    4: (2, -1), 6: (1, -1)}
+
+
+# -------------------------------------------------- cell_caption_stats
+
+def test_cell_caption_stats_partition_invariant_and_ties(ray_session):
+    from go_osm_ray.pipelines.spatial import cell_caption_stats
+    from go_osm_ray.geo import morton
+    # two cells; cell A has a tie ("b" x2, "a" x2 -> winner "a"), cell B
+    # a clear winner; counts must merge exactly across splits
+    lon = np.array([2.1, 2.1, 2.1, -70.05, -70.05])
+    lat = np.array([48.1, 48.1, 48.1, -33.05, -33.05])
+    ph = morton.encode_phash(lon, lat, np.zeros(len(lon), np.int64))
+    t = pa.table({"phash": pa.array(ph, pa.int64()),
+                  "caption": pa.array(["b a", "a b", "c", "x y x", "x"])})
+    ref = None
+    for nblocks in (1, 5):
+        out = _collect(cell_caption_stats(_split(t, nblocks))).sort_by("cell")
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref)
+    rows = {r["top_token"]: (r["n_tokens"], r["top_n"])
+            for r in ref.to_pylist()}
+    assert rows == {"a": (5, 2), "x": (4, 3)}
