@@ -582,6 +582,31 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # cell-partitioned + ring-expansion kNN must match the full scan
     q["knn_nearest_sharded"] = q["knn_nearest"]
 
+    # kNN majority-vote classification: same (d2, feature_id) neighbour
+    # order as knn_nearest; winner by (votes desc, label asc)
+    from .pipelines.spatial import KNN_CLASSIFY_K
+    q["knn_classify"] = f"""
+        WITH {_pts_cte(images)},
+        feats AS (SELECT id AS fid, lon, lat,
+                         list_filter(tags, _t -> _t.key = '{KNN_FEATURE_KEY}')[1].value AS label
+                  FROM {nodes}
+                  WHERE {_has_key('tags', KNN_FEATURE_KEY)}),
+        d AS (SELECT p.image_id, f.fid, f.label,
+                     (p.lon - f.lon) * (p.lon - f.lon)
+                     + (p.lat - f.lat) * (p.lat - f.lat) AS d2
+              FROM pts p CROSS JOIN feats f),
+        r AS (SELECT image_id, label,
+                     row_number() OVER (PARTITION BY image_id
+                                        ORDER BY d2, fid) AS rn FROM d),
+        v AS (SELECT image_id, label, count(*) AS votes FROM r
+              WHERE rn <= {KNN_CLASSIFY_K} GROUP BY image_id, label),
+        w AS (SELECT image_id, label, votes,
+                     row_number() OVER (PARTITION BY image_id
+                                        ORDER BY votes DESC, label ASC) AS wrk
+              FROM v)
+        SELECT image_id, label, CAST(votes AS BIGINT) AS n_votes
+        FROM w WHERE wrk = 1"""
+
     # ---- vectors ----------------------------------------------------------
     q["ann_topk"] = f"""
         WITH qv AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -1890,3 +1890,78 @@ def cell_caption_stats(images: ray.data.Dataset, res: int = 7,
 
     return images.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- kNN majority classify
+
+KNN_CLASSIFY_K = 5
+
+
+def labeled_nodes(nodes: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """(id, lon, lat, label): nodes carrying ``key``, labelled by its
+    first value — the training set for the kNN classifier."""
+    from ..tags import has_any_key, value_of
+
+    def fn(t: pa.Table) -> pa.Table:
+        tg = t["tags"].combine_chunks()
+        t = t.filter(pa.array(has_any_key(tg, [key])))
+        lab = value_of(t["tags"].combine_chunks(), key)
+        return pa.table({"id": t["id"], "lon": t["lon"], "lat": t["lat"],
+                         "label": lab})
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+class KnnVoteClassify:
+    """Actor-pool stage: label each point by majority vote of its k
+    nearest labelled features (ties: count desc, then lexicographically
+    smallest label).  The feature layer loads ONCE per actor from the
+    broadcast ref; the neighbour set is exact — a STABLE argsort over
+    id-sorted features reproduces SQL's (d2 asc, feature_id asc)
+    row_number order including distance ties.  At web scale the feature
+    layer is the broadcast small side by definition of the op; a
+    cell-sharded variant would mirror knn_nearest_sharded."""
+
+    def __init__(self, feats_ref: ray.ObjectRef, k: int = KNN_CLASSIFY_K):
+        t: pa.Table = ray.get(feats_ref)
+        fid = t["id"].combine_chunks().to_numpy()
+        order = np.argsort(fid, kind="stable")
+        self.fx = t["lon"].combine_chunks().to_numpy()[order]
+        self.fy = t["lat"].combine_chunks().to_numpy()[order]
+        labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        # classes sorted lexicographically -> argmax tie = smallest label
+        self.classes, codes = np.unique(labels.astype(str), return_inverse=True)
+        self.codes = codes.astype(np.int64)
+        self.k = min(k, len(self.fx))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].combine_chunks().to_numpy()
+        lat = batch["lat"].combine_chunks().to_numpy()
+        n = len(lon)
+        votes = np.zeros((n, len(self.classes)), np.int64)
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            d2 = (lon[s:e, None] - self.fx[None, :]) ** 2 \
+                + (lat[s:e, None] - self.fy[None, :]) ** 2
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :self.k]
+            rows = np.repeat(np.arange(s, e), self.k)
+            np.add.at(votes, (rows, self.codes[idx].ravel()), 1)
+        win = np.argmax(votes, axis=1)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "label": pa.array(self.classes[win].tolist(), pa.string()),
+            "n_votes": pa.array(votes[np.arange(n), win], pa.int64())})
+
+
+def knn_classify(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
+                 k: int = KNN_CLASSIFY_K,
+                 concurrency: int | tuple[int, int] | None = None,
+                 batch_size: int = 2048) -> ray.data.Dataset:
+    """(image_id, label, n_votes): majority-vote kNN classification of
+    geotagged images against a broadcast labelled feature layer."""
+    from ..util import default_pool
+    pool = concurrency or default_pool()
+    pts = images.repartition(_fanout(pool)) \
+        .map_batches(decode_geotag, batch_format="pyarrow")
+    return pts.map_batches(KnnVoteClassify, fn_constructor_args=(feats_ref, k),
+                           batch_format="pyarrow", batch_size=batch_size,
+                           concurrency=pool)

@@ -393,3 +393,32 @@ def test_cell_caption_stats_partition_invariant_and_ties(ray_session):
     rows = {r["top_token"]: (r["n_tokens"], r["top_n"])
             for r in ref.to_pylist()}
     assert rows == {"a": (5, 2), "x": (4, 3)}
+
+
+# ----------------------------------------------------------- knn_classify
+
+def test_knn_classify_vote_and_tie_semantics(ray_session):
+    from go_osm_ray.geo import morton
+    from go_osm_ray.pipelines.spatial import knn_classify
+    # feature layer: 3 "b"-labelled at distance ~1, 2 "a" at ~2 -> "b"
+    # wins 3/5; second point sits in an exact 2-2 vote + nearest-"z"
+    # tiebreak: among {a, a, z, z, far} the winner is "a" (lex smallest)
+    feats = pa.table({
+        "id": pa.array(np.arange(10, dtype=np.int64)),
+        "lon": pa.array([1.0, -1.0, 0.0, 2.0, -2.0,
+                         50.0, 50.0, 52.0, 52.0, 80.0], pa.float64()),
+        "lat": pa.array([0.0, 0.0, 1.0, 0.0, 0.0,
+                         1.0, -1.0, 1.0, -1.0, 0.0], pa.float64()),
+        "label": pa.array(["b", "b", "b", "a", "a",
+                           "a", "a", "z", "z", "q"])})
+    ref = ray.put(feats)
+    ph = morton.encode_phash(np.array([0.0, 51.0]), np.array([0.0, 0.0]),
+                             np.zeros(2, np.int64))
+    imgs = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["p1", "p2"]),
+        "phash": pa.array(ph, pa.int64())}))
+    out = {r["image_id"]: (r["label"], r["n_votes"])
+           for r in _collect(knn_classify(imgs, ref, concurrency=1)).to_pylist()}
+    # morton decode lands on cell centers ~1e-5 deg off the exact points;
+    # the vote geometry is far coarser than that
+    assert out == {"p1": ("b", 3), "p2": ("a", 2)}
