@@ -1037,6 +1037,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
                          ELSE -1 END AS BIGINT) AS dur_ms
         FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)"""
 
+    # events_retention: cohort = UTC day of first event; integer day
+    # arithmetic on both sides (epoch_us // 86400e6)
+    q["events_retention"] = """
+        WITH d AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS day FROM events),
+             f AS (SELECT user_id, min(day) AS cohort_day FROM d
+                   GROUP BY user_id),
+             a AS (SELECT DISTINCT user_id, day FROM d)
+        SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+               CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY f.cohort_day, a.day - f.cohort_day"""
+
     # ---- deterministic sampling / filtering family (pipelines/sample.py,
     # pipelines/filtering.py, relational.bloom_semi_join): every decision
     # keys on md5_number_lower so the SQL reproduces the EXACT rows ------

@@ -644,3 +644,57 @@ def events_funnel(events: ray.data.Dataset,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_partition, batch_format="pyarrow"))
+
+
+def events_retention(events: ray.data.Dataset,
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(cohort_day, day_offset, n_users): classic cohort retention —
+    users grouped by the UTC day of their first event; ``n_users``
+    counts the cohort's distinct users active ``day_offset`` days later.
+
+    Scale plan: one bounded user-hash exchange co-locates each user's
+    rows; the per-partition kernel (lexsort + segment math) derives the
+    cohort day and the user's distinct active days in one pass, then
+    collapses to (cohort, offset, n) partials — so the second exchange
+    (partial_groupby_agg) moves one row per (cohort, offset, partition),
+    never per event.  Users are whole within a partition, so partial
+    counts are exact."""
+    from ..relational import partial_groupby_agg
+
+    day_us = np.int64(86_400_000_000)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        day = ts // day_us
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        seg = np.cumsum(new_user) - 1
+        cohort = d[np.flatnonzero(new_user)]      # first (= min) day per user
+        # distinct (user, day): day is sorted within user -> consecutive dedup
+        first = new_user | np.r_[False, d[1:] != d[:-1]]
+        off = d[first] - cohort[seg[first]]
+        co = cohort[seg[first]]
+        key = co * np.int64(1 << 20) + off        # offsets < 2^20 days
+        ks, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cohort_day": pa.array(ks >> np.int64(20), pa.int64()),
+                         "day_offset": pa.array(ks & np.int64((1 << 20) - 1),
+                                                pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    partials = (events.select_columns(["user_id", "ts"])
+                .map_batches(add_part, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(per_partition, batch_format="pyarrow"))
+    g = partial_groupby_agg(partials, ["cohort_day", "day_offset"],
+                            [("n", "sum")], num_parts=num_parts)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_day", "day_offset", "n_users"])
+    return g.map_batches(rename, batch_format="pyarrow")

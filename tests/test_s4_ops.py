@@ -422,3 +422,34 @@ def test_knn_classify_vote_and_tie_semantics(ray_session):
     # morton decode lands on cell centers ~1e-5 deg off the exact points;
     # the vote geometry is far coarser than that
     assert out == {"p1": ("b", 3), "p2": ("a", 2)}
+
+
+# --------------------------------------------------------- events_retention
+
+def test_events_retention_counts_distinct_days(ray_session):
+    from go_osm_ray.pipelines.relq import events_retention
+    D = 86400
+    rows = [
+        # u1: cohort day 0, active days 0 (twice), 1, 3
+        _ev(1, 10, "view"), _ev(1, 20, "view"), _ev(1, D + 5, "click"),
+        _ev(1, 3 * D + 5, "view"),
+        # u2: cohort day 1, active days 1, 3
+        _ev(2, D + 50, "view"), _ev(2, 3 * D + 50, "view"),
+        # u3: cohort day 0, active day 0 only
+        _ev(3, 100, "view"),
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                  "event_type": pa.array([r[2] for r in rows])})
+    base = 19723  # days from epoch to 2024-01-01
+    ref = None
+    for nblocks in (1, 4):
+        out = _collect(events_retention(_split(t, nblocks)))
+        got = {(c - base, o): n for c, o, n in zip(
+            out["cohort_day"].to_pylist(), out["day_offset"].to_pylist(),
+            out["n_users"].to_pylist())}
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+    assert ref == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 2): 1}
