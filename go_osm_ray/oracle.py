@@ -1170,6 +1170,34 @@ def build(sf: float = 0.01) -> dict[str, str]:
                COALESCE({sql_round('sm / nt', 6)}, 0.0) AS tfidf6
         FROM documents d LEFT JOIN s USING (doc_id)"""
 
+    # Okapi BM25 vs the engine's fixed query set; idf/avgdl/N mirror the
+    # combiner-broadcast stats (scoring.bm25_score)
+    from .pipelines.scoring import BM25_B, BM25_K1, BM25_QUERY
+    _qvals = ", ".join(f"('{w}')" for w in BM25_QUERY)
+    q["bm25_score"] = f"""
+        WITH qt(w) AS (VALUES {_qvals}),
+        toks AS (SELECT doc_id, unnest({split_toks}) AS w FROM documents),
+        dl AS (SELECT d.doc_id,
+                      CAST(COALESCE(t.c, 0) AS DOUBLE) AS dl
+               FROM documents d LEFT JOIN
+                 (SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id) t
+                 USING (doc_id)),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      sum(dl) / count(*) AS avgdl FROM dl),
+        df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+               FROM toks JOIN qt USING (w) GROUP BY w),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+               FROM toks JOIN qt USING (w) GROUP BY doc_id, w),
+        sc AS (SELECT tf.doc_id,
+                      sum(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                          * tf.tf * ({BM25_K1} + 1.0)
+                          / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                             + {BM25_B} * dl.dl / st.avgdl))) AS s
+               FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+               CROSS JOIN st GROUP BY tf.doc_id)
+        SELECT d.doc_id, COALESCE({sql_round('sc.s', 6)}, 0.0) AS bm25_6
+        FROM documents d LEFT JOIN sc USING (doc_id)"""
+
     # add-one-smoothed bigram LM self-trained on the corpus; the ordered
     # unnest (generate_subscripts) makes the consecutive-pair join the
     # SQL dual of the engine's shifted-array bigram stream

@@ -360,3 +360,86 @@ def _collect_small(ds: ray.data.Dataset) -> pa.Table:
     if not live:
         return pa.table({})
     return pa.concat_tables([t.select(live[0].column_names) for t in live])
+
+
+# ------------------------------------------------------------------ BM25
+# Okapi BM25 (Robertson et al., "Okapi at TREC-3") of every document
+# against a FIXED query-term set — the retrieval-style relevance score a
+# training-data pipeline uses to mine topical subsets.  Same scale shape
+# as tfidf_score: the corpus stats (per-term df, N, avgdl) build as a
+# one-pass per-block combiner + one bounded merge (|query|+1 rows per
+# block), broadcast once, then every batch scores embarrassingly
+# parallel — no shuffle touches the token stream.
+BM25_QUERY = ("scan", "merge", "window", "spark", "customer")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_score(docs: ray.data.Dataset, query: tuple[str, ...] = BM25_QUERY,
+               k1: float = BM25_K1, b: float = BM25_B,
+               text_col: str = "text", id_col: str = "doc_id",
+               nd: int = 6) -> ray.data.Dataset:
+    """(doc_id, bm25_6): Okapi BM25 with idf = ln(1 + (N-df+.5)/(df+.5)).
+
+    Docs matching no query term score 0.0 (kept — the row count is the
+    corpus).  The small side is |query| df counts + (N, total_tokens):
+    bounded by the query set, never the vocabulary, so the broadcast is
+    O(|query|) at any corpus size."""
+    qarr = np.asarray(query, dtype=object)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        df = np.zeros(len(qarr), np.int64)
+        if len(toks):
+            code = pd.Series(np.arange(len(qarr)), index=qarr) \
+                .reindex(toks).to_numpy(np.float64)
+            m = ~np.isnan(code)
+            if m.any():
+                k = np.int64(len(qarr))
+                pair = np.unique(row[m] * k + code[m].astype(np.int64))
+                df = np.bincount(pair % k, minlength=len(qarr)) \
+                    .astype(np.int64)
+        return pa.table({
+            "term": pa.array(list(qarr) + ["\x00stats"], pa.string()),
+            "df": pa.array(np.append(df, 0)),
+            "n": pa.array([0] * len(qarr) + [len(counts)], pa.int64()),
+            "tok": pa.array([0] * len(qarr) + [len(toks)], pa.int64()),
+        })
+
+    def stats_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term"]).aggregate(
+            [("df", "sum"), ("n", "sum"), ("tok", "sum")])
+        return g.rename_columns(["term", "df", "n", "tok"])
+
+    st = _collect_small(single_merge(
+        docs.map_batches(stats_partial, batch_format="pyarrow"),
+        stats_merge))
+    sd = {r["term"]: r for r in st.to_pylist()}
+    n_docs = float(sd["\x00stats"]["n"])
+    avgdl = float(sd["\x00stats"]["tok"]) / max(n_docs, 1.0)
+    idf = np.array([np.log(1.0 + (n_docs - sd[w]["df"] + 0.5)
+                           / (sd[w]["df"] + 0.5)) for w in query],
+                   np.float64)
+    small_ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_v, ad = ray.get(small_ref)
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        tf = np.zeros((len(counts), len(qarr)), np.float64)
+        if len(toks):
+            row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            code = pd.Series(np.arange(len(qarr)), index=qarr) \
+                .reindex(toks).to_numpy(np.float64)
+            m = ~np.isnan(code)
+            if m.any():
+                np.add.at(tf, (row[m], code[m].astype(np.int64)), 1.0)
+        dl = counts.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / ad)
+        s = np.where(tf > 0, idf_v[None, :] * tf * (k1 + 1.0) / denom,
+                     0.0).sum(axis=1)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "bm25_6": pa.array(round_half_away(s, nd), pa.float64()),
+        })
+    return docs.map_batches(score, batch_format="pyarrow")
