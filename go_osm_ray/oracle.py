@@ -543,6 +543,13 @@ def build(sf: float = 0.01) -> dict[str, str]:
           HAVING count(*) % 2 = 1)"""
     q["pip_join"] = f"WITH {pip_core} SELECT image_id, feature_id FROM hits"
 
+    # spatial anti-join: the points pip_join drops (inside NO polygon)
+    q["pip_anti_join"] = f"""
+        WITH {pip_core}
+        SELECT p.image_id, {sql_round('p.lon', 7)} AS lon7,
+               {sql_round('p.lat', 7)} AS lat7
+        FROM pts p ANTI JOIN hits h ON h.image_id = p.image_id"""
+
     # fused flagship-with-decode: spatial columns from the SQL ray-cast,
     # pixel summary from the python-oracle expected parquet (built below
     # by ensure_expected — referenced lazily here, resolved after it runs)

@@ -96,6 +96,43 @@ def pip_join(images: ray.data.Dataset, index_ref: ray.ObjectRef,
                            concurrency=pool)
 
 
+class PIPAntiTagger(PIPTagger):
+    """Complement of PIPTagger: emits the points contained in NO polygon
+    (the "open ocean" curation filter).  One row per unmatched image,
+    with its decoded coordinates rounded to 7 dp."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        px = batch["lon"].combine_chunks().to_numpy()
+        py = batch["lat"].combine_chunks().to_numpy()
+        pi, _ = self.index.query(px, py)
+        keep = np.ones(len(batch), bool)
+        keep[np.asarray(pi, np.int64)] = False
+        return pa.table({
+            self.id_col: batch[self.id_col].combine_chunks()
+            .filter(pa.array(keep)),
+            "lon7": pa.array(round_half_away(px[keep], 7), pa.float64()),
+            "lat7": pa.array(round_half_away(py[keep], 7), pa.float64()),
+        })
+
+
+def pip_anti_join(images: ray.data.Dataset, index_ref: ray.ObjectRef,
+                  concurrency: int | tuple[int, int] | None = None,
+                  batch_size: int = 8192) -> ray.data.Dataset:
+    """(image_id, lon7, lat7) for every image inside NO polygon — the
+    spatial anti-join (same broadcast-index shape as pip_join; the scale
+    path shards the index by cell prefix exactly as pip_join_sharded,
+    since "no hit in the owning shard" == "no hit globally" given bbox
+    replication into every covering shard)."""
+    from ..util import default_pool
+    pool = concurrency or default_pool()
+    pts = images.repartition(_fanout(pool)) \
+        .map_batches(decode_geotag, batch_format="pyarrow")
+    return pts.map_batches(PIPAntiTagger, fn_constructor_args=(index_ref,),
+                           batch_format="pyarrow", batch_size=batch_size,
+                           concurrency=pool)
+
+
 def _collect_polygon_coords(nodes: ray.data.Dataset,
                             ways: ray.data.Dataset):
     """(feature_ids, xs, ys) vertex arrays for the closed-way polygon
