@@ -311,6 +311,25 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(top.n AS BIGINT) AS top_n
         FROM tot JOIN top USING (cell) WHERE top.rk = 1"""
 
+    # geo x image diversity: Shannon entropy (nats) of the per-cell
+    # format mix; + 0.0 normalizes -0.0 on single-format cells (engine
+    # does the same)
+    q["cell_entropy"] = f"""
+        WITH c AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell, fmt
+                   FROM (SELECT {lon_e7} AS lon, {lat_e7} AS lat, fmt
+                         FROM {images})),
+        cnt AS (SELECT cell, fmt, CAST(count(*) AS DOUBLE) AS n
+                FROM c GROUP BY cell, fmt),
+        tot AS (SELECT cell, sum(n) AS tn, count(*) AS nf
+                FROM cnt GROUP BY cell),
+        e AS (SELECT cnt.cell,
+                     -sum((n / tn) * ln(n / tn)) AS h
+              FROM cnt JOIN tot USING (cell) GROUP BY cnt.cell)
+        SELECT tot.cell, CAST(tot.tn AS BIGINT) AS n,
+               CAST(tot.nf AS BIGINT) AS n_fmts,
+               ({sql_round('e.h', 6)}) + 0.0 AS entropy6
+        FROM tot JOIN e USING (cell)"""
+
     tile_cols = ", ".join(
         f"{tiles.sql_tile_x('lon', z)} AS tile{z}_x, {tiles.sql_tile_y('lat', z)} AS tile{z}_y"
         for z in TILE_ZOOMS)

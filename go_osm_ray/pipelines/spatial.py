@@ -2002,3 +2002,59 @@ def knn_classify(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
     return pts.map_batches(KnnVoteClassify, fn_constructor_args=(feats_ref, k),
                            batch_format="pyarrow", batch_size=batch_size,
                            concurrency=pool)
+
+
+def cell_format_entropy(images: ray.data.Dataset, res: int = 7,
+                        num_parts: int = 32,
+                        nd: int = 6) -> ray.data.Dataset:
+    """(cell, n, n_fmts, entropy6): Shannon entropy (nats) of the image
+    FORMAT mix per occupied res-``res`` cell — the per-region diversity
+    audit a multimodal corpus runs before rebalancing (a cell whose
+    images are all one codec is a collection artifact).
+
+    Same scale shape as cell_caption_stats: one Acero (cell, fmt)
+    partial per block, a bounded cell-hash exchange, one vectorized
+    merge per partition (lexsort + reduceat) — the shuffle moves
+    O(distinct pairs x blocks) rows, never the corpus."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        pairs = pa.table({"cell": pa.array(cell), "fmt": t["fmt"]})
+        agg = pairs.group_by(["cell", "fmt"]).aggregate([("cell", "count")])
+        cells = agg["cell"].combine_chunks().to_numpy()
+        return pa.table({"cell": agg["cell"], "fmt": agg["fmt"],
+                         "n": agg["cell_count"],
+                         "part": pa.array(hash_part(cells, num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        fmt = t["fmt"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy()
+        order = np.lexsort((fmt, cell))
+        cell, fmt, n = cell[order], fmt[order], n[order]
+        new = np.r_[True, (cell[1:] != cell[:-1]) | (fmt[1:] != fmt[:-1])]
+        starts = np.flatnonzero(new)
+        mc = cell[starts]
+        mn = np.add.reduceat(n, starts).astype(np.float64)
+        cstart = np.flatnonzero(np.r_[True, mc[1:] != mc[:-1]])
+        tot = np.add.reduceat(mn, cstart)
+        nf = np.diff(np.append(cstart, len(mc)))
+        p = mn / np.repeat(tot, nf)
+        # + 0.0 normalizes IEEE -0.0 (single-format cells) for the gate
+        ent = -np.add.reduceat(p * np.log(p), cstart) + 0.0
+        return pa.table({
+            "cell": pa.array(mc[cstart], pa.int64()),
+            "n": pa.array(tot.astype(np.int64)),
+            "n_fmts": pa.array(nf.astype(np.int64)),
+            "entropy6": pa.array(round_half_away(ent, nd), pa.float64()),
+        })
+
+    return images.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")
