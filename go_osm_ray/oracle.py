@@ -245,6 +245,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT way_id, CAST(min(lbl) AS BIGINT) AS component_id
         FROM reach GROUP BY way_id"""
 
+    # multi-source BFS hop depth over the same shared-node edge set,
+    # capped at BFS_MAX_DEPTH hops; UNION-dedup on (way_id, d) plus the
+    # depth bound makes the recursion finite on cyclic graphs
+    from .pipelines.osm import BFS_MAX_DEPTH, BFS_SEED_MOD
+    q["way_bfs_depth"] = f"""
+        WITH RECURSIVE exp AS (
+          SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id <> b.way_id),
+        bfs(way_id, d) AS (
+          SELECT id, 0 FROM {ways} WHERE id % {BFS_SEED_MOD} = 0
+          UNION
+          SELECT e.b, bfs.d + 1 FROM bfs JOIN ed e ON e.a = bfs.way_id
+          WHERE bfs.d < {BFS_MAX_DEPTH})
+        SELECT way_id, CAST(min(d) AS BIGINT) AS depth
+        FROM bfs GROUP BY way_id"""
+
     q["osm_ref_degree"] = f"""
         SELECT ref AS id, CAST(count(*) AS BIGINT) AS n_refs_to
         FROM (SELECT unnest(refs) AS ref FROM {ways})

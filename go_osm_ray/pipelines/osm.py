@@ -635,6 +635,41 @@ def way_pagerank(ways: ray.data.Dataset, damping: float = PAGERANK_DAMPING,
                         cleanup=owned)
 
 
+BFS_SEED_MOD = 41
+BFS_MAX_DEPTH = 16
+
+
+def way_bfs_depth(ways: ray.data.Dataset, seed_mod: int = BFS_SEED_MOD,
+                  max_depth: int = BFS_MAX_DEPTH,
+                  num_parts: int = 8) -> ray.data.Dataset:
+    """(way_id, depth): minimum hop distance from the seed ways (id %
+    seed_mod == 0) over the TRUE shared-node way graph, capped at
+    ``max_depth`` hops; unreached ways are dropped.
+
+    Distances run on the BIPARTITE way<->ref graph (way node 2*id, ref
+    node 2*ref+1): a node shared by k ways contributes k edges — never
+    the k^2 pairwise clique, and unlike the star reduction
+    way_components uses for connectivity, bipartite distance/2 IS the
+    exact shared-node hop count (the star hub would distort path
+    lengths). Same static-shard BSP as components/pagerank: edges shard
+    once, each round exchanges only frontier (node, dist) messages, and
+    the round count is bounded by 2 x max_depth."""
+    from ..state.bsp import run_bfs
+    from .text import shard_static_edges
+
+    def bipartite(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        r = t["ref"].combine_chunks().to_numpy()
+        return pa.table({"a": pa.array(w * 2),
+                         "b": pa.array(r * 2 + 1)})
+
+    pairs = explode_refs(ways).select_columns(["way_id", "ref"]) \
+        .map_batches(bipartite, batch_format="pyarrow")
+    d, has_shard, owned = shard_static_edges(pairs, num_parts)
+    return run_bfs(d, has_shard, num_parts, max_rounds=2 * max_depth,
+                   seed_mod=seed_mod, cleanup=owned)
+
+
 def ref_degree(ways: ray.data.Dataset, min_degree: int = 2) -> ray.data.Dataset:
     """(id, n_refs_to) for node ids referenced >= min_degree times across all
     ways — duplicate detection as data (vs error-on-dup ingest,

@@ -295,3 +295,91 @@ def run_pagerank(shard_dir: str, live_parts: set[int], num_parts: int,
         ray.get([o[n] for o in outs])    # barrier per BSP round
     return ray.data.from_arrow_refs(
         [a.result.remote() for a in actors]).materialize()
+
+
+@ray.remote(num_cpus=0)
+class _BFSPart(_ShardPart):
+    """One partition of multi-source BFS (min hop distance).  State is
+    one int64 distance per local node (-1 = unreached); each round folds
+    inbound candidate distances with min and pushes dist+1 along local
+    edges for nodes whose distance improved — pure frontier traffic, no
+    pointer jumps (distances are already shortest-path monotone)."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int], seed_mask: np.ndarray | None = None,
+                 seed_mod: int = 41):
+        super().__init__(shard_dir, part, num_parts, live_parts)
+        # seeds: WAY-namespace nodes (even id) with (id//2) % seed_mod == 0
+        seeded = (self.uid % 2 == 0) & ((self.uid // 2) % seed_mod == 0)
+        self.dist = np.where(seeded, 0, -1).astype(np.int64)
+        self.first = True
+
+    def step(self, *inbox):
+        uid, dist = self.uid, self.dist
+        cand_id, cand_val = [], []
+        for msg in inbox:
+            if msg is None:
+                continue
+            ids, vals = msg
+            cand_id.append(ids)
+            cand_val.append(vals)
+        changed = np.zeros(len(uid), bool)
+        if cand_id and len(uid):
+            cid = np.concatenate(cand_id)
+            cval = np.concatenate(cand_val)
+            j, ok = self._fold_index(cid)
+            new = dist.copy()
+            unreached = new == -1
+            big = np.where(unreached, np.iinfo(np.int64).max, new)
+            np.minimum.at(big, j[ok], cval[ok])
+            new = np.where(big == np.iinfo(np.int64).max, -1, big)
+            changed = new != dist
+            self.dist = dist = new
+        if self.first:
+            changed = dist == 0          # round 0: seed frontier
+            self.first = False
+        if changed.any() and len(self.src):
+            hit = changed[self.src_j] & (dist[self.src_j] >= 0)
+            if hit.any():
+                ids = self.dst[hit]
+                vals = dist[self.src_j[hit]] + 1
+                segs = self._dest_segments(ids)
+                boxes = [None if len(s) == 0 else (ids[s], vals[s])
+                         for s in segs]
+                return (*boxes, int(changed.sum()))
+        return (*([None] * self.n_live), int(changed.sum()))
+
+    def result(self) -> pa.Table:
+        # emit WAY-namespace reached nodes; bipartite dist 2k == k hops
+        m = (self.uid % 2 == 0) & (self.dist >= 0)
+        return pa.table({"way_id": pa.array(self.uid[m] // 2),
+                         "depth": pa.array(self.dist[m] // 2)})
+
+
+def run_bfs(shard_dir: str, live_parts: set[int], num_parts: int,
+            max_rounds: int, seed_mod: int = 41,
+            cleanup: bool = False) -> ray.data.Dataset:
+    """Drive the BFS actors for at most ``max_rounds`` rounds (= 2x the
+    way-hop cap on the bipartite graph) or to a quiet round."""
+    live = sorted(live_parts)
+    if not live:
+        return ray.data.from_arrow(pa.table(
+            {"way_id": pa.array([], pa.int64()),
+             "depth": pa.array([], pa.int64())}))
+    actors = [
+        _BFSPart.options(scheduling_strategy="SPREAD")
+        .remote(shard_dir, p, num_parts, live, None, seed_mod)
+        for p in live]
+    ray.get([a.ready.remote() for a in actors])
+    if cleanup:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    n = len(actors)
+    inbox: list[list] = [[] for _ in range(n)]
+    for _ in range(max_rounds + 1):      # +1: round 0 only seeds
+        outs = [a.step.options(num_returns=n + 1).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = [[outs[si][di] for si in range(n)] for di in range(n)]
+        if sum(ray.get([o[n] for o in outs])) == 0:
+            break
+    return ray.data.from_arrow_refs(
+        [a.result.remote() for a in actors]).materialize()
