@@ -1320,6 +1320,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
         "__EXP_IMAGE_STATS__", exp["image_stats"])
     q["image_verify"] = f"SELECT image_id, dims_ok, pixels_ok, caption_ok, psnr6 FROM read_parquet('{exp['image_verify']}')"
     q["image_ahash"] = f"SELECT image_id, ahash FROM read_parquet('{exp['image_ahash']}')"
+    q["patch_extract"] = f"SELECT image_id, py, px, patch_mean6 FROM read_parquet('{exp['patch_extract']}')"
     q["image_sig_dedup"] = f"SELECT ahash, keeper_id, group_n FROM read_parquet('{exp['image_sig_dedup']}')"
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"

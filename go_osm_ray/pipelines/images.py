@@ -145,6 +145,61 @@ def image_ahash(images: ray.data.Dataset, concurrency=None,
         concurrency=pool)
 
 
+class PatchStats:
+    """Actor-pool stage: decode each image and explode it into its
+    ViT-style non-overlapping patch grid, one row per patch with the
+    patch-mean pixel value — the patchification pass a vision-training
+    pipeline runs before embedding.  Edge remainders (w or h not a
+    multiple of the patch size) are truncated, exactly like a ViT crop.
+    Decode failures drop the image's patches (error-as-data precedent:
+    DecodeStats marks, exploders drop)."""
+
+    def __init__(self, patch: int = 16):
+        self.registry = codecs.FORMATS
+        self.patch = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        ids, pys, pxs, means = [], [], [], []
+        for iid, f, b in zip(batch["image_id"].to_pylist(),
+                             batch["fmt"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            try:
+                px = codecs.decode(b, f)
+            except Exception:
+                continue
+            gh, gw = px.shape[0] // p, px.shape[1] // p
+            if gh == 0 or gw == 0:
+                continue
+            m = px[:gh * p, :gw * p].astype(np.float64) \
+                .reshape(gh, p, gw, p, 3).mean(axis=(1, 3, 4))
+            for r in range(gh):
+                for c in range(gw):
+                    ids.append(iid)
+                    pys.append(r)
+                    pxs.append(c)
+                    means.append(round(float(m[r, c]), 6))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "py": pa.array(pys, pa.int32()),
+            "px": pa.array(pxs, pa.int32()),
+            "patch_mean6": pa.array(means, pa.float64()),
+        })
+
+
+def patch_extract(images: ray.data.Dataset, patch: int = 16,
+                  concurrency=None,
+                  batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, py, px, patch_mean6): the non-overlapping patch grid
+    of every decodable image — rows explode ~(w*h)/patch^2 per image, so
+    batch_size stays byte-sized like every decode stage."""
+    from ..util import default_pool
+    pool = concurrency or default_pool(24)
+    return images.map_batches(
+        PatchStats, fn_constructor_kwargs={"patch": patch},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=pool)
+
+
 def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
              knn_feats_ref: ray.ObjectRef | None = None,
              resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),

@@ -640,6 +640,32 @@ def _image_verify_table(sf: float) -> pa.Table:
     return pa.table({k: pa.array(v) for k, v in rows.items()})
 
 
+def _patch_stats_table(sf: float, patch: int = 16) -> pa.Table:
+    """Scalar reference for patch_extract: per-row decode + an explicit
+    (r, c) double loop over patch slices — the engine's reshaped
+    mean(axis=(1,3,4)) must agree bit-for-bit because uint8 patch sums
+    (<= 32*32*3*255) are exact in float64 under any summation order."""
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    ids, pys, pxs, means = [], [], [], []
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        px = codecs.decode(b, f)
+        gh, gw = px.shape[0] // patch, px.shape[1] // patch
+        for r in range(gh):
+            for c in range(gw):
+                blk = px[r * patch:(r + 1) * patch,
+                         c * patch:(c + 1) * patch].astype(np.float64)
+                ids.append(iid)
+                pys.append(r)
+                pxs.append(c)
+                means.append(round(float(blk.mean()), 6))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "py": pa.array(pys, pa.int32()),
+                     "px": pa.array(pxs, pa.int32()),
+                     "patch_mean6": pa.array(means, pa.float64())})
+
+
 def _image_ahash_table(sf: float) -> pa.Table:
     """Scalar reference for image_ahash: per-row decode + the shared
     ahash64 primitive (codecs.py documents why the per-image float
@@ -1133,6 +1159,7 @@ _BUILDERS = {
     "image_stats": _image_stats_table,
     "image_verify": _image_verify_table,
     "image_ahash": _image_ahash_table,
+    "patch_extract": _patch_stats_table,
     "image_sig_dedup": _image_sig_dedup_table,
     "audio_features": _audio_features_table,
     "video_frames": _video_frames_table,
