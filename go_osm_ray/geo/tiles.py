@@ -179,3 +179,23 @@ def sql_cell_id(lon_expr: str, lat_expr: str, res: int) -> str:
     x = sql_tile_x(lon_expr, res)
     y = sql_tile_y(lat_expr, res)
     return f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + ({x}) * {1 << XY_BITS} + ({y}))"
+
+
+def hex_axial(lon: np.ndarray, lat: np.ndarray, size: float
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Pointy-top hexagonal binning on the planar lon/lat plane: axial
+    (q, r) of the hex of circumradius ``size`` degrees containing each
+    point.  Fractional axial coords -> cube coords -> nearest-integer
+    cube rounding with the fix-largest-residual rule (the standard hex
+    rounding; picks the closest hex center).  Vectorized; int64 out."""
+    qf = (np.sqrt(3.0) / 3.0 * lon - lat / 3.0) / size
+    rf = (2.0 / 3.0 * lat) / size
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)

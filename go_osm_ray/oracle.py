@@ -1325,6 +1325,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"
     q["images_geohash"] = f"SELECT image_id, gh6, gh4 FROM read_parquet('{exp['images_geohash']}')"
+    q["images_hex"] = f"SELECT image_id, hq_f, hr_f, hq_c, hr_c FROM read_parquet('{exp['images_hex']}')"
     q["ann_pq_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_pq_topk']}')"
     q["semdedup"] = f"SELECT vec_id, cluster, maxcos6, kept FROM read_parquet('{exp['semdedup']}')"
     q["kcenter_sample"] = f"SELECT rank, vec_id, dist6 FROM read_parquet('{exp['kcenter_sample']}')"

@@ -575,6 +575,47 @@ def _images_geohash_table(sf: float, precision: int = 6,
                      f"gh{prefix}": pa.array(gh4, pa.string())})
 
 
+def _images_hex_table(sf: float, size_f: float = 0.5,
+                      size_c: float = 2.0) -> pa.Table:
+    """Scalar reference for images_hex: per-row axial hex binning via an
+    ARGMIN-over-candidates rounding (pick the closest of the naive
+    rounded cube and its 6 neighbors by planar distance to the hex
+    center) — a genuinely different algorithm from the engine's
+    fix-largest-residual cube rounding; they agree everywhere because
+    both return the nearest hex center."""
+    t = _images_rows(sf, ["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    cols: dict[str, list[int]] = {"hq_f": [], "hr_f": [],
+                                  "hq_c": [], "hr_c": []}
+
+    def nearest(lon: float, lat: float, s: float) -> tuple[int, int]:
+        qf = (math.sqrt(3.0) / 3.0 * lon - lat / 3.0) / s
+        rf = (2.0 / 3.0 * lat) / s
+        q0, r0 = round(qf), round(rf)
+        best, bq, br = None, 0, 0
+        for dq, dr in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                       (1, -1), (-1, 1)):
+            q, r = q0 + dq, r0 + dr
+            cx = s * math.sqrt(3.0) * (q + r / 2.0)
+            cy = s * 1.5 * r
+            d = (lon - cx) ** 2 + (lat - cy) ** 2
+            if best is None or d < best:
+                best, bq, br = d, q, r
+        return bq, br
+
+    for p in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(int(p))
+        qf_, rf_ = nearest(lon, lat, size_f)
+        qc_, rc_ = nearest(lon, lat, size_c)
+        cols["hq_f"].append(qf_)
+        cols["hr_f"].append(rf_)
+        cols["hq_c"].append(qc_)
+        cols["hr_c"].append(rc_)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     **{k: pa.array(v, pa.int64())
+                        for k, v in cols.items()}})
+
+
 # ------------------------------------------------------- image / media
 
 def _images_rows(sf: float, columns: list[str]) -> pa.Table:
@@ -1167,6 +1208,7 @@ _BUILDERS = {
     "way_pagerank": _way_pagerank_table,
     "relation_multipolygons": _relation_multipolygons_table,
     "images_geohash": _images_geohash_table,
+    "images_hex": _images_hex_table,
     "ann_pq_topk": _ann_pq_table,
     "semdedup": _semdedup_table,
     "kcenter_sample": _kcenter_table,
