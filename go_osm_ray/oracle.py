@@ -393,6 +393,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
                gx % 64 AS px, gy % 64 AS py, n FROM c"""
 
+    # sparse-stencil gradient: the 4-neighbor self-join dual of the
+    # engine's signed-contribution exchange; all-integer, exact
+    q["raster_gradient"] = f"""
+        WITH {_pts_cte(images)}, {_g16}
+        SELECT a.gx // 64 AS tile_x, a.gy // 64 AS tile_y,
+               a.gx % 64 AS px, a.gy % 64 AS py, a.n,
+               CAST(abs(COALESCE(e.n, 0) - COALESCE(w.n, 0))
+                    + abs(COALESCE(so.n, 0) - COALESCE(no.n, 0))
+                    AS BIGINT) AS grad
+        FROM c a
+        LEFT JOIN c e ON e.gx = a.gx + 1 AND e.gy = a.gy
+        LEFT JOIN c w ON w.gx = a.gx - 1 AND w.gy = a.gy
+        LEFT JOIN c so ON so.gx = a.gx AND so.gy = a.gy + 1
+        LEFT JOIN c no ON no.gx = a.gx AND no.gy = a.gy - 1"""
+
     # closed-way polygon edge set (shared by the PIP family + zonal_stats)
     poly_edges = f"""cw AS (SELECT id AS feature_id, refs FROM {ways}
                WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),

@@ -276,3 +276,68 @@ def zonal_stats(raster: ray.data.Dataset, index_ref,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def raster_gradient(raster: ray.data.Dataset, z: int, grid: int,
+                    num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Central-difference gradient magnitude over the sparse density
+    raster: for every OCCUPIED pixel, grad = |n(E) - n(W)| + |n(S) -
+    n(N)| with absent neighbors counting 0 — the edge-detection /
+    slope stencil of raster GIS, on the sparse representation.
+
+    Physical plan (sparse stencil as message passing): each occupied
+    pixel emits its own row plus up to four signed neighbor
+    contributions keyed by the packed global pixel; one bounded hash
+    exchange sums the contributions per pixel and an inner merge with
+    the own rows keeps output support = occupied pixels.  All-integer
+    math, so the DuckDB self-join mirror is exact."""
+    kbits = int(np.log2(grid))
+    shift = np.int64(z + kbits + 1)
+    nglob = np.int64(1 << (z + kbits))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        gx = (t["tile_x"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy()
+        gy = (t["tile_y"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        outs = [(gx, gy, n, np.zeros_like(n), np.zeros_like(n))]
+        # sx(target) = n(E) - n(W): this pixel is E of (gx-1), W of (gx+1)
+        for dx, dy, sx_sign, sy_sign in ((-1, 0, 1, 0), (1, 0, -1, 0),
+                                         (0, -1, 0, 1), (0, 1, 0, -1)):
+            tx, ty = gx + dx, gy + dy
+            m = (tx >= 0) & (tx < nglob) & (ty >= 0) & (ty < nglob)
+            outs.append((tx[m], ty[m], np.zeros(int(m.sum()), n.dtype),
+                         sx_sign * n[m], sy_sign * n[m]))
+        gxa = np.concatenate([o[0] for o in outs])
+        gya = np.concatenate([o[1] for o in outs])
+        key = (gxa << shift) | gya
+        return pa.table({
+            "key": pa.array(key),
+            "own": pa.array(np.concatenate([o[2] for o in outs])),
+            "sx": pa.array(np.concatenate([o[3] for o in outs])),
+            "sy": pa.array(np.concatenate([o[4] for o in outs])),
+            "part": pa.array(hash_part(key, num_parts)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("key").aggregate(
+            [("own", "sum"), ("sx", "sum"), ("sy", "sum")])
+        own = g["own_sum"].combine_chunks().to_numpy()
+        occ = own > 0
+        key = g["key"].combine_chunks().to_numpy()[occ]
+        gx = key >> shift
+        gy = key & np.int64((1 << int(shift)) - 1)
+        grad = np.abs(g["sx_sum"].combine_chunks().to_numpy()[occ]) \
+            + np.abs(g["sy_sum"].combine_chunks().to_numpy()[occ])
+        return pa.table({
+            "tile_x": pa.array(gx >> np.int64(kbits)),
+            "tile_y": pa.array(gy >> np.int64(kbits)),
+            "px": pa.array(gx & np.int64(grid - 1)),
+            "py": pa.array(gy & np.int64(grid - 1)),
+            "n": pa.array(own[occ]),
+            "grad": pa.array(grad),
+        })
+
+    return raster.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
