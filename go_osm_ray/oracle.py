@@ -1196,6 +1196,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
                 top_bigram6 <= {TOP_BIGRAM_MAX!r}) AS keep
         FROM j"""
 
+    # per-user argmax (latest event; event_id tie-break) — window dual
+    # of the engine's two-level argmax combiner
+    q["events_latest"] = """
+        SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rk FROM events)
+        WHERE rk = 1"""
+
     red = "props"
     for pat, rep in REDACT_PATTERNS:
         red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"

@@ -698,3 +698,40 @@ def events_retention(events: ray.data.Dataset,
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["cohort_day", "day_offset", "n_users"])
     return g.map_batches(rename, batch_format="pyarrow")
+
+
+def events_latest(events: ray.data.Dataset,
+                  num_parts: int = 16) -> ray.data.Dataset:
+    """(user_id, event_id, ts_us, event_type): each user's LATEST event
+    (max ts, event_id as the deterministic tie-break) — the per-key
+    argmax every CDC / snapshot-maintenance pipeline runs.
+
+    Scale plan: per-block argmax COMBINER (one row per user per block,
+    lexsort + last-of-segment), then a bounded user-hash exchange and
+    the same kernel per partition — the shuffle moves one candidate row
+    per (user, block), never the event stream."""
+
+    def argmax_last(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts_us"].combine_chunks().to_numpy() \
+            if "ts_us" in t.column_names else \
+            t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        last = np.r_[u[1:] != u[:-1], True]
+        sel = order[last]
+        et = t["event_type"].combine_chunks().take(pa.array(sel))
+        return pa.table({
+            "user_id": pa.array(uid[sel]),
+            "event_id": pa.array(eid[sel]),
+            "ts_us": pa.array(ts[sel], pa.int64()),
+            "event_type": et,
+            "part": pa.array(hash_part(uid[sel], num_parts)),
+        })
+
+    return events.map_batches(argmax_last, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: argmax_last(t).drop_columns(["part"]),
+                    batch_format="pyarrow")
