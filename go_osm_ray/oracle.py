@@ -393,6 +393,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
                gx % 64 AS px, gy % 64 AS py, n FROM c"""
 
+    # nearest-neighbour gridding: window-argmin dual of the stencil
+    # scatter; d2 is bit-identical on both sides (same IEEE expression
+    # tree, no pow/FMA), so the argmin and the 9-dp round are exact
+    q["grid_nn_interp"] = f"""
+        WITH {_pts_cte(images)},
+        p AS (SELECT image_id, lon, lat,
+                     CAST(floor(lon / 2.0) AS BIGINT) AS gx,
+                     CAST(floor(lat / 2.0) AS BIGINT) AS gy FROM pts),
+        occ AS (SELECT DISTINCT gx, gy FROM p),
+        cand AS (SELECT o.gx, o.gy, c.image_id,
+                        (c.lon - ((o.gx + 0.5) * 2.0))
+                        * (c.lon - ((o.gx + 0.5) * 2.0))
+                        + (c.lat - ((o.gy + 0.5) * 2.0))
+                        * (c.lat - ((o.gy + 0.5) * 2.0)) AS d2
+                 FROM occ o JOIN p c
+                 ON c.gx BETWEEN o.gx - 1 AND o.gx + 1
+                AND c.gy BETWEEN o.gy - 1 AND o.gy + 1),
+        r AS (SELECT gx, gy, image_id, d2,
+                     CAST(count(*) OVER (PARTITION BY gx, gy) AS BIGINT)
+                       AS n_ring,
+                     row_number() OVER (PARTITION BY gx, gy
+                                        ORDER BY d2, image_id) AS rk
+              FROM cand)
+        SELECT gx, gy, n_ring, image_id AS nn_image_id,
+               {sql_round('d2', 9)} AS d2_9
+        FROM r WHERE rk = 1"""
+
     # sparse-stencil gradient: the 4-neighbor self-join dual of the
     # engine's signed-contribution exchange; all-integer, exact
     q["raster_gradient"] = f"""

@@ -2058,3 +2058,82 @@ def cell_format_entropy(images: ray.data.Dataset, res: int = 7,
 
     return images.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+def grid_nn_interp(images: ray.data.Dataset, step: float = 2.0,
+                   num_parts: int = 32) -> ray.data.Dataset:
+    """(gx, gy, n_ring, nn_image_id, d2_9): nearest-neighbour gridding —
+    for every OCCUPIED ``step``-degree planar cell, the closest point
+    (squared planar distance to the cell center; image_id tie-break)
+    among all points in the 3x3 neighbourhood, plus the candidate count.
+    The raster-interpolation primitive (Voronoi rasterization) built so
+    every comparison is on bit-identical doubles: argmin is
+    order-independent (unlike an IDW float SUM, whose two-level partial
+    summation would vary with block layout), so the result cannot drift
+    with read parallelism and the DuckDB window mirror is exact.
+
+    Scale shape: each point replicates to its <= 9 covering target
+    cells (the stencil scatter), one bounded cell-hash exchange, one
+    vectorized argmin merge per partition."""
+    from ..relational import hash_part
+    from ..stages.assign import decode_geotag
+
+    off = np.int64(1 << 20)               # planar grid ids are tiny
+    shift = np.int64(21)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        iid = t["image_id"].combine_chunks()
+        gx = np.floor(lon / step).astype(np.int64)
+        gy = np.floor(lat / step).astype(np.int64)
+        ks, d2s, owns = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = gx + dx, gy + dy
+                cx = (tx + 0.5) * step
+                cy = (ty + 0.5) * step
+                ddx = lon - cx
+                ddy = lat - cy
+                ks.append(((tx + off) << shift) | (ty + off))
+                d2s.append(ddx * ddx + ddy * ddy)
+                owns.append(np.full(len(lon), dx == 0 and dy == 0,
+                                    np.int64))
+        key = np.concatenate(ks)
+        return pa.table({
+            "key": pa.array(key),
+            "d2": pa.array(np.concatenate(d2s)),
+            "image_id": pa.chunked_array([iid] * 9).combine_chunks(),
+            "own": pa.array(np.concatenate(owns)),
+            "part": pa.array(hash_part(key, num_parts)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        key = t["key"].combine_chunks().to_numpy()
+        d2 = t["d2"].combine_chunks().to_numpy()
+        iid = t["image_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        own = t["own"].combine_chunks().to_numpy()
+        order = np.lexsort((iid, d2, key))
+        k, d, i = key[order], d2[order], iid[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        counts = np.diff(np.append(starts, len(k)))
+        # occupancy: a cell is emitted only if one of its candidates is
+        # its OWN point (own flag set on the dx=dy=0 replica)
+        occ_n = np.zeros(len(starts), np.int64)
+        np.add.at(occ_n, np.searchsorted(k[starts], key), own)
+        m = occ_n > 0
+        sel = starts[m]
+        kk = k[sel]
+        return pa.table({
+            "gx": pa.array((kk >> shift) - off, pa.int64()),
+            "gy": pa.array((kk & np.int64((1 << int(shift)) - 1)) - off,
+                           pa.int64()),
+            "n_ring": pa.array(counts[m]),
+            "nn_image_id": pa.array(i[sel].tolist(), pa.string()),
+            "d2_9": pa.array(round_half_away(d[sel], 9), pa.float64()),
+        })
+
+    return images.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
