@@ -435,6 +435,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
         LEFT JOIN c so ON so.gx = a.gx AND so.gy = a.gy + 1
         LEFT JOIN c no ON no.gx = a.gx AND no.gy = a.gy - 1"""
 
+    # 3x3 binomial smoothing: band-join dual of the engine's weighted
+    # stencil scatter; w = (2-|dx|)*(2-|dy|), all-integer, exact
+    q["raster_smooth"] = f"""
+        WITH {_pts_cte(images)}, {_g16}
+        SELECT a.gx // 64 AS tile_x, a.gy // 64 AS tile_y,
+               a.gx % 64 AS px, a.gy % 64 AS py, a.n,
+               CAST(sum(b.n * (2 - abs(b.gx - a.gx))
+                            * (2 - abs(b.gy - a.gy))) AS BIGINT) AS smooth
+        FROM c a JOIN c b
+          ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+         AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+        GROUP BY a.gx, a.gy, a.n"""
+
     # closed-way polygon edge set (shared by the PIP family + zonal_stats)
     poly_edges = f"""cw AS (SELECT id AS feature_id, refs FROM {ways}
                WHERE len(refs) >= 4 AND refs[1] = refs[len(refs)]),
