@@ -1068,6 +1068,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('o_totalprice', 2)} AS total_price
         FROM r WHERE rank <= 3"""
 
+    # exact ANTI join (TPC-H Q22 core): NOT EXISTS mirror of the
+    # hash-co-partitioned anti exchange
+    q["customers_no_big_order"] = f"""
+        SELECT c.c_custkey, c.c_name, {sql_round('c.c_acctbal', 2)}
+                 AS c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)"""
+
     q["events_window"] = f"""
         SELECT event_type,
                CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

@@ -735,3 +735,29 @@ def events_latest(events: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: argmax_last(t).drop_columns(["part"]),
                     batch_format="pyarrow")
+
+
+def customers_without_orders(customer: ray.data.Dataset,
+                             orders: ray.data.Dataset,
+                             min_totalprice: float = 300_000.0,
+                             num_parts: int = 32) -> ray.data.Dataset:
+    """(c_custkey, c_name, c_acctbal): customers that placed NO order
+    above ``min_totalprice`` — the exact ANTI join (TPC-H Q22's core),
+    complementing the approximate ``bloom_semi`` membership path.
+
+    Scale plan: the FK side is filtered then reduced to per-block
+    DISTINCT custkeys (combiner — order keys repeat per customer), and
+    both sides co-partition by key hash through
+    ``relational.partitioned_anti_filter``'s single bounded exchange;
+    no broadcast of the (potentially huge) order-key set, no driver
+    materialization."""
+    from ..relational import partitioned_anti_filter
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], min_totalprice))
+        v = np.unique(t["o_custkey"].combine_chunks().to_numpy())
+        return pa.table({"c_custkey": pa.array(v)})
+
+    keys = orders.map_batches(pre, batch_format="pyarrow")
+    return partitioned_anti_filter(customer, "c_custkey", keys,
+                                   num_parts=num_parts)
