@@ -1078,6 +1078,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000.0)"""
 
+    # per-user event-type bigrams: lead() window mirror of the
+    # user-hash-partitioned adjacent-pairing kernel
+    q["events_transitions"] = """
+        WITH s AS (SELECT event_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                            AS next_type
+                   FROM events)
+        SELECT event_type AS prev_type, next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type"""
+
     q["events_window"] = f"""
         SELECT event_type,
                CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

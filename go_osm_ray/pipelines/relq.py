@@ -761,3 +761,55 @@ def customers_without_orders(customer: ray.data.Dataset,
     keys = orders.map_batches(pre, batch_format="pyarrow")
     return partitioned_anti_filter(customer, "c_custkey", keys,
                                    num_parts=num_parts)
+
+
+def events_transitions(events: ray.data.Dataset,
+                       num_parts: int = 16) -> ray.data.Dataset:
+    """(prev_type, next_type, n): counts of consecutive event-type
+    bigrams per user — the first-order Markov transition matrix every
+    behavioural / sequence-model pipeline derives from a clickstream.
+
+    Distributed plan (same shape as ``sessionize``): ONE bounded
+    user-hash exchange co-locates each user's rows, one vectorized
+    kernel per partition does lexsort (user, ts, event_id) + adjacent
+    pairing + dictionary-coded bincount, and the per-partition partial
+    matrices (at most |types|^2 rows each) merge in a single bounded
+    task. The exchange moves the event stream once; the merge moves
+    only K^2-row partials."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy().astype(np.int64)
+        vocab = et.dictionary
+        k = len(vocab)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        same = u[1:] == u[:-1]
+        prev, nxt = c[:-1][same], c[1:][same]
+        cnt = np.bincount(prev * k + nxt, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "prev_type": vocab.take(pa.array(nz // k)),
+            "next_type": vocab.take(pa.array(nz % k)),
+            "pn": pa.array(cnt[nz], pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["prev_type", "next_type"]).aggregate([("pn", "sum")])
+        return g.rename_columns(["prev_type", "next_type", "n"])
+
+    from ..relational import single_merge
+    parts = (events.select_columns(["event_id", "user_id", "ts",
+                                    "event_type"])
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
+                         batch_format="pyarrow"))
+    return single_merge(parts, merge)
