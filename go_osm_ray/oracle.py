@@ -1078,6 +1078,13 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_totalprice > 300000.0)"""
 
+    # exact daily COUNT(DISTINCT): mirror of the pair-dedup combiner
+    q["events_dau"] = """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY day"""
+
     # per-user event-type bigrams: lead() window mirror of the
     # user-hash-partitioned adjacent-pairing kernel
     q["events_transitions"] = """
