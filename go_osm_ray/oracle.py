@@ -1085,6 +1085,36 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY day"""
 
+    # per-customer running total: ordered-window mirror of the
+    # customer-hash segment-cumsum kernel (integer cents so engine and
+    # SQL agree regardless of float summation order)
+    q["orders_cumsum"] = """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS order_seq,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS running_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)"""
+
+    # TPC-H Q3 mirror: 3-way join + group + top-10 (integer-cents
+    # revenue, same tiebreak as the engine's bounded top-k merge)
+    q["q3_shipping"] = """
+        SELECT l_orderkey, revenue_cents, o_orderdate, o_orderpriority
+        FROM (
+          SELECT l.l_orderkey,
+                 SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT)) AS revenue_cents,
+                 o.o_orderdate, o.o_orderpriority
+          FROM lineitem l, orders o, customer c
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND c.c_custkey = o.o_custkey
+            AND l.l_orderkey = o.o_orderkey
+            AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+          GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ) ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"""
+
     # per-user event-type bigrams: lead() window mirror of the
     # user-hash-partitioned adjacent-pairing kernel
     q["events_transitions"] = """

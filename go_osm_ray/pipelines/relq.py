@@ -138,6 +138,100 @@ def nation_revenue(orders: ray.data.Dataset, customer: ray.data.Dataset,
                         merge)
 
 
+def q3_shipping(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                customer: ray.data.Dataset, segment: str = "BUILDING",
+                cutoff: str = "1998-06-01", k: int = 10,
+                num_partitions: int = 8) -> ray.data.Dataset:
+    """TPC-H Q3 shape (shipping-priority): top-k unshipped orders by
+    revenue for one market segment — the canonical 3-way fact/fact/dim
+    join + group + rank query.
+
+    Scale plan: lineitem (the big fact) is filtered at the read and
+    COMBINED per block to one partial revenue row per orderkey before
+    any shuffle; orders filters by date, hash-joins customer (both
+    sides scale with sf — no broadcast of a 1/5-of-customers segment
+    at web scale), then ONE hash join matches the collapsed lineitem
+    partials. Top-k is per-block partial + single bounded merge, no
+    global sort. Revenue summed in integer cents (per-row round) so
+    engine and SQL agree regardless of float summation order."""
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64) > cut
+        t = t.filter(pa.array(keep))
+        rev = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rc": pa.array(rev)}) \
+            .group_by("l_orderkey").aggregate([("rc", "sum")])
+        return g.rename_columns(["l_orderkey", "rc"])
+
+    def li_part(t: pa.Table) -> pa.Table:
+        part = hash_part(t["l_orderkey"].combine_chunks().to_numpy(),
+                         num_partitions)
+        return t.append_column("part", pa.array(part))
+
+    def li_final(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("l_orderkey") \
+            .aggregate([("rc", "sum")])
+        return g.rename_columns(["l_orderkey", "rc"])
+
+    # collapse to EXACTLY one revenue row per orderkey before the join
+    # (block-local partials + one orderkey-hash exchange) so the
+    # post-join top-k partials rank complete sums, never fragments
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536) \
+        .map_batches(li_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(li_final, batch_format="pyarrow")
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        keep = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64) < cut
+        return t.filter(pa.array(keep))
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], segment)) \
+            .select(["c_custkey"])
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ord_filter, batch_format="pyarrow") \
+        .join(customer.select_columns(["c_custkey", "c_mktsegment"])
+              .map_batches(cust_filter, batch_format="pyarrow"),
+              join_type="inner", num_partitions=num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    joined = li.join(ords, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def topk(t: pa.Table) -> pa.Table:
+        # partial revenue rows for one orderkey may span blocks of the
+        # lineitem combiner output; the join keyed them together, but a
+        # final per-orderkey sum is still needed before ranking
+        g = t.group_by(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .aggregate([("rc", "sum")])
+        rc = g["rc_sum"].combine_chunks().to_numpy()
+        ok = g["l_orderkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ok, -rc))[:k]
+        return pa.table({
+            "l_orderkey": pa.array(ok[order]),
+            "revenue_cents": pa.array(rc[order]),
+            "o_orderdate": g["o_orderdate"].take(pa.array(order)),
+            "o_orderpriority": g["o_orderpriority"].take(pa.array(order)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        rc = t["revenue_cents"].combine_chunks().to_numpy()
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ok, -rc))[:k]
+        return t.take(pa.array(order))
+
+    return single_merge(joined.map_batches(topk, batch_format="pyarrow"),
+                        merge)
+
+
 def _topk_per_key(names: np.ndarray, vals: np.ndarray, keys: np.ndarray,
                   k: int):
     """Vectorized per-group top-k: one factorize + lexsort + rank-in-run
@@ -869,4 +963,54 @@ def events_dau(events: ray.data.Dataset,
             .map_batches(pre, batch_format="pyarrow")
             .groupby("part")
             .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
+                        batch_format="pyarrow"))
+
+
+def orders_cumsum(orders: ray.data.Dataset,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """(o_custkey, o_orderkey, order_seq, running_cents): per-customer
+    running-total window — SUM(...) OVER (PARTITION BY cust ORDER BY
+    date, orderkey) plus ROW_NUMBER, the canonical ordered-window shape
+    the tumbling/sliding aggregates don't cover.
+
+    Scale plan: ONE customer-hash exchange co-locates each customer's
+    orders (per-customer history is small and bounded — the classic
+    window-function partitioning assumption), then a single vectorized
+    kernel per partition: lexsort by (cust, date, orderkey) and a
+    segment-reset cumulative sum (global cumsum minus the segment-start
+    offset). No global sort, no per-key group dispatch. Prices are
+    converted to integer cents BEFORE summing so engine and SQL agree
+    bit-for-bit regardless of float summation order."""
+    def kernel(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].combine_chunks().to_numpy()
+        ok = t["o_orderkey"].combine_chunks().to_numpy()
+        dt = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        cents = round_half_away(
+            t["o_totalprice"].combine_chunks().to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        order = np.lexsort((ok, dt, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        cs = np.cumsum(cents)
+        first = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        offset = np.where(starts > 0, cs[starts - 1], 0)[seg]
+        seq = np.arange(len(ck), dtype=np.int64) - starts[seg] + 1
+        return pa.table({
+            "o_custkey": pa.array(ck),
+            "o_orderkey": pa.array(ok),
+            "order_seq": pa.array(seq),
+            "running_cents": pa.array(cs - offset),
+        })
+
+    def pre(t: pa.Table) -> pa.Table:
+        part = hash_part(t["o_custkey"].combine_chunks().to_numpy(),
+                         num_parts)
+        return t.append_column("part", pa.array(part))
+
+    return (orders.select_columns(["o_custkey", "o_orderkey",
+                                   "o_orderdate", "o_totalprice"])
+            .map_batches(pre, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
