@@ -1097,6 +1097,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)"""
 
+    # schema-on-read JSON-field stats: regexp_extract is RE2, the same
+    # engine as the pipeline's pc.extract_regex, so parses agree
+    q["events_props_stats"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               MIN(k) AS k_min, MAX(k) AS k_max,
+               ROUND(CAST(SUM(k) AS DOUBLE) / count(*), 6) AS k_mean
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '-?[0-9]+', 0) AS BIGINT)
+                         AS k
+              FROM events)
+        GROUP BY event_type"""
+
     # TPC-H Q3 mirror: 3-way join + group + top-10 (integer-cents
     # revenue, same tiebreak as the engine's bounded top-k merge)
     q["q3_shipping"] = """

@@ -966,6 +966,50 @@ def events_dau(events: ray.data.Dataset,
                         batch_format="pyarrow"))
 
 
+def events_props_stats(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n, k_sum, k_min, k_max, k_mean): per-type stats of
+    a field EXTRACTED from the semi-structured ``props`` JSON column —
+    the log-parsing workhorse (schema-on-read over string payloads).
+
+    Scale plan: extraction is a single vectorized RE2 kernel
+    (``pc.extract_regex``) per block — the same regex engine DuckDB's
+    ``regexp_extract`` uses, so engine and oracle parse identically —
+    followed by a block-local combine over the BOUNDED event-type key
+    space and one single-task merge of (types x blocks) partial rows.
+    No shuffle; rows never leave their block un-aggregated."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"].combine_chunks(),
+                             pattern=r'(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k}) \
+            .group_by("event_type") \
+            .aggregate([("k", "count"), ("k", "sum"),
+                        ("k", "min"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "k_sum",
+                                 "k_min", "k_max"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("k_sum", "sum"),
+             ("k_min", "min"), ("k_max", "max")])
+        g = g.rename_columns(["event_type", "n", "k_sum", "k_min", "k_max"])
+        mean = round_half_away(
+            g["k_sum"].combine_chunks().to_numpy().astype(np.float64)
+            / g["n"].combine_chunks().to_numpy(), 6)
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["n"], pa.int64()),
+            "k_sum": g["k_sum"],
+            "k_min": g["k_min"],
+            "k_max": g["k_max"],
+            "k_mean": pa.array(mean),
+        })
+
+    return single_merge(
+        events.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow"), merge)
+
+
 def orders_cumsum(orders: ray.data.Dataset,
                   num_parts: int = 32) -> ray.data.Dataset:
     """(o_custkey, o_orderkey, order_seq, running_cents): per-customer
