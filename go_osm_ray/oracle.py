@@ -1111,6 +1111,23 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM events)
         GROUP BY event_type"""
 
+    # TPC-H Q5 mirror: snowflake join + customer==supplier nation
+    # equality, integer-cents per-row rounding like the engine
+    q["q5_local_supplier"] = """
+        SELECT n_name,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM lineitem l, orders o, customer c, supplier s, nation n
+        WHERE c.c_custkey = o.o_custkey
+          AND l.l_orderkey = o.o_orderkey
+          AND l.l_suppkey  = s.s_suppkey
+          AND c.c_nationkey = s.s_nationkey
+          AND s.s_nationkey = n.n_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_cents DESC, n_name"""
+
     # TPC-H Q3 mirror: 3-way join + group + top-10 (integer-cents
     # revenue, same tiebreak as the engine's bounded top-k merge)
     q["q3_shipping"] = """

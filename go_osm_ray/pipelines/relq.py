@@ -1058,3 +1058,111 @@ def orders_cumsum(orders: ray.data.Dataset,
             .groupby("part")
             .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
+
+
+def q5_local_supplier(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                      customer: ray.data.Dataset, supplier: ray.data.Dataset,
+                      nation: ray.data.Dataset, region: ray.data.Dataset,
+                      region_name: str | None = None,
+                      date_lo: str = "1995-01-01", date_hi: str = "1997-01-01",
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """(n_name, revenue_cents): TPC-H Q5 shape — local-supplier volume,
+    the canonical snowflake join (fact x fact x 2 dims x 2 tiny dims)
+    with the customer-nation == supplier-nation equality filter.
+
+    Scale plan: nation x region (<=25 rows each) broadcast ONCE via
+    ``ray.put`` and applied as in-task filters, never joined; customer
+    and supplier prune to the region BEFORE entering any join; lineitem
+    collapses per (orderkey, suppkey) in a block-local combiner so only
+    partial rows reach the exchanges; exactly two hash joins move
+    fact-scale data (orderkey, then suppkey — supplier is joined, not
+    broadcast, because it scales with sf); the nation-equality filter
+    runs before the bounded per-nation combine + one-task merge.
+    Revenue is per-row integer cents (round-half-away) so engine and
+    SQL agree regardless of float summation order.
+
+    Reference parity: go-osm has no relational engine; this exercises
+    the graft's generic join/aggregate surface (SURVEY §2.5-2.6)."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name", "n_regionkey"])
+    reg_ref = broadcast_table(region, ["r_regionkey", "r_name"])
+
+    def _region_nationkeys() -> np.ndarray:
+        nt = ray.get(nat_ref)
+        if region_name is None:
+            return nt["n_nationkey"].to_numpy()
+        rt = ray.get(reg_ref)
+        rk = rt.filter(pc.equal(rt["r_name"], region_name))["r_regionkey"] \
+            .to_numpy()
+        keep = np.isin(nt["n_regionkey"].to_numpy(), rk)
+        return nt["n_nationkey"].to_numpy()[keep]
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["c_nationkey"].combine_chunks().to_numpy(),
+                       _region_nationkeys())
+        return t.filter(pa.array(keep))
+
+    def supp_f(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["s_nationkey"].combine_chunks().to_numpy(),
+                       _region_nationkeys())
+        return t.filter(pa.array(keep))
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        return t.filter(pa.array((d >= lo) & (d < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    ords = orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_f, batch_format="pyarrow") \
+        .join(customer.select_columns(["c_custkey", "c_nationkey"])
+              .map_batches(cust_f, batch_format="pyarrow"),
+              join_type="inner", num_partitions=num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_suppkey": t["l_suppkey"], "rc": pa.array(rc)}) \
+            .group_by(["l_orderkey", "l_suppkey"]).aggregate([("rc", "sum")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "rc"])
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    j1 = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(supplier.select_columns(["s_suppkey", "s_nationkey"])
+                 .map_batches(supp_f, batch_format="pyarrow"),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def nat_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_nationkey"], t["s_nationkey"])
+        t = t.filter(keep)
+        g = pa.table({"nk": t["s_nationkey"], "rc": t["rc"]}) \
+            .group_by("nk").aggregate([("rc", "sum")])
+        return g.rename_columns(["nk", "rc"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("nk").aggregate([("rc", "sum")])
+        g = g.rename_columns(["nk", "revenue_cents"])
+        nt = ray.get(nat_ref)
+        keys = nt["n_nationkey"].to_numpy()
+        order = np.argsort(keys)
+        idx = np.searchsorted(keys[order],
+                              g["nk"].combine_chunks().to_numpy())
+        names = nt["n_name"].take(pa.array(order[idx]))
+        rc = g["revenue_cents"].combine_chunks().to_numpy()
+        srt = np.lexsort((np.asarray(names), -rc))
+        return pa.table({
+            "n_name": names.take(pa.array(srt)),
+            "revenue_cents": pa.array(rc[srt]),
+        })
+
+    return single_merge(j2.map_batches(nat_partial, batch_format="pyarrow"),
+                        merge)
