@@ -1111,6 +1111,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM events)
         GROUP BY event_type"""
 
+    # exact pairwise audience overlap: distinct-pair self-join mirror
+    # of the incidence-matrix kernel (same half-away jaccard rounding)
+    q["audience_overlap"] = f"""
+        WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+             d AS (SELECT event_type, count(*) AS n FROM p GROUP BY 1)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               MIN(da.n) AS users_a, MIN(db.n) AS users_b,
+               CAST(count(*) AS BIGINT) AS n_both,
+               {sql_round("CAST(count(*) AS DOUBLE)"
+                          " / (MIN(da.n) + MIN(db.n) - count(*))", 6)}
+                   AS jaccard
+        FROM p a
+        JOIN p b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        JOIN d da ON da.event_type = a.event_type
+        JOIN d db ON db.event_type = b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY type_a, type_b"""
+
     # TPC-H Q5 mirror: snowflake join + customer==supplier nation
     # equality, integer-cents per-row rounding like the engine
     q["q5_local_supplier"] = """

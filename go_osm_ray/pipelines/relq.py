@@ -1166,3 +1166,84 @@ def q5_local_supplier(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
 
     return single_merge(j2.map_batches(nat_partial, batch_format="pyarrow"),
                         merge)
+
+
+def audience_overlap(events: ray.data.Dataset,
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(type_a, type_b, users_a, users_b, n_both, jaccard): EXACT
+    pairwise audience overlap between event types — the set-intersection
+    workhorse behind cohort overlap / co-occurrence analysis.
+
+    Scale plan: each block collapses to DISTINCT (user, type) pairs
+    (the combiner bounds the exchange by active users x types, not
+    events), ONE user-hash exchange co-locates each user, and the
+    per-partition kernel builds a users x types 0/1 incidence matrix B
+    and computes ALL pairwise intersections at once as B^T B (types are
+    a bounded key space, so the t x t partial is tiny and merges by
+    summation — no per-pair shuffles, no quadratic blowup in users).
+    Jaccard derives from the merged matrix diagonal."""
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        _, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((codes, uid))
+        u, c = uid[order], codes[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        keep = order[first]
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "event_type": t["event_type"].take(pa.array(keep)),
+            "part": pa.array(hash_part(uid[keep], num_parts)),
+        })
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        types, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((codes, uid))
+        u, c = uid[order], codes[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        u, c = u[first], c[first]
+        _, u_inv = np.unique(u, return_inverse=True)
+        schema = pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                            ("n", pa.int64())])
+        if len(types) == 0:
+            return schema.empty_table()
+        B = np.zeros((u_inv.max() + 1, len(types)), dtype=np.int64)
+        B[u_inv, c] = 1
+        M = B.T @ B
+        ia, ib = np.triu_indices(len(types))
+        return pa.table({
+            "type_a": pa.array(types[ia].astype(str)),
+            "type_b": pa.array(types[ib].astype(str)),
+            "n": pa.array(M[ia, ib]),
+        }, schema=schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")])
+        ta = g["type_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        tb = g["type_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy()
+        diag = {a: v for a, b, v in zip(ta, tb, n) if a == b}
+        # inner-join semantics: only pairs that actually co-occur
+        off = (ta != tb) & (n > 0)
+        ta, tb, n = ta[off], tb[off], n[off]
+        ua = np.array([diag[a] for a in ta], np.int64)
+        ub = np.array([diag[b] for b in tb], np.int64)
+        jac = round_half_away(n.astype(np.float64) / (ua + ub - n), 6)
+        order = np.lexsort((tb, ta))
+        return pa.table({
+            "type_a": pa.array(ta[order].astype(str), type=pa.string()),
+            "type_b": pa.array(tb[order].astype(str), type=pa.string()),
+            "users_a": pa.array(ua[order]),
+            "users_b": pa.array(ub[order]),
+            "n_both": pa.array(n[order]),
+            "jaccard": pa.array(np.asarray(jac)[order]),
+        })
+
+    parts = (events.select_columns(["user_id", "event_type"])
+             .map_batches(pre, batch_format="pyarrow", batch_size=65536)
+             .groupby("part")
+             .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
+                         batch_format="pyarrow"))
+    return single_merge(parts, merge)
