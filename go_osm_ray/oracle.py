@@ -614,6 +614,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
+    # global Moran's I: 4-way rook equality-join union mirrors the
+    # engine's searchsorted neighbour pass; identical term order
+    # num * N / W / den and half-away rounding at 6 dp
+    q["morans_i"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_tile_x('lon', 7)} AS x,
+                     {tiles.sql_tile_y('lat', 7)} AS y,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM pts GROUP BY 1, 2),
+        s AS (SELECT count(*) AS nc, avg(n) AS m FROM c),
+        pairs AS (
+          SELECT a.n AS na, b.n AS nb FROM c a JOIN c b
+            ON a.x = b.x + 1 AND a.y = b.y
+          UNION ALL SELECT a.n, b.n FROM c a JOIN c b
+            ON a.x = b.x - 1 AND a.y = b.y
+          UNION ALL SELECT a.n, b.n FROM c a JOIN c b
+            ON a.x = b.x AND a.y = b.y + 1
+          UNION ALL SELECT a.n, b.n FROM c a JOIN c b
+            ON a.x = b.x AND a.y = b.y - 1),
+        num AS (SELECT SUM((na - m) * (nb - m)) AS v,
+                       CAST(count(*) AS BIGINT) AS w FROM pairs, s),
+        den AS (SELECT SUM((n - m) * (n - m)) AS v FROM c, s)
+        SELECT CAST(s.nc AS BIGINT) AS n_cells, num.w AS w_pairs,
+               {sql_round('num.v * s.nc / num.w / den.v', 6)} AS morans_i
+        FROM s, num, den"""
+
     q["tile_topk"] = f"""
         WITH {_pts_cte(images)},
         t AS (SELECT {tiles.sql_tile_x('lon', 12)} AS tile_x,

@@ -2137,3 +2137,65 @@ def grid_nn_interp(images: ray.data.Dataset, step: float = 2.0,
 
     return images.map_batches(contrib, batch_format="pyarrow") \
         .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def morans_i(images: ray.data.Dataset, res: int = 7,
+             nd: int = 6) -> ray.data.Dataset:
+    """(n_cells, w_pairs, morans_i): global Moran's I spatial
+    autocorrelation of the image density over occupied res-``res`` grid
+    cells with rook (4-neighbour) binary weights — the standard "is the
+    corpus geographically clustered or dispersed?" audit before
+    cell-balanced sampling.
+
+    Scale plan: each block collapses to one (cell, count) partial row
+    (the res-7 grid is globally bounded at 2^14 cells, same argument as
+    cell_histogram), partials merge in ONE guarded task where the
+    neighbour sums are a vectorized sorted-key searchsorted against the
+    four rook offsets — no pairwise join, no shuffle. The statistic
+    I = N/W * sum_ij w_ij z_i z_j / sum_i z_i^2 uses ordered adjacent
+    pairs (W counts both directions), matching the SQL mirror's
+    4-way equality-join union."""
+    from ..geo import tiles
+    from ..relational import single_merge
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        x, y = tiles.tile_xy(lon, lat, res)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("pn", "sum")])
+        key = g["key"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.float64)
+        order = np.argsort(key)
+        key, n = key[order], n[order]
+        x, y = key >> 32, key & np.int64(0xFFFFFFFF)
+        m = n.mean()
+        z = n - m
+        nbr = np.zeros(len(n), np.float64)
+        w = 0
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nk = ((x + dx) << 32) | (y + dy)
+            idx = np.searchsorted(key, nk).clip(max=len(key) - 1)
+            hit = key[idx] == nk
+            nbr[hit] += z[idx[hit]]
+            w += int(hit.sum())
+        den = float((z * z).sum())
+        num = float((z * nbr).sum())
+        i_val = num * len(n) / w / den if w > 0 and den > 0.0 else 0.0
+        return pa.table({
+            "n_cells": pa.array([len(n)], pa.int64()),
+            "w_pairs": pa.array([w], pa.int64()),
+            "morans_i": pa.array([float(round_half_away(i_val, nd))]),
+        })
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536), merge)
