@@ -245,6 +245,28 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT way_id, CAST(min(lbl) AS BIGINT) AS component_id
         FROM reach GROUP BY way_id"""
 
+    # triangle census over the full pairwise shared-node edge set
+    # (a < b orientation counts each edge and triangle exactly once);
+    # wedges = sum C(deg,2); clustering = 3*tri/wedges, half-away 6dp
+    q["way_triangles"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id < b.way_id),
+        deg AS (SELECT v, count(*) AS d FROM
+                  (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed)
+                GROUP BY v),
+        tri AS (SELECT count(*) AS t
+                FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+                     JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        wdg AS (SELECT SUM((d * (d - 1)) // 2) AS w FROM deg)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM ed) AS n_edges,
+               CAST(wdg.w AS BIGINT) AS n_wedges,
+               CAST(tri.t AS BIGINT) AS n_triangles,
+               {sql_round('3.0 * tri.t / wdg.w', 6)} AS clustering
+        FROM tri, wdg"""
+
     # multi-source BFS hop depth over the same shared-node edge set,
     # capped at BFS_MAX_DEPTH hops; UNION-dedup on (way_id, d) plus the
     # depth bound makes the recursion finite on cyclic graphs

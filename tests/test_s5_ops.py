@@ -1,0 +1,101 @@
+"""Session-5 ops: way_triangles (open-wedge discrimination the all-
+clique synthetic fixture cannot provide), audience_overlap partition
+invariance, morans_i analytic check on a hand lattice."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _ways(rows):
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "refs": pa.array([r[1] for r in rows], pa.list_(pa.int64())),
+    }))
+
+
+def test_way_triangles_open_wedges(ray_session):
+    """Path w1-w2-w3 has one OPEN wedge (no triangle); the 3-clique has
+    exactly one. A kernel that skipped the closing-edge check would
+    report 4 triangles here."""
+    from go_osm_ray.pipelines.osm import way_triangles
+    ways = _ways([
+        (1, [1, 2]), (2, [2, 3]), (3, [3, 4]),      # path: 2 edges, 1 wedge
+        (4, [100, 5]), (5, [100, 6]), (6, [100, 7]),  # 3-clique
+        (7, [50]),                                    # isolated: excluded
+    ])
+    out = way_triangles(ways, num_parts=4).take_all()[0]
+    assert out["n_nodes"] == 6
+    assert out["n_edges"] == 5
+    assert out["n_wedges"] == 4
+    assert out["n_triangles"] == 1
+    assert out["clustering"] == 0.75
+
+
+def test_way_triangles_two_cliques_bridge(ray_session):
+    """Two 4-cliques sharing one bridge way: C(4,3)*2 = 8 triangles;
+    bridge creates open wedges so clustering < 1."""
+    from go_osm_ray.pipelines.osm import way_triangles
+    rows = [(i, [100, i]) for i in range(1, 5)]       # clique A: ways 1-4
+    rows += [(i, [200, i]) for i in range(11, 15)]    # clique B: ways 11-14
+    rows += [(99, [4, 11])]                           # bridge way 99
+    out = way_triangles(_ways(rows), num_parts=4).take_all()[0]
+    # edges: 6 + 6 + 2 (99-4, 99-11)
+    assert out["n_edges"] == 14
+    assert out["n_triangles"] == 8
+
+
+def test_audience_overlap_partition_invariance(ray_session):
+    from go_osm_ray.pipelines.relq import audience_overlap
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "event_type": pa.array(
+            np.array(["a", "b", "c"])[rng.integers(0, 3, n)]),
+    })
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow([t.slice(0, 1), t.slice(1)])
+        res = audience_overlap(ds, num_parts=parts).take_all()
+        outs.append(sorted((r["type_a"], r["type_b"], r["n_both"],
+                            r["users_a"], r["users_b"], r["jaccard"])
+                           for r in res))
+    assert outs[0] == outs[1]
+    # cross-check one pair brute force
+    ua = {u for u, e in zip(t["user_id"].to_pylist(),
+                            t["event_type"].to_pylist()) if e == "a"}
+    ub = {u for u, e in zip(t["user_id"].to_pylist(),
+                            t["event_type"].to_pylist()) if e == "b"}
+    row = [r for r in outs[0] if r[0] == "a" and r[1] == "b"][0]
+    assert row[2] == len(ua & ub)
+    assert row[3] == len(ua) and row[4] == len(ub)
+
+
+def test_morans_i_checkerboard(ray_session):
+    """Perfect checkerboard of counts 1/3 on a 4x4 block of cells gives
+    strongly negative I; verify against a direct scalar computation."""
+    from go_osm_ray.pipelines.spatial import morans_i
+    from go_osm_ray.geo import morton
+
+    # place points at cell centres of a 4x4 block at res 7 (tile size
+    # 360/128 deg in lon); counts alternate 1 and 3 like a checkerboard
+    step = 360.0 / 128
+    pts_lon, pts_lat = [], []
+    for i in range(4):
+        for j in range(4):
+            c = 1 if (i + j) % 2 == 0 else 3
+            # exact slippy tile (64+i, 60+j) centre via inverse Mercator
+            lat_c = np.degrees(np.arctan(
+                np.sinh(np.pi * (1.0 - 2.0 * (60 + j + 0.5) / 128))))
+            for _ in range(c):
+                pts_lon.append(-180.0 + (64 + i + 0.5) * step)
+                pts_lat.append(lat_c)
+    lon = np.array(pts_lon)
+    lat = np.array(pts_lat)
+    phash = morton.encode_phash(lon, lat, np.zeros(len(lon), np.uint64))
+    ds = ray.data.from_arrow(pa.table({"phash": pa.array(phash)}))
+    out = morans_i(ds, res=7).take_all()[0]
+    assert out["n_cells"] == 16
+    assert out["morans_i"] < -0.5
