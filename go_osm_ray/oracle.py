@@ -1159,6 +1159,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM events)
         GROUP BY event_type"""
 
+    # per-type daily volume z-score: population stddev window mirror of
+    # the bounded (type, day) combiner + vectorized moment merge
+    q["events_anomaly"] = f"""
+        WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, avg(n) AS m,
+                     stddev_pop(n) AS sd
+              FROM c GROUP BY 1)
+        SELECT c.event_type, c.day, c.n,
+               {sql_round('CASE WHEN s.sd > 0 THEN (c.n - s.m) / s.sd'
+                          ' ELSE 0.0 END', 6)} AS z
+        FROM c JOIN s USING (event_type)"""
+
     # exact pairwise audience overlap: distinct-pair self-join mirror
     # of the incidence-matrix kernel (same half-away jaccard rounding)
     q["audience_overlap"] = f"""

@@ -1247,3 +1247,49 @@ def audience_overlap(events: ray.data.Dataset,
              .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
                          batch_format="pyarrow"))
     return single_merge(parts, merge)
+
+
+def events_anomaly(events: ray.data.Dataset,
+                   nd: int = 6) -> ray.data.Dataset:
+    """(event_type, day, n, z): per-type daily event volume with its
+    z-score against that type's own across-days mean/std (population) —
+    the volume-anomaly monitor every event pipeline runs.
+
+    Scale plan: each block collapses to (type, day) partial counts (the
+    key space is bounded by types x days, not events), partials merge
+    in ONE guarded task where per-type moments and z-scores are a
+    vectorized group pass — no shuffle. std==0 (constant series)
+    defines z = 0."""
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        g = pa.table({"event_type": t["event_type"],
+                      "day": pa.array(day)}) \
+            .group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return g.rename_columns(["event_type", "day", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "day"]).aggregate([("pn", "sum")])
+        et = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.float64)
+        _, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((day, code))
+        et, day, n, code = et[order], day[order], n[order], code[order]
+        cnt = np.bincount(code)
+        mean = np.bincount(code, weights=n) / cnt
+        var = np.bincount(code, weights=(n - mean[code]) ** 2) / cnt
+        sd = np.sqrt(var)
+        z = np.where(sd[code] > 0, (n - mean[code]) / np.where(
+            sd[code] > 0, sd[code], 1.0), 0.0)
+        return pa.table({
+            "event_type": pa.array(et.astype(str), type=pa.string()),
+            "day": pa.array(day),
+            "n": pa.array(n.astype(np.int64)),
+            "z": pa.array(np.asarray(round_half_away(z, nd))),
+        })
+
+    return single_merge(
+        events.select_columns(["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
