@@ -1567,6 +1567,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["kcenter_sample"] = f"SELECT rank, vec_id, dist6 FROM read_parquet('{exp['kcenter_sample']}')"
     q["cell_convex_hull"] = f"SELECT cell, n_pts, n_hull, area6 FROM read_parquet('{exp['cell_convex_hull']}')"
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
+    q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

@@ -443,3 +443,107 @@ def bm25_score(docs: ray.data.Dataset, query: tuple[str, ...] = BM25_QUERY,
             "bm25_6": pa.array(round_half_away(s, nd), pa.float64()),
         })
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 1.0
+
+
+def dsir_sample(documents: ray.data.Dataset, target_lang: str = "en",
+                k: int = 200, n_buckets: int = DSIR_BUCKETS,
+                alpha: float = DSIR_ALPHA, nd: int = 6) -> ray.data.Dataset:
+    """(rank, doc_id, w): DSIR — Data Selection via Importance
+    Resampling (Xie et al. 2023) with hashed-unigram features: score
+    every document by the log-likelihood ratio of its hashed token
+    counts under the TARGET distribution (here: ``lang == target_lang``
+    docs) vs the RAW corpus, and keep the top-``k`` (deterministic
+    top-k by weight stands in for the paper's Gumbel resampling so the
+    gate is exact).
+
+    Scale shape: pass 1 collapses each block to two ``n_buckets``-long
+    count vectors (target / raw) — the exchange is bounded by 2B rows
+    per block, merged in ONE task and broadcast ONCE as the lambda
+    log-ratio vector (B floats, independent of corpus size); pass 2
+    scores each block embarrassingly parallel. Per-doc weight uses the
+    bucket-ascending sum  w = sum_b count_b * lambda[b]  so engine and
+    scalar oracle execute bit-identical float ops. Top-k is per-block
+    partials + one bounded merge — never a global sort."""
+    from .text import _crc32_map
+
+    def _buckets_flat(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        counts, toks = _tokens_flat(texts)
+        return counts, (_crc32_map(toks) % np.uint64(n_buckets)).astype(np.int64)
+
+    def pass1(t: pa.Table) -> pa.Table:
+        counts, b = _buckets_flat(t["text"].combine_chunks())
+        is_tgt = np.repeat(
+            pc.equal(t["lang"], target_lang).combine_chunks()
+            .to_numpy(zero_copy_only=False), counts)
+        tgt = np.bincount(b[is_tgt], minlength=n_buckets).astype(np.int64)
+        raw = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                         "tgt": pa.array(tgt), "raw": pa.array(raw)})
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("tgt", "sum"), ("raw", "sum")])
+        return g.rename_columns(["bucket", "tgt", "raw"])
+
+    counts_tbl = single_merge(
+        documents.select_columns(["text", "lang"])
+        .map_batches(pass1, batch_format="pyarrow", batch_size=4096),
+        merge_counts).take_all()
+    order = np.argsort([r["bucket"] for r in counts_tbl])
+    tgt = np.array([counts_tbl[i]["tgt"] for i in order], np.int64)
+    raw = np.array([counts_tbl[i]["raw"] for i in order], np.int64)
+    lam = dsir_lambda(tgt, raw, n_buckets, alpha)
+    lam_ref = ray.put(lam)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        counts, b = _buckets_flat(t["text"].combine_chunks())
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        # per-doc bucket-ascending counted sum (bit-identical to oracle)
+        order = np.lexsort((b, doc_of))
+        d_s, b_s = doc_of[order], b[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(first)
+        seg_n = np.diff(np.r_[starts, len(d_s)]).astype(np.float64)
+        contrib = seg_n * lam_v[b_s[starts]]
+        w = np.zeros(len(counts), np.float64)
+        d_first = d_s[starts]
+        if len(contrib):
+            doc_starts = np.flatnonzero(
+                np.r_[True, d_first[1:] != d_first[:-1]])
+            # reduceat = sequential left-to-right adds, i.e. the same
+            # bucket-ascending accumulation the scalar oracle runs
+            w[d_first[doc_starts]] = np.add.reduceat(contrib, doc_starts)
+        did = t["doc_id"].combine_chunks().to_numpy()
+        top = np.lexsort((did, -w))[:k]
+        return pa.table({"doc_id": pa.array(did[top]),
+                         "w": pa.array(w[top])})
+
+    def topk_merge(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        top = np.lexsort((did, -w))[:k]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "doc_id": pa.array(did[top]),
+            "w": pa.array(np.asarray(round_half_away(w[top], nd))),
+        })
+
+    return single_merge(
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(pass2, batch_format="pyarrow", batch_size=4096),
+        topk_merge)
+
+
+def dsir_lambda(tgt: np.ndarray, raw: np.ndarray, n_buckets: int,
+                alpha: float) -> np.ndarray:
+    """Smoothed log-likelihood-ratio vector shared by engine and oracle
+    (exact integer counts in, deterministic float64 out)."""
+    tgt_tot = float(tgt.sum())
+    raw_tot = float(raw.sum())
+    p = (tgt + alpha) / (tgt_tot + alpha * n_buckets)
+    q = (raw + alpha) / (raw_tot + alpha * n_buckets)
+    return np.log(p) - np.log(q)

@@ -1187,6 +1187,56 @@ def _grid_dbscan_table(sf: float, res: int = 7, min_pts: int = 2) -> pa.Table:
                      "n_pts": pa.array([r[2] for r in rows], pa.int64())})
 
 
+# ------------------------------------------------------------ DSIR sampling
+
+def _dsir_table(sf: float, target_lang: str = "en", k: int = 200,
+                n_buckets: int = 1024, alpha: float = 1.0,
+                nd: int = 6) -> pa.Table:
+    """Scalar DSIR mirror: per-doc dict counting + sorted-bucket
+    sequential float accumulation (the engine's reduceat order)."""
+    import math
+    import zlib
+
+    t = pq.read_table(_testdata(sf, "documents"),
+                      columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    tgt = [0] * n_buckets
+    raw = [0] * n_buckets
+    per_doc = []
+    for text, lang in zip(texts, langs):
+        cnt: dict[int, int] = {}
+        for tok in text.lower().split():
+            b = zlib.crc32(tok.encode()) % n_buckets
+            cnt[b] = cnt.get(b, 0) + 1
+        per_doc.append(cnt)
+        for b, c in cnt.items():
+            raw[b] += c
+            if lang == target_lang:
+                tgt[b] += c
+    tgt_tot = float(sum(tgt))
+    raw_tot = float(sum(raw))
+    lam = [math.log((tgt[b] + alpha) / (tgt_tot + alpha * n_buckets))
+           - math.log((raw[b] + alpha) / (raw_tot + alpha * n_buckets))
+           for b in range(n_buckets)]
+    ws = []
+    for cnt in per_doc:
+        w = np.float64(0.0)
+        for b in sorted(cnt):
+            w = w + np.float64(cnt[b]) * np.float64(lam[b])
+        ws.append(float(w))
+    order = sorted(range(len(ids)), key=lambda i: (-ws[i], ids[i]))[:k]
+    rd = 10.0 ** nd
+    return pa.table({
+        "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+        "w": pa.array([math.floor(ws[i] * rd + 0.5) / rd if ws[i] >= 0
+                       else math.ceil(ws[i] * rd - 0.5) / rd
+                       for i in order]),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1214,6 +1264,7 @@ _BUILDERS = {
     "kcenter_sample": _kcenter_table,
     "cell_convex_hull": _cell_hull_table,
     "grid_dbscan": _grid_dbscan_table,
+    "dsir_sample": _dsir_table,
 }
 
 
