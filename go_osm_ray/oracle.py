@@ -1159,6 +1159,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM events)
         GROUP BY event_type"""
 
+    # market-basket pair mining: distinct-pair self-join mirror of the
+    # basket-hash clique kernel; same (n desc, pa, pb) top-k tiebreak
+    q["basket_pairs"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS pa_key, b.l_partkey AS pb_key,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa_key, pb_key
+        ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
+
     # per-type daily volume z-score: population stddev window mirror of
     # the bounded (type, day) combiner + vectorized moment merge
     q["events_anomaly"] = f"""
