@@ -415,6 +415,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
                gx % 64 AS px, gy % 64 AS py, n FROM c"""
 
+    # histogram equalization: cume_dist window mirror of the cdf LUT
+    # (identical count/total float64 division + half-away rounding)
+    q["raster_hist_eq"] = f"""
+        WITH {_pts_cte(images)}, {_g16}
+        SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+               gx % 64 AS px, gy % 64 AS py, n,
+               CAST({sql_round('255.0 * cume_dist() OVER (ORDER BY n)', 0)}
+                    AS BIGINT) AS eq
+        FROM c"""
+
     # nearest-neighbour gridding: window-argmin dual of the stencil
     # scatter; d2 is bit-identical on both sides (same IEEE expression
     # tree, no pow/FMA), so the argmin and the 9-dp round are exact

@@ -408,3 +408,55 @@ def raster_smooth(raster: ray.data.Dataset, z: int, grid: int,
 
     return raster.map_batches(contrib, batch_format="pyarrow") \
         .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def raster_hist_eq(pts: ray.data.Dataset, z: int = 10, grid: int = 64,
+                   levels: int = 256,
+                   num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(tile_x, tile_y, px, py, n, eq): histogram equalization of the
+    sparse density raster — each occupied pixel's count is remapped to
+    ``round((levels-1) * cume_dist(n))`` over the occupied-pixel value
+    distribution, the classic contrast-stretch every raster viewer
+    applies before display.
+
+    Scale shape: the raster itself is the existing hash-partitioned
+    rasterize_tiles; the value HISTOGRAM is bounded by the number of
+    distinct pixel counts (tiny), so its partials merge in one task and
+    the cdf LUT broadcasts once; the remap pass is embarrassingly
+    parallel. The raster lineage executes twice (histogram + remap) —
+    recompute-over-materialize is deliberate: both passes stream, and
+    at web scale a checkpointed raster (state/lineage.py) slots in as
+    the input without changing this operator."""
+    raster = rasterize_tiles(pts, z=z, grid=grid, num_parts=num_parts)
+
+    def vhist(t: pa.Table) -> pa.Table:
+        v, c = np.unique(t["n"].combine_chunks().to_numpy(),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def vmerge(t: pa.Table) -> pa.Table:
+        g = t.group_by("v").aggregate([("c", "sum")])
+        return g.rename_columns(["v", "c"])
+
+    from ..relational import single_merge
+    from ..util import round_half_away
+    lut_rows = single_merge(
+        raster.map_batches(vhist, batch_format="pyarrow"),
+        vmerge).take_all()
+    v = np.array([r["v"] for r in lut_rows], np.int64)
+    c = np.array([r["c"] for r in lut_rows], np.int64)
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    total = float(c.sum())
+    cd = np.cumsum(c).astype(np.float64) / total
+    eq = np.asarray(round_half_away((levels - 1) * cd, 0)).astype(np.int64)
+    lut_ref = ray.put((v, eq))
+
+    def remap(t: pa.Table) -> pa.Table:
+        vv, ee = ray.get(lut_ref)
+        n = t["n"].combine_chunks().to_numpy()
+        return t.append_column(
+            "eq", pa.array(ee[np.searchsorted(vv, n)]))
+
+    return raster.map_batches(remap, batch_format="pyarrow")
