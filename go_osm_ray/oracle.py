@@ -1589,6 +1589,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["cell_convex_hull"] = f"SELECT cell, n_pts, n_hull, area6 FROM read_parquet('{exp['cell_convex_hull']}')"
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
+    q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

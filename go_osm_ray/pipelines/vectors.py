@@ -319,3 +319,53 @@ def kcenter_sample(ds: ray.data.Dataset, k: int = 16,
         "dist6": pa.array(round_half_away(np.array(dists), nd),
                           pa.float64()),
     })
+
+
+def embed_outliers(ds: ray.data.Dataset, n_clusters: int = 8,
+                   m: int = 50, col: str = "embedding",
+                   id_col: str = "vec_id", nd: int = 6) -> ray.data.Dataset:
+    """(rank, vec_id, cluster, dist): the ``m`` corpus embeddings
+    FARTHEST (cosine distance) from their assigned k-means centroid —
+    the standard embedding-space outlier pruning pass (mislabeled /
+    off-distribution rows live in the cluster tails).
+
+    Scale shape: the deterministic quantizer (spatial.ivf_centroids)
+    builds from a bounded hash-priority sample, broadcasts once, and
+    scoring is one matmul + argmax per batch; top-m is per-block
+    partials + one bounded merge — never a global sort. Complements
+    semdedup (which prunes the over-dense CORE of each cluster)."""
+    from .spatial import ivf_centroids
+
+    sub = ds.select_columns([id_col, col])
+    if (id_col, col) != ("vec_id", "embedding"):
+        sub = sub.rename_columns({id_col: "vec_id", col: "embedding"})
+    cent_ref = ray.put(ivf_centroids(sub, n_clusters))
+
+    def score(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _stack(t, col)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ cent.T
+        c = np.argmax(sims, axis=1)
+        d = 1.0 - sims[np.arange(len(c)), c]
+        vid = t[id_col].combine_chunks().to_numpy()
+        top = np.lexsort((vid, -d))[:m]
+        return pa.table({
+            "vec_id": pa.array(vid[top]),
+            "cluster": pa.array(c[top].astype(np.int64)),
+            "dist": pa.array(d[top]),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].combine_chunks().to_numpy()
+        d = t["dist"].combine_chunks().to_numpy()
+        top = np.lexsort((vid, -d))[:m]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "vec_id": pa.array(vid[top]),
+            "cluster": t["cluster"].combine_chunks().take(pa.array(top)),
+            "dist": pa.array(np.asarray(round_half_away(d[top], nd))),
+        })
+
+    return single_merge(ds.map_batches(score, batch_format="pyarrow",
+                                       batch_size=4096), merge)

@@ -1237,6 +1237,35 @@ def _dsir_table(sf: float, target_lang: str = "en", k: int = 200,
     })
 
 
+def _embed_outliers_table(sf: float, n_clusters: int = 8, m: int = 50,
+                          iters: int = 3, sample: int = 4096,
+                          nd: int = 6) -> pa.Table:
+    """Whole-matrix reference for vectors.embed_outliers: same quantizer
+    definition, one matmul, full-table top-m by (dist desc, vec_id)."""
+    import math
+
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cent = _lloyd_centroids(vid, emb, n_clusters, iters, sample)
+    sims = emb @ cent.T
+    c = np.argmax(sims, axis=1)
+    d = 1.0 - sims[np.arange(len(c)), c]
+    top = np.lexsort((vid, -d))[:m]
+    rd = 10.0 ** nd
+    dr = [math.floor(x * rd + 0.5) / rd if x >= 0
+          else math.ceil(x * rd - 0.5) / rd for x in d[top]]
+    return pa.table({
+        "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        "vec_id": pa.array(vid[top], pa.int64()),
+        "cluster": pa.array(c[top].astype(np.int64)),
+        "dist": pa.array(dr),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1265,6 +1294,7 @@ _BUILDERS = {
     "cell_convex_hull": _cell_hull_table,
     "grid_dbscan": _grid_dbscan_table,
     "dsir_sample": _dsir_table,
+    "embed_outliers": _embed_outliers_table,
 }
 
 
