@@ -1459,6 +1459,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # ln(N/df) mean — the df small side is a distributed combiner + one
     # broadcast on the engine side
     split_toks = "list_filter(string_split(lower(text), ' '), _w -> _w <> '')"
+    # grouped exact heavy hitters: row_number window mirror of the
+    # token-hash-exact counts + per-partition top-k (same tiebreak)
+    q["lang_top_tokens"] = f"""
+        WITH toks AS (SELECT lang, unnest({split_toks}) AS w
+                      FROM documents),
+        c AS (SELECT lang, w AS token, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY 1, 2),
+        r AS (SELECT lang, token, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, token) AS rk
+              FROM c)
+        SELECT lang, CAST(rk AS BIGINT) AS rank, token, n
+        FROM r WHERE rk <= 10"""
+
     q["tfidf_score"] = f"""
         WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
                       FROM documents),

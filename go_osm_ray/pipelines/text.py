@@ -1424,3 +1424,80 @@ def winnow_fingerprint_batch(batch: pa.Table, text_col: str = "text",
         fp[i] = _rolling_hash(seg, len(seg))[0] if len(seg) else 0
     return pa.table({"doc_id": batch["doc_id"].combine_chunks(),
                      "winnow_fp": pa.array(fp.view(np.int64))})
+
+
+def lang_top_tokens(docs: ray.data.Dataset, k: int = 10,
+                    num_parts: int = 32) -> ray.data.Dataset:
+    """(lang, rank, token, n): the exact top-``k`` tokens per language
+    (labelled ``lang`` column) — grouped heavy hitters, the per-slice
+    vocabulary audit run before mixing multilingual corpora.
+
+    Scale plan: blocks collapse to (lang, token) partial counts, ONE
+    token-hash exchange makes counts exact (lang rides along — the pair
+    key space is vocab x langs but each partition holds only its hash
+    slice), and per-partition top-k partials (langs are bounded) merge
+    in one task. The global-sort-free grouped top-k pattern."""
+    from ..relational import hash_part, single_merge
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        lang = np.repeat(
+            t["lang"].combine_chunks().to_numpy(zero_copy_only=False),
+            counts)
+        g = pa.table({"lang": pa.array(lang.astype(str), type=pa.string()),
+                      "token": pa.array(toks.astype(str), type=pa.string())}) \
+            .group_by(["lang", "token"]).aggregate([([], "count_all")])
+        th = _crc32_map(g["token"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "lang": g["lang"], "token": g["token"],
+            "pn": pc.cast(g["count_all"], pa.int64()),
+            "part": pa.array(hash_part(th.astype(np.int64), num_parts)),
+        })
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "token"]).aggregate([("pn", "sum")])
+        lang = g["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = g["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        _, lcode = np.unique(lang, return_inverse=True)
+        order = np.lexsort((tok, -n, lcode))
+        lang, tok, n, lcode = (lang[order], tok[order], n[order],
+                               lcode[order])
+        starts = np.flatnonzero(np.r_[True, lcode[1:] != lcode[:-1]]) \
+            if len(lcode) else np.empty(0, np.int64)
+        rank = np.arange(len(lcode), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(lcode)]))
+        keep = rank < k
+        return pa.table({
+            "lang": pa.array(lang[keep].astype(str), type=pa.string()),
+            "token": pa.array(tok[keep].astype(str), type=pa.string()),
+            "n": pa.array(n[keep]),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        lang = t["lang"].combine_chunks().to_numpy(zero_copy_only=False)
+        tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy()
+        _, lcode = np.unique(lang, return_inverse=True)
+        order = np.lexsort((tok, -n, lcode))
+        lang, tok, n, lcode = (lang[order], tok[order], n[order],
+                               lcode[order])
+        starts = np.flatnonzero(np.r_[True, lcode[1:] != lcode[:-1]]) \
+            if len(lcode) else np.empty(0, np.int64)
+        rank = np.arange(len(lcode), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(lcode)]))
+        keep = rank < k
+        return pa.table({
+            "lang": pa.array(lang[keep].astype(str), type=pa.string()),
+            "rank": pa.array(rank[keep] + 1),
+            "token": pa.array(tok[keep].astype(str), type=pa.string()),
+            "n": pa.array(n[keep]),
+        })
+
+    parts = docs.select_columns(["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096) \
+        .groupby("part") \
+        .map_groups(lambda t: local_topk(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return single_merge(parts, merge)
