@@ -646,6 +646,23 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
+    # per-cell representative image: window-argmax mirror of the
+    # two-level candidate combiner (same px desc / image_id tiebreak)
+    _lon_e, _lat_e = morton.sql_decode_exprs("phash")
+    q["cell_representative"] = f"""
+        WITH p AS (SELECT image_id, w, h, {_lon_e} AS lon, {_lat_e} AS lat
+                   FROM {images}),
+        c AS (SELECT image_id, CAST(w AS BIGINT) * h AS px,
+                     {tiles.sql_cell_id('lon', 'lat', 7)} AS cell_r7
+              FROM p),
+        r AS (SELECT cell_r7, image_id, px,
+                     row_number() OVER (PARTITION BY cell_r7
+                                        ORDER BY px DESC, image_id) AS rk,
+                     count(*) OVER (PARTITION BY cell_r7) AS n_imgs
+              FROM c)
+        SELECT cell_r7, image_id, px, CAST(n_imgs AS BIGINT) AS n_imgs
+        FROM r WHERE rk = 1"""
+
     # global Moran's I: 4-way rook equality-join union mirrors the
     # engine's searchsorted neighbour pass; identical term order
     # num * N / W / den and half-away rounding at 6 dp

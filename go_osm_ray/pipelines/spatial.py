@@ -2199,3 +2199,70 @@ def morans_i(images: ray.data.Dataset, res: int = 7,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536), merge)
+
+
+def cell_representative(images: ray.data.Dataset, res: int = 7,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(cell_r7, image_id, px, n_imgs): per occupied cell, the
+    REPRESENTATIVE image — largest pixel count, image_id as the
+    deterministic tiebreak — plus the cell population; the thumbnail /
+    exemplar pick every map-browse tile layer and contact-sheet build
+    runs (geo x image).
+
+    Scale plan: the events_latest per-key-argmax shape — per-block
+    argmax COMBINER (one candidate row + one count partial per cell per
+    block), a bounded cell-hash exchange, the same kernel per
+    partition. The shuffle moves candidates, never images."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..stages.assign import decode_geotag
+
+    def kernel(t: pa.Table, pn_col: str | None) -> pa.Table:
+        cell = t["cell_r7"].combine_chunks().to_numpy()
+        px = t["px"].combine_chunks().to_numpy()
+        iid = t["image_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((iid, -px, cell))
+        cs = cell[order]
+        first = np.r_[True, cs[1:] != cs[:-1]] if len(cs) \
+            else np.empty(0, bool)
+        sel = order[first]
+        pn = t[pn_col].combine_chunks().to_numpy() if pn_col \
+            else np.ones(len(cell), np.int64)
+        u, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(u), np.int64)
+        np.add.at(n, inv, pn)
+        return pa.table({
+            "cell_r7": pa.array(u),
+            "image_id": t["image_id"].take(pa.array(sel)),
+            "px": pa.array(px[sel]),
+            "pn": pa.array(n),
+            "part": pa.array(hash_part(u, num_parts)),
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        px = (t["w"].combine_chunks().to_numpy().astype(np.int64)
+              * t["h"].combine_chunks().to_numpy().astype(np.int64))
+        base = pa.table({
+            "cell_r7": pa.array(tiles.cell_id(lon, lat, res)),
+            "image_id": t["image_id"].combine_chunks(),
+            "px": pa.array(px),
+        })
+        return kernel(base, None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = kernel(t, "pn")
+        return pa.table({
+            "cell_r7": out["cell_r7"],
+            "image_id": out["image_id"],
+            "px": out["px"],
+            "n_imgs": out["pn"],
+        })
+
+    return images.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: finish(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
