@@ -1621,6 +1621,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
+    q["src_js_divergence"] = f"SELECT src_a, src_b, js FROM read_parquet('{exp['src_js_divergence']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

@@ -547,3 +547,71 @@ def dsir_lambda(tgt: np.ndarray, raw: np.ndarray, n_buckets: int,
     p = (tgt + alpha) / (tgt_tot + alpha * n_buckets)
     q = (raw + alpha) / (raw_tot + alpha * n_buckets)
     return np.log(p) - np.log(q)
+
+
+def js_divergence_matrix(counts: np.ndarray) -> np.ndarray:
+    """Pairwise Jensen-Shannon divergence (natural log) between the
+    rows of an integer count matrix — the shared numeric definition
+    (exact integer counts in, deterministic float64 out): normalize,
+    JS(p, q) = 0.5 KL(p||m) + 0.5 KL(q||m), 0 log 0 = 0."""
+    p = counts.astype(np.float64)
+    p = p / p.sum(axis=1, keepdims=True)
+    s = len(p)
+    out = np.zeros((s, s), np.float64)
+    for i in range(s):
+        for j in range(i + 1, s):
+            m = 0.5 * (p[i] + p[j])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                kl_i = np.where(p[i] > 0, p[i] * np.log(p[i] / m), 0.0)
+                kl_j = np.where(p[j] > 0, p[j] * np.log(p[j] / m), 0.0)
+            out[i, j] = out[j, i] = 0.5 * kl_i.sum() + 0.5 * kl_j.sum()
+    return out
+
+
+def src_js_divergence(documents: ray.data.Dataset,
+                      n_buckets: int = DSIR_BUCKETS,
+                      nd: int = 6) -> ray.data.Dataset:
+    """(src_a, src_b, js): pairwise Jensen-Shannon divergence between
+    the hashed-unigram token distributions of every pair of ``source``
+    slices — the corpus drift / shift audit run before mixing sources
+    (and between crawl snapshots).
+
+    Scale shape: each block collapses to (source, bucket) partial
+    counts (bounded by sources x B rows, independent of corpus size);
+    ONE guarded merge task assembles the sources x B matrix and
+    computes the pairwise JS — sources are a bounded key space, so the
+    matrix is tiny at any data scale."""
+    from .text import _crc32_map, _tokens_flat
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        b = (_crc32_map(toks) % np.uint64(n_buckets)).astype(np.int64)
+        src = np.repeat(
+            t["source"].combine_chunks().to_numpy(zero_copy_only=False),
+            counts)
+        g = pa.table({"source": pa.array(src.astype(str), type=pa.string()),
+                      "bucket": pa.array(b)}) \
+            .group_by(["source", "bucket"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "bucket": g["bucket"],
+                         "pn": pc.cast(g["count_all"], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "bucket"]).aggregate([("pn", "sum")])
+        src = g["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = g["bucket"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        names, code = np.unique(src, return_inverse=True)
+        mat = np.zeros((len(names), n_buckets), np.int64)
+        mat[code, b] = n
+        js = js_divergence_matrix(mat)
+        ia, ib = np.triu_indices(len(names), k=1)
+        return pa.table({
+            "src_a": pa.array(names[ia].astype(str), type=pa.string()),
+            "src_b": pa.array(names[ib].astype(str), type=pa.string()),
+            "js": pa.array(np.asarray(round_half_away(js[ia, ib], nd))),
+        })
+
+    return single_merge(
+        documents.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        merge)

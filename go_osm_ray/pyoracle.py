@@ -1266,6 +1266,42 @@ def _embed_outliers_table(sf: float, n_clusters: int = 8, m: int = 50,
     })
 
 
+def _src_js_table(sf: float, n_buckets: int = 1024, nd: int = 6) -> pa.Table:
+    """Scalar-count mirror for scoring.src_js_divergence: per-doc dict
+    counting into per-source vectors, then the shared JS definition
+    (scoring.js_divergence_matrix is a pure function of the exact
+    integer counts; the independence under test is the distributed
+    counting plan)."""
+    import math
+    import zlib
+
+    from .pipelines.scoring import js_divergence_matrix
+
+    t = pq.read_table(_testdata(sf, "documents"), columns=["source", "text"])
+    srcs = t["source"].to_pylist()
+    texts = t["text"].to_pylist()
+    names = sorted(set(srcs))
+    idx = {s: i for i, s in enumerate(names)}
+    mat = np.zeros((len(names), n_buckets), np.int64)
+    for s, text in zip(srcs, texts):
+        for tok in text.lower().split():
+            mat[idx[s], zlib.crc32(tok.encode()) % n_buckets] += 1
+    js = js_divergence_matrix(mat)
+    rows = []
+    rd = 10.0 ** nd
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x = js[i, j]
+            r = math.floor(x * rd + 0.5) / rd if x >= 0 \
+                else math.ceil(x * rd - 0.5) / rd
+            rows.append((names[i], names[j], r))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "js": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1295,6 +1331,7 @@ _BUILDERS = {
     "grid_dbscan": _grid_dbscan_table,
     "dsir_sample": _dsir_table,
     "embed_outliers": _embed_outliers_table,
+    "src_js_divergence": _src_js_table,
 }
 
 
