@@ -689,6 +689,38 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('num.v * s.nc / num.w / den.v', 6)} AS morans_i
         FROM s, num, den"""
 
+    # Getis-Ord Gi* hotspots: self + 4-way rook union mirror of the
+    # searchsorted neighbour pass; identical term order in the statistic
+    q["hotspot_gi"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_tile_x('lon', 7)} AS x,
+                     {tiles.sql_tile_y('lat', 7)} AS y,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM pts GROUP BY 1, 2),
+        s AS (SELECT count(*) AS nc, avg(n) AS m,
+                     sqrt(SUM(n * n) / count(*) - avg(n) * avg(n)) AS sd
+              FROM c),
+        pr AS (
+          SELECT a.x, a.y, b.n AS nj FROM c a JOIN c b
+            ON b.x = a.x AND b.y = a.y
+          UNION ALL SELECT a.x, a.y, b.n FROM c a JOIN c b
+            ON b.x = a.x + 1 AND b.y = a.y
+          UNION ALL SELECT a.x, a.y, b.n FROM c a JOIN c b
+            ON b.x = a.x - 1 AND b.y = a.y
+          UNION ALL SELECT a.x, a.y, b.n FROM c a JOIN c b
+            ON b.x = a.x AND b.y = a.y + 1
+          UNION ALL SELECT a.x, a.y, b.n FROM c a JOIN c b
+            ON b.x = a.x AND b.y = a.y - 1),
+        agg AS (SELECT x, y, SUM(nj) AS nbr,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM pr GROUP BY x, y)
+        SELECT CAST(a.x * 4294967296 + a.y AS BIGINT) AS cell,
+               CAST(c.n AS BIGINT) AS n, a.k AS k_nbrs,
+               {sql_round('(a.nbr - s.m * a.k)'
+                          ' / (s.sd * sqrt((s.nc * a.k - a.k * a.k)'
+                          ' / (s.nc - 1)))', 6)} AS gi
+        FROM agg a JOIN c ON c.x = a.x AND c.y = a.y, s"""
+
     q["tile_topk"] = f"""
         WITH {_pts_cte(images)},
         t AS (SELECT {tiles.sql_tile_x('lon', 12)} AS tile_x,
