@@ -888,6 +888,15 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(sum(CASE WHEN {_f3} THEN 1 ELSE 0 END) AS BIGINT) AS n_caption
         FROM {images} GROUP BY fmt"""
 
+    # caption/pixel Pearson correlation: corr() mirror of the 6-moment
+    # combiner (sample corr == population-moment formula algebraically;
+    # both sides round at 6dp — the embed_covariance precedent)
+    q["caption_align"] = f"""
+        SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+               {sql_round('COALESCE(corr(length(caption),'
+                          ' CAST(w AS DOUBLE) * h), 0.0)', 6)} AS corr
+        FROM {images} GROUP BY fmt"""
+
     # per-cell bounding box: min/max of the bit-exact decoded lon/lat,
     # rounded AFTER aggregation by the shared sql_round mirror
     q["cell_bbox"] = f"""

@@ -631,3 +631,61 @@ def aspect_bucket_pack(images: ray.data.Dataset, batch_size: int = 64,
 
     return tagged.map_batches(part_col, batch_format="pyarrow") \
         .groupby("part").map_groups(rank_kernel, batch_format="pyarrow")
+
+
+def caption_align(images: ray.data.Dataset, nd: int = 6) -> ray.data.Dataset:
+    """(fmt, n, corr): per-format Pearson correlation between caption
+    character length and image pixel count — the cheap caption/image
+    agreement audit a multimodal corpus runs before pairing-quality
+    filtering (a format whose captions don't grow with image size is a
+    scraping artifact).
+
+    Scale shape: the classic 6-moment correlation combiner — each block
+    collapses to (fmt, n, sx, sy, sxx, syy, sxy); formats are a bounded
+    key space so partials merge in one task. Matches DuckDB's corr()
+    within 6dp (sample correlation is scale-invariant, so the
+    population-moment formula below is algebraically identical)."""
+    import pyarrow.compute as pc
+
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.utf8_length(t["caption"].combine_chunks()).to_numpy() \
+            .astype(np.float64)
+        y = (t["w"].combine_chunks().to_numpy().astype(np.float64)
+             * t["h"].combine_chunks().to_numpy().astype(np.float64))
+        g = pa.table({
+            "fmt": t["fmt"], "one": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        }).group_by("fmt").aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["fmt", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("fmt").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy().astype(np.float64)
+        sx = g["sx_sum"].combine_chunks().to_numpy()
+        sy = g["sy_sum"].combine_chunks().to_numpy()
+        sxx = g["sxx_sum"].combine_chunks().to_numpy()
+        syy = g["syy_sum"].combine_chunks().to_numpy()
+        sxy = g["sxy_sum"].combine_chunks().to_numpy()
+        num = n * sxy - sx * sy
+        den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        r = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pa.table({
+            "fmt": g["fmt"],
+            "n": pc.cast(g["n_sum"], pa.int64()),
+            "corr": pa.array(np.asarray(round_half_away(r, nd))),
+        })
+
+    return single_merge(
+        images.select_columns(["fmt", "caption", "w", "h"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
