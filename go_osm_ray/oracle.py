@@ -1227,6 +1227,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM events)
         GROUP BY event_type"""
 
+    # skyline / Pareto front: NOT EXISTS dominance mirror of the
+    # sort + running-max kernel (min price, max size)
+    q["part_skyline"] = """
+        SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice
+            AND b.p_size >= a.p_size
+            AND (b.p_retailprice < a.p_retailprice
+                 OR b.p_size > a.p_size))
+        ORDER BY p_partkey"""
+
     # market-basket pair mining: distinct-pair self-join mirror of the
     # basket-hash clique kernel; same (n desc, pa, pb) top-k tiebreak
     q["basket_pairs"] = """

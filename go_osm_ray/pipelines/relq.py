@@ -1378,3 +1378,46 @@ def basket_pairs(lineitem: ray.data.Dataset, k: int = 20,
         .map_groups(lambda t: count_topk(t.drop_columns(["part"])),
                     batch_format="pyarrow")
     return single_merge(pairs, merge)
+
+
+def part_skyline(part: ray.data.Dataset) -> ray.data.Dataset:
+    """(p_partkey, p_retailprice, p_size): the SKYLINE (Pareto front)
+    of parts — minimize retail price, maximize size; a part is dominated
+    if some other part is no worse on both axes and strictly better on
+    one. The classic multi-criteria operator (Borzsony et al.).
+
+    Scale plan: the skyline is DISTRIBUTIVE — skyline(union) =
+    skyline(union of per-block skylines) — so each block collapses to
+    its local front (sort by price asc / size desc + running-max scan,
+    fully vectorized) and ONE bounded merge task runs the same kernel
+    on the concatenated fronts. No shuffle; front size is bounded by
+    the distinct-price count in practice."""
+    def kernel(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].combine_chunks().to_numpy()
+        size = t["p_size"].combine_chunks().to_numpy().astype(np.int64)
+        pid = t["p_partkey"].combine_chunks().to_numpy()
+        order = np.lexsort((pid, -size, price))
+        p, s = price[order], size[order]
+        # strictly-better-price running max: max size over all points
+        # with price < p[i]
+        grp = np.r_[True, p[1:] != p[:-1]]
+        gidx = np.cumsum(grp) - 1                  # price-group index
+        gmax = np.maximum.reduceat(s, np.flatnonzero(grp))
+        run = np.maximum.accumulate(gmax)
+        prev_max = np.where(gidx > 0, run[np.maximum(gidx - 1, 0)],
+                            np.iinfo(np.int64).min)
+        # dominated by a strictly cheaper part with size >= s, or by an
+        # equal-price part with size > s (group max strictly greater)
+        dom = (prev_max >= s) | (gmax[gidx] > s)
+        keep = order[~dom]
+        keep = keep[np.argsort(pid[keep], kind="stable")]
+        return pa.table({
+            "p_partkey": pa.array(pid[keep]),
+            "p_retailprice": pa.array(price[keep]),
+            "p_size": pa.array(size[keep]),
+        })
+
+    return single_merge(
+        part.select_columns(["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(kernel, batch_format="pyarrow", batch_size=65536),
+        kernel)

@@ -99,3 +99,22 @@ def test_morans_i_checkerboard(ray_session):
     out = morans_i(ds, res=7).take_all()[0]
     assert out["n_cells"] == 16
     assert out["morans_i"] < -0.5
+
+
+def test_part_skyline_ties(ray_session):
+    """Equal (price, size) duplicates both survive (neither strictly
+    dominates); equal price with smaller size is dominated; the
+    running-max scan must respect strictness on both axes."""
+    import pyarrow as pa
+
+    from go_osm_ray.pipelines.relq import part_skyline
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "p_retailprice": pa.array([10.0, 10.0, 10.0, 5.0, 5.0, 20.0]),
+        "p_size": pa.array([50, 50, 40, 30, 30, 60], pa.int32()),
+    })
+    ds = ray.data.from_arrow([t.slice(0, 2), t.slice(2)])
+    rows = sorted(r["p_partkey"] for r in part_skyline(ds).take_all())
+    # 3 dominated by 1/2 (same price, smaller size); 6 undominated (max
+    # size); 4,5 undominated twins (cheapest); 1,2 undominated twins
+    assert rows == [1, 2, 4, 5, 6]
