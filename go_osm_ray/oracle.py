@@ -689,6 +689,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('num.v * s.nc / num.w / den.v', 6)} AS morans_i
         FROM s, num, den"""
 
+    # quadtree compaction (H3 compact analog): per-level HAVING
+    # count=4 mirror of the vectorized parent-count passes
+    _enc = "CAST({r} * 288230376151711744 + {x} * 536870912 + {y} AS BIGINT)"
+    q["cell_compact"] = f"""
+        WITH {_pts_cte(images)},
+        c9 AS (SELECT DISTINCT {tiles.sql_tile_x('lon', 9)} AS x,
+                               {tiles.sql_tile_y('lat', 9)} AS y FROM pts),
+        p8 AS (SELECT x // 2 AS x, y // 2 AS y FROM c9
+               GROUP BY 1, 2 HAVING count(*) = 4),
+        k9 AS (SELECT c9.x, c9.y FROM c9 LEFT JOIN p8
+                 ON p8.x = c9.x // 2 AND p8.y = c9.y // 2
+               WHERE p8.x IS NULL),
+        p7 AS (SELECT x // 2 AS x, y // 2 AS y FROM p8
+               GROUP BY 1, 2 HAVING count(*) = 4),
+        k8 AS (SELECT p8.x, p8.y FROM p8 LEFT JOIN p7
+                 ON p7.x = p8.x // 2 AND p7.y = p8.y // 2
+               WHERE p7.x IS NULL)
+        SELECT {_enc.format(r=9, x='x', y='y')} AS cell,
+               CAST(9 AS BIGINT) AS cell_res,
+               CAST(1 AS BIGINT) AS n_leaves FROM k9
+        UNION ALL
+        SELECT {_enc.format(r=8, x='x', y='y')},
+               CAST(8 AS BIGINT), CAST(4 AS BIGINT) FROM k8
+        UNION ALL
+        SELECT {_enc.format(r=7, x='x', y='y')},
+               CAST(7 AS BIGINT), CAST(16 AS BIGINT) FROM p7"""
+
     # Getis-Ord Gi* hotspots: self + 4-way rook union mirror of the
     # searchsorted neighbour pass; identical term order in the statistic
     q["hotspot_gi"] = f"""

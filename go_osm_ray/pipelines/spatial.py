@@ -2327,3 +2327,64 @@ def hotspot_gi(images: ray.data.Dataset, res: int = 7,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536), merge)
+
+
+def cell_compact(images: ray.data.Dataset, res: int = 9,
+                 min_res: int = 7) -> ray.data.Dataset:
+    """(cell, cell_res, n_leaves): the COMPACTED covering of the
+    occupied res-``res`` cells — a parent replaces its 4 children iff
+    all 4 are covered, applied recursively up to ``min_res`` (the H3
+    compact() analog on the quadtree grid). The minimal multi-res
+    covering every tile-serving / geofence layer stores instead of the
+    leaf set. ``n_leaves`` = res-``res`` cells each output cell covers.
+
+    Scale plan: the occupied leaf set at res 9 is globally bounded
+    (2^18 cells), so — like cell_histogram — per-block distinct-cell
+    partials merge in ONE guarded task where compaction is a vectorized
+    parent-count pass per level (unique + count==4). At finer leaf
+    resolutions the same pass runs as a parent-hash exchange per level
+    (parent locality is a prefix of the child key, so the exchange is
+    prefix-local)."""
+    from ..geo import tiles
+    from ..relational import single_merge
+    from ..stages.assign import decode_geotag
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        return pa.table({"cell": pa.array(np.unique(
+            tiles.cell_id(lon, lat, res)))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        cur = np.unique(t["cell"].combine_chunks().to_numpy())
+        out_cells: list[np.ndarray] = []
+        out_res: list[np.ndarray] = []
+        out_leaves: list[np.ndarray] = []
+        r = res
+        while r > min_res:
+            parent = tiles.cell_parent(cur, r - 1)
+            pu, inv, cnt = np.unique(parent, return_inverse=True,
+                                     return_counts=True)
+            full = cnt == 4
+            kept = cur[~full[inv]]
+            leaves = np.full(len(kept), 4 ** (res - r), np.int64)
+            out_cells.append(kept)
+            out_res.append(np.full(len(kept), r, np.int64))
+            out_leaves.append(leaves)
+            cur = pu[full]
+            r -= 1
+        out_cells.append(cur)
+        out_res.append(np.full(len(cur), r, np.int64))
+        out_leaves.append(np.full(len(cur), 4 ** (res - r), np.int64))
+        cell = np.concatenate(out_cells)
+        order = np.argsort(cell)
+        return pa.table({
+            "cell": pa.array(cell[order]),
+            "cell_res": pa.array(np.concatenate(out_res)[order]),
+            "n_leaves": pa.array(np.concatenate(out_leaves)[order]),
+        })
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536), merge)

@@ -118,3 +118,33 @@ def test_part_skyline_ties(ray_session):
     # 3 dominated by 1/2 (same price, smaller size); 6 undominated (max
     # size); 4,5 undominated twins (cheapest); 1,2 undominated twins
     assert rows == [1, 2, 4, 5, 6]
+
+
+def test_cell_compact_full_block(ray_session):
+    """A fully occupied 4x4 block of r9 cells compacts to ONE r7 cell
+    (n_leaves=16); a stray leaf stays at r9."""
+    from go_osm_ray.geo import morton
+    from go_osm_ray.pipelines.spatial import cell_compact
+
+    step9 = 360.0 / 512
+    lons, lats = [], []
+    for xi in range(256, 260):
+        for yi in range(240, 244):
+            lat_c = np.degrees(np.arctan(
+                np.sinh(np.pi * (1.0 - 2.0 * (yi + 0.5) / 512))))
+            lons.append(-180.0 + (xi + 0.5) * step9)
+            lats.append(lat_c)
+    # stray leaf far away
+    lons.append(10.0 + 0.5 * step9)
+    lats.append(-40.0)
+    phash = morton.encode_phash(np.array(lons), np.array(lats),
+                                np.zeros(len(lons), np.uint64))
+    ds = ray.data.from_arrow(pa.table({"phash": pa.array(phash)}))
+    rows = cell_compact(ds).take_all()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["cell_res"], []).append(r)
+    assert len(by_res.get(7, [])) == 1
+    assert by_res[7][0]["n_leaves"] == 16
+    assert len(by_res.get(9, [])) == 1          # the stray
+    assert 8 not in by_res
