@@ -1223,15 +1223,54 @@ def way_triangles(ways: ray.data.Dataset,
     deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
         .groupby("part").map_groups(deg_merge, batch_format="pyarrow")
 
-    # ---- orient edges by (deg, id) rank via two hash joins ------------
-    dega = deg.map_batches(lambda t: t.rename_columns(["va", "da"]),
-                           batch_format="pyarrow")
-    degb = deg.map_batches(lambda t: t.rename_columns(["vb", "db"]),
-                           batch_format="pyarrow")
-    j = edges.join(dega, join_type="inner", num_partitions=num_parts,
-                   on=("a",), right_on=("va",)) \
-        .join(degb, join_type="inner", num_partitions=num_parts,
-              on=("b",), right_on=("vb",))
+    # ---- orient edges by (deg, id) rank via two co-partition passes ----
+    # (a union-tag exchange per endpoint, NOT Dataset.join: the joins'
+    # shuffle-aggregator actor pools deadlocked the duplicated-lineage
+    # plan below at small CPU counts, and the co-partition kernel is the
+    # repo's standard join shape anyway)
+    def _attach(ds: ray.data.Dataset, cols_in: list, key: str,
+                out_col: str) -> ray.data.Dataset:
+        """Append deg(key) as ``out_col`` via hash(key) co-partition."""
+        def tag_edge(t: pa.Table) -> pa.Table:
+            k = t[key].combine_chunks().to_numpy()
+            cols = {c: t[c].combine_chunks() for c in t.column_names
+                    if c != "part"}
+            cols["_d"] = pa.array(np.zeros(len(k), np.int64))
+            cols["_is_deg"] = pa.array(np.zeros(len(k), bool))
+            cols["part"] = pa.array(hash_part(k, num_parts))
+            return pa.table(cols)
+
+        def tag_deg(t: pa.Table) -> pa.Table:
+            v = t["v"].combine_chunks().to_numpy()
+            cols = {c: (pa.array(v) if c == key
+                        else pa.nulls(len(v), pa.int64()))
+                    for c in cols_in}
+            cols["_d"] = t["d"].combine_chunks()
+            cols["_is_deg"] = pa.array(np.ones(len(v), bool))
+            cols["part"] = pa.array(hash_part(v, num_parts))
+            return pa.table(cols)
+
+        def kernel(t: pa.Table) -> pa.Table:
+            is_deg = t["_is_deg"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            k = t[key].combine_chunks().to_numpy()
+            d = t["_d"].combine_chunks().to_numpy()
+            dv, dd = k[is_deg], d[is_deg]
+            order = np.argsort(dv)
+            dv, dd = dv[order], dd[order]
+            e = t.filter(pa.array(~is_deg)).drop_columns(["_d", "_is_deg"])
+            ek = e[key].combine_chunks().to_numpy()
+            idx = np.searchsorted(dv, ek)
+            return e.append_column(out_col, pa.array(dd[idx]))
+
+        both = ds.map_batches(tag_edge, batch_format="pyarrow") \
+            .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+        return both.groupby("part") \
+            .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                        batch_format="pyarrow")
+
+    j = _attach(_attach(edges, ["a", "b"], "a", "da"),
+                ["a", "b", "da"], "b", "db")
 
     def orient(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy()
