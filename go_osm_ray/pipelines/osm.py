@@ -1122,8 +1122,9 @@ def apply_diff(base: ray.data.Dataset, delta: ray.data.Dataset,
         .groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
-def way_triangles(ways: ray.data.Dataset,
-                  num_parts: int = 16) -> ray.data.Dataset:
+def way_triangles(ways: ray.data.Dataset, num_parts: int = 16,
+                  broadcast_threshold: int = 4_000_000
+                  ) -> ray.data.Dataset:
     """(n_nodes, n_edges, n_wedges, n_triangles, clustering): global
     triangle census of the TRUE shared-node way graph (ways joined by
     any common node ref) — the graph-quality audit (global clustering
@@ -1201,12 +1202,16 @@ def way_triangles(ways: ray.data.Dataset,
         return pa.table({"a": pa.array(a, pa.int64()),
                          "b": pa.array(b, pa.int64())})
 
+    # edges / deg / oriented are each consumed by 2-3 downstream
+    # branches; materialize them ONCE (they are edge-scale, object-store
+    # resident and spillable) — re-executing the exchange lineage per
+    # branch cost ~5x the whole pipeline at sf0.1 (74 s -> ~12 s)
     edges = exploded.map_batches(part_by_ref, batch_format="pyarrow") \
         .groupby("part").map_groups(clique_pairs, batch_format="pyarrow") \
         .map_batches(part_by_a, batch_format="pyarrow") \
         .groupby("part") \
         .map_groups(lambda t: dedup_kernel(t.drop_columns(["part"])),
-                    batch_format="pyarrow")
+                    batch_format="pyarrow").materialize()
 
     # ---- degrees ------------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -1217,81 +1222,13 @@ def way_triangles(ways: ray.data.Dataset,
                          "part": pa.array(hash_part(u, num_parts))})
 
     def deg_merge(t: pa.Table) -> pa.Table:
-        g = t.drop_columns(["part"]).group_by("v").aggregate([("pd", "sum")])
+        if "part" in t.column_names:
+            t = t.drop_columns(["part"])
+        g = t.group_by("v").aggregate([("pd", "sum")])
         return g.rename_columns(["v", "d"])
 
-    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("part").map_groups(deg_merge, batch_format="pyarrow")
-
-    # ---- orient edges by (deg, id) rank via two co-partition passes ----
-    # (a union-tag exchange per endpoint, NOT Dataset.join: the joins'
-    # shuffle-aggregator actor pools deadlocked the duplicated-lineage
-    # plan below at small CPU counts, and the co-partition kernel is the
-    # repo's standard join shape anyway)
-    def _attach(ds: ray.data.Dataset, cols_in: list, key: str,
-                out_col: str) -> ray.data.Dataset:
-        """Append deg(key) as ``out_col`` via hash(key) co-partition."""
-        def tag_edge(t: pa.Table) -> pa.Table:
-            k = t[key].combine_chunks().to_numpy()
-            cols = {c: t[c].combine_chunks() for c in t.column_names
-                    if c != "part"}
-            cols["_d"] = pa.array(np.zeros(len(k), np.int64))
-            cols["_is_deg"] = pa.array(np.zeros(len(k), bool))
-            cols["part"] = pa.array(hash_part(k, num_parts))
-            return pa.table(cols)
-
-        def tag_deg(t: pa.Table) -> pa.Table:
-            v = t["v"].combine_chunks().to_numpy()
-            cols = {c: (pa.array(v) if c == key
-                        else pa.nulls(len(v), pa.int64()))
-                    for c in cols_in}
-            cols["_d"] = t["d"].combine_chunks()
-            cols["_is_deg"] = pa.array(np.ones(len(v), bool))
-            cols["part"] = pa.array(hash_part(v, num_parts))
-            return pa.table(cols)
-
-        def kernel(t: pa.Table) -> pa.Table:
-            is_deg = t["_is_deg"].combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            k = t[key].combine_chunks().to_numpy()
-            d = t["_d"].combine_chunks().to_numpy()
-            dv, dd = k[is_deg], d[is_deg]
-            order = np.argsort(dv)
-            dv, dd = dv[order], dd[order]
-            e = t.filter(pa.array(~is_deg)).drop_columns(["_d", "_is_deg"])
-            ek = e[key].combine_chunks().to_numpy()
-            idx = np.searchsorted(dv, ek)
-            return e.append_column(out_col, pa.array(dd[idx]))
-
-        both = ds.map_batches(tag_edge, batch_format="pyarrow") \
-            .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
-        return both.groupby("part") \
-            .map_groups(lambda t: kernel(t.drop_columns(["part"])),
-                        batch_format="pyarrow")
-
-    j = _attach(_attach(edges, ["a", "b"], "a", "da"),
-                ["a", "b", "da"], "b", "db")
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        b = t["b"].combine_chunks().to_numpy()
-        da = t["da"].combine_chunks().to_numpy()
-        db = t["db"].combine_chunks().to_numpy()
-        fwd = (da < db) | ((da == db) & (a < b))
-        u = np.where(fwd, a, b)
-        v = np.where(fwd, b, a)
-        dv = np.where(fwd, db, da)
-        return pa.table({"u": pa.array(u), "v": pa.array(v),
-                         "dv": pa.array(dv),
-                         "part": pa.array(hash_part(u, num_parts))})
-
-    oriented = j.map_batches(orient, batch_format="pyarrow")
-
-    # ---- wedges: per-u out-neighbour pairs, ordered by rank -----------
-    def wedges(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks().to_numpy()
-        v = t["v"].combine_chunks().to_numpy()
-        dv = t["dv"].combine_chunks().to_numpy()
+    def _wedge_pairs(u: np.ndarray, v: np.ndarray, dv: np.ndarray):
+        """Rank-ordered out-neighbour pairs per u (the clique trick)."""
         order = np.lexsort((v, dv, u))
         u, v = u[order], v[order]
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
@@ -1304,28 +1241,11 @@ def way_triangles(ways: ray.data.Dataset,
         base = np.repeat(np.cumsum(rep) - rep, rep)
         second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
                                       - base)
-        return pa.table({"x": pa.array(v[first_idx]),
-                         "y": pa.array(v[second_idx]),
-                         "is_edge": pa.array(np.zeros(len(first_idx), bool)),
-                         "part": pa.array(hash_part(v[first_idx], num_parts))})
+        return v[first_idx], v[second_idx]
 
-    wedge_rows = oriented.groupby("part") \
-        .map_groups(lambda t: wedges(t.drop_columns(["part"])),
-                    batch_format="pyarrow")
-
-    def edge_rows_fn(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks().to_numpy()
-        v = t["v"].combine_chunks().to_numpy()
-        return pa.table({"x": pa.array(u), "y": pa.array(v),
-                         "is_edge": pa.array(np.ones(len(u), bool)),
-                         "part": pa.array(hash_part(u, num_parts))})
-
-    edge_rows = oriented.map_batches(edge_rows_fn, batch_format="pyarrow")
-
-    def close_count(t: pa.Table) -> pa.Table:
-        x = t["x"].combine_chunks().to_numpy()
-        y = t["y"].combine_chunks().to_numpy()
-        e = t["is_edge"].combine_chunks().to_numpy(zero_copy_only=False)
+    def _close_triangles(x: np.ndarray, y: np.ndarray,
+                         e: np.ndarray) -> pa.Table:
+        """Count wedge rows whose (x, y) pair IS an edge row (e flag)."""
         order = np.lexsort((e, y, x))
         x, y, e = x[order], y[order], e[order]
         starts = np.flatnonzero(np.r_[True, (x[1:] != x[:-1])
@@ -1340,9 +1260,163 @@ def way_triangles(ways: ray.data.Dataset,
         return pa.table({"metric": pa.array(["n_triangles"]),
                          "value": pa.array([tri], pa.int64())})
 
-    tri_partials = wedge_rows.union(edge_rows).groupby("part") \
-        .map_groups(lambda t: close_count(t.drop_columns(["part"])),
-                    batch_format="pyarrow")
+    n_edge_rows = edges.count()
+
+    if n_edge_rows <= broadcast_threshold:
+        # ---- broadcast small-side plan (the dedup_keep precedent): the
+        # degree table and oriented edge set are edge-scale; below the
+        # threshold two ray.put broadcasts replace the attach-a/attach-b
+        # exchanges and the closing-join exchange (7 exchanges -> 4),
+        # which dominated wall time at toy scale. Past the threshold the
+        # fully partitioned plan below runs instead.
+        from ..relational import broadcast_table
+
+        deg = single_merge(
+            edges.map_batches(
+                lambda t: deg_partial(t).drop_columns(["part"]),
+                batch_format="pyarrow"),
+            deg_merge).materialize()
+        deg_ref = broadcast_table(deg, ["v", "d"])
+
+        def orient_b(t: pa.Table) -> pa.Table:
+            dt = ray.get(deg_ref)
+            dv_ = dt["v"].to_numpy()
+            dd_ = dt["d"].to_numpy()
+            o = np.argsort(dv_)
+            dv_, dd_ = dv_[o], dd_[o]
+            a = t["a"].combine_chunks().to_numpy()
+            b = t["b"].combine_chunks().to_numpy()
+            da = dd_[np.searchsorted(dv_, a)]
+            db = dd_[np.searchsorted(dv_, b)]
+            fwd = (da < db) | ((da == db) & (a < b))
+            u = np.where(fwd, a, b)
+            v = np.where(fwd, b, a)
+            dv = np.where(fwd, db, da)
+            return pa.table({"u": pa.array(u), "v": pa.array(v),
+                             "dv": pa.array(dv),
+                             "part": pa.array(hash_part(u, num_parts))})
+
+        oriented = edges.map_batches(orient_b, batch_format="pyarrow") \
+            .materialize()
+        edge_ref = broadcast_table(oriented, ["u", "v"])
+
+        def wedges_close(t: pa.Table) -> pa.Table:
+            wx, wy = _wedge_pairs(t["u"].combine_chunks().to_numpy(),
+                                  t["v"].combine_chunks().to_numpy(),
+                                  t["dv"].combine_chunks().to_numpy())
+            et = ray.get(edge_ref)
+            eu = et["u"].to_numpy()
+            ev = et["v"].to_numpy()
+            x = np.concatenate([wx, eu])
+            y = np.concatenate([wy, ev])
+            e = np.r_[np.zeros(len(wx), bool), np.ones(len(eu), bool)]
+            return _close_triangles(x, y, e)
+
+        tri_partials = oriented.groupby("part") \
+            .map_groups(lambda t: wedges_close(t.drop_columns(["part"])),
+                        batch_format="pyarrow")
+    else:
+        deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("part").map_groups(deg_merge, batch_format="pyarrow") \
+            .materialize()
+
+        # ---- orient by (deg, id) rank via two co-partition passes ------
+        # (a union-tag exchange per endpoint, NOT Dataset.join: the joins'
+        # shuffle-aggregator actor pools deadlocked the duplicated-lineage
+        # plan at small CPU counts, and the co-partition kernel is the
+        # repo's standard join shape anyway)
+        def _attach(ds: ray.data.Dataset, cols_in: list, key: str,
+                    out_col: str) -> ray.data.Dataset:
+            """Append deg(key) as ``out_col`` via hash(key) co-partition."""
+            def tag_edge(t: pa.Table) -> pa.Table:
+                k = t[key].combine_chunks().to_numpy()
+                cols = {c: t[c].combine_chunks() for c in t.column_names
+                        if c != "part"}
+                cols["_d"] = pa.array(np.zeros(len(k), np.int64))
+                cols["_is_deg"] = pa.array(np.zeros(len(k), bool))
+                cols["part"] = pa.array(hash_part(k, num_parts))
+                return pa.table(cols)
+
+            def tag_deg(t: pa.Table) -> pa.Table:
+                v = t["v"].combine_chunks().to_numpy()
+                cols = {c: (pa.array(v) if c == key
+                            else pa.nulls(len(v), pa.int64()))
+                        for c in cols_in}
+                cols["_d"] = t["d"].combine_chunks()
+                cols["_is_deg"] = pa.array(np.ones(len(v), bool))
+                cols["part"] = pa.array(hash_part(v, num_parts))
+                return pa.table(cols)
+
+            def kernel(t: pa.Table) -> pa.Table:
+                is_deg = t["_is_deg"].combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+                k = t[key].combine_chunks().to_numpy()
+                d = t["_d"].combine_chunks().to_numpy()
+                dv, dd = k[is_deg], d[is_deg]
+                order = np.argsort(dv)
+                dv, dd = dv[order], dd[order]
+                e = t.filter(pa.array(~is_deg)) \
+                    .drop_columns(["_d", "_is_deg"])
+                ek = e[key].combine_chunks().to_numpy()
+                idx = np.searchsorted(dv, ek)
+                return e.append_column(out_col, pa.array(dd[idx]))
+
+            both = ds.map_batches(tag_edge, batch_format="pyarrow") \
+                .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+            return both.groupby("part") \
+                .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                            batch_format="pyarrow")
+
+        j = _attach(_attach(edges, ["a", "b"], "a", "da"),
+                    ["a", "b", "da"], "b", "db")
+
+        def orient(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks().to_numpy()
+            b = t["b"].combine_chunks().to_numpy()
+            da = t["da"].combine_chunks().to_numpy()
+            db = t["db"].combine_chunks().to_numpy()
+            fwd = (da < db) | ((da == db) & (a < b))
+            u = np.where(fwd, a, b)
+            v = np.where(fwd, b, a)
+            dv = np.where(fwd, db, da)
+            return pa.table({"u": pa.array(u), "v": pa.array(v),
+                             "dv": pa.array(dv),
+                             "part": pa.array(hash_part(u, num_parts))})
+
+        oriented = j.map_batches(orient, batch_format="pyarrow") \
+            .materialize()
+
+        def wedges(t: pa.Table) -> pa.Table:
+            x, y = _wedge_pairs(t["u"].combine_chunks().to_numpy(),
+                                t["v"].combine_chunks().to_numpy(),
+                                t["dv"].combine_chunks().to_numpy())
+            return pa.table({"x": pa.array(x), "y": pa.array(y),
+                             "is_edge": pa.array(np.zeros(len(x), bool)),
+                             "part": pa.array(hash_part(x, num_parts))})
+
+        wedge_rows = oriented.groupby("part") \
+            .map_groups(lambda t: wedges(t.drop_columns(["part"])),
+                        batch_format="pyarrow")
+
+        def edge_rows_fn(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks().to_numpy()
+            v = t["v"].combine_chunks().to_numpy()
+            return pa.table({"x": pa.array(u), "y": pa.array(v),
+                             "is_edge": pa.array(np.ones(len(u), bool)),
+                             "part": pa.array(hash_part(u, num_parts))})
+
+        edge_rows = oriented.map_batches(edge_rows_fn,
+                                         batch_format="pyarrow")
+
+        def close_count(t: pa.Table) -> pa.Table:
+            return _close_triangles(
+                t["x"].combine_chunks().to_numpy(),
+                t["y"].combine_chunks().to_numpy(),
+                t["is_edge"].combine_chunks().to_numpy(zero_copy_only=False))
+
+        tri_partials = wedge_rows.union(edge_rows).groupby("part") \
+            .map_groups(lambda t: close_count(t.drop_columns(["part"])),
+                        batch_format="pyarrow")
 
     def deg_stats(t: pa.Table) -> pa.Table:
         d = t["d"].combine_chunks().to_numpy()

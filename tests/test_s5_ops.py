@@ -15,17 +15,23 @@ def _ways(rows):
     }))
 
 
-def test_way_triangles_open_wedges(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [4_000_000, 0])
+def test_way_triangles_open_wedges(ray_session, threshold):
     """Path w1-w2-w3 has one OPEN wedge (no triangle); the 3-clique has
     exactly one. A kernel that skipped the closing-edge check would
-    report 4 triangles here."""
+    report 4 triangles here. Runs BOTH physical plans: broadcast
+    small-side (threshold high) and fully partitioned (threshold 0)."""
     from go_osm_ray.pipelines.osm import way_triangles
     ways = _ways([
         (1, [1, 2]), (2, [2, 3]), (3, [3, 4]),      # path: 2 edges, 1 wedge
         (4, [100, 5]), (5, [100, 6]), (6, [100, 7]),  # 3-clique
         (7, [50]),                                    # isolated: excluded
     ])
-    out = way_triangles(ways, num_parts=4).take_all()[0]
+    out = way_triangles(ways, num_parts=4,
+                        broadcast_threshold=threshold).take_all()[0]
     assert out["n_nodes"] == 6
     assert out["n_edges"] == 5
     assert out["n_wedges"] == 4
