@@ -1969,19 +1969,150 @@ class KnnVoteClassify:
         self.classes, codes = np.unique(labels.astype(str), return_inverse=True)
         self.codes = codes.astype(np.int64)
         self.k = min(k, len(self.fx))
+        # the same data-adaptive uniform grid as NearestFeature (~5
+        # features per bucket): feature POSITIONS are id-ascending, so
+        # position order IS the tie-break order
+        m = len(self.fx)
+        self.grid = None
+        if m >= 512:
+            x0, x1 = float(self.fx.min()), float(self.fx.max())
+            y0, y1 = float(self.fy.min()), float(self.fy.max())
+            g = int(np.clip(np.sqrt(m / 5.0), 4, 512))
+            csx, csy = (x1 - x0) / g, (y1 - y0) / g
+            if csx > 0 and csy > 0:
+                gx = np.clip(((self.fx - x0) / csx).astype(np.int64),
+                             0, g - 1)
+                gy = np.clip(((self.fy - y0) / csy).astype(np.int64),
+                             0, g - 1)
+                key = gx * g + gy
+                gidx = np.argsort(key, kind="stable")
+                gkeys, gstart, gcount = np.unique(
+                    key[gidx], return_index=True, return_counts=True)
+                self.grid = {"g": g, "x0": x0, "y0": y0,
+                             "csx": csx, "csy": csy, "gidx": gidx,
+                             "gkeys": gkeys, "gstart": gstart,
+                             "gcount": gcount}
+
+    def _topk_brute(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Exact (d2 asc, id asc) top-k over the full layer, chunked;
+        argpartition to a candidate pool then a stable re-sort (the full
+        argsort was the 43 s hot spot at sf0.1)."""
+        n = len(lon)
+        out = np.empty((n, self.k), np.int64)
+        m = min(max(8 * self.k, 64), len(self.fx))
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            d2 = (lon[s:e, None] - self.fx[None, :]) ** 2 \
+                + (lat[s:e, None] - self.fy[None, :]) ** 2
+            if m < len(self.fx):
+                cand = np.sort(np.argpartition(d2, m - 1, axis=1)[:, :m],
+                               axis=1)
+                rows_m = np.arange(e - s)[:, None]
+                sub = np.argsort(d2[rows_m, cand], axis=1,
+                                 kind="stable")[:, :self.k]
+                out[s:e] = cand[rows_m, sub]
+            else:
+                out[s:e] = np.argsort(d2, axis=1,
+                                      kind="stable")[:, :self.k]
+        return out
+
+    def _topk_grid(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Exact grid-pruned k-nearest positions per point: the
+        NearestFeature expanding-region search generalized to k — a
+        point is DONE when its k-th best squared distance is strictly
+        below the distance to the region boundary slabs (any unseen
+        feature is then provably farther than all k)."""
+        gr = self.grid
+        g = gr["g"]
+        kk = self.k
+        n = len(px)
+        out = np.full((n, kk), -1, np.int64)
+        pix = np.clip(((px - gr["x0"]) / gr["csx"]).astype(np.int64),
+                      0, g - 1)
+        piy = np.clip(((py - gr["y0"]) / gr["csy"]).astype(np.int64),
+                      0, g - 1)
+        u = np.arange(n)
+        reg = 1
+        while len(u):
+            x0 = np.maximum(pix[u] - reg, 0)
+            x1 = np.minimum(pix[u] + reg, g - 1)
+            y0 = np.maximum(piy[u] - reg, 0)
+            y1 = np.minimum(piy[u] + reg, g - 1)
+            ncy = y1 - y0 + 1
+            ncell = (x1 - x0 + 1) * ncy
+            pt_of_cell = np.repeat(np.arange(len(u)), ncell)
+            r = _ragged_arange(ncell)
+            keys = ((x0[pt_of_cell] + r // ncy[pt_of_cell]) * g
+                    + (y0[pt_of_cell] + r % ncy[pt_of_cell]))
+            pos = np.searchsorted(gr["gkeys"], keys) \
+                .clip(max=max(len(gr["gkeys"]) - 1, 0))
+            hit = gr["gkeys"][pos] == keys
+            bstart = np.where(hit, gr["gstart"][pos], 0)
+            blen = np.where(hit, gr["gcount"][pos], 0)
+            cand = bstart.repeat(blen) + _ragged_arange(blen)
+            f = gr["gidx"][cand]
+            pt_of_cand = pt_of_cell.repeat(blen)
+            dxx = px[u][pt_of_cand] - self.fx[f]
+            dyy = py[u][pt_of_cand] - self.fy[f]
+            d2 = dxx * dxx + dyy * dyy
+            # per-point (d2 asc, id asc) ranking of the candidates
+            order = np.lexsort((f, d2, pt_of_cand))
+            pt_s, f_s, d2_s = pt_of_cand[order], f[order], d2[order]
+            cnt = np.bincount(pt_of_cand, minlength=len(u))
+            seg_start = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(cnt)[:-1]])
+            kth_d2 = np.full(len(u), np.inf)
+            enough = cnt >= kk
+            kth_d2[enough] = d2_s[seg_start[enough] + kk - 1]
+            # boundary bound: same 4 complement slabs as NearestFeature
+            gx1b = gr["x0"] + g * gr["csx"]
+            gy1b = gr["y0"] + g * gr["csy"]
+            rl = gr["x0"] + x0 * gr["csx"]
+            rr = gr["x0"] + (x1 + 1) * gr["csx"]
+            rb = gr["y0"] + y0 * gr["csy"]
+            rt = gr["y0"] + (y1 + 1) * gr["csy"]
+            pux, puy = px[u], py[u]
+
+            def slab_d2(sx0, sx1, sy0, sy1, absent):
+                dx = np.maximum(np.maximum(sx0 - pux, pux - sx1), 0.0)
+                dy = np.maximum(np.maximum(sy0 - puy, puy - sy1), 0.0)
+                return np.where(absent, np.inf, dx * dx + dy * dy)
+
+            out_d2 = np.minimum.reduce([
+                slab_d2(gr["x0"], rl, gr["y0"], gy1b, x0 == 0),
+                slab_d2(rr, gx1b, gr["y0"], gy1b, x1 == g - 1),
+                slab_d2(rl, rr, gr["y0"], rb, y0 == 0),
+                slab_d2(rl, rr, rt, gy1b, y1 == g - 1),
+            ])
+            done = enough & (kth_d2 < out_d2)
+            if done.any():
+                take = done[pt_s]  # first kk per done point, rank < kk
+                rank = np.arange(len(pt_s), dtype=np.int64) \
+                    - seg_start[pt_s]
+                take &= rank < kk
+                out[u[pt_s[take & (rank == 0)]], :] = \
+                    f_s[take].reshape(-1, kk)
+            u = u[~done]
+            if len(u) and reg >= g:
+                out[u] = self._topk_brute(px[u], py[u])
+                break
+            reg *= 2
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].combine_chunks().to_numpy()
         lat = batch["lat"].combine_chunks().to_numpy()
         n = len(lon)
+        if self.grid is not None:
+            idx = np.empty((n, self.k), np.int64)
+            for s in range(0, n, 1024):   # cache-resident gather slabs
+                e = min(s + 1024, n)
+                idx[s:e] = self._topk_grid(lon[s:e], lat[s:e])
+        else:
+            idx = self._topk_brute(lon, lat)
         votes = np.zeros((n, len(self.classes)), np.int64)
-        for s in range(0, n, 1024):
-            e = min(s + 1024, n)
-            d2 = (lon[s:e, None] - self.fx[None, :]) ** 2 \
-                + (lat[s:e, None] - self.fy[None, :]) ** 2
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :self.k]
-            rows = np.repeat(np.arange(s, e), self.k)
-            np.add.at(votes, (rows, self.codes[idx].ravel()), 1)
+        rows = np.repeat(np.arange(n), self.k)
+        np.add.at(votes, (rows, self.codes[idx].ravel()), 1)
         win = np.argmax(votes, axis=1)
         return pa.table({
             "image_id": batch["image_id"],
@@ -1992,9 +2123,12 @@ class KnnVoteClassify:
 def knn_classify(images: ray.data.Dataset, feats_ref: ray.ObjectRef,
                  k: int = KNN_CLASSIFY_K,
                  concurrency: int | tuple[int, int] | None = None,
-                 batch_size: int = 2048) -> ray.data.Dataset:
+                 batch_size: int = 4096) -> ray.data.Dataset:
     """(image_id, label, n_votes): majority-vote kNN classification of
-    geotagged images against a broadcast labelled feature layer."""
+    geotagged images against a broadcast labelled feature layer.
+    batch_size 4096 measured fastest at sf0.1 (2048: 10.9 s, 4096:
+    9.4 s, 8192: 12.6 s — same cache sweet spot as the grid-kNN
+    flagship)."""
     from ..util import default_pool
     pool = concurrency or default_pool()
     pts = images.repartition(_fanout(pool)) \
