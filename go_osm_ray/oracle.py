@@ -1557,6 +1557,28 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # ln(N/df) mean — the df small side is a distributed combiner + one
     # broadcast on the engine side
     split_toks = "list_filter(string_split(lower(text), ' '), _w -> _w <> '')"
+    # bigram PMI collocations: unnest-window mirror of the bigram-hash
+    # exchange; identical (n * total) / (n1 * n2) term order before ln
+    q["collocations"] = f"""
+        WITH toks AS (SELECT {split_toks} AS tk FROM documents),
+        bg AS (SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+               FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        uc AS (SELECT w, CAST(count(*) AS BIGINT) AS un
+               FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        tot AS (SELECT CAST(SUM(un) AS DOUBLE) AS t FROM uc),
+        p AS (SELECT bc.w1, bc.w2, bc.n,
+                     ln((CAST(bc.n AS DOUBLE) * tot.t)
+                        / (CAST(a.un AS DOUBLE) * CAST(b.un AS DOUBLE)))
+                         AS pmi_raw
+              FROM bc JOIN uc a ON a.w = bc.w1
+                      JOIN uc b ON b.w = bc.w2, tot)
+        SELECT CAST(row_number() OVER (ORDER BY pmi_raw DESC, w1, w2)
+                    AS BIGINT) AS rank,
+               w1, w2, n, {sql_round('pmi_raw', 6)} AS pmi
+        FROM p ORDER BY pmi_raw DESC, w1, w2 LIMIT 20"""
+
     # grouped exact heavy hitters: row_number window mirror of the
     # token-hash-exact counts + per-partition top-k (same tiebreak)
     q["lang_top_tokens"] = f"""

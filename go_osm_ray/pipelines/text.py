@@ -1501,3 +1501,107 @@ def lang_top_tokens(docs: ray.data.Dataset, k: int = 10,
         .map_groups(lambda t: local_topk(t.drop_columns(["part"])),
                     batch_format="pyarrow")
     return single_merge(parts, merge)
+
+
+def collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5,
+                 num_parts: int = 32, nd: int = 6) -> ray.data.Dataset:
+    """(rank, w1, w2, n, pmi): the top-``k`` adjacent-token bigram
+    collocations by pointwise mutual information (min support
+    ``min_count``) — the corpus phrase-mining pass (tokenizer vocab
+    candidates, stopword-glue detection).
+
+    Scale plan: blocks collapse to bigram partial counts and ONE
+    bigram-hash exchange + ``min_count`` filter makes the candidate
+    set exact and small; per-block unigram partials union into the
+    same single merge task, which therefore holds candidate bigrams +
+    the (word, n) vocabulary — fine up to vocabulary scale, and past
+    it the unigram side takes the tfidf path (top-V cap via
+    cms_heavy_hitters, or w-hash co-partition attach like
+    way_triangles' degree passes). The merge never holds the corpus,
+    only counts."""
+    from ..relational import hash_part, single_merge
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        m = len(toks)
+        if m == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        adj = doc_of[:-1] == doc_of[1:] if m > 1 \
+            else np.empty(0, bool)
+        w1 = toks[:-1][adj]
+        w2 = toks[1:][adj]
+        g = pa.table({"w1": pa.array(w1.astype(str), type=pa.string()),
+                      "w2": pa.array(w2.astype(str), type=pa.string())}) \
+            .group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        h = _crc32_map(g["w1"].combine_chunks()
+                       .to_numpy(zero_copy_only=False)) \
+            ^ (_crc32_map(g["w2"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+               * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({
+            "w1": g["w1"], "w2": g["w2"],
+            "pn": pc.cast(g["count_all"], pa.int64()),
+            "part": pa.array(hash_part(h.astype(np.int64), num_parts)),
+        })
+
+    def local_count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["w1", "w2"]).aggregate([("pn", "sum")])
+        g = g.rename_columns(["w1", "w2", "n"])
+        return g.filter(pc.greater_equal(g["n"], min_count))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        if not len(toks):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "un": pa.array([], pa.int64())})
+        u, n = np.unique(toks.astype(str), return_counts=True)
+        return pa.table({"w": pa.array(u, type=pa.string()),
+                         "un": pa.array(n.astype(np.int64))})
+
+    bigrams = docs.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096) \
+        .groupby("part") \
+        .map_groups(lambda t: local_count(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "kind", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow")
+
+    unis = docs.select_columns(["text"]) \
+        .map_batches(uni_partial, batch_format="pyarrow", batch_size=4096) \
+        .map_batches(lambda t: pa.table({
+            "w1": t["w"], "w2": t["w"], "n": t["un"],
+            "kind": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        kind = t["kind"].combine_chunks().to_numpy()
+        uni = t.filter(pa.array(kind == 1))
+        ug = uni.group_by("w1").aggregate([("n", "sum")])
+        words = ug["w1"].combine_chunks().to_numpy(zero_copy_only=False)
+        un = ug["n_sum"].combine_chunks().to_numpy()
+        worder = np.argsort(words)
+        words, un = words[worder], un[worder]
+        total = float(un.sum())
+        bg = t.filter(pa.array(kind == 0))
+        w1 = bg["w1"].combine_chunks().to_numpy(zero_copy_only=False)
+        w2 = bg["w2"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = bg["n"].combine_chunks().to_numpy()
+        n1 = un[np.searchsorted(words, w1)].astype(np.float64)
+        n2 = un[np.searchsorted(words, w2)].astype(np.float64)
+        pmi = np.log(n.astype(np.float64) * total / (n1 * n2))
+        top = np.lexsort((w2, w1, -pmi))[:k]
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "w1": pa.array(w1[top].astype(str), type=pa.string()),
+            "w2": pa.array(w2[top].astype(str), type=pa.string()),
+            "n": pa.array(n[top]),
+            "pmi": pa.array(np.asarray(round_half_away(pmi[top], nd))),
+        })
+
+    return single_merge(bigrams.union(unis), merge)
