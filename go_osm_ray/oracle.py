@@ -1278,6 +1278,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY pa_key, pb_key
         ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
 
+    # per-user event-type trigrams: double-lead window mirror of the
+    # user-hash shifted-view kernel (same (ts, event_id) stream order)
+    q["events_trigrams"] = """
+        WITH s AS (SELECT event_type AS t1,
+                          lead(event_type, 1) OVER w AS t2,
+                          lead(event_type, 2) OVER w AS t3
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3 ORDER BY t1, t2, t3"""
+
     # per-type daily volume z-score: population stddev window mirror of
     # the bounded (type, day) combiner + vectorized moment merge
     q["events_anomaly"] = f"""

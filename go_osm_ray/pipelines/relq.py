@@ -1421,3 +1421,58 @@ def part_skyline(part: ray.data.Dataset) -> ray.data.Dataset:
         part.select_columns(["p_partkey", "p_retailprice", "p_size"])
         .map_batches(kernel, batch_format="pyarrow", batch_size=65536),
         kernel)
+
+
+def events_trigrams(events: ray.data.Dataset,
+                    num_parts: int = 16) -> ray.data.Dataset:
+    """(t1, t2, t3, n): counts of every consecutive event-type TRIGRAM
+    within each user's time-ordered stream — sequential pattern mining,
+    the n=3 form of the funnel/transition analyses.
+
+    Scale plan: ONE user-hash exchange co-locates each stream; the
+    per-partition kernel sorts (user, ts, event_id) once and reads the
+    three shifted views (no per-user loop); trigram keys live in the
+    bounded types^3 space, so per-partition partials merge in one
+    task."""
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        types, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        if len(u) < 3:
+            return pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                              ("t3", pa.string()),
+                              ("pn", pa.int64())]).empty_table()
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        k = len(types)
+        key = (c[:-2] * k + c[1:-1]) * k + c[2:]
+        key = key[same]
+        kv, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "t1": pa.array(types[kv // (k * k)].astype(str),
+                           type=pa.string()),
+            "t2": pa.array(types[(kv // k) % k].astype(str),
+                           type=pa.string()),
+            "t3": pa.array(types[kv % k].astype(str), type=pa.string()),
+            "pn": pa.array(n.astype(np.int64)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["t1", "t2", "t3"]).aggregate([("pn", "sum")])
+        g = g.rename_columns(["t1", "t2", "t3", "n"])
+        return g.sort_by([("t1", "ascending"), ("t2", "ascending"),
+                          ("t3", "ascending")])
+
+    return single_merge(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow"), merge)
