@@ -467,6 +467,31 @@ def build(sf: float = 0.01) -> dict[str, str]:
         LEFT JOIN c so ON so.gx = a.gx AND so.gy = a.gy + 1
         LEFT JOIN c no ON no.gx = a.gx AND no.gy = a.gy - 1"""
 
+    # D8 flow direction: 8-way LEFT JOIN dual of the direction-slot
+    # scatter; all-integer drops, first-max CASE = smallest code
+    _d8 = [("e", 1, 0), ("se", 1, 1), ("s", 0, 1), ("sw", -1, 1),
+           ("w", -1, 0), ("nw", -1, -1), ("n2", 0, -1), ("ne", 1, -1)]
+    _d8_joins = "\n".join(
+        f"        LEFT JOIN c {al} ON {al}.gx = a.gx + {dx} "
+        f"AND {al}.gy = a.gy + {dy}" for al, dx, dy in _d8)
+    _d8_drops = ", ".join(
+        f"a.n - COALESCE({al}.n, 0) AS d{i}"
+        for i, (al, dx, dy) in enumerate(_d8))
+    _d8_best = "GREATEST(" + ", ".join(f"d{i}" for i in range(8)) + ")"
+    _d8_case = " ".join(f"WHEN d{i} = best THEN {i}" for i in range(8))
+    q["raster_flow_dir"] = f"""
+        WITH {_pts_cte(images)}, {_g16},
+        j AS (SELECT a.gx, a.gy, a.n, {_d8_drops}
+        FROM c a
+{_d8_joins}),
+        b AS (SELECT gx, gy, n, d0, d1, d2, d3, d4, d5, d6, d7,
+                     {_d8_best} AS best FROM j)
+        SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+               gx % 64 AS px, gy % 64 AS py, n,
+               CAST(CASE WHEN best <= 0 THEN -1 {_d8_case} END
+                    AS BIGINT) AS flow_dir
+        FROM b"""
+
     # 3x3 binomial smoothing: band-join dual of the engine's weighted
     # stencil scatter; w = (2-|dx|)*(2-|dy|), all-integer, exact
     q["raster_smooth"] = f"""

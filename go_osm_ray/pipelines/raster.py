@@ -460,3 +460,80 @@ def raster_hist_eq(pts: ray.data.Dataset, z: int = 10, grid: int = 64,
             "eq", pa.array(ee[np.searchsorted(vv, n)]))
 
     return raster.map_batches(remap, batch_format="pyarrow")
+
+
+D8_OFFSETS = ((1, 0), (1, 1), (0, 1), (-1, 1),
+              (-1, 0), (-1, -1), (0, -1), (1, -1))
+
+
+def raster_flow_dir(raster: ray.data.Dataset, z: int, grid: int,
+                    num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(tile_x, tile_y, px, py, n, flow_dir): D8 steepest-descent flow
+    direction over the sparse density raster — for each occupied pixel,
+    the 8-neighbour direction with the largest positive drop
+    n(self) - n(nbr) (absent neighbours count 0; ties pick the smallest
+    direction code E=0, SE=1, ... NE=7; no positive drop = -1, a pit) —
+    the hydrology / drainage stencil of raster GIS.
+
+    Physical plan: the raster_gradient message-passing shape widened to
+    8 directions — each occupied pixel scatters its value into the
+    direction slot of each neighbour's accumulator row, ONE bounded
+    pixel-hash exchange sums slots, and the merge computes the argmax
+    in all-integer math (the DuckDB 8-way LEFT JOIN mirror is exact)."""
+    kbits = int(np.log2(grid))
+    shift = np.int64(z + kbits + 1)
+    nglob = np.int64(1 << (z + kbits))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        gx = (t["tile_x"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy()
+        gy = (t["tile_y"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        zero = np.zeros_like(n)
+        cols = {f"v{d}": [zero] for d in range(8)}
+        own = [n]
+        gxa, gya = [gx], [gy]
+        for d, (dx, dy) in enumerate(D8_OFFSETS):
+            # this pixel is the d-direction neighbour of (gx-dx, gy-dy)
+            tx, ty = gx - dx, gy - dy
+            m = (tx >= 0) & (tx < nglob) & (ty >= 0) & (ty < nglob)
+            cnt = int(m.sum())
+            gxa.append(tx[m])
+            gya.append(ty[m])
+            own.append(np.zeros(cnt, n.dtype))
+            for d2 in range(8):
+                cols[f"v{d2}"].append(n[m] if d2 == d
+                                      else np.zeros(cnt, n.dtype))
+        key = (np.concatenate(gxa) << shift) | np.concatenate(gya)
+        out = {"key": pa.array(key),
+               "own": pa.array(np.concatenate(own))}
+        for d in range(8):
+            out[f"v{d}"] = pa.array(np.concatenate(cols[f"v{d}"]))
+        out["part"] = pa.array(hash_part(key, num_parts))
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        aggs = [("own", "sum")] + [(f"v{d}", "sum") for d in range(8)]
+        g = t.drop_columns(["part"]).group_by("key").aggregate(aggs)
+        own = g["own_sum"].combine_chunks().to_numpy()
+        occ = own > 0
+        key = g["key"].combine_chunks().to_numpy()[occ]
+        n = own[occ]
+        drops = np.stack([n - g[f"v{d}_sum"].combine_chunks()
+                          .to_numpy()[occ] for d in range(8)])
+        best = drops.max(axis=0)
+        # argmax over axis 0 returns the FIRST (smallest code) maximum
+        fdir = np.where(best > 0, np.argmax(drops, axis=0), -1)
+        gx, gy = key >> shift, key & np.int64((1 << int(shift)) - 1)
+        return pa.table({
+            "tile_x": pa.array(gx >> np.int64(kbits)),
+            "tile_y": pa.array(gy >> np.int64(kbits)),
+            "px": pa.array(gx & np.int64(grid - 1)),
+            "py": pa.array(gy & np.int64(grid - 1)),
+            "n": pa.array(n),
+            "flow_dir": pa.array(fdir.astype(np.int64)),
+        })
+
+    return raster.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")
