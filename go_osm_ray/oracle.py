@@ -229,6 +229,35 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('ln', 3)} AS len_m3
         FROM agg WHERE resolved = np"""
 
+    # street-grid orientation histogram: lead-window segment mirror of
+    # the way-hash adjacent-pair kernel; identical bearing term order
+    # (atan2(dlon * cos(mid_lat), dlat), fmod-folded to [0, 180))
+    q["way_bearings"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        p AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+              FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, x, y, lead(x) OVER w AS x2,
+                       lead(y) OVER w AS y2
+                FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        th AS (SELECT degrees(atan2((x2 - x)
+                                    * cos(radians((y + y2) / 2.0)),
+                                    y2 - y)) AS theta
+               FROM seg WHERE x2 IS NOT NULL),
+        bn AS (SELECT CAST(floor(fmod(fmod(theta, 180.0) + 180.0, 180.0)
+                                 / (180.0 / 16)) AS BIGINT) AS bin
+               FROM th),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+              FROM bn GROUP BY bin),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+        allb AS (SELECT unnest(range(16)) AS bin)
+        SELECT allb.bin, COALESCE(c.n, 0) AS n,
+               {sql_round('CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t', 6)}
+                   AS share
+        FROM allb LEFT JOIN c ON c.bin = allb.bin, tot
+        ORDER BY allb.bin"""
+
     # connected components of ways joined by shared node refs; label
     # closure via recursive reachability (components are small by
     # construction, so the closure is cheap — embed_neardup_keep pattern)

@@ -1450,3 +1450,63 @@ def way_triangles(ways: ray.data.Dataset, num_parts: int = 16,
         })
 
     return single_merge(partials, merge)
+
+
+def way_bearings(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                 bins: int = 16, nd: int = 6,
+                 num_parts: int = 16) -> ray.data.Dataset:
+    """(bin, n, share): the street-grid ORIENTATION histogram — every
+    way segment's undirected equirectangular bearing folded to
+    [0, 180) and bucketed into ``bins`` equal sectors (the popular
+    city-grid-entropy analysis over OSM road networks).
+
+    Scale plan: refs resolve to coordinates via the broadcast node
+    lookup (join_refs_to_coords), ONE way-hash exchange co-locates each
+    way's ordered points, the per-partition kernel pairs adjacent
+    positions vectorized and bincounts into the bounded ``bins`` space;
+    partials merge in one task. Bearing math runs the exact SQL term
+    order (atan2(dlon * cos(mid_lat), dlat), fmod-folded) so bins
+    agree bit-exactly."""
+    from ..relational import hash_part, single_merge
+
+    pts = join_refs_to_coords(ways, nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        same = w[:-1] == w[1:] if len(w) > 1 else np.empty(0, bool)
+        x1, x2 = lon[:-1][same], lon[1:][same]
+        y1, y2 = lat[:-1][same], lat[1:][same]
+        dx = (x2 - x1) * np.cos(np.radians((y1 + y2) / 2.0))
+        theta = np.degrees(np.arctan2(dx, y2 - y1))
+        folded = np.fmod(np.fmod(theta, 180.0) + 180.0, 180.0)
+        b = np.floor(folded / (180.0 / bins)).astype(np.int64)
+        cnt = np.bincount(np.clip(b, 0, bins - 1), minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins, dtype=np.int64)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by("bin").aggregate([("pn", "sum")])
+        b = g["bin"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        order = np.argsort(b)
+        b, n = b[order], n[order]
+        total = float(n.sum())
+        share = round_half_away(n.astype(np.float64) / total, nd)
+        return pa.table({"bin": pa.array(b), "n": pa.array(n),
+                         "share": pa.array(np.asarray(share))})
+
+    parts = pts.map_batches(pre, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return single_merge(parts, merge)
