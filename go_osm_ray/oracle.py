@@ -1624,6 +1624,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # ln(N/df) mean — the df small side is a distributed combiner + one
     # broadcast on the engine side
     split_toks = "list_filter(string_split(lower(text), ' '), _w -> _w <> '')"
+    # corpus frequency spectrum: count-of-counts mirror of the
+    # word-hash exact counts (freq 0 = vocab size, -1 = token total)
+    q["vocab_stats"] = f"""
+        WITH toks AS (SELECT unnest({split_toks}) AS w FROM documents),
+        wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        spec AS (SELECT n AS freq, CAST(count(*) AS BIGINT) AS n_words
+                 FROM wc WHERE n BETWEEN 1 AND 10 GROUP BY n),
+        fr AS (SELECT unnest(range(1, 11)) AS freq)
+        SELECT CAST(fr.freq AS BIGINT) AS freq,
+               COALESCE(spec.n_words, 0) AS n_words
+        FROM fr LEFT JOIN spec ON spec.freq = fr.freq
+        UNION ALL SELECT 0, CAST(count(*) AS BIGINT) FROM wc
+        UNION ALL SELECT -1, CAST(SUM(n) AS BIGINT) FROM wc
+        ORDER BY freq"""
+
     # bigram PMI collocations: unnest-window mirror of the bigram-hash
     # exchange; identical (n * total) / (n1 * n2) term order before ln
     q["collocations"] = f"""

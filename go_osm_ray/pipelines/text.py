@@ -1605,3 +1605,54 @@ def collocations(docs: ray.data.Dataset, k: int = 20, min_count: int = 5,
         })
 
     return single_merge(bigrams.union(unis), merge)
+
+
+def vocab_stats(docs: ray.data.Dataset, max_freq: int = 10,
+                num_parts: int = 32) -> ray.data.Dataset:
+    """(freq, n_words): the corpus FREQUENCY SPECTRUM — how many
+    distinct words occur exactly ``freq`` times (freq 1..max_freq; the
+    hapax row is freq=1) plus the totals rows freq=0 -> vocabulary size
+    and freq=-1 -> total token count. The Good-Turing / Heaps-law
+    audit run before smoothing or vocab sizing.
+
+    Scale plan: blocks collapse to (word, count) partials, ONE
+    word-hash exchange makes per-word counts exact, each partition
+    collapses to its bounded count-of-counts histogram, and the
+    (max_freq + 2)-row partials merge in one task — the merge never
+    sees words."""
+    from ..relational import hash_part, single_merge
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        if not len(toks):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        u, n = np.unique(toks.astype(str), return_counts=True)
+        h = _crc32_map(u.astype(object))
+        return pa.table({"w": pa.array(u, type=pa.string()),
+                         "pn": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(
+                             h.astype(np.int64), num_parts))})
+
+    def spectrum(t: pa.Table) -> pa.Table:
+        g = t.group_by("w").aggregate([("pn", "sum")])
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        freq = np.arange(1, max_freq + 1, dtype=np.int64)
+        spec = np.array([(n == f).sum() for f in freq], np.int64)
+        return pa.table({
+            "freq": pa.array(np.r_[freq, [0, -1]]),
+            "pn": pa.array(np.r_[spec, [len(n), int(n.sum())]]),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("freq").aggregate([("pn", "sum")])
+        g = g.rename_columns(["freq", "n_words"])
+        return g.sort_by([("freq", "ascending")])
+
+    return single_merge(
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("part")
+        .map_groups(lambda t: spectrum(t.drop_columns(["part"])),
+                    batch_format="pyarrow"), merge)
