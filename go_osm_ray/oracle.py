@@ -229,6 +229,42 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('ln', 3)} AS len_m3
         FROM agg WHERE resolved = np"""
 
+    # per-way proper self-intersections: segment self-join mirror of
+    # the clique-pair orientation kernel (identical ccw expression tree)
+    q["way_self_intersect"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        p AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+              FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        sg AS (SELECT way_id, seq, x AS ax, y AS ay,
+                      lead(x) OVER w AS bx, lead(y) OVER w AS by2
+               FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        segs AS (SELECT * FROM sg WHERE bx IS NOT NULL),
+        pr AS (SELECT a.way_id,
+                      (a.bx - a.ax) * (b.ay - a.ay)
+                        - (a.by2 - a.ay) * (b.ax - a.ax) AS d1,
+                      (a.bx - a.ax) * (b.by2 - a.ay)
+                        - (a.by2 - a.ay) * (b.bx - a.ax) AS d2,
+                      (b.bx - b.ax) * (a.ay - b.ay)
+                        - (b.by2 - b.ay) * (a.ax - b.ax) AS d3,
+                      (b.bx - b.ax) * (a.by2 - b.ay)
+                        - (b.by2 - b.ay) * (a.bx - b.ax) AS d4
+               FROM segs a JOIN segs b
+                 ON a.way_id = b.way_id AND a.seq < b.seq),
+        cr AS (SELECT way_id,
+                      CAST(SUM(CASE WHEN d1 * d2 < 0 AND d3 * d4 < 0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS nc
+               FROM pr GROUP BY way_id),
+        ns AS (SELECT way_id, CAST(count(*) AS BIGINT) AS n
+               FROM segs GROUP BY way_id),
+        base AS (SELECT DISTINCT way_id FROM p)
+        SELECT base.way_id, COALESCE(ns.n, 0) AS n_segments,
+               COALESCE(cr.nc, 0) AS n_crossings,
+               COALESCE(cr.nc, 0) = 0 AS simple
+        FROM base LEFT JOIN ns USING (way_id)
+                  LEFT JOIN cr USING (way_id)"""
+
     # street-grid orientation histogram: lead-window segment mirror of
     # the way-hash adjacent-pair kernel; identical bearing term order
     # (atan2(dlon * cos(mid_lat), dlat), fmod-folded to [0, 180))

@@ -1510,3 +1510,78 @@ def way_bearings(ways: ray.data.Dataset, nodes: ray.data.Dataset,
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow")
     return single_merge(parts, merge)
+
+
+def way_self_intersect(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                       num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, n_segments, n_crossings, simple): per-way PROPER
+    self-intersection count — two segments of the same way cross iff
+    the endpoints of each strictly straddle the other's supporting line
+    (shared endpoints / collinear touches are NOT proper and are
+    excluded by the strict tests) — the polygon-validity audit before
+    ring assembly / area math.
+
+    Scale plan: the way_bearings shape — broadcast node lookup, ONE
+    way-hash exchange, then a per-partition vectorized kernel: all
+    segment pairs WITHIN a way via the clique trick (pair count is
+    bounded by way length squared — ways are short; a mega-way guard
+    would cap and flag), orientation tests evaluated in one batch.
+    The ccw expression tree matches the SQL mirror exactly."""
+    from ..relational import hash_part
+
+    pts = join_refs_to_coords(ways, nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        same = w[:-1] == w[1:] if len(w) > 1 else np.empty(0, bool)
+        # segment arrays (one per adjacent same-way pair)
+        sw = w[:-1][same]
+        ax, ay = lon[:-1][same], lat[:-1][same]
+        bx, by = lon[1:][same], lat[1:][same]
+        # per-way all segment pairs i < j (clique trick over segments)
+        starts = np.flatnonzero(np.r_[True, sw[1:] != sw[:-1]]) \
+            if len(sw) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(sw)]) if len(sw) \
+            else np.empty(0, np.int64)
+        posi = np.arange(len(sw), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (posi - np.repeat(starts, counts)) - 1
+        i1 = np.repeat(posi, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        i2 = i1 + 1 + (np.arange(rep.sum(), dtype=np.int64) - base)
+
+        def ccw(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+        d1 = ccw(ax[i1], ay[i1], bx[i1], by[i1], ax[i2], ay[i2])
+        d2 = ccw(ax[i1], ay[i1], bx[i1], by[i1], bx[i2], by[i2])
+        d3 = ccw(ax[i2], ay[i2], bx[i2], by[i2], ax[i1], ay[i1])
+        d4 = ccw(ax[i2], ay[i2], bx[i2], by[i2], bx[i1], by[i1])
+        cross = (d1 * d2 < 0) & (d3 * d4 < 0)
+        wu = np.unique(w)
+        nseg = np.zeros(len(wu), np.int64)
+        if len(sw):
+            np.add.at(nseg, np.searchsorted(wu, sw), 1)
+        ncross = np.zeros(len(wu), np.int64)
+        if len(i1):
+            pair_way = np.searchsorted(wu, sw[i1])
+            np.add.at(ncross, pair_way, cross.astype(np.int64))
+        return pa.table({
+            "way_id": pa.array(wu),
+            "n_segments": pa.array(nseg),
+            "n_crossings": pa.array(ncross),
+            "simple": pa.array(ncross == 0),
+        })
+
+    return pts.map_batches(pre, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
