@@ -689,3 +689,57 @@ def caption_align(images: ray.data.Dataset, nd: int = 6) -> ray.data.Dataset:
         images.select_columns(["fmt", "caption", "w", "h"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+def _entropy_from_counts(cnt: np.ndarray) -> float:
+    """Shannon entropy (nats) of a bucket-count vector — the shared
+    numeric definition (bucket-ascending nonzero p*log(p) sum over
+    exact integer counts; both gate sides call this)."""
+    nz = cnt[cnt > 0].astype(np.float64)
+    p = nz / float(cnt.sum())
+    return float(-(p * np.log(p)).sum())
+
+
+class ImageEntropy:
+    """Actor-pool stage: decode each image and emit the Shannon entropy
+    of its 16-bucket (px >> 4) luma histogram — the flat/blank-image
+    detector of an image-curation funnel (near-zero entropy = solid
+    fills, synthetic gradients, failed captures). Error-as-data like
+    DecodeStats."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        from ..util import round_half_away
+        ok, ent, used = [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                cnt = np.bincount((px.ravel() >> 4), minlength=16)
+                ok.append(True)
+                ent.append(float(round_half_away(
+                    _entropy_from_counts(cnt), 6)))
+                used.append(int((cnt > 0).sum()))
+            except Exception:
+                ok.append(False)
+                ent.append(0.0)
+                used.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "entropy6": pa.array(ent, pa.float64()),
+            "n_buckets": pa.array(used, pa.int64()),
+        })
+
+
+def image_entropy(images: ray.data.Dataset, concurrency=None,
+                  batch_size: int = 1024) -> ray.data.Dataset:
+    from ..util import default_pool
+    pool = concurrency or default_pool(24)
+    return images.map_batches(
+        ImageEntropy, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=pool)

@@ -1302,6 +1302,40 @@ def _src_js_table(sf: float, n_buckets: int = 1024, nd: int = 6) -> pa.Table:
     })
 
 
+def _image_entropy_table(sf: float) -> pa.Table:
+    """Scalar reference for image_entropy: per-row decode loop + the
+    shared entropy definition over exact integer bucket counts."""
+    import math
+
+    from . import codecs
+    from .pipelines.images import _entropy_from_counts
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "entropy6": [], "n_buckets": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f)
+            cnt = np.bincount((px.ravel() >> 4), minlength=16)
+            e = _entropy_from_counts(cnt)
+            out["ok"].append(True)
+            out["entropy6"].append(
+                math.floor(e * 1e6 + 0.5) / 1e6 if e >= 0
+                else math.ceil(e * 1e6 - 0.5) / 1e6)
+            out["n_buckets"].append(int((cnt > 0).sum()))
+        except Exception:
+            out["ok"].append(False)
+            out["entropy6"].append(0.0)
+            out["n_buckets"].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "entropy6": pa.array(out["entropy6"], pa.float64()),
+        "n_buckets": pa.array(out["n_buckets"], pa.int64()),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1332,6 +1366,7 @@ _BUILDERS = {
     "dsir_sample": _dsir_table,
     "embed_outliers": _embed_outliers_table,
     "src_js_divergence": _src_js_table,
+    "image_entropy": _image_entropy_table,
 }
 
 
