@@ -1368,6 +1368,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY pa_key, pb_key
         ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
 
+    # exact 28-day rolling distinct users: range-join mirror of the
+    # interval-union difference-array kernel
+    q["events_mau"] = """
+        WITH days AS (SELECT DISTINCT user_id,
+                             date_trunc('day', ts) AS d FROM events),
+        cal AS (SELECT DISTINCT d FROM days)
+        SELECT c.d AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+        FROM cal c JOIN days u
+          ON u.d BETWEEN c.d - INTERVAL 27 DAY AND c.d
+        GROUP BY c.d"""
+
     # per-user event-type trigrams: double-lead window mirror of the
     # user-hash shifted-view kernel (same (ts, event_id) stream order)
     q["events_trigrams"] = """

@@ -1476,3 +1476,87 @@ def events_trigrams(events: ray.data.Dataset,
         .groupby("part")
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow"), merge)
+
+
+def events_mau(events: ray.data.Dataset, window_days: int = 28,
+               num_parts: int = 16) -> ray.data.Dataset:
+    """(day, mau): EXACT rolling ``window_days``-day active users for
+    every day that has events — the MAU/WAU dashboard metric, computed
+    without any per-day distinct scan.
+
+    Scale plan: blocks collapse to DISTINCT (user, day) pairs; ONE
+    user-hash exchange co-locates each user's day set, where the
+    per-partition kernel unions each user's coverage intervals
+    [day, day + w - 1] (sorted days; gaps > w-1 split intervals — a
+    user contributes +1/-1 difference marks per interval, NOT per day);
+    the bounded (day, delta) difference partials merge in one task
+    whose cumulative sum over the day span IS the rolling distinct
+    count. Exchange volume is bounded by distinct pairs; the merge by
+    the calendar span."""
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        day = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        return pa.table({"u": pa.array(u[first]), "d": pa.array(d[first]),
+                         "part": pa.array(hash_part(u[first], num_parts))})
+
+    w = window_days
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["u"].combine_chunks().to_numpy()
+        day = t["d"].combine_chunks().to_numpy()
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[first], d[first]
+        # interval starts: new user OR gap > w-1 since previous day
+        new_iv = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > w - 1)]
+        iv_start = d[new_iv]
+        # interval end = last day of the run + w - 1
+        iv_last = d[np.r_[new_iv[1:], True]]
+        # difference marks + distinct active-day markers
+        marks_day = np.concatenate([iv_start, iv_last + w])
+        marks_delta = np.concatenate([np.ones(len(iv_start), np.int64),
+                                      -np.ones(len(iv_last), np.int64)])
+        g = pa.table({"d": pa.array(marks_day),
+                      "delta": pa.array(marks_delta)}) \
+            .group_by("d").aggregate([("delta", "sum")])
+        active = np.unique(d)
+        return pa.table({
+            "d": pa.array(np.concatenate(
+                [g["d"].combine_chunks().to_numpy(), active])),
+            "delta": pa.array(np.concatenate(
+                [g["delta_sum"].combine_chunks().to_numpy(),
+                 np.zeros(len(active), np.int64)])),
+            "act": pa.array(np.concatenate(
+                [np.zeros(len(g), np.int64),
+                 np.ones(len(active), np.int64)])),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("d").aggregate([("delta", "sum"), ("act", "sum")])
+        d = g["d"].combine_chunks().to_numpy()
+        delta = g["delta_sum"].combine_chunks().to_numpy()
+        act = g["act_sum"].combine_chunks().to_numpy()
+        order = np.argsort(d)
+        d, delta, act = d[order], delta[order], act[order]
+        mau = np.cumsum(delta)
+        keep = act > 0
+        # window is TRAILING: a user's interval [a, a+w-1] covers day x
+        # iff some active day a is in [x-w+1, x], so the running sum at
+        # an active day is exactly the w-day rolling distinct count
+        return pa.table({
+            "day": pa.array(d[keep].astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "mau": pa.array(mau[keep]),
+        })
+
+    return single_merge(
+        events.select_columns(["user_id", "ts"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow"), merge)

@@ -154,3 +154,25 @@ def test_cell_compact_full_block(ray_session):
     assert by_res[7][0]["n_leaves"] == 16
     assert len(by_res.get(9, [])) == 1          # the stray
     assert 8 not in by_res
+
+
+def test_events_mau_interval_split(ray_session):
+    """Users with activity gaps > window must SPLIT coverage intervals;
+    the 30-day synthetic fixture never exercises that branch."""
+    from go_osm_ray.pipelines.relq import events_mau
+    day = np.datetime64("2020-01-01", "us")
+    D = np.timedelta64(1, "D").astype("timedelta64[us]")
+    # user 1 active day 0 and day 60 (gap 60 > 27 -> split);
+    # user 2 active day 0 and day 20 (gap 20 -> merged interval)
+    rows = [(1, 0), (1, 60), (2, 0), (2, 20)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([day + r[1] * D for r in rows]),
+    })
+    out = {r["day"].strftime("%j"): r["mau"]
+           for r in events_mau(ray.data.from_arrow(t), window_days=28,
+                               num_parts=3).take_all()}
+    # active days: 0 (both users), 20 (u2), 60 (u1 only)
+    assert out["001"] == 2          # day 0: both
+    assert out["021"] == 2          # day 20: u1 (day0 in window), u2
+    assert out["061"] == 1          # day 60: only u1's second burst
