@@ -1368,6 +1368,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY pa_key, pb_key
         ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
 
+    # exact distributed selection: quantile_disc is the same
+    # ceil(n*p)-1 order statistic the two-phase histogram picks
+    q["exact_quantiles"] = """
+        SELECT 0.5 AS p, quantile_disc(l_extendedprice, 0.5) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        UNION ALL
+        SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        ORDER BY p"""
+
     # exact 28-day rolling distinct users: range-join mirror of the
     # interval-union difference-array kernel
     q["events_mau"] = """

@@ -1560,3 +1560,97 @@ def events_mau(events: ray.data.Dataset, window_days: int = 28,
         .groupby("part")
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow"), merge)
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str = "l_extendedprice",
+                    ps: tuple = (0.5, 0.9, 0.99),
+                    n_buckets: int = 65536) -> ray.data.Dataset:
+    """(p, value): EXACT global quantiles (discrete, the ceil(n*p)-1
+    order statistic — DuckDB quantile_disc semantics) of a numeric
+    column WITHOUT a global sort: the classic two-phase distributed
+    selection.
+
+    Scale plan: pass 0 merges (min, max, n) partials; pass 1 builds a
+    bounded ``n_buckets`` histogram (per-block bincount partials, one
+    merge) that locates each quantile's bucket and its within-bucket
+    rank; pass 2 collects ONLY the target buckets' values (expected
+    n/n_buckets rows each) and picks the order statistics in one tiny
+    task. Three streaming passes, every exchange bounded; a degenerate
+    bucket (massive duplicate skew) would recurse the same histogram
+    inside the bucket — not needed at any tested scale, documented."""
+    from ..relational import single_merge
+
+    sub = ds.select_columns([col])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        x = t[col].combine_chunks().to_numpy()
+        if not len(x):
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": pa.array([float(x.min())]),
+                         "mx": pa.array([float(x.max())]),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    def mm_merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "mn": pa.array([float(pc.min(t["mn"]).as_py())]),
+            "mx": pa.array([float(pc.max(t["mx"]).as_py())]),
+            "n": pa.array([int(pc.sum(t["n"]).as_py())], pa.int64()),
+        })
+
+    row = single_merge(sub.map_batches(mm_partial, batch_format="pyarrow"),
+                       mm_merge).take_all()[0]
+    mn, mx, n = row["mn"], row["mx"], row["n"]
+    span = (mx - mn) or 1.0
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return np.clip(((x - mn) / span * n_buckets).astype(np.int64),
+                       0, n_buckets - 1)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[col].combine_chunks().to_numpy())
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("b").aggregate([("c", "sum")])
+        return g.rename_columns(["b", "c"])
+
+    hist = single_merge(sub.map_batches(hist_partial,
+                                        batch_format="pyarrow"),
+                        hist_merge).take_all()
+    hb = np.array([r["b"] for r in hist], np.int64)
+    hc = np.array([r["c"] for r in hist], np.int64)
+    order = np.argsort(hb)
+    hb, hc = hb[order], hc[order]
+    cum = np.cumsum(hc)
+    targets = []  # (p, bucket, within-bucket rank)
+    for p in ps:
+        k = int(np.ceil(n * p)) - 1
+        i = int(np.searchsorted(cum, k + 1))
+        before = int(cum[i - 1]) if i > 0 else 0
+        targets.append((p, int(hb[i]), k - before))
+    tgt_buckets = np.array(sorted({b for _, b, _ in targets}), np.int64)
+
+    def collect(t: pa.Table) -> pa.Table:
+        x = t[col].combine_chunks().to_numpy()
+        b = bucket_of(x)
+        keep = np.isin(b, tgt_buckets)
+        return pa.table({"b": pa.array(b[keep]),
+                         "x": pa.array(x[keep])})
+
+    def pick(t: pa.Table) -> pa.Table:
+        b = t["b"].combine_chunks().to_numpy()
+        x = t["x"].combine_chunks().to_numpy()
+        out_p, out_v = [], []
+        for p, tb, r in targets:
+            vals = np.sort(x[b == tb])
+            out_p.append(p)
+            out_v.append(float(vals[r]))
+        return pa.table({"p": pa.array(out_p, pa.float64()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    return single_merge(sub.map_batches(collect, batch_format="pyarrow"),
+                        pick)
