@@ -1368,6 +1368,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY pa_key, pb_key
         ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
 
+    # inter-event gap histogram: lag-window mirror; exact integer log2
+    # via binary-string length (no float log on either side)
+    q["events_gaps"] = """
+        WITH s AS (SELECT user_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                   FROM events),
+        g AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+              FROM s WHERE prev IS NOT NULL)
+        SELECT CAST(length(printf('%b', gap_s + 1)) - 1 AS BIGINT)
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY 1 ORDER BY 1"""
+
     # exact distributed selection: quantile_disc is the same
     # ceil(n*p)-1 order statistic the two-phase histogram picks
     q["exact_quantiles"] = """

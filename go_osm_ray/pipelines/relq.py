@@ -1654,3 +1654,46 @@ def exact_quantiles(ds: ray.data.Dataset, col: str = "l_extendedprice",
 
     return single_merge(sub.map_batches(collect, batch_format="pyarrow"),
                         pick)
+
+
+def events_gaps(events: ray.data.Dataset,
+                num_parts: int = 16) -> ray.data.Dataset:
+    """(bucket, n): log2-bucketed histogram of the seconds between a
+    user's consecutive events (bucket = floor(log2(gap_s + 1)), exact
+    integer math on both sides) — the inter-arrival distribution that
+    calibrates session timeouts and window sizes.
+
+    Scale plan: ONE user-hash exchange; per-partition sorted diff over
+    (user, ts, event_id); the bounded (<=64-bucket) histogram partials
+    merge in one task."""
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    pow2 = 2 ** np.arange(63, dtype=np.int64)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        same = u[:-1] == u[1:] if len(u) > 1 else np.empty(0, bool)
+        gap_s = (s[1:] - s[:-1])[same] // 1_000_000  # us -> whole seconds
+        # exact integer log2 via a powers-of-two table (no float log)
+        b = np.searchsorted(pow2, gap_s + 1, side="right") - 1
+        u_b, n = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u_b.astype(np.int64)),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("pn", "sum")])
+        g = g.rename_columns(["bucket", "n"])
+        return g.sort_by([("bucket", "ascending")])
+
+    return single_merge(
+        events.select_columns(["user_id", "ts", "event_id"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow"), merge)
