@@ -1880,6 +1880,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
     q["src_js_divergence"] = f"SELECT src_a, src_b, js FROM read_parquet('{exp['src_js_divergence']}')"
     q["image_entropy"] = f"SELECT image_id, ok, entropy6, n_buckets FROM read_parquet('{exp['image_entropy']}')"
+    q["way_kcore"] = f"SELECT way_id, core FROM read_parquet('{exp['way_kcore']}')"
     q["relation_multipolygons"] = (
         "SELECT relation_id, n_outer, n_inner, n_open, area6 FROM "
         f"read_parquet('{exp['relation_multipolygons']}')")

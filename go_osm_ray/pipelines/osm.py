@@ -1122,37 +1122,14 @@ def apply_diff(base: ray.data.Dataset, delta: ray.data.Dataset,
         .groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
-def way_triangles(ways: ray.data.Dataset, num_parts: int = 16,
-                  broadcast_threshold: int = 4_000_000
-                  ) -> ray.data.Dataset:
-    """(n_nodes, n_edges, n_wedges, n_triangles, clustering): global
-    triangle census of the TRUE shared-node way graph (ways joined by
-    any common node ref) — the graph-quality audit (global clustering
-    coefficient = 3*triangles/wedges) behind road-mesh density checks.
-
-    Unlike way_components/way_pagerank this NEEDS the full pairwise
-    edge set (a star reduction has no triangles among leaves), so each
-    ref group emits its k(k-1)/2 clique pairs — per-node way-sharing
-    degree is small in OSM practice (a node is shared by the handful of
-    ways meeting at an intersection); a web-scale guard would cap k and
-    count capped cliques analytically (C(k,3) inside the clique).
-
-    Physical plan (the standard distributed wedge-check algorithm,
-    MapReduce triangle counting a la Suri-Vassilvitskii):
-      1. ref-hash exchange -> per-group clique pairs (a < b), partition
-         dedup, then ONE a-hash exchange for global pair dedup;
-      2. endpoint-count partials -> node-hash exchange -> degrees;
-      3. two hash joins attach (deg, id) ranks to both endpoints; each
-         edge orients low-rank -> high-rank (bounds out-degree by
-         ~sqrt(m), the step that makes wedge counts tractable);
-      4. u-hash exchange groups oriented out-neighbourhoods; each u
-         emits its C(outdeg,2) wedge pairs ordered by rank;
-      5. wedges and oriented edges co-partition by hash(first) and a
-         sorted merge counts wedges whose closing pair IS an edge.
-    All exchanges move bounded pair/label rows; partials from steps
-    2/4/5 union into one (metric, value) merge task."""
-    from ..relational import hash_part, single_merge
-    from ..util import round_half_away
+def full_shared_node_edges(ways: ray.data.Dataset,
+                           num_parts: int = 16) -> ray.data.Dataset:
+    """Globally deduped FULL pairwise (a < b) shared-node way edges:
+    per ref group every clique pair (k(k-1)/2 per k-way node — see
+    way_triangles' cap discussion), partition dedup, then one a-hash
+    exchange for global dedup. Materialized because consumers
+    (triangles, k-core) read it multiple times."""
+    from ..relational import hash_part
 
     exploded = explode_refs(ways).select_columns(["way_id", "ref"])
 
@@ -1202,16 +1179,49 @@ def way_triangles(ways: ray.data.Dataset, num_parts: int = 16,
         return pa.table({"a": pa.array(a, pa.int64()),
                          "b": pa.array(b, pa.int64())})
 
-    # edges / deg / oriented are each consumed by 2-3 downstream
-    # branches; materialize them ONCE (they are edge-scale, object-store
-    # resident and spillable) — re-executing the exchange lineage per
-    # branch cost ~5x the whole pipeline at sf0.1 (74 s -> ~12 s)
     edges = exploded.map_batches(part_by_ref, batch_format="pyarrow") \
         .groupby("part").map_groups(clique_pairs, batch_format="pyarrow") \
         .map_batches(part_by_a, batch_format="pyarrow") \
         .groupby("part") \
         .map_groups(lambda t: dedup_kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow").materialize()
+
+    return edges
+
+
+def way_triangles(ways: ray.data.Dataset, num_parts: int = 16,
+                  broadcast_threshold: int = 4_000_000
+                  ) -> ray.data.Dataset:
+    """(n_nodes, n_edges, n_wedges, n_triangles, clustering): global
+    triangle census of the TRUE shared-node way graph (ways joined by
+    any common node ref) — the graph-quality audit (global clustering
+    coefficient = 3*triangles/wedges) behind road-mesh density checks.
+
+    Unlike way_components/way_pagerank this NEEDS the full pairwise
+    edge set (a star reduction has no triangles among leaves), so each
+    ref group emits its k(k-1)/2 clique pairs — per-node way-sharing
+    degree is small in OSM practice (a node is shared by the handful of
+    ways meeting at an intersection); a web-scale guard would cap k and
+    count capped cliques analytically (C(k,3) inside the clique).
+
+    Physical plan (the standard distributed wedge-check algorithm,
+    MapReduce triangle counting a la Suri-Vassilvitskii):
+      1. ref-hash exchange -> per-group clique pairs (a < b), partition
+         dedup, then ONE a-hash exchange for global pair dedup;
+      2. endpoint-count partials -> node-hash exchange -> degrees;
+      3. two hash joins attach (deg, id) ranks to both endpoints; each
+         edge orients low-rank -> high-rank (bounds out-degree by
+         ~sqrt(m), the step that makes wedge counts tractable);
+      4. u-hash exchange groups oriented out-neighbourhoods; each u
+         emits its C(outdeg,2) wedge pairs ordered by rank;
+      5. wedges and oriented edges co-partition by hash(first) and a
+         sorted merge counts wedges whose closing pair IS an edge.
+    All exchanges move bounded pair/label rows; partials from steps
+    2/4/5 union into one (metric, value) merge task."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    edges = full_shared_node_edges(ways, num_parts)
 
     # ---- degrees ------------------------------------------------------
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -1585,3 +1595,26 @@ def way_self_intersect(ways: ray.data.Dataset, nodes: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def way_kcore(ways: ray.data.Dataset,
+              num_parts: int = 8) -> ray.data.Dataset:
+    """(way_id, core): exact k-core decomposition of the TRUE
+    shared-node way graph by distributed iterated neighbourhood
+    h-index (state.bsp._KCorePart) — the "how structurally embedded is
+    this road?" peeling metric (core 0 = isolated, high core = dense
+    mesh interior).
+
+    Physical plan: the full pairwise edge set (full_shared_node_edges,
+    deduped) shards once via shard_static_edges (both directions +
+    node markers for isolated ways), then resident BSP actors iterate
+    c(v) <- H(c(neighbours)) with one bound-change exchange per round —
+    monotone, converges to the exact core numbers (Montresor et al.),
+    verified against the scalar peeling oracle."""
+    from ..state.bsp import run_kcore
+    from .text import shard_static_edges
+
+    pairs = full_shared_node_edges(ways, num_parts)
+    d, has_shard, owned = shard_static_edges(
+        pairs, num_parts, extra_nodes=ways.select_columns(["id"]))
+    return run_kcore(d, has_shard, num_parts, max_iters=256, cleanup=owned)

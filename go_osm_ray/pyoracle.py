@@ -1336,6 +1336,50 @@ def _image_entropy_table(sf: float) -> pa.Table:
     })
 
 
+def _way_kcore_table(sf: float) -> pa.Table:
+    """Scalar k-core reference: python-dict full pairwise shared-node
+    graph + textbook min-degree peeling (completely different plan from
+    the engine's h-index BSP iteration)."""
+    import heapq
+    from collections import defaultdict
+
+    d = datagen.scale_dir(sf)
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    ids = wt["id"].to_pylist()
+    byref: dict[int, list[int]] = defaultdict(list)
+    for wid, refs in zip(ids, wt["refs"].to_pylist()):
+        for r in set(refs):
+            byref[r].append(wid)
+    adj: dict[int, set] = {w: set() for w in ids}
+    for ws in byref.values():
+        for i, a in enumerate(ws):
+            for b in ws[i + 1:]:
+                if a != b:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    deg = {w: len(adj[w]) for w in ids}
+    core: dict[int, int] = {}
+    heap = [(dv, w) for w, dv in deg.items()]
+    heapq.heapify(heap)
+    k = 0
+    alive = set(ids)
+    while heap:
+        dv, w = heapq.heappop(heap)
+        if w not in alive or dv != deg[w]:
+            continue
+        k = max(k, dv)
+        core[w] = k
+        alive.discard(w)
+        for nb in adj[w]:
+            if nb in alive:
+                deg[nb] -= 1
+                heapq.heappush(heap, (deg[nb], nb))
+    return pa.table({
+        "way_id": pa.array(sorted(ids), pa.int64()),
+        "core": pa.array([core[w] for w in sorted(ids)], pa.int64()),
+    })
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1367,6 +1411,7 @@ _BUILDERS = {
     "embed_outliers": _embed_outliers_table,
     "src_js_divergence": _src_js_table,
     "image_entropy": _image_entropy_table,
+    "way_kcore": _way_kcore_table,
 }
 
 

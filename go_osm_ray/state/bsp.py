@@ -383,3 +383,119 @@ def run_bfs(shard_dir: str, live_parts: set[int], num_parts: int,
             break
     return ray.data.from_arrow_refs(
         [a.result.remote() for a in actors]).materialize()
+
+
+@ray.remote(num_cpus=0)
+class _KCorePart(_ShardPart):
+    """One partition of distributed k-core decomposition by iterated
+    neighbourhood H-INDEX (Montresor et al., "Distributed k-core
+    decomposition"): every node keeps a coreness upper bound c(v)
+    initialized to deg(v); each round c(v) <- H(c(neighbours)) — the
+    largest h with >= h neighbours whose bound is >= h. The sequence is
+    monotone non-increasing and converges exactly to the core numbers.
+    Messages carry (sender node id, new bound) and are ROUTED by the
+    neighbour (receiver) id; each receiver caches the latest bound per
+    incident edge, so a round with zero changes is a global fixpoint."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int]):
+        super().__init__(shard_dir, part, num_parts, live_parts)
+        self.deg = np.bincount(self.src_j, minlength=len(self.uid)) \
+            .astype(np.int64)
+        self.c = self.deg.copy()
+        # latest known bound per incident edge's far end (optimistic init)
+        self.nbr_c = np.full(len(self.dst), np.int64(1) << 62, np.int64)
+        # dst lookup structures for the per-edge cache update
+        self.dst_order = np.argsort(self.dst, kind="stable")
+        self.dst_sorted = self.dst[self.dst_order]
+        # segment starts per src node, in (src, -nbr_c) re-sort each round
+        self.first = True
+
+    def _update_cache(self, ids: np.ndarray, vals: np.ndarray) -> None:
+        lo = np.searchsorted(self.dst_sorted, ids, side="left")
+        hi = np.searchsorted(self.dst_sorted, ids, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return
+        starts = np.concatenate([np.zeros(1, np.int64),
+                                 np.cumsum(cnt)[:-1]])
+        flat = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64)
+                                     - np.repeat(starts, cnt))
+        self.nbr_c[self.dst_order[flat]] = np.repeat(vals, cnt)
+
+    def step(self, *inbox):
+        for msg in inbox:
+            if msg is None:
+                continue
+            ids, vals = msg
+            self._update_cache(ids, vals)
+        changed = np.zeros(len(self.uid), bool)
+        if len(self.src):
+            # per-node h-index over the cached neighbour bounds
+            order = np.lexsort((-self.nbr_c, self.src_j))
+            sj = self.src_j[order]
+            vals = self.nbr_c[order]
+            seg = np.r_[True, sj[1:] != sj[:-1]]
+            starts = np.flatnonzero(seg)
+            rank = np.arange(len(sj), dtype=np.int64) \
+                - np.repeat(starts, np.diff(np.r_[starts, len(sj)])) + 1
+            m = np.minimum(rank, vals)
+            h = np.maximum.reduceat(m, starts)
+            new = self.c.copy()
+            nodes = sj[starts]
+            new[nodes] = np.minimum(new[nodes], h)
+            changed = new < self.c
+            self.c = new
+        if self.first:
+            changed = self.deg > 0
+            self.first = False
+        # push changed bounds to each neighbour's owner (route by dst)
+        if changed.any() and len(self.src):
+            hit = changed[self.src_j]
+            d = self.dst[hit]
+            u = self.src[hit]
+            v = self.c[self.src_j[hit]]
+            segs = self._dest_segments(d)
+            boxes = [None if len(s) == 0 else (u[s], v[s]) for s in segs]
+        else:
+            boxes = [None] * self.n_live
+        return (*boxes, int(changed.sum()))
+
+    def result(self) -> pa.Table:
+        return pa.table({"way_id": pa.array(self.uid),
+                         "core": pa.array(self.c)})
+
+
+def run_kcore(shard_dir: str, live_parts: set[int], num_parts: int,
+              max_iters: int, cleanup: bool = False) -> ray.data.Dataset:
+    """Drive the k-core actors to the quiet fixpoint (a zero-change
+    round empties every outbox, so one quiet round IS convergence; two
+    kept for symmetry with the other runners)."""
+    live = sorted(live_parts)
+    if not live:
+        return ray.data.from_arrow(pa.table(
+            {"way_id": pa.array([], pa.int64()),
+             "core": pa.array([], pa.int64())}))
+    actors = [
+        _KCorePart.options(scheduling_strategy="SPREAD")
+        .remote(shard_dir, p, num_parts, live) for p in live]
+    ray.get([a.ready.remote() for a in actors])
+    if cleanup:
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    n = len(actors)
+    inbox: list[list] = [[] for _ in range(n)]
+    quiet = 0
+    for _ in range(max_iters):
+        outs = [a.step.options(num_returns=n + 1).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = [[outs[si][di] for si in range(n)] for di in range(n)]
+        changed = sum(ray.get([o[n] for o in outs]))
+        quiet = quiet + 1 if changed == 0 else 0
+        if quiet >= 2:
+            break
+    else:
+        raise RuntimeError(
+            f"run_kcore: no fixpoint in {max_iters} rounds")
+    return ray.data.from_arrow_refs(
+        [a.result.remote() for a in actors]).materialize()

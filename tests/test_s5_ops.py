@@ -176,3 +176,21 @@ def test_events_mau_interval_split(ray_session):
     assert out["001"] == 2          # day 0: both
     assert out["021"] == 2          # day 20: u1 (day0 in window), u2
     assert out["061"] == 1          # day 60: only u1's second burst
+
+
+def test_way_kcore_structure(ray_session):
+    """5-clique -> core 4; path -> core 1; isolated -> core 0; answers
+    identical at different partition counts."""
+    from go_osm_ray.pipelines.osm import way_kcore
+    rows = [(i, [100, i]) for i in range(1, 6)]       # 5-clique (node 100)
+    rows += [(10, [1, 11]), (11, [11, 12]), (12, [12, 13])]  # path 10-11-12
+    rows += [(99, [777])]                             # isolated
+    for parts in (2, 5):
+        out = {r["way_id"]: r["core"]
+               for r in way_kcore(_ways(rows), num_parts=parts).take_all()}
+        assert all(out[i] == 4 for i in range(1, 6)), out
+        assert out[11] == 1 and out[12] == 1
+        # way 10 shares node 1 with way 1 (ref 1 appears in way 1's
+        # refs) and node 11 with way 11 -> degree 2, but peels at 1
+        assert out[10] == 1
+        assert out[99] == 0
