@@ -884,6 +884,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
         JOIN read_parquet('__EXP_IMAGE_STATS__') st
           ON st.image_id = p.image_id"""
     # cell-prefix-sharded PIP must produce the identical hit set
+    # polygon containment hierarchy: vertex-mean probes (ALL ring
+    # vertices, position order) + the shared ray-cast, self excluded
+    q["polygon_hierarchy"] = f"""
+        WITH {poly_edges},
+        cent AS (SELECT feature_id AS way_id, avg(x) AS cx, avg(y) AS cy
+                 FROM vc GROUP BY feature_id)
+        SELECT c.way_id, e.feature_id AS parent_id
+        FROM cent c, e2 e
+        WHERE e.feature_id <> c.way_id
+          AND ((e.y1 > c.cy) <> (e.y2 > c.cy))
+          AND (c.cx < (e.x2 - e.x1) * (c.cy - e.y1) / (e.y2 - e.y1)
+                      + e.x1)
+        GROUP BY c.way_id, e.feature_id
+        HAVING count(*) % 2 = 1"""
+
     q["pip_join_sharded"] = q["pip_join"]
     q["pip_feature_counts"] = f"""
         WITH {pip_core}

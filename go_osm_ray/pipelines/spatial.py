@@ -2522,3 +2522,63 @@ def cell_compact(images: ray.data.Dataset, res: int = 9,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536), merge)
+
+
+def polygon_hierarchy(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      index_ref: ray.ObjectRef,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, parent_id): polygon CONTAINMENT pairs — each closed
+    way's vertex-mean probe point ray-cast against every OTHER polygon
+    (the admin-area / nesting hierarchy build). The probe is the mean
+    of ALL ring vertices (closing duplicate included) summed in
+    position order, so engine and SQL compute the identical float64
+    point before the shared ray-cast.
+
+    Scale plan: probes build via ONE way-hash exchange (sequential
+    reduceat mean per way); containment is the broadcast PolygonIndex
+    the PIP family already uses — per batch, one vectorized query; the
+    self pair filters out post-query."""
+    from ..relational import hash_part
+    from .osm import join_refs_to_coords
+
+    pts = join_refs_to_coords(closed_ways(ways), nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def cent(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]]) \
+            if len(w) else np.empty(0, np.int64)
+        cnt = np.diff(np.r_[starts, len(w)]).astype(np.float64)
+        return pa.table({
+            "way_id": pa.array(w[starts]),
+            "cx": pa.array(np.add.reduceat(lon, starts) / cnt
+                           if len(starts) else np.empty(0)),
+            "cy": pa.array(np.add.reduceat(lat, starts) / cnt
+                           if len(starts) else np.empty(0)),
+        })
+
+    probes = pts.map_batches(pre, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: cent(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        wid = t["way_id"].combine_chunks().to_numpy()
+        pi, fid = idx.query(t["cx"].combine_chunks().to_numpy(),
+                            t["cy"].combine_chunks().to_numpy())
+        pi = np.asarray(pi, np.int64)
+        fid = np.asarray(fid, np.int64)
+        keep = fid != wid[pi]
+        return pa.table({"way_id": pa.array(wid[pi[keep]]),
+                         "parent_id": pa.array(fid[keep])})
+
+    return probes.map_batches(tag, batch_format="pyarrow")
