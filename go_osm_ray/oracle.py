@@ -265,6 +265,34 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM base LEFT JOIN ns USING (way_id)
                   LEFT JOIN cr USING (way_id)"""
 
+    # cross-way proper crossings: bbox-pruned segment join mirror of the
+    # cell-candidate + owner-cell-of-intersection kernel
+    q["segment_crossings"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        p AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+              FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        sg AS (SELECT way_id, seq, x AS ax, y AS ay,
+                      lead(x) OVER w AS bx, lead(y) OVER w AS by2
+               FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        segs AS (SELECT * FROM sg WHERE bx IS NOT NULL),
+        pr AS (SELECT ((a.bx - a.ax) * (b.ay - a.ay)
+                       - (a.by2 - a.ay) * (b.ax - a.ax)) AS d1,
+                      ((a.bx - a.ax) * (b.by2 - a.ay)
+                       - (a.by2 - a.ay) * (b.bx - a.ax)) AS d2,
+                      ((b.bx - b.ax) * (a.ay - b.ay)
+                       - (b.by2 - b.ay) * (a.ax - b.ax)) AS d3,
+                      ((b.bx - b.ax) * (a.by2 - b.ay)
+                       - (b.by2 - b.ay) * (a.bx - b.ax)) AS d4
+               FROM segs a JOIN segs b ON a.way_id < b.way_id),
+        cr AS (SELECT count(*) AS c FROM pr
+               WHERE d1 * d2 < 0 AND d3 * d4 < 0),
+        ns AS (SELECT CAST(SUM(greatest(len(refs) - 1, 0)) AS BIGINT)
+                   AS s FROM {ways})
+        SELECT ns.s AS n_segments, CAST(cr.c AS BIGINT) AS n_crossings
+        FROM ns, cr"""
+
     # street-grid orientation histogram: lead-window segment mirror of
     # the way-hash adjacent-pair kernel; identical bearing term order
     # (atan2(dlon * cos(mid_lat), dlat), fmod-folded to [0, 180))

@@ -2582,3 +2582,142 @@ def polygon_hierarchy(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                          "parent_id": pa.array(fid[keep])})
 
     return probes.map_batches(tag, batch_format="pyarrow")
+
+
+def segment_crossings(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      res: int = 14, num_parts: int = 16) -> ray.data.Dataset:
+    """(n_segments, n_crossings): count of PROPER crossings between
+    segments of DIFFERENT ways — the planar-conflict audit (bridges /
+    digitization errors) complementing way_self_intersect.
+
+    Scale plan: segments build via the way-hash exchange, replicate to
+    their covering res-``res`` cells (segments are tiny — almost always
+    one cell), ONE cell-hash exchange groups candidates, and the
+    per-cell kernel enumerates cross-way pairs (clique trick) and tests
+    the shared ccw predicate. ``res`` must track segment extent: cells
+    much larger than a dense cluster make the per-cell clique quadratic
+    (res 8 ran 131 s at sf0.01; res 14 — cell ~3x the p99 segment
+    extent — runs in seconds with replication still ~1). Exactly-once counting WITHOUT a dedup
+    exchange: a crossing pair is counted only in the cell that contains
+    its intersection POINT (which lies on both segments, hence inside
+    both covering sets — the bbox_overlap_join owner-cell trick applied
+    to the crossing point)."""
+    from ..geo import tiles
+    from ..relational import hash_part, single_merge
+    from .osm import join_refs_to_coords
+
+    pts = join_refs_to_coords(ways, nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        same = w[:-1] == w[1:] if len(w) > 1 else np.empty(0, bool)
+        sw = w[:-1][same]
+        seq = np.flatnonzero(same).astype(np.int64)
+        ax, ay = lon[:-1][same], lat[:-1][same]
+        bx, by = lon[1:][same], lat[1:][same]
+        x0, y0t = tiles.tile_xy(np.minimum(ax, bx), np.maximum(ay, by), res)
+        x1, y1t = tiles.tile_xy(np.maximum(ax, bx), np.minimum(ay, by), res)
+        ncy = y1t - y0t + 1
+        ncell = (x1 - x0 + 1) * ncy
+        seg_of = np.repeat(np.arange(len(sw)), ncell)
+        starts = np.concatenate([np.zeros(1, np.int64),
+                                 np.cumsum(ncell)[:-1]])
+        r = np.arange(int(ncell.sum()), dtype=np.int64) \
+            - np.repeat(starts, ncell)
+        cx = x0[seg_of] + r // ncy[seg_of]
+        cy = y0t[seg_of] + r % ncy[seg_of]
+        cell = (np.int64(res) << np.int64(58)) | (cx << np.int64(29)) | cy
+        return pa.table({
+            "cell": pa.array(cell), "w": pa.array(sw[seg_of]),
+            "seq": pa.array(seq[seg_of]),
+            "ax": pa.array(ax[seg_of]), "ay": pa.array(ay[seg_of]),
+            "bx": pa.array(bx[seg_of]), "by": pa.array(by[seg_of]),
+            "part": pa.array(hash_part(cell, num_parts)),
+        })
+
+    def cross_kernel(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        seq = t["seq"].combine_chunks().to_numpy()
+        ax = t["ax"].combine_chunks().to_numpy()
+        ay = t["ay"].combine_chunks().to_numpy()
+        bx = t["bx"].combine_chunks().to_numpy()
+        by = t["by"].combine_chunks().to_numpy()
+        order = np.lexsort((seq, w, cell))
+        cell, w, ax, ay, bx, by = (cell[order], w[order], ax[order],
+                                   ay[order], bx[order], by[order])
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]]) \
+            if len(cell) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(cell)]) if len(cell) \
+            else np.empty(0, np.int64)
+        posi = np.arange(len(cell), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (posi - np.repeat(starts, counts)) - 1
+        i1 = np.repeat(posi, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        i2 = i1 + 1 + (np.arange(rep.sum(), dtype=np.int64) - base)
+        diff = w[i1] != w[i2]
+        i1, i2 = i1[diff], i2[diff]
+        d1 = (bx[i1] - ax[i1]) * (ay[i2] - ay[i1]) \
+            - (by[i1] - ay[i1]) * (ax[i2] - ax[i1])
+        d2 = (bx[i1] - ax[i1]) * (by[i2] - ay[i1]) \
+            - (by[i1] - ay[i1]) * (bx[i2] - ax[i1])
+        d3 = (bx[i2] - ax[i2]) * (ay[i1] - ay[i2]) \
+            - (by[i2] - ay[i2]) * (ax[i1] - ax[i2])
+        d4 = (bx[i2] - ax[i2]) * (by[i1] - ay[i2]) \
+            - (by[i2] - ay[i2]) * (bx[i1] - ax[i2])
+        cross = (d1 * d2 < 0) & (d3 * d4 < 0)
+        i1, i2 = i1[cross], i2[cross]
+        if len(i1):
+            # d1/d2 are seg2's endpoints vs seg1's line, so the crossing
+            # parameter ALONG seg2 is d1/(d1-d2): P = A2 + t * (B2 - A2)
+            tpar = d1[cross] / (d1[cross] - d2[cross])
+            px = ax[i2] + tpar * (bx[i2] - ax[i2])
+            py = ay[i2] + tpar * (by[i2] - ay[i2])
+            ox, oy = tiles.tile_xy(px, py, res)
+            owner = (np.int64(res) << np.int64(58)) \
+                | (ox << np.int64(29)) | oy
+            n = int((owner == cell[i1]).sum())
+        else:
+            n = 0
+        return pa.table({"metric": pa.array(["n_crossings"]),
+                         "value": pa.array([n], pa.int64())})
+
+    def nseg_partial(t: pa.Table) -> pa.Table:
+        refs = t["refs"].combine_chunks()
+        ln = np.diff(np.asarray(refs.offsets, np.int64))
+        return pa.table({
+            "metric": pa.array(["n_segments"]),
+            "value": pa.array([int(np.maximum(ln - 1, 0).sum())],
+                              pa.int64()),
+        })
+
+    partials = pts.map_batches(pre, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: seg_rows(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: cross_kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .union(ways.select_columns(["refs"])
+               .map_batches(nseg_partial, batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        m = t["metric"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["value"].combine_chunks().to_numpy()
+        return pa.table({
+            "n_segments": pa.array([int(v[m == "n_segments"].sum())],
+                                   pa.int64()),
+            "n_crossings": pa.array([int(v[m == "n_crossings"].sum())],
+                                    pa.int64()),
+        })
+
+    return single_merge(partials, merge)
