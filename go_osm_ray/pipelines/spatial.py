@@ -2585,7 +2585,7 @@ def polygon_hierarchy(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
 
 def segment_crossings(nodes: ray.data.Dataset, ways: ray.data.Dataset,
-                      res: int = 14, num_parts: int = 16) -> ray.data.Dataset:
+                      res: int = 16, num_parts: int = 16) -> ray.data.Dataset:
     """(n_segments, n_crossings): count of PROPER crossings between
     segments of DIFFERENT ways — the planar-conflict audit (bridges /
     digitization errors) complementing way_self_intersect.
@@ -2596,8 +2596,9 @@ def segment_crossings(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     per-cell kernel enumerates cross-way pairs (clique trick) and tests
     the shared ccw predicate. ``res`` must track segment extent: cells
     much larger than a dense cluster make the per-cell clique quadratic
-    (res 8 ran 131 s at sf0.01; res 14 — cell ~3x the p99 segment
-    extent — runs in seconds with replication still ~1). Exactly-once counting WITHOUT a dedup
+    (sf0.1 sweep: res 14 = 79 s, 15 = 17 s, 16 = 4.3 s, 17 = 4.9 s —
+    the sweet spot is a cell just UNDER the p99 segment extent, where
+    per-cell cliques shrink faster than replication grows). Exactly-once counting WITHOUT a dedup
     exchange: a crossing pair is counted only in the cell that contains
     its intersection POINT (which lies on both segments, hence inside
     both covering sets — the bbox_overlap_join owner-cell trick applied
