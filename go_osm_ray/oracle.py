@@ -1159,6 +1159,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT doc_id, CASE WHEN m = 0 THEN 'und' {pred_cases} END AS pred_lang
         FROM m"""
 
+    # langid confusion matrix vs the labelled lang column
+    q["langid_confusion"] = f"""
+        WITH s AS (SELECT doc_id, lang, {', '.join(score_cols)}
+                   FROM documents),
+        m AS (SELECT s.*, {max_expr} AS m FROM s),
+        l AS (SELECT lang,
+                     CASE WHEN m = 0 THEN 'und' {pred_cases} END
+                         AS pred_lang
+              FROM m)
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM l GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
     q["lang_token_stats"] = f"""
         WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
         m AS (SELECT s.*, {max_expr} AS m FROM s),

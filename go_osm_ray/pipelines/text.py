@@ -1656,3 +1656,29 @@ def vocab_stats(docs: ray.data.Dataset, max_freq: int = 10,
         .groupby("part")
         .map_groups(lambda t: spectrum(t.drop_columns(["part"])),
                     batch_format="pyarrow"), merge)
+
+
+def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, pred_lang, n): confusion matrix of the stopword-profile
+    language identifier against the labelled ``lang`` column — the
+    classifier-quality audit run before trusting langid-based filters.
+
+    Scale plan: one fused pass (langid + pair combine per block), then
+    the bounded langs x langs partials merge in a single task."""
+    from ..relational import single_merge
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pred = langid_batch(batch)["pred_lang"]
+        g = pa.table({"lang": batch["lang"], "pred_lang": pred}) \
+            .group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("pn", "sum")])
+        g = g.rename_columns(["lang", "pred_lang", "n"])
+        return g.sort_by([("lang", "ascending"),
+                          ("pred_lang", "ascending")])
+
+    return single_merge(docs.select_columns(["doc_id", "lang", "text"])
+                        .map_batches(stage, batch_format="pyarrow",
+                                     batch_size=4096), merge)
