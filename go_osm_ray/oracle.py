@@ -1448,6 +1448,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT 0.99, quantile_disc(l_extendedprice, 0.99) FROM lineitem
         ORDER BY p"""
 
+    # grouped exact selection: per-priority quantile_disc mirror
+    q["priority_quantiles"] = """
+        SELECT o_orderpriority, 0.5 AS p,
+               quantile_disc(o_totalprice, 0.5) AS value
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 0.9, quantile_disc(o_totalprice, 0.9)
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY o_orderpriority, p"""
+
     # exact 28-day rolling distinct users: range-join mirror of the
     # interval-union difference-array kernel
     q["events_mau"] = """

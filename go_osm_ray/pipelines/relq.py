@@ -1697,3 +1697,107 @@ def events_gaps(events: ray.data.Dataset,
         .groupby("part")
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow"), merge)
+
+
+def priority_quantiles(orders: ray.data.Dataset,
+                       ps: tuple = (0.5, 0.9),
+                       n_buckets: int = 65536) -> ray.data.Dataset:
+    """(o_orderpriority, p, value): EXACT per-priority order-value
+    quantiles — ``exact_quantiles`` generalized to a bounded group
+    space (priorities), the per-SLA latency/value report shape.
+
+    Scale plan: identical three-pass histogram selection, with every
+    partial keyed by (group, bucket) — groups are bounded (5), so all
+    merges stay one task and pass 2 still collects only target-bucket
+    rows."""
+    from ..relational import single_merge
+
+    sub = orders.select_columns(["o_orderpriority", "o_totalprice"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("o_totalprice", "min"), ("o_totalprice", "max"),
+             ("o_totalprice", "count")])
+        return g.rename_columns(["grp", "mn", "mx", "n"])
+
+    def mm_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("grp").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n", "sum")])
+        return g.rename_columns(["grp", "mn", "mx", "n"])
+
+    rows = single_merge(sub.map_batches(mm_partial, batch_format="pyarrow"),
+                        mm_merge).take_all()
+    meta = {r["grp"]: (r["mn"], r["mx"] - r["mn"] or 1.0, r["n"])
+            for r in rows}
+    groups = sorted(meta)
+
+    def bucket_of(grp_codes: np.ndarray, x: np.ndarray,
+                  mns: np.ndarray, spans: np.ndarray) -> np.ndarray:
+        return np.clip(((x - mns[grp_codes]) / spans[grp_codes]
+                        * n_buckets).astype(np.int64), 0, n_buckets - 1)
+
+    mns = np.array([meta[g][0] for g in groups])
+    spans = np.array([meta[g][1] for g in groups])
+    garr = np.array(groups, dtype=object)
+
+    def codes_of(col: pa.ChunkedArray) -> np.ndarray:
+        v = col.to_numpy(zero_copy_only=False)
+        return np.searchsorted(garr.astype(str), v.astype(str))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = codes_of(t["o_orderpriority"].combine_chunks())
+        b = bucket_of(c, t["o_totalprice"].combine_chunks().to_numpy(),
+                      mns, spans)
+        key = c * n_buckets + b
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "c": pa.array(n.astype(np.int64))})
+
+    def hist_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("c", "sum")])
+        return g.rename_columns(["k", "c"])
+
+    hist = single_merge(sub.map_batches(hist_partial,
+                                        batch_format="pyarrow"),
+                        hist_merge).take_all()
+    hk = np.array([r["k"] for r in hist], np.int64)
+    hc = np.array([r["c"] for r in hist], np.int64)
+    order = np.argsort(hk)
+    hk, hc = hk[order], hc[order]
+    targets = []   # (grp_code, p, bucket, within-rank)
+    for gi, g in enumerate(groups):
+        m = (hk // n_buckets) == gi
+        kb, kc = hk[m] % n_buckets, hc[m]
+        cum = np.cumsum(kc)
+        n = meta[g][2]
+        for p in ps:
+            k = int(np.ceil(n * p)) - 1
+            i = int(np.searchsorted(cum, k + 1))
+            before = int(cum[i - 1]) if i > 0 else 0
+            targets.append((gi, p, int(kb[i]), k - before))
+    tgt_keys = np.array(sorted({gi * n_buckets + b
+                                for gi, _, b, _ in targets}), np.int64)
+
+    def collect(t: pa.Table) -> pa.Table:
+        c = codes_of(t["o_orderpriority"].combine_chunks())
+        x = t["o_totalprice"].combine_chunks().to_numpy()
+        key = c * n_buckets + bucket_of(c, x, mns, spans)
+        keep = np.isin(key, tgt_keys)
+        return pa.table({"k": pa.array(key[keep]),
+                         "x": pa.array(x[keep])})
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["k"].combine_chunks().to_numpy()
+        x = t["x"].combine_chunks().to_numpy()
+        og, op, ov = [], [], []
+        for gi, p, b, r in targets:
+            vals = np.sort(x[k == gi * n_buckets + b])
+            og.append(groups[gi])
+            op.append(p)
+            ov.append(float(vals[r]))
+        return pa.table({"o_orderpriority": pa.array(og, pa.string()),
+                         "p": pa.array(op, pa.float64()),
+                         "value": pa.array(ov, pa.float64())})
+
+    return single_merge(sub.map_batches(collect, batch_format="pyarrow"),
+                        pick)
