@@ -1824,6 +1824,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
                COALESCE({sql_round('sm / nt', 6)}, 0.0) AS tfidf6
         FROM documents d LEFT JOIN s USING (doc_id)"""
 
+    # tfidf under a BITING top-50 vocab cap: top-V by (df desc, word),
+    # out-of-vocab tokens score ln N — the capped contract, gated
+    q["tfidf_capped"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
+                      FROM documents),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        v AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 50),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        s AS (SELECT doc_id,
+                     sum(CASE WHEN v.w IS NULL THEN ln(n.n)
+                              ELSE ln(n.n / v.df) END) AS sm,
+                     count(*) AS nt
+              FROM toks LEFT JOIN v ON v.w = toks.w CROSS JOIN n
+              GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE({sql_round('sm / nt', 6)}, 0.0) AS tfidf6
+        FROM documents d LEFT JOIN s USING (doc_id)"""
+
     # Okapi BM25 vs the engine's fixed query set; idf/avgdl/N mirror the
     # combiner-broadcast stats (scoring.bm25_score)
     from .pipelines.scoring import BM25_B, BM25_K1, BM25_QUERY
