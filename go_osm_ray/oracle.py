@@ -764,6 +764,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
+    # per-cell storage footprint: exact integer byte sums
+    _lon_s, _lat_s = morton.sql_decode_exprs("phash")
+    q["cell_storage"] = f"""
+        WITH p AS (SELECT {_lon_s} AS lon, {_lat_s} AS lat,
+                          CAST(octet_length(bytes) AS BIGINT) AS nb
+                   FROM {images})
+        SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell_r7,
+               CAST(count(*) AS BIGINT) AS n_imgs,
+               CAST(SUM(nb) AS BIGINT) AS bytes_total,
+               {sql_round('CAST(SUM(nb) AS DOUBLE) / count(*)', 6)}
+                   AS bytes_mean
+        FROM p GROUP BY 1"""
+
     # per-cell representative image: window-argmax mirror of the
     # two-level candidate combiner (same px desc / image_id tiebreak)
     _lon_e, _lat_e = morton.sql_decode_exprs("phash")

@@ -2722,3 +2722,44 @@ def segment_crossings(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         })
 
     return single_merge(partials, merge)
+
+
+def cell_storage(images: ray.data.Dataset, res: int = 7,
+                 nd: int = 6, num_parts: int = 16) -> ray.data.Dataset:
+    """(cell_r7, n_imgs, bytes_total, bytes_mean): per-cell encoded
+    storage footprint — the shard/capacity-planning census a tile-store
+    runs before laying out a region-partitioned corpus. Exact integer
+    byte sums (arrow binary_length), one bounded cell exchange."""
+    from ..geo import tiles
+    from ..relational import hash_part, single_merge
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = decode_geotag(t)
+        lon = t2["lon"].combine_chunks().to_numpy()
+        lat = t2["lat"].combine_chunks().to_numpy()
+        nb = pc.binary_length(t["bytes"].combine_chunks()) \
+            .cast(pa.int64())
+        g = pa.table({
+            "cell_r7": pa.array(tiles.cell_id(lon, lat, res)),
+            "nb": nb,
+        }).group_by("cell_r7").aggregate([("nb", "sum"), ("nb", "count")])
+        return g.rename_columns(["cell_r7", "pb", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell_r7").aggregate([("pb", "sum"), ("pn", "sum")])
+        g = g.rename_columns(["cell_r7", "bytes_total", "n_imgs"])
+        mean = round_half_away(
+            g["bytes_total"].combine_chunks().to_numpy().astype(np.float64)
+            / g["n_imgs"].combine_chunks().to_numpy(), nd)
+        return pa.table({
+            "cell_r7": g["cell_r7"],
+            "n_imgs": pc.cast(g["n_imgs"], pa.int64()),
+            "bytes_total": pc.cast(g["bytes_total"], pa.int64()),
+            "bytes_mean": pa.array(np.asarray(mean)),
+        })
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096), merge)
