@@ -194,3 +194,43 @@ def test_way_kcore_structure(ray_session):
         # refs) and node 11 with way 11 -> degree 2, but peels at 1
         assert out[10] == 1
         assert out[99] == 0
+
+
+def test_segment_crossings_planted(ray_session):
+    """Two crossing segments (X shape) count once; touching at a shared
+    endpoint (T shape) is NOT a proper crossing; result invariant to
+    cell resolution (owner-cell dedup)."""
+    from go_osm_ray.pipelines.spatial import segment_crossings
+    nodes = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 0.0, 1.0, 2.0, 3.0, 2.5]),
+        "lat": pa.array([0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 1.0]),
+    })
+    ways = pa.table({
+        "id": pa.array([10, 11, 12, 13], pa.int64()),
+        "refs": pa.array([[1, 2], [3, 4],      # X: proper crossing
+                          [5, 6], [7, 6]],     # T: shared endpoint 6
+                         pa.list_(pa.int64())),
+    })
+    for res in (10, 14, 16):
+        out = segment_crossings(ray.data.from_arrow(nodes),
+                                ray.data.from_arrow(ways),
+                                res=res).take_all()[0]
+        assert out["n_segments"] == 4
+        assert out["n_crossings"] == 1, (res, out)
+
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """ceil(n*p)-1 order statistic against a direct sorted lookup on an
+    adversarial distribution (duplicates + outliers)."""
+    from go_osm_ray.pipelines.relq import exact_quantiles
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.integers(0, 50, 5000).astype(np.float64),
+                        np.full(1000, 7.0), [1e9, -1e9]])
+    t = pa.table({"l_extendedprice": pa.array(x)})
+    ds = ray.data.from_arrow([t.slice(0, 17), t.slice(17)])
+    out = {r["p"]: r["value"]
+           for r in exact_quantiles(ds, ps=(0.25, 0.5, 0.99)).take_all()}
+    xs = np.sort(x)
+    for p in (0.25, 0.5, 0.99):
+        assert out[p] == xs[int(np.ceil(len(x) * p)) - 1], p
