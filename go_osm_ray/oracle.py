@@ -764,6 +764,22 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY cell_r4"""
     q["salted_cell_histogram"] = q["cell_histogram"]
 
+    # Gini of the per-cell count distribution (same asc-sorted
+    # rank-weighted sum and term order as the engine merge)
+    q["cell_gini"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM pts GROUP BY 1),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM c),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n, SUM(x) AS tot,
+                     SUM(i * x) AS sx FROM r)
+        SELECT CAST(n AS BIGINT) AS n_cells, CAST(tot AS BIGINT)
+                   AS n_points,
+               {sql_round('(2.0 * sx / (n * tot)) - (n + 1.0) / n', 6)}
+                   AS gini
+        FROM s"""
+
     # per-cell storage footprint: exact integer byte sums
     _lon_s, _lat_s = morton.sql_decode_exprs("phash")
     q["cell_storage"] = f"""
@@ -1435,6 +1451,13 @@ def build(sf: float = 0.01) -> dict[str, str]:
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY pa_key, pb_key
         ORDER BY n DESC, pa_key, pb_key LIMIT 20"""
+
+    # day-of-week x hour seasonality heatmap (ISO dow)
+    q["events_heatmap"] = """
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
     # inter-event gap histogram: lag-window mirror; exact integer log2
     # via binary-string length (no float log on either side)

@@ -1801,3 +1801,33 @@ def priority_quantiles(orders: ray.data.Dataset,
 
     return single_merge(sub.map_batches(collect, batch_format="pyarrow"),
                         pick)
+
+
+def events_heatmap(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(dow, hour, n): day-of-week x hour event heatmap (ISO dow,
+    1=Monday) — the seasonality profile behind load shaping. Bounded
+    168-key combiner, one merge."""
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]")
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        # 1970-01-01 is a Thursday: ISO dow = ((days + 3) % 7) + 1
+        dow = ((days + 3) % 7) + 1
+        hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        u, n = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("pn", "sum")])
+        k = g["key"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        order = np.argsort(k)
+        k, n = k[order], n[order]
+        return pa.table({"dow": pa.array(k // 24),
+                         "hour": pa.array(k % 24),
+                         "n": pa.array(n.astype(np.int64))})
+
+    return single_merge(events.select_columns(["ts"])
+                        .map_batches(partial, batch_format="pyarrow",
+                                     batch_size=65536), merge)

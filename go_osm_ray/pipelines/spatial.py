@@ -2763,3 +2763,47 @@ def cell_storage(images: ray.data.Dataset, res: int = 7,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=4096), merge)
+
+
+def cell_gini(images: ray.data.Dataset, res: int = 7,
+              nd: int = 6) -> ray.data.Dataset:
+    """(n_cells, n_points, gini): Gini coefficient of the image count
+    distribution over occupied cells — the spatial-inequality summary
+    (0 = uniform coverage, ->1 = everything in a few hot cells) that
+    motivates the salted-shuffle path.
+
+    Scale shape: cell_histogram partials + ONE bounded merge where
+    G = (2 * sum(i * x_i asc-sorted) / (n * sum x)) - (n + 1) / n is a
+    vectorized sort over the bounded cell space."""
+    from ..geo import tiles
+    from ..relational import single_merge
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate([("pn", "sum")])
+        x = np.sort(g["pn_sum"].combine_chunks().to_numpy()
+                    .astype(np.float64))
+        n = len(x)
+        tot = x.sum()
+        i = np.arange(1, n + 1, dtype=np.float64)
+        gini = (2.0 * (i * x).sum() / (n * tot)) - (n + 1.0) / n \
+            if n and tot > 0 else 0.0
+        return pa.table({
+            "n_cells": pa.array([n], pa.int64()),
+            "n_points": pa.array([int(tot)], pa.int64()),
+            "gini": pa.array([float(round_half_away(gini, nd))]),
+        })
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536), merge)
