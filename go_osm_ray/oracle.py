@@ -1550,6 +1550,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
         GROUP BY a.event_type, b.event_type
         ORDER BY type_a, type_b"""
 
+    # TPC-H Q7 mirror: nation-pair shipping volume by ship year
+    q["q7_trade_volume"] = """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM lineitem l, orders o, customer c, supplier s,
+             nation ns, nation nc
+        WHERE o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_suppkey = l.l_suppkey
+          AND ns.n_nationkey = s.s_nationkey
+          AND nc.n_nationkey = c.c_nationkey
+          AND s.s_nationkey <> c.c_nationkey
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
     # TPC-H Q5 mirror: snowflake join + customer==supplier nation
     # equality, integer-cents per-row rounding like the engine
     q["q5_local_supplier"] = """

@@ -1831,3 +1831,90 @@ def events_heatmap(events: ray.data.Dataset) -> ray.data.Dataset:
     return single_merge(events.select_columns(["ts"])
                         .map_batches(partial, batch_format="pyarrow",
                                      batch_size=65536), merge)
+
+
+def q7_trade_volume(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                    customer: ray.data.Dataset, supplier: ray.data.Dataset,
+                    nation: ray.data.Dataset,
+                    year_lo: int = 1995, year_hi: int = 1996,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """(supp_nation, cust_nation, l_year, revenue_cents): TPC-H Q7
+    shape — shipping volume between every ORDERED pair of distinct
+    nations by ship year (the reference query fixes two nations; the
+    generalized pair grid is the harder shuffle).
+
+    Scale plan: the q5 snowflake plan with the equality filter swapped
+    for inequality — lineitem collapses per (orderkey, suppkey, year)
+    in a block combiner, two hash joins attach customer/supplier
+    nations, and the (25 x 25 x years)-bounded final combine merges in
+    one task. Integer-cents revenue on both sides."""
+    from ..relational import broadcast_table
+
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+    lo = np.datetime64(f"{year_lo}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year_hi + 1}-01-01", "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64)
+        keep = (sd >= lo) & (sd < hi)
+        t = t.filter(pa.array(keep))
+        year = t["l_shipdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_suppkey": t["l_suppkey"],
+                      "l_year": pa.array(year), "rc": pa.array(rc)}) \
+            .group_by(["l_orderkey", "l_suppkey", "l_year"]) \
+            .aggregate([("rc", "sum")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "l_year", "rc"])
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    ords = orders.select_columns(["o_orderkey", "o_custkey"]) \
+        .join(customer.select_columns(["c_custkey", "c_nationkey"]),
+              join_type="inner", num_partitions=num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    j1 = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = j1.join(supplier.select_columns(["s_suppkey", "s_nationkey"]),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+        t = t.filter(keep)
+        g = pa.table({"sn": t["s_nationkey"], "cn": t["c_nationkey"],
+                      "l_year": t["l_year"], "rc": t["rc"]}) \
+            .group_by(["sn", "cn", "l_year"]).aggregate([("rc", "sum")])
+        return g.rename_columns(["sn", "cn", "l_year", "rc"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sn", "cn", "l_year"]).aggregate([("rc", "sum")])
+        nt = ray.get(nat_ref)
+        keys = nt["n_nationkey"].to_numpy()
+        order = np.argsort(keys)
+
+        def name_of(col):
+            idx = np.searchsorted(keys[order],
+                                  g[col].combine_chunks().to_numpy())
+            return nt["n_name"].take(pa.array(order[idx]))
+
+        out = pa.table({
+            "supp_nation": name_of("sn"),
+            "cust_nation": name_of("cn"),
+            "l_year": pc.cast(g["l_year"], pa.int64()),
+            "revenue_cents": pc.cast(g["rc_sum"], pa.int64()),
+        })
+        return out.sort_by([("supp_nation", "ascending"),
+                            ("cust_nation", "ascending"),
+                            ("l_year", "ascending")])
+
+    return single_merge(j2.map_batches(pair_partial,
+                                       batch_format="pyarrow"), merge)
