@@ -2038,4 +2038,156 @@ def build(sf: float = 0.01) -> dict[str, str]:
                 FROM documents)
             GROUP BY w ORDER BY n DESC, w ASC LIMIT 20)"""
 
+    # way_sinuosity: osm_way_length's window-sum plan extended with the
+    # arg_min/arg_max chord endpoints; chord haversine mirrors the engine
+    # kernel term-for-term (hav(fx, fy, lx, ly) operand order), and the
+    # keep decision applies to the ROUNDED chord (clip_filter contract)
+    _sn_sdp = f"SIN(((ly * {_d2r}) - (fy * {_d2r})) / 2.0)"
+    _sn_sdl = f"SIN(((lx - fx) * {_d2r}) / 2.0)"
+    _sn_a = (f"LEAST({_sn_sdp} * {_sn_sdp} + COS(fy * {_d2r}) "
+             f"* COS(ly * {_d2r}) * {_sn_sdl} * {_sn_sdl}, 1.0)")
+    q["way_sinuosity"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq,
+                            len(refs) AS np
+                     FROM {ways} WHERE len(refs) >= 2),
+        pts AS (SELECT e.way_id, e.seq, e.np, n.lon AS x, n.lat AS y
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, np, seq, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        agg AS (SELECT way_id, max(np) AS np, count(*) AS resolved,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE 2.0 * {EARTH_R_M!r}
+                                     * ASIN(SQRT({_hava})) END) AS ln,
+                       arg_min(x, seq) AS fx, arg_min(y, seq) AS fy,
+                       arg_max(x, seq) AS lx, arg_max(y, seq) AS ly
+                FROM seg GROUP BY way_id),
+        ch AS (SELECT way_id, np, ln,
+                      2.0 * {EARTH_R_M!r} * ASIN(SQRT({_sn_a})) AS chord
+               FROM agg WHERE resolved = np)
+        SELECT way_id, CAST(np AS BIGINT) AS n_points,
+               {sql_round('ln', 3)} AS len_m3,
+               {sql_round('chord', 3)} AS chord_m3,
+               {sql_round('ln / chord', 4)} AS sinuosity4
+        FROM ch WHERE {sql_round('chord', 3)} > 0.0"""
+
+    # cell_diameter: brute-force within-cell pair self-join (image_id <
+    # image_id dedup) + max haversine; the engine's hash(cell) exchange +
+    # clique kernel must reproduce this exactly — haversine is
+    # float-symmetric (squares/products only) so pair orientation is free
+    _cd_sdp = f"SIN(((b.lat * {_d2r}) - (a.lat * {_d2r})) / 2.0)"
+    _cd_sdl = f"SIN(((b.lon - a.lon) * {_d2r}) / 2.0)"
+    _cd_a = (f"LEAST({_cd_sdp} * {_cd_sdp} + COS(a.lat * {_d2r}) "
+             f"* COS(b.lat * {_d2r}) * {_cd_sdl} * {_cd_sdl}, 1.0)")
+    q["cell_diameter"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT image_id, lon, lat,
+                     {tiles.sql_cell_id('lon', 'lat', 7)} AS cell
+              FROM pts),
+        pr AS (SELECT a.cell,
+                      2.0 * {EARTH_R_M!r} * ASIN(SQRT({_cd_a})) AS d
+               FROM c a JOIN c b
+                 ON a.cell = b.cell AND a.image_id < b.image_id),
+        nn AS (SELECT cell, count(*) AS n FROM c GROUP BY cell)
+        SELECT nn.cell AS cell_r7, CAST(nn.n AS BIGINT) AS n,
+               {sql_round('COALESCE(max(pr.d), 0.0)', 3)} AS diam_m3
+        FROM nn LEFT JOIN pr ON pr.cell = nn.cell
+        GROUP BY nn.cell, nn.n"""
+
+    # zipf_slope: full count + window rank + explicit closed-form OLS
+    # sums (NOT regr_slope — its streaming formula differs; the explicit
+    # sums mirror the engine's term order exactly). Tie rule at the
+    # top-k cut: (count DESC, word ASC) on both sides.
+    q["zipf_slope"] = f"""
+        WITH toks AS (SELECT unnest({split_toks}) AS w FROM documents),
+        wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+        top AS (SELECT w, n FROM wc ORDER BY n DESC, w ASC LIMIT 100),
+        pts AS (SELECT ln(CAST(row_number()
+                               OVER (ORDER BY n DESC, w ASC) AS DOUBLE))
+                         AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM top),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS kk, SUM(x) AS sx,
+                     SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM pts),
+        f AS (SELECT kk,
+                     CASE WHEN kk * sxx - sx * sx = 0.0 THEN 0.0
+                          ELSE (kk * sxy - sx * sy)
+                               / (kk * sxx - sx * sx) END AS slope,
+                     sx, sy
+              FROM s)
+        SELECT CAST(kk AS BIGINT) AS k,
+               {sql_round('slope', 6)} AS slope6,
+               {sql_round('(sy - slope * sx) / kk', 6)} AS intercept6
+        FROM f"""
+
+    # way_assortativity: Newman's r over both orientations of the
+    # deduped shared-node edge set, reduced to four exact integer sums
+    # so the float closed form is bit-identical to the engine's
+    q["way_assortativity"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id < b.way_id),
+        deg AS (SELECT v, count(*) AS d FROM
+                  (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed)
+                GROUP BY v),
+        dm AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+                      CAST(SUM(d * d) AS BIGINT) AS s2,
+                      CAST(SUM(d * d * d) AS BIGINT) AS s3
+               FROM deg),
+        em AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      CAST(SUM(da.d * db.d) AS BIGINT) AS sxy
+               FROM ed JOIN deg da ON da.v = ed.a
+                       JOIN deg db ON db.v = ed.b)
+        SELECT nv AS n_vertices, m AS n_edges,
+               {sql_round(
+                   'CASE WHEN (2.0 * m) * CAST(s3 AS DOUBLE)'
+                   ' - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) = 0.0'
+                   ' THEN 0.0'
+                   ' ELSE ((2.0 * m) * (2.0 * sxy)'
+                   ' - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))'
+                   ' / ((2.0 * m) * CAST(s3 AS DOUBLE)'
+                   ' - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) END', 6)}
+                 AS assortativity6
+        FROM dm, em"""
+
+    # snap_to_segment: brute-force point x segment cross join with the
+    # engine kernel's exact expression tree — residuals as (rx - t*dx),
+    # NOT (p - (a + t*dx)), which differs in float — and the
+    # (d2, way_id, seq) lexicographic tie rule via row_number
+    q["snap_to_segment"] = f"""
+        WITH {_pts_cte(images)},
+        exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                       generate_subscripts(refs, 1) AS seq FROM {ways}),
+        pn AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+               FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        sg AS (SELECT way_id, seq, x AS ax, y AS ay,
+                      lead(x) OVER w AS bx, lead(y) OVER w AS by2
+               FROM pn WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        segs AS (SELECT * FROM sg WHERE bx IS NOT NULL),
+        dv AS (SELECT p.image_id, s.way_id, s.seq,
+                      p.lon - s.ax AS rx, p.lat - s.ay AS ry,
+                      s.bx - s.ax AS dx, s.by2 - s.ay AS dy
+               FROM pts p CROSS JOIN segs s),
+        tv AS (SELECT image_id, way_id, seq, rx, ry, dx, dy,
+                      CASE WHEN dx * dx + dy * dy > 0.0
+                           THEN LEAST(GREATEST(
+                                  (rx * dx + ry * dy)
+                                  / (dx * dx + dy * dy), 0.0), 1.0)
+                           ELSE 0.0 END AS t
+               FROM dv),
+        dd AS (SELECT image_id, way_id, seq,
+                      (rx - t * dx) * (rx - t * dx)
+                        + (ry - t * dy) * (ry - t * dy) AS d2
+               FROM tv),
+        r AS (SELECT image_id, way_id, seq, d2,
+                     row_number() OVER (PARTITION BY image_id
+                                        ORDER BY d2, way_id, seq) AS rn
+              FROM dd)
+        SELECT image_id, way_id, CAST(seq AS BIGINT) AS seq,
+               {sql_round('SQRT(d2)', 7)} AS dist_deg7
+        FROM r WHERE rn = 1"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

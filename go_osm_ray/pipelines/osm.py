@@ -1618,3 +1618,165 @@ def way_kcore(ways: ray.data.Dataset,
     d, has_shard, owned = shard_static_edges(
         pairs, num_parts, extra_nodes=ways.select_columns(["id"]))
     return run_kcore(d, has_shard, num_parts, max_iters=256, cleanup=owned)
+
+
+def way_sinuosity(nodes: ray.data.Dataset,
+                  ways: ray.data.Dataset) -> ray.data.Dataset:
+    """(way_id, n_points, len_m3, chord_m3, sinuosity4): haversine path
+    length over the resolved node chain divided by the haversine chord
+    (first node -> last node) — the classic road-curviness metric
+    (sinuosity 1.0 = straight, ~1.5+ = mountain switchbacks).  Rings
+    and degenerate chords are excluded by the ROUNDED-chord > 0 boundary
+    contract (clip_filter's convention) so the engine and SQL mirror
+    agree exactly at the cut.
+
+    Same physical plan as way_length_m (reference analogue of the way
+    geometry pass, osm/Way.go:15-30): broadcast node table read once per
+    task, per-way segment haversine in the shared term order, chord as
+    one more vectorized haversine over (first, last).  Rounding of the
+    ratio happens once at 4 digits; len/chord are also emitted at
+    millimeter rounding for inspection."""
+    from ..relational import broadcast_table
+    from ..util import round_half_away as _rnd
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+    d2r = np.pi / 180.0
+
+    def hav(x1, y1, x2, y2):
+        p1 = y1 * d2r
+        p2 = y2 * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((x2 - x1) * d2r / 2.0)
+        a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl, 1.0)
+        return 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        n = np.diff(offsets)
+
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == flat if len(nid_s) else np.zeros(len(flat), bool)
+        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+            if len(flat) else np.zeros(0, np.int64)
+        keep = (n >= 2) & (nf == n)
+
+        x = np.where(found, nlon[jj], 0.0)
+        y = np.where(found, nlat[jj], 0.0)
+        if len(flat) >= 2:
+            seg = hav(x[:-1], y[:-1], x[1:], y[1:])
+        else:
+            seg = np.zeros(0, np.float64)
+        ps = np.concatenate([[0.0], np.cumsum(seg)])
+        lo = offsets[:-1].clip(max=max(len(seg), 0))
+        hi = (offsets[1:] - 1).clip(min=0, max=max(len(seg), 0))
+        ln = ps[hi] - ps[lo]
+        fi = offsets[:-1].clip(max=max(len(flat) - 1, 0))
+        li = (offsets[1:] - 1).clip(min=0)
+        chord = hav(x[fi], y[fi], x[li], y[li])
+        chord3 = _rnd(chord, 3)
+        keep &= chord3 > 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin4 = _rnd(np.where(chord > 0, ln / np.where(chord > 0, chord,
+                                                          1.0), 0.0), 4)
+        return pa.table({
+            "way_id": batch["id"].combine_chunks().filter(pa.array(keep)),
+            "n_points": pa.array(n[keep], pa.int64()),
+            "len_m3": pa.array(_rnd(ln[keep], 3)),
+            "chord_m3": pa.array(chord3[keep]),
+            "sinuosity4": pa.array(sin4[keep]),
+        })
+    return ways.map_batches(fn, batch_format="pyarrow")
+
+
+def way_assortativity(ways: ray.data.Dataset,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(n_vertices, n_edges, assortativity6): degree assortativity
+    (Newman's r — Pearson correlation of endpoint degrees over both
+    edge orientations) of the TRUE shared-node way graph — the
+    road-mesh topology audit next to way_triangles' clustering (do
+    high-degree trunk ways attach to other trunks, or fan into
+    residential capillaries?).
+
+    The whole statistic reduces to four EXACT integer sums — m (deduped
+    edges), S2 = sum deg^2, S3 = sum deg^3 (both orientations make
+    sum x = S2 and sum x^2 = S3), and Sxy = sum_{(u,v) in E}
+    deg(u)*deg(v) — so the float closed form
+    r = (2m*2Sxy - S2^2) / (2m*S3 - S2^2) is bit-identical between the
+    engine and the SQL mirror (every operand an exact int64 < 2^53).
+
+    Physical plan: full_shared_node_edges (one ref-hash exchange +
+    global pair dedup, shared with triangles/k-core), a v-hash degree
+    exchange, then the degree table BROADCASTS (vertex-scale — the
+    way_triangles small-side precedent; past that the attach becomes
+    the two hash co-partition exchanges of the triangles at-scale arm)
+    and each edge block emits one (m, Sxy) partial row; int64 partials
+    union into a single bounded merge."""
+    from ..relational import broadcast_table, single_merge, hash_part
+    from ..util import round_half_away
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].combine_chunks().to_numpy(),
+                            t["b"].combine_chunks().to_numpy()])
+        u, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pd": pa.array(n.astype(np.int64))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("v").aggregate([("pd", "sum")])
+        return g.rename_columns(["v", "d"])
+
+    deg = single_merge(edges.map_batches(deg_partial,
+                                         batch_format="pyarrow"),
+                       deg_merge).materialize()
+    deg_ref = broadcast_table(deg, ["v", "d"])
+
+    def edge_moments(t: pa.Table) -> pa.Table:
+        dt = ray.get(deg_ref)
+        dv = dt["v"].to_numpy()
+        dd = dt["d"].to_numpy()
+        o = np.argsort(dv)
+        dv, dd = dv[o], dd[o]
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        da = dd[np.searchsorted(dv, a)]
+        db = dd[np.searchsorted(dv, b)]
+        return pa.table({
+            "metric": pa.array(["m", "sxy"]),
+            "value": pa.array([len(a), int((da * db).sum())], pa.int64())})
+
+    def deg_moments(t: pa.Table) -> pa.Table:
+        d = t["d"].combine_chunks().to_numpy()
+        return pa.table({
+            "metric": pa.array(["nv", "s2", "s3"]),
+            "value": pa.array([len(d), int((d * d).sum()),
+                               int((d * d * d).sum())], pa.int64())})
+
+    partials = edges.map_batches(edge_moments, batch_format="pyarrow") \
+        .union(deg.map_batches(deg_moments, batch_format="pyarrow"))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("metric").aggregate([("value", "sum")])
+        s = {k: int(v) for k, v in zip(g["metric"].to_pylist(),
+                                       g["value_sum"].to_pylist())}
+        m, sxy = s.get("m", 0), s.get("sxy", 0)
+        s2, s3 = s.get("s2", 0), s.get("s3", 0)
+        num = (2.0 * m) * (2.0 * sxy) - float(s2) * float(s2)
+        den = (2.0 * m) * float(s3) - float(s2) * float(s2)
+        r = num / den if den != 0.0 else 0.0
+        return pa.table({
+            "n_vertices": pa.array([s.get("nv", 0)], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+            "assortativity6": pa.array([float(round_half_away(r, 6))]),
+        })
+
+    return single_merge(partials, merge)

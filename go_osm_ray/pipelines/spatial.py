@@ -2807,3 +2807,308 @@ def cell_gini(images: ray.data.Dataset, res: int = 7,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536), merge)
+
+
+def cell_diameter(pts: ray.data.Dataset, res: int = 7,
+                  num_parts: int = 32,
+                  batch_size: int = 65536) -> ray.data.Dataset:
+    """(cell_r{res}, n, diam_m3): exact diameter — max pairwise
+    haversine distance in meters (sphere EARTH_R_M, the osm.way_length
+    kernel term-for-term) — of the points in every occupied res-``res``
+    cell, plus the point count.  The per-region dispersion summary a
+    spatial partitioner uses to size shards (reference analogue: the
+    per-tile extent summaries around osm/Summary.go's bbox math).
+
+    Scale plan: assign fuses into the decode read; ONE hash(cell)
+    exchange ships (cell, lon, lat) — O(points), the same volume as
+    the histogram family; each partition then lexsorts its cells and
+    enumerates within-cell pairs with the vectorized clique kernel
+    (no Python loop).  Per-cell cost is O(n_c^2) vectorized, bounded
+    by the city-scale cell population; the 100-TB path for mega-cells
+    is rotating calipers over cell_convex_hull's hull-of-hulls output
+    (planar-metric caveat documented there) — the exact all-pairs
+    kernel here is the oracle-matched reference semantics.  Haversine
+    is float-symmetric in its operands (squares and products only), so
+    pair orientation cannot move the max; rounding is applied once,
+    after the max."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..util import round_half_away
+    from .osm import EARTH_R_M
+
+    cell_col = f"cell_r{res}"
+    d2r = np.pi / 180.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        return pa.table({"cell": pa.array(c), "lon": pa.array(lon),
+                         "lat": pa.array(lat),
+                         "part": pa.array(hash_part(c, num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cell"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.argsort(c, kind="stable")
+        c, lon, lat = c[order], lon[order], lat[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) \
+            if len(c) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(c)]) if len(c) \
+            else np.empty(0, np.int64)
+        # vectorized within-cell pair enumeration (the clique kernel)
+        pos = np.arange(len(c), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        i = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        j = i + 1 + (np.arange(int(rep.sum()), dtype=np.int64) - base)
+        p1 = lat[i] * d2r
+        p2 = lat[j] * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((lon[j] - lon[i]) * d2r / 2.0)
+        a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl, 1.0)
+        d = 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
+        # pairs emerge grouped by cell: cell k owns pairs_per_cell[k]
+        # consecutive rows (i is non-decreasing within the sorted order)
+        ppc = (counts * (counts - 1)) // 2
+        diam = np.zeros(len(counts), np.float64)
+        has = ppc > 0
+        if has.any():
+            pstarts = (np.cumsum(ppc) - ppc)[has]
+            diam[has] = np.maximum.reduceat(d, pstarts)
+        return pa.table({
+            cell_col: pa.array(c[starts]),
+            "n": pa.array(counts, pa.int64()),
+            "diam_m3": pa.array(round_half_away(diam, 3)),
+        })
+
+    return pts.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- snap
+
+def build_segment_cells(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                        res: int = 10) -> ray.ObjectRef:
+    """Cell-bucketed way-SEGMENT layer for map-matching: every resolved
+    consecutive node pair (way_id, seq, ax, ay, bx, by), registered in
+    EVERY res-``res`` cell its bbox touches (a superset of the cells the
+    segment passes through, so the ring-search exclusion argument below
+    stays exact).  Segments sort by (way_id, seq) inside each bucket so
+    a first-minimum scan realizes the lexicographic tie rule.  One
+    broadcast object here (segment arrays are edge-scale); at cluster
+    scale each bucket becomes its own object-store entry fetched per
+    ring, exactly like the PIP / kNN shard layers."""
+    from ..geo import tiles
+
+    from ..relational import broadcast_table
+    nt_t = ray.get(broadcast_table(nodes, ["id", "lon", "lat"]))
+    wt_t = ray.get(broadcast_table(ways, ["id", "refs"]))
+    nid = nt_t["id"].combine_chunks().to_numpy()
+    order = np.argsort(nid, kind="stable")
+    nid_s = nid[order]
+    nlon = nt_t["lon"].combine_chunks().to_numpy()[order]
+    nlat = nt_t["lat"].combine_chunks().to_numpy()[order]
+
+    refs = wt_t["refs"].combine_chunks()
+    offsets = np.asarray(refs.offsets, np.int64)
+    flat = refs.flatten().to_numpy()
+    wid = wt_t["id"].combine_chunks().to_numpy()
+    n = np.diff(offsets)
+
+    jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+    found = nid_s[jj] == flat if len(nid_s) else np.zeros(len(flat), bool)
+    x = np.where(found, nlon[jj], np.nan)
+    y = np.where(found, nlat[jj], np.nan)
+
+    # consecutive pairs; drop the cross-way seam rows and any pair with
+    # an unresolved endpoint
+    seg_way = np.repeat(wid, np.maximum(n - 1, 0))
+    last_of_way = np.zeros(len(flat), bool)
+    last_of_way[(offsets[1:] - 1).clip(min=0)] = True
+    pair_ok = ~last_of_way[:-1] if len(flat) else np.zeros(0, bool)
+    ax, ay = x[:-1][pair_ok], y[:-1][pair_ok]
+    bx, by = x[1:][pair_ok], y[1:][pair_ok]
+    ok = ~(np.isnan(ax) | np.isnan(bx))
+    ax, ay, bx, by, seg_way = ax[ok], ay[ok], bx[ok], by[ok], seg_way[ok]
+    # 1-based seq of the segment's FIRST point within its way
+    pos = np.arange(len(flat), dtype=np.int64)
+    rel = (pos - np.repeat(offsets[:-1], n))[:-1][pair_ok][ok] + 1
+
+    so = np.lexsort((rel, seg_way))
+    seg_way, rel = seg_way[so], rel[so]
+    ax, ay, bx, by = ax[so], ay[so], bx[so], by[so]
+
+    x0t, y1t = tiles.tile_xy(np.minimum(ax, bx), np.minimum(ay, by), res)
+    x1t, y0t = tiles.tile_xy(np.maximum(ax, bx), np.maximum(ay, by), res)
+    span = (x1t - x0t + 1) * (y1t - y0t + 1)
+    idx = np.repeat(np.arange(len(seg_way), dtype=np.int64), span)
+    # enumerate each segment's bbox-cover cells (vectorized over the
+    # repeated index space; spans are tiny — a segment is cell-scale)
+    base = np.repeat(np.cumsum(span) - span, span)
+    k = np.arange(int(span.sum()), dtype=np.int64) - base
+    w_ = np.repeat(x1t - x0t + 1, span)
+    cx = np.repeat(x0t, span) + (k % w_)
+    cy = np.repeat(y0t, span) + (k // w_)
+    cells = ((np.int64(res) << np.int64(tiles.RES_SHIFT))
+             | (cx << np.int64(tiles.XY_BITS)) | cy)
+
+    co = np.argsort(cells, kind="stable")
+    cells_s, idx_s = cells[co], idx[co]
+    ucells, starts = np.unique(cells_s, return_index=True)
+    bounds = np.append(starts, len(cells_s))
+    blists = [np.sort(idx_s[int(bounds[i]):int(bounds[i + 1])])
+              for i in range(len(ucells))]
+    # occupied-bucket tile coordinates, for the vectorized region mask
+    # in _seg_ring_search (never enumerate the region's cell grid — a
+    # res-10 region is up to n_side^2 = 1M cells, but occupied buckets
+    # are bounded by the segment count)
+    _, bxt, byt = tiles.cell_to_xy(ucells)
+    return ray.put({"res": res, "total": len(seg_way),
+                    "bx_t": bxt.astype(np.int64),
+                    "by_t": byt.astype(np.int64), "blists": blists,
+                    "way": seg_way, "seq": rel,
+                    "ax": ax, "ay": ay, "bx": bx, "by": by})
+
+
+def _seg_exact_scan(px: np.ndarray, py: np.ndarray, layer: dict,
+                    cand: np.ndarray, chunk: int = 4096):
+    """First-minimum point-to-segment scan over candidate segment
+    indices ``cand`` (sorted by (way_id, seq)): returns (d2, seg_idx)
+    per point.  The projection expression mirrors the SQL oracle
+    term-for-term; processing candidates in (way_id, seq) order with a
+    strictly-less update realizes the (d2, way_id, seq) tie rule."""
+    best_d2 = np.full(len(px), np.inf)
+    best_i = np.full(len(px), -1, np.int64)
+    for s in range(0, len(cand), chunk):
+        ci = cand[s:s + chunk]
+        ax, ay = layer["ax"][ci], layer["ay"][ci]
+        dx = layer["bx"][ci] - ax
+        dy = layer["by"][ci] - ay
+        L2 = dx * dx + dy * dy
+        rx = px[:, None] - ax
+        ry = py[:, None] - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(L2 > 0.0, (rx * dx + ry * dy)
+                         / np.where(L2 > 0.0, L2, 1.0), 0.0)
+        t = np.clip(t, 0.0, 1.0)
+        ex = rx - t * dx
+        ey = ry - t * dy
+        d2 = ex * ex + ey * ey
+        j = np.argmin(d2, axis=1)  # first min = lowest (way, seq) in chunk
+        dmin = d2[np.arange(len(px)), j]
+        upd = dmin < best_d2
+        best_d2[upd] = dmin[upd]
+        best_i[upd] = ci[j[upd]]
+    return best_d2, best_i
+
+
+def _seg_ring_search(layer: dict, cell: int, px: np.ndarray,
+                     py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact nearest-segment search for one cell's points over an
+    expanding square ring region (the kNN _ring_search argument, with
+    segment-bbox bucket membership supplying the exclusion guarantee:
+    a segment absent from every bucket in the region has its whole bbox
+    — hence the segment — outside it, so its distance exceeds the
+    point's distance to the region boundary)."""
+    from ..geo import tiles
+    res = layer["res"]
+    n_side = 1 << res
+    bx_t, by_t = layer["bx_t"], layer["by_t"]
+    blists = layer["blists"]
+    _, cx, cy = tiles.cell_to_xy(np.array([cell]))
+    cx, cy = int(cx[0]), int(cy[0])
+    k = 1
+    while True:
+        x0, x1 = max(cx - k, 0), min(cx + k, n_side - 1)
+        y0, y1 = max(cy - k, 0), min(cy + k, n_side - 1)
+        # vectorized region test over OCCUPIED buckets only (their count
+        # is bounded by the segment count; the region's own cell grid is
+        # up to n_side^2 and must never be enumerated)
+        sel = np.flatnonzero((bx_t >= x0) & (bx_t <= x1)
+                             & (by_t >= y0) & (by_t <= y1))
+        full = (x0 == 0 and y0 == 0 and x1 == n_side - 1
+                and y1 == n_side - 1)
+        if not len(sel):
+            if full:
+                return (np.full(len(px), np.inf),
+                        np.full(len(px), -1, np.int64))
+            k *= 2
+            continue
+        cand = np.unique(np.concatenate([blists[i] for i in sel]))
+        d2, bi = _seg_exact_scan(px, py, layer, cand)
+        if full or len(cand) == layer["total"]:
+            return d2, bi
+        lonL, _, _, _ = tiles.cell_bounds(np.array(
+            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+             | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+        _, _, lonR, latT = tiles.cell_bounds(np.array(
+            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+             | (np.int64(x1) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
+        _, latB, _, _ = tiles.cell_bounds(np.array(
+            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
+             | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y1)]))
+        bdist = np.minimum.reduce([
+            px - float(lonL[0]), float(lonR[0]) - px,
+            py - float(latB[0]), float(latT[0]) - py])
+        if bool(np.all(d2 < np.maximum(bdist, 0.0) ** 2)):
+            return d2, bi
+        k *= 2
+
+
+def snap_to_segment(images: ray.data.Dataset, layer_ref: ray.ObjectRef,
+                    res: int = 10, id_col: str = "image_id",
+                    num_parts: int = 32) -> ray.data.Dataset:
+    """(image_id, way_id, seq, dist_deg7): map-matching — snap every
+    geotagged image to the nearest way SEGMENT (planar-degree point-to-
+    segment distance, the kNN layer's metric), reporting the owning way,
+    the segment's 1-based position, and the distance rounded at 7
+    digits.  Ties resolve lexicographically by (distance, way_id, seq).
+
+    Plan (knn_nearest_sharded's shape): points hash-partition by
+    geocell, each partition task ring-searches the broadcast
+    segment-bucket layer per cell run; the per-(point, segment)
+    projection expression is mirrored term-for-term by the SQL oracle's
+    brute-force cross join, so the pruned search must reproduce the
+    full-scan result exactly."""
+    from ..relational import hash_part
+    from ..stages.assign import make_cell_assigner
+    from ..util import round_half_away
+    cell_col = f"cell_r{res}"
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = make_cell_assigner((res,))(batch)
+        cells = batch[cell_col].combine_chunks().to_numpy()
+        return batch.append_column("part",
+                                   pa.array(hash_part(cells, num_parts)))
+
+    pts = images.map_batches(assign, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        layer = ray.get(layer_ref)
+        cells = t[cell_col].combine_chunks().to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cs = cells[order]
+        px = t["lon"].combine_chunks().to_numpy()[order]
+        py = t["lat"].combine_chunks().to_numpy()[order]
+        ids = t[id_col].combine_chunks().take(pa.array(order))
+        ucells, starts = np.unique(cs, return_index=True)
+        bounds = np.append(starts, len(cs))
+        d2 = np.empty(len(cs), np.float64)
+        bi = np.empty(len(cs), np.int64)
+        for i, c in enumerate(ucells):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            d2[s:e], bi[s:e] = _seg_ring_search(layer, int(c),
+                                                px[s:e], py[s:e])
+        ok = bi >= 0
+        return pa.table({
+            id_col: ids.filter(pa.array(ok)),
+            "way_id": pa.array(layer["way"][bi[ok]]),
+            "seq": pa.array(layer["seq"][bi[ok]], pa.int64()),
+            "dist_deg7": pa.array(round_half_away(np.sqrt(d2[ok]), 7)),
+        })
+
+    return pts.groupby("part").map_groups(per_partition,
+                                          batch_format="pyarrow")

@@ -1682,3 +1682,67 @@ def langid_confusion(docs: ray.data.Dataset) -> ray.data.Dataset:
     return single_merge(docs.select_columns(["doc_id", "lang", "text"])
                         .map_batches(stage, batch_format="pyarrow",
                                      batch_size=4096), merge)
+
+
+def zipf_slope(docs: ray.data.Dataset, k: int = 100,
+               num_parts: int = 32) -> ray.data.Dataset:
+    """(k, slope6, intercept6): ordinary-least-squares fit of
+    ln(frequency) against ln(rank) over the corpus's top-``k`` words —
+    the Zipf-law exponent audit (natural English sits near slope -1;
+    a synthetic or template-heavy corpus drifts far from it) run next
+    to vocab_stats' Good-Turing spectrum before LM training.
+
+    Scale plan: per-block (word, count) partials, ONE word-hash
+    exchange makes counts exact, each partition keeps only its local
+    top-``k`` by (count DESC, word ASC) — a true combiner, since every
+    word lives in exactly one partition — and the bounded k-per-
+    partition candidate set merges in one task that selects the global
+    top-``k`` and evaluates the closed-form OLS sums. The tie rule at
+    the cut (count DESC, word ASC) is deterministic on both sides."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, toks = _tokens_flat(t["text"].combine_chunks())
+        if not len(toks):
+            return pa.table({"w": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        u, n = np.unique(toks.astype(str), return_counts=True)
+        h = _crc32_map(u.astype(object))
+        return pa.table({"w": pa.array(u, type=pa.string()),
+                         "pn": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(
+                             h.astype(np.int64), num_parts))})
+
+    def topk_local(t: pa.Table) -> pa.Table:
+        g = t.group_by("w").aggregate([("pn", "sum")])
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        n = g["pn_sum"].combine_chunks().to_numpy()
+        order = np.lexsort((w, -n))[:k]
+        return pa.table({"w": pa.array(w[order], pa.string()),
+                         "n": pa.array(n[order], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["w"].to_pylist(), dtype=object)
+        n = t["n"].combine_chunks().to_numpy()
+        order = np.lexsort((w, -n))[:k]
+        y = np.log(n[order].astype(np.float64))
+        x = np.log(np.arange(1, len(order) + 1, dtype=np.float64))
+        kk = float(len(order))
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx, sxy = float((x * x).sum()), float((x * y).sum())
+        den = kk * sxx - sx * sx
+        slope = (kk * sxy - sx * sy) / den if den != 0.0 else 0.0
+        intercept = (sy - slope * sx) / kk if kk else 0.0
+        return pa.table({
+            "k": pa.array([len(order)], pa.int64()),
+            "slope6": pa.array([float(round_half_away(slope, 6))]),
+            "intercept6": pa.array([float(round_half_away(intercept, 6))]),
+        })
+
+    return single_merge(
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("part").map_groups(topk_local, batch_format="pyarrow"),
+        merge)
