@@ -2153,10 +2153,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
                  AS assortativity6
         FROM dm, em"""
 
-    # snap_to_segment: brute-force point x segment cross join with the
-    # engine kernel's exact expression tree — residuals as (rx - t*dx),
-    # NOT (p - (a + t*dx)), which differs in float — and the
-    # (d2, way_id, seq) lexicographic tie rule via row_number
+    # snap_to_segment: point x segment join PREFILTERED by the snap
+    # radius against each segment's bbox (sound: d <= T implies the
+    # point is within T of the bbox on both axes, so no in-radius pair
+    # is lost and both sides minimize over a superset of the in-radius
+    # set), with the engine kernel's exact expression tree — residuals
+    # as (rx - t*dx), NOT (p - (a + t*dx)), which differs in float —
+    # the (d2, way_id, seq) lexicographic tie rule via row_number, and
+    # the final keep on RAW d2 <= T*T (identical float compare both
+    # sides).  T mirrors snap_to_segment's max_snap_deg default.
+    _sn_t = "0.005"
     q["snap_to_segment"] = f"""
         WITH {_pts_cte(images)},
         exp AS (SELECT id AS way_id, unnest(refs) AS ref,
@@ -2170,7 +2176,11 @@ def build(sf: float = 0.01) -> dict[str, str]:
         dv AS (SELECT p.image_id, s.way_id, s.seq,
                       p.lon - s.ax AS rx, p.lat - s.ay AS ry,
                       s.bx - s.ax AS dx, s.by2 - s.ay AS dy
-               FROM pts p CROSS JOIN segs s),
+               FROM pts p JOIN segs s
+                 ON p.lon >= LEAST(s.ax, s.bx) - {_sn_t}
+               WHERE p.lon <= GREATEST(s.ax, s.bx) + {_sn_t}
+                 AND p.lat >= LEAST(s.ay, s.by2) - {_sn_t}
+                 AND p.lat <= GREATEST(s.ay, s.by2) + {_sn_t}),
         tv AS (SELECT image_id, way_id, seq, rx, ry, dx, dy,
                       CASE WHEN dx * dx + dy * dy > 0.0
                            THEN LEAST(GREATEST(
@@ -2188,6 +2198,6 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM dd)
         SELECT image_id, way_id, CAST(seq AS BIGINT) AS seq,
                {sql_round('SQRT(d2)', 7)} AS dist_deg7
-        FROM r WHERE rn = 1"""
+        FROM r WHERE rn = 1 AND d2 <= {_sn_t} * {_sn_t}"""
 
     return {k: " ".join(v.split()) for k, v in q.items()}

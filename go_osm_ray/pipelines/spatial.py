@@ -2822,15 +2822,22 @@ def cell_diameter(pts: ray.data.Dataset, res: int = 7,
     Scale plan: assign fuses into the decode read; ONE hash(cell)
     exchange ships (cell, lon, lat) — O(points), the same volume as
     the histogram family; each partition then lexsorts its cells and
-    enumerates within-cell pairs with the vectorized clique kernel
-    (no Python loop).  Per-cell cost is O(n_c^2) vectorized, bounded
-    by the city-scale cell population; the 100-TB path for mega-cells
-    is rotating calipers over cell_convex_hull's hull-of-hulls output
-    (planar-metric caveat documented there) — the exact all-pairs
-    kernel here is the oracle-matched reference semantics.  Haversine
-    is float-symmetric in its operands (squares and products only), so
-    pair orientation cannot move the max; rounding is applied once,
-    after the max."""
+    runs the within-cell max in two regimes.  SMALL cells (n <= 128)
+    go through the vectorized clique kernel with the DIRECT haversine
+    (bounded: <= 64 pairs per point).  BIG cells (the hot urban ones —
+    sf0.1 has a 12.6k-point cell owning 79M of the 212M total pairs)
+    use a TILED two-pass scan that never materializes pair-index
+    arrays: pass 1 finds the max of an algebraically expanded
+    haversine argument (per-point sin/cos precomputed, so each pair
+    costs ~7 multiply-adds and no transcendentals); pass 2 re-scans
+    only the tiles whose expanded max is within 1e-9 of the global
+    expanded max and evaluates the DIRECT kernel on just those
+    candidate pairs.  |expanded - direct| is O(1e-15) absolutely, so
+    the true direct-max pair always survives the 1e-9 margin and the
+    reported max equals the oracle's full direct scan bit-for-bit.
+    Haversine is float-symmetric in its operands (squares and products
+    only), so pair orientation cannot move the max; rounding is
+    applied once, after the max."""
     from ..geo import tiles
     from ..relational import hash_part
     from ..util import round_half_away
@@ -2847,6 +2854,53 @@ def cell_diameter(pts: ray.data.Dataset, res: int = 7,
                          "lat": pa.array(lat),
                          "part": pa.array(hash_part(c, num_parts))})
 
+    SMALL = 128
+    TI, TJ = 1024, 8192
+
+    def _direct_a(lon1, lat1, lon2, lat2):
+        p1 = lat1 * d2r
+        p2 = lat2 * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((lon2 - lon1) * d2r / 2.0)
+        return np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl,
+                          1.0)
+
+    def _big_cell_amax(lon, lat):
+        """Exact max DIRECT haversine argument over all pairs.  Pruning
+        pass: the expanded argument is (1 - G)/2 with G the dot product
+        of the points' 3-D unit vectors (spherical law of cosines), so
+        max-a ranking == min-G ranking and each tile is ONE BLAS matmul
+        (U @ U.T) instead of four outer products.  Pairs within 1e-9 of
+        the global G-min (|float(G) - real| is O(1e-15), so the true
+        direct-max pair always qualifies) are then re-evaluated with
+        the DIRECT kernel and the max of those is the exact answer."""
+        sp, cp = np.sin(lat * d2r), np.cos(lat * d2r)
+        sl, cl = np.sin(lon * d2r), np.cos(lon * d2r)
+        u = np.stack([cp * cl, cp * sl, sp], axis=1)
+        n = len(lon)
+        tiles_ = [(i0, j0) for i0 in range(0, n, TI)
+                  for j0 in range(i0, n, TJ)]
+        tmin = np.empty(len(tiles_), np.float64)
+        for ti, (i0, j0) in enumerate(tiles_):
+            i1, j1 = min(i0 + TI, n), min(j0 + TJ, n)
+            g = u[i0:i1] @ u[j0:j1].T
+            tmin[ti] = g.min() if g.size else np.inf
+        gmin = float(tmin.min())
+        best = -np.inf
+        for ti, (i0, j0) in enumerate(tiles_):
+            if tmin[ti] > gmin + 1e-9:
+                continue
+            i1, j1 = min(i0 + TI, n), min(j0 + TJ, n)
+            g = u[i0:i1] @ u[j0:j1].T
+            gi, gj = np.nonzero(g <= gmin + 1e-9)
+            gi, gj = gi + i0, gj + j0
+            keep = gi != gj  # self-pairs can't win (g ~ 1) but be safe
+            if keep.any():
+                cand = _direct_a(lon[gi[keep]], lat[gi[keep]],
+                                 lon[gj[keep]], lat[gj[keep]])
+                best = max(best, float(cand.max()))
+        return best if best > -np.inf else 0.0
+
     def finish(t: pa.Table) -> pa.Table:
         c = t["cell"].combine_chunks().to_numpy()
         lon = t["lon"].combine_chunks().to_numpy()
@@ -2857,26 +2911,33 @@ def cell_diameter(pts: ray.data.Dataset, res: int = 7,
             if len(c) else np.empty(0, np.int64)
         counts = np.diff(np.r_[starts, len(c)]) if len(c) \
             else np.empty(0, np.int64)
-        # vectorized within-cell pair enumeration (the clique kernel)
-        pos = np.arange(len(c), dtype=np.int64)
-        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
-        i = np.repeat(pos, rep)
-        base = np.repeat(np.cumsum(rep) - rep, rep)
-        j = i + 1 + (np.arange(int(rep.sum()), dtype=np.int64) - base)
-        p1 = lat[i] * d2r
-        p2 = lat[j] * d2r
-        sdp = np.sin((p2 - p1) / 2.0)
-        sdl = np.sin((lon[j] - lon[i]) * d2r / 2.0)
-        a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl, 1.0)
-        d = 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
-        # pairs emerge grouped by cell: cell k owns pairs_per_cell[k]
-        # consecutive rows (i is non-decreasing within the sorted order)
-        ppc = (counts * (counts - 1)) // 2
         diam = np.zeros(len(counts), np.float64)
-        has = ppc > 0
-        if has.any():
-            pstarts = (np.cumsum(ppc) - ppc)[has]
-            diam[has] = np.maximum.reduceat(d, pstarts)
+
+        small = counts <= SMALL
+        if small.any():
+            # vectorized clique kernel over ALL small cells at once
+            sel = np.repeat(small, counts)
+            lo_s, la_s = lon[sel], lat[sel]
+            cnt_s = counts[small]
+            st_s = np.append(0, np.cumsum(cnt_s))[:-1]
+            pos = np.arange(len(lo_s), dtype=np.int64)
+            rep = np.repeat(cnt_s, cnt_s) - (pos - np.repeat(st_s, cnt_s)) - 1
+            i = np.repeat(pos, rep)
+            base = np.repeat(np.cumsum(rep) - rep, rep)
+            j = i + 1 + (np.arange(int(rep.sum()), dtype=np.int64) - base)
+            a = _direct_a(lo_s[i], la_s[i], lo_s[j], la_s[j])
+            d = 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
+            ppc = (cnt_s * (cnt_s - 1)) // 2
+            dm = np.zeros(len(cnt_s), np.float64)
+            has = ppc > 0
+            if has.any():
+                pstarts = (np.cumsum(ppc) - ppc)[has]
+                dm[has] = np.maximum.reduceat(d, pstarts)
+            diam[small] = dm
+        for k in np.flatnonzero(~small):
+            s, e = starts[k], starts[k] + counts[k]
+            amax = _big_cell_amax(lon[s:e], lat[s:e])
+            diam[k] = 2.0 * EARTH_R_M * float(np.arcsin(np.sqrt(amax)))
         return pa.table({
             cell_col: pa.array(c[starts]),
             "n": pa.array(counts, pa.int64()),
@@ -2890,19 +2951,22 @@ def cell_diameter(pts: ray.data.Dataset, res: int = 7,
 
 # ---------------------------------------------------------------- snap
 
+
 def build_segment_cells(nodes: ray.data.Dataset, ways: ray.data.Dataset,
-                        res: int = 10) -> ray.ObjectRef:
+                        res: int = 16) -> ray.ObjectRef:
     """Cell-bucketed way-SEGMENT layer for map-matching: every resolved
     consecutive node pair (way_id, seq, ax, ay, bx, by), registered in
-    EVERY res-``res`` cell its bbox touches (a superset of the cells the
-    segment passes through, so the ring-search exclusion argument below
-    stays exact).  Segments sort by (way_id, seq) inside each bucket so
-    a first-minimum scan realizes the lexicographic tie rule.  One
-    broadcast object here (segment arrays are edge-scale); at cluster
-    scale each bucket becomes its own object-store entry fetched per
-    ring, exactly like the PIP / kNN shard layers."""
+    EVERY res-``res`` slippy cell its bbox touches.  Segments are
+    globally sorted by (way_id, seq), so ascending segment INDEX order
+    is (way_id, seq) order and a first-of-group scan realizes the
+    lexicographic tie rule.  The layer is flat numpy arrays — sorted
+    bucket keys + offsets + flattened per-bucket index lists — so the
+    probe path is pure searchsorted, no dict.  One broadcast object
+    (the network is city-extract-scale, ~15 MB at sf0.1); at planet
+    scale each cell-prefix shard becomes its own object-store entry
+    fetched by co-partitioned tasks, exactly like the PIP / kNN shard
+    layers."""
     from ..geo import tiles
-
     from ..relational import broadcast_table
     nt_t = ray.get(broadcast_table(nodes, ["id", "lon", "lat"]))
     wt_t = ray.get(broadcast_table(ways, ["id", "refs"]))
@@ -2945,170 +3009,110 @@ def build_segment_cells(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     x1t, y0t = tiles.tile_xy(np.maximum(ax, bx), np.maximum(ay, by), res)
     span = (x1t - x0t + 1) * (y1t - y0t + 1)
     idx = np.repeat(np.arange(len(seg_way), dtype=np.int64), span)
-    # enumerate each segment's bbox-cover cells (vectorized over the
-    # repeated index space; spans are tiny — a segment is cell-scale)
     base = np.repeat(np.cumsum(span) - span, span)
     k = np.arange(int(span.sum()), dtype=np.int64) - base
     w_ = np.repeat(x1t - x0t + 1, span)
     cx = np.repeat(x0t, span) + (k % w_)
     cy = np.repeat(y0t, span) + (k // w_)
-    cells = ((np.int64(res) << np.int64(tiles.RES_SHIFT))
-             | (cx << np.int64(tiles.XY_BITS)) | cy)
+    keys = (cx << np.int64(32)) | cy
 
-    co = np.argsort(cells, kind="stable")
-    cells_s, idx_s = cells[co], idx[co]
-    ucells, starts = np.unique(cells_s, return_index=True)
-    bounds = np.append(starts, len(cells_s))
-    blists = [np.sort(idx_s[int(bounds[i]):int(bounds[i + 1])])
-              for i in range(len(ucells))]
-    # occupied-bucket tile coordinates, for the vectorized region mask
-    # in _seg_ring_search (never enumerate the region's cell grid — a
-    # res-10 region is up to n_side^2 = 1M cells, but occupied buckets
-    # are bounded by the segment count)
-    _, bxt, byt = tiles.cell_to_xy(ucells)
-    return ray.put({"res": res, "total": len(seg_way),
-                    "bx_t": bxt.astype(np.int64),
-                    "by_t": byt.astype(np.int64), "blists": blists,
-                    "way": seg_way, "seq": rel,
+    co = np.lexsort((idx, keys))  # bucket-major, ascending seg idx within
+    keys_s, idx_s = keys[co], idx[co]
+    ukeys, starts = np.unique(keys_s, return_index=True)
+    off = np.append(starts, len(keys_s)).astype(np.int64)
+    return ray.put({"res": res, "ukeys": ukeys, "off": off,
+                    "segidx": idx_s, "way": seg_way, "seq": rel,
                     "ax": ax, "ay": ay, "bx": bx, "by": by})
 
 
-def _seg_exact_scan(px: np.ndarray, py: np.ndarray, layer: dict,
-                    cand: np.ndarray, chunk: int = 4096):
-    """First-minimum point-to-segment scan over candidate segment
-    indices ``cand`` (sorted by (way_id, seq)): returns (d2, seg_idx)
-    per point.  The projection expression mirrors the SQL oracle
-    term-for-term; processing candidates in (way_id, seq) order with a
-    strictly-less update realizes the (d2, way_id, seq) tie rule."""
-    best_d2 = np.full(len(px), np.inf)
-    best_i = np.full(len(px), -1, np.int64)
-    for s in range(0, len(cand), chunk):
-        ci = cand[s:s + chunk]
-        ax, ay = layer["ax"][ci], layer["ay"][ci]
-        dx = layer["bx"][ci] - ax
-        dy = layer["by"][ci] - ay
-        L2 = dx * dx + dy * dy
-        rx = px[:, None] - ax
-        ry = py[:, None] - ay
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.where(L2 > 0.0, (rx * dx + ry * dy)
-                         / np.where(L2 > 0.0, L2, 1.0), 0.0)
-        t = np.clip(t, 0.0, 1.0)
-        ex = rx - t * dx
-        ey = ry - t * dy
-        d2 = ex * ex + ey * ey
-        j = np.argmin(d2, axis=1)  # first min = lowest (way, seq) in chunk
-        dmin = d2[np.arange(len(px)), j]
-        upd = dmin < best_d2
-        best_d2[upd] = dmin[upd]
-        best_i[upd] = ci[j[upd]]
-    return best_d2, best_i
-
-
-def _seg_ring_search(layer: dict, cell: int, px: np.ndarray,
-                     py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Exact nearest-segment search for one cell's points over an
-    expanding square ring region (the kNN _ring_search argument, with
-    segment-bbox bucket membership supplying the exclusion guarantee:
-    a segment absent from every bucket in the region has its whole bbox
-    — hence the segment — outside it, so its distance exceeds the
-    point's distance to the region boundary)."""
-    from ..geo import tiles
-    res = layer["res"]
-    n_side = 1 << res
-    bx_t, by_t = layer["bx_t"], layer["by_t"]
-    blists = layer["blists"]
-    _, cx, cy = tiles.cell_to_xy(np.array([cell]))
-    cx, cy = int(cx[0]), int(cy[0])
-    k = 1
-    while True:
-        x0, x1 = max(cx - k, 0), min(cx + k, n_side - 1)
-        y0, y1 = max(cy - k, 0), min(cy + k, n_side - 1)
-        # vectorized region test over OCCUPIED buckets only (their count
-        # is bounded by the segment count; the region's own cell grid is
-        # up to n_side^2 and must never be enumerated)
-        sel = np.flatnonzero((bx_t >= x0) & (bx_t <= x1)
-                             & (by_t >= y0) & (by_t <= y1))
-        full = (x0 == 0 and y0 == 0 and x1 == n_side - 1
-                and y1 == n_side - 1)
-        if not len(sel):
-            if full:
-                return (np.full(len(px), np.inf),
-                        np.full(len(px), -1, np.int64))
-            k *= 2
-            continue
-        cand = np.unique(np.concatenate([blists[i] for i in sel]))
-        d2, bi = _seg_exact_scan(px, py, layer, cand)
-        if full or len(cand) == layer["total"]:
-            return d2, bi
-        lonL, _, _, _ = tiles.cell_bounds(np.array(
-            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-             | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
-        _, _, lonR, latT = tiles.cell_bounds(np.array(
-            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-             | (np.int64(x1) << np.int64(tiles.XY_BITS)) | np.int64(y0)]))
-        _, latB, _, _ = tiles.cell_bounds(np.array(
-            [(np.int64(res) << np.int64(tiles.RES_SHIFT))
-             | (np.int64(x0) << np.int64(tiles.XY_BITS)) | np.int64(y1)]))
-        bdist = np.minimum.reduce([
-            px - float(lonL[0]), float(lonR[0]) - px,
-            py - float(latB[0]), float(latT[0]) - py])
-        if bool(np.all(d2 < np.maximum(bdist, 0.0) ** 2)):
-            return d2, bi
-        k *= 2
-
-
 def snap_to_segment(images: ray.data.Dataset, layer_ref: ray.ObjectRef,
-                    res: int = 10, id_col: str = "image_id",
-                    num_parts: int = 32) -> ray.data.Dataset:
+                    max_snap_deg: float = 0.005,
+                    id_col: str = "image_id",
+                    batch_size: int = 4096,
+                    pair_chunk: int = 4_000_000) -> ray.data.Dataset:
     """(image_id, way_id, seq, dist_deg7): map-matching — snap every
-    geotagged image to the nearest way SEGMENT (planar-degree point-to-
-    segment distance, the kNN layer's metric), reporting the owning way,
-    the segment's 1-based position, and the distance rounded at 7
-    digits.  Ties resolve lexicographically by (distance, way_id, seq).
+    geotagged image within ``max_snap_deg`` (planar degrees, the kNN
+    layer's metric) of the way network to its nearest way SEGMENT,
+    reporting the owning way, the segment's 1-based position, and the
+    point-to-segment distance rounded at 7 digits.  Ties resolve
+    lexicographically by (distance, way_id, seq); images farther than
+    the threshold from every segment are dropped (the standard
+    map-matching radius — a photo an ocean away from the network has
+    no meaningful match, and the radius is what keeps BOTH sides of
+    the oracle contract scan-bounded).
 
-    Plan (knn_nearest_sharded's shape): points hash-partition by
-    geocell, each partition task ring-searches the broadcast
-    segment-bucket layer per cell run; the per-(point, segment)
-    projection expression is mirrored term-for-term by the SQL oracle's
-    brute-force cross join, so the pruned search must reproduce the
-    full-scan result exactly."""
-    from ..relational import hash_part
-    from ..stages.assign import make_cell_assigner
+    NO shuffle: the bucket layer broadcasts once and every batch
+    probes it independently — for each point, the probed region is the
+    tile rectangle spanned by tile_xy(p ± T), which provably contains
+    the bbox-cover cells of every segment within T of p (tile_xy is
+    monotone per axis), so the candidate set is a superset of all
+    in-radius segments and the min over it equals the full scan's min
+    whenever that min is within the radius.  The per-(point, segment)
+    projection expression — residuals as (rx - t*dx), NOT
+    (p - (a + t*dx)) — is mirrored term-for-term by the SQL oracle's
+    bbox-prefiltered join, so results match bit-for-bit."""
+    from ..geo import tiles
     from ..util import round_half_away
-    cell_col = f"cell_r{res}"
+    T = float(max_snap_deg)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        batch = make_cell_assigner((res,))(batch)
-        cells = batch[cell_col].combine_chunks().to_numpy()
-        return batch.append_column("part",
-                                   pa.array(hash_part(cells, num_parts)))
-
-    pts = images.map_batches(assign, batch_format="pyarrow")
-
-    def per_partition(t: pa.Table) -> pa.Table:
+    def fn(t: pa.Table) -> pa.Table:
         layer = ray.get(layer_ref)
-        cells = t[cell_col].combine_chunks().to_numpy()
-        order = np.argsort(cells, kind="stable")
-        cs = cells[order]
-        px = t["lon"].combine_chunks().to_numpy()[order]
-        py = t["lat"].combine_chunks().to_numpy()[order]
-        ids = t[id_col].combine_chunks().take(pa.array(order))
-        ucells, starts = np.unique(cs, return_index=True)
-        bounds = np.append(starts, len(cs))
-        d2 = np.empty(len(cs), np.float64)
-        bi = np.empty(len(cs), np.int64)
-        for i, c in enumerate(ucells):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            d2[s:e], bi[s:e] = _seg_ring_search(layer, int(c),
-                                                px[s:e], py[s:e])
-        ok = bi >= 0
+        res = layer["res"]
+        ukeys, off, segidx = layer["ukeys"], layer["off"], layer["segidx"]
+        px = t["lon"].combine_chunks().to_numpy()
+        py = t["lat"].combine_chunks().to_numpy()
+        x0t, y1t = tiles.tile_xy(px - T, py - T, res)
+        x1t, y0t = tiles.tile_xy(px + T, py + T, res)
+        span = (x1t - x0t + 1) * (y1t - y0t + 1)
+        pi0 = np.repeat(np.arange(len(px), dtype=np.int64), span)
+        base = np.repeat(np.cumsum(span) - span, span)
+        k = np.arange(int(span.sum()), dtype=np.int64) - base
+        w_ = np.repeat(x1t - x0t + 1, span)
+        qx = np.repeat(x0t, span) + (k % w_)
+        qy = np.repeat(y0t, span) + (k // w_)
+        qk = (qx << np.int64(32)) | qy
+        j = np.searchsorted(ukeys, qk).clip(max=max(len(ukeys) - 1, 0))
+        hit = (ukeys[j] == qk) if len(ukeys) else np.zeros(len(qk), bool)
+        bslot, bpi = j[hit], pi0[hit]
+        blen = off[bslot + 1] - off[bslot]
+        # flatten (point, bucket) -> (point, segment) candidate pairs
+        cpi = np.repeat(bpi, blen)
+        cbase = np.repeat(np.cumsum(blen) - blen, blen)
+        coff = np.arange(int(blen.sum()), dtype=np.int64) - cbase
+        cseg = segidx[np.repeat(off[bslot], blen) + coff]
+        # evaluate d2 in bounded chunks
+        d2 = np.empty(len(cseg), np.float64)
+        for s in range(0, len(cseg), pair_chunk):
+            e = min(s + pair_chunk, len(cseg))
+            ci, cs = cpi[s:e], cseg[s:e]
+            axc, ayc = layer["ax"][cs], layer["ay"][cs]
+            dx = layer["bx"][cs] - axc
+            dy = layer["by"][cs] - ayc
+            L2 = dx * dx + dy * dy
+            rx = px[ci] - axc
+            ry = py[ci] - ayc
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tt = np.where(L2 > 0.0, (rx * dx + ry * dy)
+                              / np.where(L2 > 0.0, L2, 1.0), 0.0)
+            tt = np.clip(tt, 0.0, 1.0)
+            ex = rx - tt * dx
+            ey = ry - tt * dy
+            d2[s:e] = ex * ex + ey * ey
+        # min per point with the (d2, way_id, seq) tie rule: segment
+        # index order IS (way_id, seq) order
+        o = np.lexsort((cseg, d2, cpi))
+        cpi, cseg, d2 = cpi[o], cseg[o], d2[o]
+        first = np.flatnonzero(np.r_[True, cpi[1:] != cpi[:-1]]) \
+            if len(cpi) else np.empty(0, np.int64)
+        wpi, wseg, wd2 = cpi[first], cseg[first], d2[first]
+        keep = wd2 <= T * T
+        wpi, wseg, wd2 = wpi[keep], wseg[keep], wd2[keep]
         return pa.table({
-            id_col: ids.filter(pa.array(ok)),
-            "way_id": pa.array(layer["way"][bi[ok]]),
-            "seq": pa.array(layer["seq"][bi[ok]], pa.int64()),
-            "dist_deg7": pa.array(round_half_away(np.sqrt(d2[ok]), 7)),
+            id_col: t[id_col].combine_chunks().take(pa.array(wpi)),
+            "way_id": pa.array(layer["way"][wseg]),
+            "seq": pa.array(layer["seq"][wseg], pa.int64()),
+            "dist_deg7": pa.array(round_half_away(np.sqrt(wd2), 7)),
         })
 
-    return pts.groupby("part").map_groups(per_partition,
-                                          batch_format="pyarrow")
+    return images.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size)
