@@ -2200,4 +2200,37 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('SQRT(d2)', 7)} AS dist_deg7
         FROM r WHERE rn = 1 AND d2 <= {_sn_t} * {_sn_t}"""
 
+    # cell_kde: the engine's 9-offset candidate expansion written as a
+    # VALUES cross join; grid constants 360/4096 and 180/4096 are exact
+    # dyadic doubles, centers and kernel mirror the numpy expressions
+    # term-for-term, the d2 < r2 keep is strict on both sides, and the
+    # 6-digit rounding absorbs parallel-summation order noise
+    q["cell_kde"] = f"""
+        WITH {_pts_cte(images)},
+        g AS (SELECT lon, lat,
+                     CAST(FLOOR((lon + 180.0) / 360.0 * 4096.0) AS BIGINT)
+                       AS gx,
+                     CAST(FLOOR((lat + 90.0) / 180.0 * 4096.0) AS BIGINT)
+                       AS gy
+              FROM pts),
+        offs AS (SELECT o1.dx, o2.dy
+                 FROM (VALUES (-1), (0), (1)) o1(dx),
+                      (VALUES (-1), (0), (1)) o2(dy)),
+        cand AS (SELECT g.lon, g.lat, g.gx + o.dx AS gx2, g.gy + o.dy AS gy2
+                 FROM g CROSS JOIN offs o
+                 WHERE g.gx + o.dx BETWEEN 0 AND 4095
+                   AND g.gy + o.dy BETWEEN 0 AND 4095),
+        d AS (SELECT gx2, gy2,
+                     (lon - ((CAST(gx2 AS DOUBLE) + 0.5)
+                             * (360.0 / 4096.0) - 180.0)) AS dxc,
+                     (lat - ((CAST(gy2 AS DOUBLE) + 0.5)
+                             * (180.0 / 4096.0) - 90.0)) AS dyc
+              FROM cand),
+        k AS (SELECT gx2, gy2, dxc * dxc + dyc * dyc AS d2 FROM d
+              WHERE dxc * dxc + dyc * dyc < 0.05 * 0.05)
+        SELECT gx2 AS gx, gy2 AS gy, CAST(count(*) AS BIGINT) AS n,
+               {sql_round('sum((1.0 - d2 / (0.05 * 0.05))'
+                          ' * (1.0 - d2 / (0.05 * 0.05)))', 6)} AS kde6
+        FROM k GROUP BY gx2, gy2"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

@@ -1780,3 +1780,4 @@ def way_assortativity(ways: ray.data.Dataset,
         })
 
     return single_merge(partials, merge)
+

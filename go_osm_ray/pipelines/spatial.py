@@ -3116,3 +3116,79 @@ def snap_to_segment(images: ray.data.Dataset, layer_ref: ray.ObjectRef,
 
     return images.map_batches(fn, batch_format="pyarrow",
                               batch_size=batch_size)
+
+
+def cell_kde(pts: ray.data.Dataset, grid_bits: int = 12,
+             radius_deg: float = 0.05,
+             batch_size: int = 65536) -> ray.data.Dataset:
+    """(gx, gy, n, kde6): quartic-kernel (biweight) density estimate of
+    the point field sampled at the centers of a LINEAR lon/lat grid
+    (2^``grid_bits`` cells per axis — 360/4096 and 180/4096 are exact
+    dyadic degrees, so centers are float-exact on both engine and SQL
+    sides): every grid cell whose center lies strictly within
+    ``radius_deg`` of at least one point gets
+    kde = sum_points (1 - d2/r2)^2 and the contributing count — the
+    smooth heatmap surface a tile renderer shades, next to
+    cell_histogram's hard binning.
+
+    Scale plan: the kernel radius is under one cell width, so each
+    point touches at most its 3x3 neighbor centers — a 9-offset
+    candidate expansion inside map_batches (no point leaves its task),
+    each batch pre-collapses to one partial row per touched cell, and
+    ONE bounded hash exchange (partial_groupby_agg) merges partials.
+    Shuffle volume is O(touched cells x blocks), not O(points).
+    Rounding at 6 digits absorbs the summation-order float noise of
+    both sides' parallel sums (caption_align precedent)."""
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+    n_side = 1 << grid_bits
+    cw = 360.0 / n_side
+    ch = 180.0 / n_side
+    r2 = float(radius_deg) * float(radius_deg)
+
+    def expand(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        gx = np.floor((lon + 180.0) / 360.0 * n_side)
+        gy = np.floor((lat + 90.0) / 180.0 * n_side)
+        outs = []
+        for dx in (-1.0, 0.0, 1.0):
+            for dy in (-1.0, 0.0, 1.0):
+                cx = (gx + dx + 0.5) * cw - 180.0
+                cy = (gy + dy + 0.5) * ch - 90.0
+                dxc = lon - cx
+                dyc = lat - cy
+                d2 = dxc * dxc + dyc * dyc
+                ok = ((d2 < r2) & (gx + dx >= 0) & (gx + dx < n_side)
+                      & (gy + dy >= 0) & (gy + dy < n_side))
+                if not ok.any():
+                    continue
+                w = 1.0 - d2[ok] / r2
+                outs.append(pa.table({
+                    "gx": pa.array((gx + dx)[ok].astype(np.int64)),
+                    "gy": pa.array((gy + dy)[ok].astype(np.int64)),
+                    "pn": pa.array(np.ones(int(ok.sum()), np.int64)),
+                    "pk": pa.array(w * w),
+                }))
+        if not outs:
+            return pa.table({"gx": pa.array([], pa.int64()),
+                             "gy": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64()),
+                             "pk": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    agg = partial_groupby_agg(
+        pts.map_batches(expand, batch_format="pyarrow",
+                        batch_size=batch_size),
+        ["gx", "gy"], [("pn", "sum"), ("pk", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "gx": t["gx"], "gy": t["gy"],
+            "n": t["pn_sum"],
+            "kde6": pa.array(round_half_away(
+                t["pk_sum"].combine_chunks().to_numpy(zero_copy_only=False),
+                6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
