@@ -2233,4 +2233,68 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           ' * (1.0 - d2 / (0.05 * 0.05)))', 6)} AS kde6
         FROM k GROUP BY gx2, gy2"""
 
+    # term_cell_lift: the engine's three-stage marginalization written
+    # flat — pair counts, token/cell marginals over the pair table, and
+    # the lift quotient with the exact float shape (CAST-to-double
+    # numerator and denominator products)
+    _tcl_lon, _tcl_lat = morton.sql_decode_exprs("phash")
+    q["term_cell_lift"] = f"""
+        WITH cp AS (SELECT caption, {_tcl_lon} AS lon, {_tcl_lat} AS lat
+                    FROM {images}),
+        tk AS (SELECT {tiles.sql_cell_id('lon', 'lat', 5)} AS cell,
+                      unnest(list_filter(string_split(lower(caption), ' '),
+                                         _w -> _w <> '')) AS token
+               FROM cp),
+        pairs AS (SELECT token, cell, CAST(count(*) AS BIGINT) AS n
+                  FROM tk GROUP BY token, cell),
+        tot_t AS (SELECT token, sum(n) AS nt FROM pairs GROUP BY token),
+        tot_c AS (SELECT cell, sum(n) AS nc FROM pairs GROUP BY cell),
+        nn AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM pairs)
+        SELECT p.cell AS cell_r5, p.token, p.n,
+               {sql_round('(CAST(p.n AS DOUBLE) * nn.total)'
+                          ' / (CAST(t.nt AS DOUBLE)'
+                          ' * CAST(c.nc AS DOUBLE))', 6)} AS lift6
+        FROM pairs p JOIN tot_t t ON t.token = p.token
+             JOIN tot_c c ON c.cell = p.cell, nn
+        WHERE p.n >= 5"""
+
+    # cell_anisotropy: moments about the EXACT per-cell min corner (min
+    # is order-free float-exact, unlike a mean), then the engine's
+    # covariance / eigenvalue / angle expressions term-for-term; 6-digit
+    # rounding absorbs summation-order noise on the bounded centered
+    # terms (see the engine docstring's float contract)
+    _an_l1 = "((cxx + cyy) + disc) / 2.0"
+    _an_l2 = "((cxx + cyy) - disc) / 2.0"
+    q["cell_anisotropy"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT lon, lat,
+                     {tiles.sql_cell_id('lon', 'lat', 7)} AS cell
+              FROM pts),
+        m AS (SELECT cell, min(lon) AS ml, min(lat) AS mb,
+                     count(*) AS n
+              FROM c GROUP BY cell),
+        d AS (SELECT c.cell, m.n, c.lon - m.ml AS dx, c.lat - m.mb AS dy
+              FROM c JOIN m USING (cell)),
+        s AS (SELECT cell, max(n) AS n, CAST(max(n) AS DOUBLE) AS nd,
+                     SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dx) AS sxx,
+                     SUM(dy * dy) AS syy, SUM(dx * dy) AS sxy
+              FROM d GROUP BY cell),
+        e AS (SELECT cell, n,
+                     sxx / nd - (sx / nd) * (sx / nd) AS cxx,
+                     syy / nd - (sy / nd) * (sy / nd) AS cyy,
+                     sxy / nd - (sx / nd) * (sy / nd) AS cxy
+              FROM s),
+        f AS (SELECT cell, n, cxx, cyy, cxy,
+                     SQRT((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
+                       AS disc
+              FROM e)
+        SELECT cell AS cell_r7, CAST(n AS BIGINT) AS n,
+               {sql_round('0.5 * atan2(2.0 * cxy, cxx - cyy)', 6)}
+                 AS angle6,
+               {sql_round(
+                   f'CASE WHEN {_an_l1} > 0.0'
+                   f' THEN SQRT(GREATEST(1.0 - ({_an_l2}) / ({_an_l1}),'
+                   ' 0.0)) ELSE 0.0 END', 6)} AS ecc6
+        FROM f"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

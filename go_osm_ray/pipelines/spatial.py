@@ -3192,3 +3192,167 @@ def cell_kde(pts: ray.data.Dataset, grid_bits: int = 12,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def term_cell_lift(images: ray.data.Dataset, res: int = 5,
+                   min_n: int = 5, num_parts: int = 32) -> ray.data.Dataset:
+    """(cell_r{res}, token, n, lift6): pointwise lift of each caption
+    token inside each res-``res`` cell vs its global rate —
+    lift = (n_tc * N) / (n_t * n_c) — the geographic-bias audit a
+    caption corpus gets before training (does "beach" concentrate in
+    coastal cells, is a template string stamped over one region?).
+    Pairs below ``min_n`` occurrences are suppressed (rate estimates
+    are noise there, and the floor bounds the output).
+
+    Scale plan: blocks collapse to (token, cell) partials and ONE
+    token-hash exchange (partial_groupby_agg) makes pair counts exact;
+    token and cell marginals are then two aggregations OVER THE
+    COLLAPSED PAIR TABLE (vocab- and cell-bounded, nothing touches the
+    raw corpus again) that broadcast into a final stateless map.  At
+    open-web vocabulary the marginal broadcast takes the tfidf_capped
+    top-V treatment; the pair exchange itself is already bounded."""
+    from ..geo import tiles
+    from ..relational import broadcast_table, partial_groupby_agg
+    from ..util import round_half_away
+    from .text import _tokens_flat
+
+    cell_col = f"cell_r{res}"
+
+    def expand(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["caption"].combine_chunks())
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = np.repeat(tiles.cell_id(lon, lat, res), counts)
+        return pa.table({"token": pa.array(toks.astype(str),
+                                           type=pa.string()),
+                         "cell": pa.array(cell),
+                         "one": pa.array(np.ones(len(cell), np.int64))})
+
+    pairs = partial_groupby_agg(
+        images.map_batches(expand, batch_format="pyarrow",
+                           batch_size=8192),
+        ["token", "cell"], [("one", "sum")],
+        num_parts=num_parts)  # -> token, cell, one_sum
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["token", "cell", "n"])
+
+    pairs = pairs.map_batches(_rename, batch_format="pyarrow").materialize()
+    tok_tot = partial_groupby_agg(pairs, ["token"], [("n", "sum")],
+                                  num_parts=num_parts)
+    cell_tot = partial_groupby_agg(pairs, ["cell"], [("n", "sum")],
+                                   num_parts=num_parts)
+    tok_ref = broadcast_table(tok_tot, ["token", "n_sum"])
+    cell_ref = broadcast_table(cell_tot, ["cell", "n_sum"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        tt = ray.get(tok_ref)
+        ct = ray.get(cell_ref)
+        tw = np.asarray(tt["token"].combine_chunks().to_pylist(), dtype=str)
+        tn = tt["n_sum"].combine_chunks().to_numpy()
+        to = np.argsort(tw, kind="stable")
+        tw, tn = tw[to], tn[to]
+        cv = ct["cell"].combine_chunks().to_numpy()
+        cn = ct["n_sum"].combine_chunks().to_numpy()
+        co = np.argsort(cv, kind="stable")
+        cv, cn = cv[co], cn[co]
+        total = float(cn.sum())
+
+        n = t["n"].combine_chunks().to_numpy()
+        keep = n >= min_n
+        tok = t["token"].combine_chunks().filter(pa.array(keep))
+        cell = t["cell"].combine_chunks().to_numpy()[keep]
+        n = n[keep]
+        qw = np.asarray(tok.to_pylist(), dtype=str)
+        nt = tn[np.searchsorted(tw, qw)]
+        nc = cn[np.searchsorted(cv, cell)]
+        lift = (n.astype(np.float64) * total) \
+            / (nt.astype(np.float64) * nc.astype(np.float64))
+        return pa.table({
+            cell_col: pa.array(cell),
+            "token": tok,
+            "n": pa.array(n, pa.int64()),
+            "lift6": pa.array(round_half_away(lift, 6)),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_anisotropy(pts: ray.data.Dataset, res: int = 7,
+                    num_parts: int = 32,
+                    batch_size: int = 65536) -> ray.data.Dataset:
+    """(cell_r{res}, n, angle6, ecc6): principal orientation (radians,
+    0.5*atan2(2*cxy, cxx-cyy)) and eccentricity sqrt(1 - l2/l1) of each
+    occupied cell's point-cloud covariance — does the imagery in a cell
+    string out along a coastline/highway or spread isotropically?  The
+    shard-shape signal a spatial partitioner reads next to
+    cell_diameter's extent.
+
+    Float contract with the SQL mirror: moments are accumulated about
+    each cell's EXACT per-cell minimum corner (min is order-free and
+    float-exact on both sides, unlike a mean), which bounds every
+    centered term by the cell extent so the engine-vs-DuckDB summation-
+    order noise stays ~1e-11 absolute and the 6-digit rounding absorbs
+    it; the covariance, eigenvalue, and angle expressions then mirror
+    term-for-term.  Plan: ONE hash(cell) exchange of (cell, lon, lat) —
+    the cell_diameter volume — and a fully vectorized reduceat pass per
+    partition."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..util import round_half_away
+
+    cell_col = f"cell_r{res}"
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        return pa.table({"cell": pa.array(c), "lon": pa.array(lon),
+                         "lat": pa.array(lat),
+                         "part": pa.array(hash_part(c, num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cell"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.argsort(c, kind="stable")
+        c, lon, lat = c[order], lon[order], lat[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) \
+            if len(c) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(c)]) if len(c) \
+            else np.empty(0, np.int64)
+        mlon = np.minimum.reduceat(lon, starts) if len(c) \
+            else np.empty(0, np.float64)
+        mlat = np.minimum.reduceat(lat, starts) if len(c) \
+            else np.empty(0, np.float64)
+        dx = lon - np.repeat(mlon, counts)
+        dy = lat - np.repeat(mlat, counts)
+        nd = counts.astype(np.float64)
+        sx = np.add.reduceat(dx, starts) if len(c) else nd
+        sy = np.add.reduceat(dy, starts) if len(c) else nd
+        sxx = np.add.reduceat(dx * dx, starts) if len(c) else nd
+        syy = np.add.reduceat(dy * dy, starts) if len(c) else nd
+        sxy = np.add.reduceat(dx * dy, starts) if len(c) else nd
+        cxx = sxx / nd - (sx / nd) * (sx / nd)
+        cyy = syy / nd - (sy / nd) * (sy / nd)
+        cxy = sxy / nd - (sx / nd) * (sy / nd)
+        disc = np.sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
+        l1 = ((cxx + cyy) + disc) / 2.0
+        l2 = ((cxx + cyy) - disc) / 2.0
+        angle = 0.5 * np.arctan2(2.0 * cxy, cxx - cyy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ecc = np.where(l1 > 0.0,
+                           np.sqrt(np.maximum(
+                               1.0 - l2 / np.where(l1 > 0.0, l1, 1.0),
+                               0.0)),
+                           0.0)
+        return pa.table({
+            cell_col: pa.array(c[starts]),
+            "n": pa.array(counts, pa.int64()),
+            "angle6": pa.array(round_half_away(angle, 6)),
+            "ecc6": pa.array(round_half_away(ecc, 6)),
+        })
+
+    return pts.map_batches(assign, batch_format="pyarrow",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")
