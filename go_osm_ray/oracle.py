@@ -2297,4 +2297,104 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    ' 0.0)) ELSE 0.0 END', 6)} AS ecc6
         FROM f"""
 
+
+    # TPC-H Q4 shape: EXISTS late-lineitem semi-join, counted by
+    # priority ("late" = shipped >90 days after order date; the
+    # testdata has no commit/receipt dates)
+    q["q4_late_orders"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    # TPC-H Q6 shape: one filtered scalar aggregate, integer-cents
+    # per-row rounding mirrors the engine's order-free sum
+    q["q6_revenue_delta"] = """
+        SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                        AS BIGINT)) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0"""
+
+    # TPC-H Q10 shape: returned-item revenue per customer for one
+    # order quarter, top-20 (revenue DESC, custkey ASC tiebreak)
+    q["q10_returned_revenue"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem l, orders o, customer c, nation n
+        WHERE l.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n.n_nationkey
+          AND l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""
+
+    # TPC-H Q13 shape: order-count distribution incl. the zero bucket
+    q["q13_order_distribution"] = """
+        WITH per AS (SELECT c.c_custkey,
+                            CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                     FROM customer c LEFT JOIN orders o
+                       ON c.c_custkey = o.o_custkey
+                     GROUP BY c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+    # TPC-H Q18 shape: HAVING sum(qty) filter then join, top-100 by
+    # order value (total DESC, orderkey ASC tiebreak)
+    q["q18_big_baskets"] = """
+        WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING SUM(l_quantity) > 250.0)
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               big.sum_qty
+        FROM big, orders o, customer c
+        WHERE big.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+        ORDER BY total_cents DESC, o_orderkey LIMIT 100"""
+
+    # weekly cohort retention: distinct (user, week) pairs, cohort =
+    # first week; integer epoch-us day/week arithmetic on both sides
+    q["cohort_retention"] = """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 // 7 AS w
+                    FROM events),
+        f AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+        SELECT f.cw AS cohort_week, uw.w - f.cw AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # exact-decile customer value segmentation: quantile_disc
+    # thresholds (ceil(n*p)-1 order stat) then decile = count of
+    # thresholds strictly below the value — integer-cents sums so no
+    # float summation-order drift
+    q["customer_value_deciles"] = """
+        WITH s AS (SELECT o_custkey,
+                          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS v
+                   FROM orders GROUP BY o_custkey),
+        t AS (SELECT quantile_disc(CAST(v AS DOUBLE),
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                AS th FROM s),
+        d AS (SELECT v, (SELECT CAST(count(*) AS BIGINT)
+                         FROM unnest((SELECT th FROM t)) AS z(u)
+                         WHERE z.u < CAST(s.v AS DOUBLE)) AS decile
+              FROM s)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+               SUM(v) AS sum_value_cents
+        FROM d GROUP BY decile ORDER BY decile"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

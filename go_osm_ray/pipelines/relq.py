@@ -1918,3 +1918,407 @@ def q7_trade_volume(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
 
     return single_merge(j2.map_batches(pair_partial,
                                        batch_format="pyarrow"), merge)
+
+
+def q4_late_orders(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                   date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+                   late_days: int = 90,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """(o_orderpriority, n_orders): TPC-H Q4 shape — orders in a date
+    window with at least one LATE lineitem, counted by priority.  The
+    testdata carries no commit/receipt dates, so "late" is the
+    cross-table predicate l_shipdate > o_orderdate + ``late_days``
+    (EXISTS(shipdate > cutoff) == max(shipdate) > cutoff).
+
+    Scale plan: lineitem collapses to ONE (orderkey, max shipdate) row
+    per key (block combiner + bounded hash exchange) BEFORE the join,
+    so the EXISTS semi-join ships one row per order, not one per
+    lineitem; orders filters its window at the scan; the post-join
+    priority count is a 5-row bounded combine."""
+    from ..relational import partial_groupby_agg
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def li_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "sd": pa.array(t["l_shipdate"].combine_chunks().to_numpy()
+                           .astype(np.int64))})
+
+    li = partial_groupby_agg(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_sd, batch_format="pyarrow", batch_size=65536),
+        ["l_orderkey"], [("sd", "max")])
+
+    def ord_win(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        t = t.append_column("od", pa.array(od))
+        return t.filter(pa.array((od >= lo) & (od < hi))) \
+            .select(["o_orderkey", "od", "o_orderpriority"])
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ord_win, batch_format="pyarrow")
+
+    j = ords.join(li, join_type="inner", num_partitions=num_partitions,
+                  on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        late = t["sd_max"].combine_chunks().to_numpy() \
+            > t["od"].combine_chunks().to_numpy() + late_us
+        g = t.filter(pa.array(late)).group_by("o_orderpriority") \
+            .aggregate([("o_orderkey", "count")])
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("n", "sum")])
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": pc.cast(g["n_sum"], pa.int64()),
+        }).sort_by("o_orderpriority")
+
+    return single_merge(j.map_batches(prio_partial, batch_format="pyarrow"),
+                        merge)
+
+
+def q6_revenue_delta(lineitem: ray.data.Dataset,
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1997-01-01",
+                     disc_lo: float = 0.05, disc_hi: float = 0.07,
+                     qty_lt: float = 24.0) -> ray.data.Dataset:
+    """(revenue_cents, n): TPC-H Q6 shape — the would-be revenue delta
+    of dropping small discounts: SUM(extendedprice * discount) over a
+    ship-year x discount-band x quantity filter.  One streaming pass,
+    per-block scalar partials, one-row merge; per-row integer-cents
+    rounding keeps the sum order-free."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64)
+        disc = t["l_discount"].combine_chunks().to_numpy()
+        qty = t["l_quantity"].combine_chunks().to_numpy()
+        keep = ((sd >= lo) & (sd < hi) & (disc >= disc_lo)
+                & (disc <= disc_hi) & (qty < qty_lt))
+        ep = t["l_extendedprice"].combine_chunks().to_numpy()[keep]
+        rc = round_half_away(ep * disc[keep] * 100.0, 0).astype(np.int64)
+        return pa.table({"rc": pa.array([int(rc.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(pc.sum(t["rc"]).as_py() or 0)], pa.int64()),
+            "n": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64())})
+
+    return single_merge(
+        lineitem.select_columns(["l_shipdate", "l_discount", "l_quantity",
+                                 "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+def q10_returned_revenue(lineitem: ray.data.Dataset,
+                         orders: ray.data.Dataset,
+                         customer: ray.data.Dataset,
+                         nation: ray.data.Dataset,
+                         date_lo: str = "1995-07-01",
+                         date_hi: str = "1995-10-01",
+                         k: int = 20,
+                         num_partitions: int = 8) -> ray.data.Dataset:
+    """(c_custkey, c_name, n_name, revenue_cents): TPC-H Q10 shape —
+    top-k customers by revenue of RETURNED items for one order quarter.
+
+    Scale plan: lineitem filters returnflag at the scan and collapses
+    per orderkey (combiner) before the hash join with the date-filtered
+    orders; per-customer revenue is a bounded hash-partition combine;
+    top-k is per-block partial + one bounded merge.  Customer/nation
+    names attach AFTER the rank: only the k winning custkeys are
+    broadcast into a customer scan filter, so the big dim table is
+    never shuffled (a semi-broadcast lookup, not a join)."""
+    from ..relational import partial_groupby_agg
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rc": pa.array(rc)}) \
+            .group_by("l_orderkey").aggregate([("rc", "sum")])
+        return g.rename_columns(["l_orderkey", "rc"])
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def ord_win(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        return t.filter(pa.array((od >= lo) & (od < hi))) \
+            .select(["o_orderkey", "o_custkey"])
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_win, batch_format="pyarrow")
+
+    j = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    percust = partial_groupby_agg(
+        j.select_columns(["o_custkey", "rc"]), ["o_custkey"],
+        [("rc", "sum")])
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        ck = t["o_custkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ck, -rc))[:k]
+        return pa.table({"c_custkey": pa.array(ck[order]),
+                         "revenue_cents": pa.array(rc[order])})
+
+    def topk_merge(t: pa.Table) -> pa.Table:
+        rc = t["revenue_cents"].combine_chunks().to_numpy()
+        ck = t["c_custkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ck, -rc))[:k]
+        return t.take(pa.array(order))
+
+    top = single_merge(percust.map_batches(topk_partial,
+                                           batch_format="pyarrow"),
+                       topk_merge).take_all()          # bounded: k rows
+    win_keys = np.array(sorted(r["c_custkey"] for r in top), np.int64)
+    rev_of = {r["c_custkey"]: r["revenue_cents"] for r in top}
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+
+    def cust_pick(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].combine_chunks().to_numpy()
+        keep = np.isin(ck, win_keys)
+        return t.filter(pa.array(keep))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = ray.get(nat_ref)
+        nk = nt["n_nationkey"].to_numpy()
+        order = np.argsort(nk)
+        idx = order[np.searchsorted(
+            nk[order], t["c_nationkey"].combine_chunks().to_numpy())]
+        ck = t["c_custkey"].combine_chunks().to_numpy()
+        rc = np.array([rev_of[int(c)] for c in ck], np.int64)
+        out = pa.table({
+            "c_custkey": pa.array(ck),
+            "c_name": t["c_name"],
+            "n_name": nt["n_name"].take(pa.array(idx)),
+            "revenue_cents": pa.array(rc)})
+        rank = np.lexsort((ck, -rc))
+        return out.take(pa.array(rank))
+
+    return single_merge(
+        customer.select_columns(["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(cust_pick, batch_format="pyarrow"),
+        finish)
+
+
+def q13_order_distribution(orders: ray.data.Dataset,
+                           customer: ray.data.Dataset) -> ray.data.Dataset:
+    """(c_count, custdist): TPC-H Q13 shape — the distribution of
+    customers by how many orders they placed, INCLUDING the zero-order
+    bucket (the classic left-outer-join count).
+
+    Scale plan: no join at all — per-custkey counts (block combiner +
+    bounded hash exchange), then a count-of-counts combine; the zero
+    bucket is total customers (parquet metadata count, no scan) minus
+    the distinct custkeys seen in orders."""
+    from ..relational import partial_groupby_agg
+    n_cust = customer.count()   # metadata-only row count
+
+    percust = partial_groupby_agg(
+        orders.select_columns(["o_custkey", "o_orderkey"]),
+        ["o_custkey"], [("o_orderkey", "count")])
+
+    def coc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderkey_count").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([("custdist", "sum")])
+        cc = g["c_count"].combine_chunks().to_numpy().astype(np.int64)
+        cd = g["custdist_sum"].combine_chunks().to_numpy().astype(np.int64)
+        zero = n_cust - int(cd.sum())
+        if zero > 0:
+            cc = np.append(cc, 0)
+            cd = np.append(cd, zero)
+        order = np.lexsort((-cc, -cd))
+        return pa.table({"c_count": pa.array(cc[order]),
+                         "custdist": pa.array(cd[order])})
+
+    return single_merge(percust.map_batches(coc_partial,
+                                            batch_format="pyarrow"),
+                        merge)
+
+
+def q18_big_baskets(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                    customer: ray.data.Dataset,
+                    qty_threshold: float = 250.0, k: int = 100,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """(c_custkey, c_name, o_orderkey, o_orderdate, total_cents,
+    sum_qty): TPC-H Q18 shape — large-volume orders (basket quantity
+    above ``qty_threshold``), top-k by order value.
+
+    Scale plan: lineitem collapses per orderkey (combiner + bounded
+    exchange), the HAVING filter drops ~99 % of orders BEFORE any
+    join, then two hash joins attach orders and customer; the final
+    rank is per-block top-k partials + one bounded merge."""
+    from ..relational import partial_groupby_agg
+
+    qty = partial_groupby_agg(
+        lineitem.select_columns(["l_orderkey", "l_quantity"]),
+        ["l_orderkey"], [("l_quantity", "sum")])
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity_sum"], qty_threshold))
+
+    big = qty.map_batches(keep_big, batch_format="pyarrow")
+
+    j = big.join(orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(customer.select_columns(["c_custkey", "c_name"]),
+               join_type="inner", num_partitions=num_partitions,
+               on=("o_custkey",), right_on=("c_custkey",))
+
+    def shape(t: pa.Table) -> pa.Table:
+        tc = round_half_away(
+            t["o_totalprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ok, -tc))[:k]
+        return pa.table({
+            "c_custkey": t["o_custkey"].take(pa.array(order)),
+            "c_name": t["c_name"].take(pa.array(order)),
+            "o_orderkey": pa.array(ok[order]),
+            "o_orderdate": t["o_orderdate"].take(pa.array(order)),
+            "total_cents": pa.array(tc[order]),
+            "sum_qty": t["l_quantity_sum"].take(pa.array(order))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        tc = t["total_cents"].combine_chunks().to_numpy()
+        ok = t["o_orderkey"].combine_chunks().to_numpy()
+        order = np.lexsort((ok, -tc))[:k]
+        return t.take(pa.array(order))
+
+    return single_merge(j.map_batches(shape, batch_format="pyarrow"),
+                        merge)
+
+
+def cohort_retention(events: ray.data.Dataset,
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(cohort_week, week_offset, n_users): weekly cohort retention
+    matrix — users grouped by their first-activity week, counted in
+    each later week they return (the training-corpus freshness /
+    engagement-decay audit).
+
+    Scale plan: blocks collapse to DISTINCT (user, week) pairs first
+    (bounded by users x weeks, not events), ONE user-hash exchange
+    co-locates each user's weeks, and the per-partition kernel derives
+    (cohort, offset) pairs with a sort + reduceat — the final count is
+    a (weeks x weeks)/2-bounded combine."""
+    US_WEEK = np.int64(7 * 86_400_000_000)
+
+    def uw_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy().astype(np.int64)
+        w = ts // np.int64(86_400_000_000) // np.int64(7)
+        g = pa.table({"user_id": t["user_id"], "w": pa.array(w)}) \
+            .group_by(["user_id", "w"]).aggregate([])
+        u = g["user_id"].combine_chunks().to_numpy()
+        return g.append_column("part",
+                               pa.array(hash_part(u, num_parts)))
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        # global dedup within the partition (a user's pairs may repeat
+        # across source blocks), then per-user first week
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        u, w = uw[:, 0], uw[:, 1]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(w[starts], counts)
+        g = pa.table({"cohort_week": pa.array(cohort),
+                      "week_offset": pa.array(w - cohort)}) \
+            .group_by(["cohort_week", "week_offset"]) \
+            .aggregate([("cohort_week", "count")])
+        return g.rename_columns(["cohort_week", "week_offset", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_week", "week_offset"]) \
+            .aggregate([("n", "sum")])
+        return pa.table({
+            "cohort_week": pc.cast(g["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(g["week_offset"], pa.int64()),
+            "n_users": pc.cast(g["n_sum"], pa.int64()),
+        }).sort_by([("cohort_week", "ascending"),
+                    ("week_offset", "ascending")])
+
+    pairs = events.select_columns(["user_id", "ts"]) \
+        .map_batches(uw_partial, batch_format="pyarrow", batch_size=65536)
+    percohort = pairs.groupby("part").map_groups(per_user,
+                                                 batch_format="pyarrow")
+    return single_merge(percohort, merge)
+
+
+def customer_value_deciles(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """(decile, n_customers, sum_value_cents): customers bucketed by
+    EXACT deciles of their lifetime order value — the two-phase
+    "compute global thresholds, broadcast, assign" pattern (corpus
+    value segmentation; same shape as loss-quantile data pruning).
+
+    Scale plan: per-customer sums (combiner + bounded hash exchange,
+    integer cents so float order can't drift) are MATERIALIZED once —
+    the bounded per-customer table feeds both the exact-quantile
+    selection (three streaming passes, no global sort) and the
+    assignment pass; thresholds broadcast as 9 floats; decile = count
+    of thresholds strictly below the value (DuckDB quantile_disc
+    semantics on both sides)."""
+    from ..relational import partial_groupby_agg
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        rc = round_half_away(
+            t["o_totalprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"], "rc": pa.array(rc)})
+
+    percust = partial_groupby_agg(
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow", batch_size=65536),
+        ["o_custkey"], [("rc", "sum")]).materialize()
+
+    def as_float(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.cast(t["rc_sum"], pa.float64())})
+
+    vals = percust.map_batches(as_float, batch_format="pyarrow")
+    ps = tuple(i / 10.0 for i in range(1, 10))
+    th = sorted(r["value"] for r in
+                exact_quantiles(vals, col="v", ps=ps).take_all())
+    th_arr = np.array(th, np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["rc_sum"].combine_chunks().to_numpy().astype(np.float64)
+        d = np.searchsorted(th_arr, v, side="left")   # #thresholds < v
+        g = pa.table({"decile": pa.array(d.astype(np.int64)),
+                      "v": pc.cast(t["rc_sum"], pa.int64())}) \
+            .group_by("decile").aggregate([("v", "sum"), ("v", "count")])
+        return g.rename_columns(["decile", "v_sum", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("decile").aggregate([("v_sum", "sum"),
+                                            ("n", "sum")])
+        return pa.table({
+            "decile": pc.cast(g["decile"], pa.int64()),
+            "n_customers": pc.cast(g["n_sum"], pa.int64()),
+            "sum_value_cents": pc.cast(g["v_sum_sum"], pa.int64()),
+        }).sort_by("decile")
+
+    return single_merge(percust.map_batches(assign, batch_format="pyarrow"),
+                        merge)
