@@ -360,6 +360,27 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('3.0 * tri.t / wdg.w', 6)} AS clustering
         FROM tri, wdg"""
 
+    # neighborhood-Jaccard link prediction: common neighbors via the
+    # center self-join over the directed (a <> b) edge set, degrees
+    # from the same set; threshold compares the UNROUNDED double
+    # (mirrors the engine's pre-round keep mask in way_jaccard)
+    q["way_jaccard"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id <> b.way_id),
+        deg AS (SELECT a AS v, count(*) AS d FROM ed GROUP BY a),
+        cn AS (SELECT e1.b AS x, e2.b AS y,
+                      CAST(count(*) AS BIGINT) AS common
+               FROM ed e1 JOIN ed e2
+                 ON e1.a = e2.a AND e1.b < e2.b
+               GROUP BY 1, 2)
+        SELECT cn.x AS a, cn.y AS b, cn.common,
+               {sql_round('CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common)', 6)} AS jac6
+        FROM cn JOIN deg da ON da.v = cn.x JOIN deg db ON db.v = cn.y
+        WHERE CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common)
+              >= 0.2"""
+
     # multi-source BFS hop depth over the same shared-node edge set,
     # capped at BFS_MAX_DEPTH hops; UNION-dedup on (way_id, d) plus the
     # depth bound makes the recursion finite on cyclic graphs
@@ -1223,6 +1244,25 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round(f"len(list_filter(string_split(lower(text), ' '), _w -> _w IN ({stop_in}))) / CAST(nw AS DOUBLE)", 6)} AS stop_ratio
         FROM b"""
 
+    # Flesch reading ease: all three counts are global RE2 match counts
+    # (DuckDB's regex engine is also RE2, so regexp_extract_all mirrors
+    # pc.count_substring_regex's non-overlapping leftmost semantics);
+    # sentences clamped to >= 1, zero-word docs dropped, and the float
+    # expression is parenthesized identically to the engine's
+    q["readability"] = f"""
+        WITH c AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS DOUBLE) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS DOUBLE) AS y
+               FROM documents)
+        SELECT doc_id, CAST(w AS BIGINT) AS words,
+               CAST(s AS BIGINT) AS sents, CAST(y AS BIGINT) AS syll,
+               {sql_round('(206.835 - 1.015 * (w / s)) - 84.6 * (y / w)', 6)} AS flesch6
+        FROM c WHERE w > 0"""
+
     q["quality_funnel"] = f"""
         WITH b AS (SELECT source,
                           len(string_split(text, ' ')) AS nw,
@@ -2007,6 +2047,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_simplify"] = f"SELECT way_id, n_points, n_kept, kept_seq_sum FROM read_parquet('{exp['way_simplify']}')"
     q["way_pagerank"] = f"SELECT way_id, deg, pr9 FROM read_parquet('{exp['way_pagerank']}')"
     q["images_geohash"] = f"SELECT image_id, gh6, gh4 FROM read_parquet('{exp['images_geohash']}')"
+    q["geohash_rollup"] = f"SELECT lvl, prefix, n FROM read_parquet('{exp['geohash_rollup']}')"
     q["images_hex"] = f"SELECT image_id, hq_f, hr_f, hq_c, hr_c FROM read_parquet('{exp['images_hex']}')"
     q["ann_pq_topk"] = f"SELECT query_id, rank, vec_id FROM read_parquet('{exp['ann_pq_topk']}')"
     q["semdedup"] = f"SELECT vec_id, cluster, maxcos6, kept FROM read_parquet('{exp['semdedup']}')"

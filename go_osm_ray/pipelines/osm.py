@@ -1781,3 +1781,139 @@ def way_assortativity(ways: ray.data.Dataset,
 
     return single_merge(partials, merge)
 
+
+
+def way_jaccard(ways: ray.data.Dataset, num_parts: int = 16,
+                threshold: float = 0.2) -> ray.data.Dataset:
+    """(a, b, common, jac6): neighborhood-Jaccard link prediction over
+    the true shared-node way graph — every way pair with at least one
+    common neighbor scored |N(a) n N(b)| / |N(a) u N(b)|, kept above
+    ``threshold`` (the classic common-neighbors candidate generator
+    for graph dedup / entity resolution).
+
+    Physical plan (3 bounded exchanges past the shared edge build):
+      1. the deduped edge set (full_shared_node_edges, materialized —
+         reused from the triangle/k-core family) explodes to both
+         directions and exchanges by hash(center) so each node's
+         full neighbor list lands in ONE partition;
+      2. per center z: C(deg,2) neighbor pairs via the vectorized
+         clique trick, partial-counted per (x, y) in-kernel; the
+         kernel also emits z's exact degree row (z is whole here);
+      3. pairs exchange by hash(x) to sum common counts and attach
+         deg(x); degree rows ride the SAME hash so no extra shuffle;
+      4. exchange by hash(y) attaches deg(y) and scores — union-tag
+         co-partition both times (never a Dataset.join on reused
+         lineage: the r4 deadlock precedent, see way_triangles).
+    Per-center pair emission is quadratic in degree — the same
+    documented clique-cap consideration as way_triangles applies at
+    web scale (cap k, count capped analytically)."""
+    from ..relational import hash_part
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def bi(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        z = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"z": pa.array(z), "v": pa.array(v),
+                         "part": pa.array(hash_part(z, num_parts))})
+
+    def per_center(t: pa.Table) -> pa.Table:
+        z = t["z"].combine_chunks().to_numpy()
+        v = t["v"].combine_chunks().to_numpy()
+        order = np.lexsort((v, z))
+        z, v = z[order], v[order]
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]]) \
+            if len(z) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(z)]) if len(z) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(v), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        x, y = v[first_idx], v[second_idx]     # x < y (v sorted per z)
+        pairs = pa.table({"x": pa.array(x), "y": pa.array(y)}) \
+            .group_by(["x", "y"]).aggregate([("x", "count")])
+        px = pairs["x"].combine_chunks().to_numpy()
+        deg_z = z[starts]
+        deg_d = counts.astype(np.int64)
+        return pa.table({
+            "x": pa.array(np.concatenate([px, deg_z])),
+            "y": pa.array(np.concatenate(
+                [pairs["y"].combine_chunks().to_numpy(),
+                 np.full(len(deg_z), -1, np.int64)])),
+            "c": pa.array(np.concatenate(
+                [pairs["x_count"].combine_chunks().to_numpy()
+                 .astype(np.int64), deg_d])),
+            "da": pa.array(np.zeros(len(px) + len(deg_z), np.int64)),
+            "tag": pa.array(np.concatenate(
+                [np.zeros(len(px), np.int64),
+                 np.ones(len(deg_z), np.int64)])),
+            "part": pa.array(hash_part(
+                np.concatenate([px, deg_z]), num_parts)),
+        })
+
+    def attach_x(t: pa.Table) -> pa.Table:
+        tag = t["tag"].combine_chunks().to_numpy()
+        x = t["x"].combine_chunks().to_numpy()
+        y = t["y"].combine_chunks().to_numpy()
+        c = t["c"].combine_chunks().to_numpy()
+        dk, dv = x[tag == 1], c[tag == 1]
+        do = np.argsort(dk)
+        px, py, pc_ = x[tag == 0], y[tag == 0], c[tag == 0]
+        # sum the per-center partials for each (x, y)
+        g = pa.table({"x": pa.array(px), "y": pa.array(py),
+                      "c": pa.array(pc_)}) \
+            .group_by(["x", "y"]).aggregate([("c", "sum")])
+        gx = g["x"].combine_chunks().to_numpy()
+        gy = g["y"].combine_chunks().to_numpy()
+        gc = g["c_sum"].combine_chunks().to_numpy()
+        da = dv[do[np.searchsorted(dk[do], gx)]]
+        out_x = np.concatenate([gx, dk])
+        return pa.table({
+            "x": pa.array(out_x),
+            "y": pa.array(np.concatenate(
+                [gy, np.full(len(dk), -1, np.int64)])),
+            "c": pa.array(np.concatenate([gc, dv])),
+            "da": pa.array(np.concatenate([da, np.zeros(len(dk),
+                                                        np.int64)])),
+            "tag": pa.array(np.concatenate(
+                [np.zeros(len(gx), np.int64), np.ones(len(dk),
+                                                      np.int64)])),
+            "part": pa.array(hash_part(
+                np.concatenate([gy, dk]), num_parts)),
+        })
+
+    def score_y(t: pa.Table) -> pa.Table:
+        tag = t["tag"].combine_chunks().to_numpy()
+        x = t["x"].combine_chunks().to_numpy()
+        y = t["y"].combine_chunks().to_numpy()
+        c = t["c"].combine_chunks().to_numpy()
+        da = t["da"].combine_chunks().to_numpy()
+        dk, dv = x[tag == 1], c[tag == 1]
+        do = np.argsort(dk)
+        px, py = x[tag == 0], y[tag == 0]
+        pc_, pda = c[tag == 0], da[tag == 0]
+        db = dv[do[np.searchsorted(dk[do], py)]]
+        jac = pc_ / (pda + db - pc_)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(px[keep]), "b": pa.array(py[keep]),
+            "common": pa.array(pc_[keep].astype(np.int64)),
+            "jac6": pa.array(round_half_away(jac[keep], 6)),
+        })
+
+    cn = edges.map_batches(bi, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: per_center(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: attach_x(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: score_y(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return cn

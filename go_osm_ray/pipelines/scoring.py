@@ -615,3 +615,41 @@ def src_js_divergence(documents: ray.data.Dataset,
         documents.select_columns(["source", "text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=4096),
         merge)
+
+
+def readability(documents: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, words, sents, syll, flesch6): Flesch reading-ease per
+    document with a vowel-group syllable proxy — the classic
+    quality-funnel feature (alongside doc_quality's length/stopword
+    ratios) for pretraining-corpus filtering.
+
+    All three counts are GLOBAL regex match counts (words = lowercase
+    letter runs, sentences = [.!?]+ runs clamped to >= 1, syllables =
+    [aeiouy]+ vowel groups), vectorized via RE2
+    (pyarrow.compute.count_substring_regex); DuckDB's regex engine is
+    also RE2, so the oracle mirrors the exact same match semantics.
+    Float contract: flesch = (206.835 - 1.015*(W/S)) - 84.6*(Y/W)
+    evaluated left-to-right in 64-bit on both sides, then 6-digit
+    half-away rounding. One streaming pass, no exchange."""
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        w = pc.count_substring_regex(low, "[a-z]+") \
+            .combine_chunks().to_numpy().astype(np.float64)
+        s = pc.count_substring_regex(t["text"], "[.!?]+") \
+            .combine_chunks().to_numpy().astype(np.float64)
+        y = pc.count_substring_regex(low, "[aeiouy]+") \
+            .combine_chunks().to_numpy().astype(np.float64)
+        s = np.maximum(s, 1.0)
+        keep = w > 0
+        w, s, y = w[keep], s[keep], y[keep]
+        flesch = (206.835 - 1.015 * (w / s)) - 84.6 * (y / w)
+        return pa.table({
+            "doc_id": t.filter(pa.array(keep))["doc_id"],
+            "words": pa.array(w.astype(np.int64)),
+            "sents": pa.array(s.astype(np.int64)),
+            "syll": pa.array(y.astype(np.int64)),
+            "flesch6": pa.array(round_half_away(flesch, 6)),
+        })
+
+    return documents.select_columns(["doc_id", "text"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=4096)

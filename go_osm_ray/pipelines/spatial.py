@@ -3356,3 +3356,46 @@ def cell_anisotropy(pts: ray.data.Dataset, res: int = 7,
     return pts.map_batches(assign, batch_format="pyarrow",
                            batch_size=batch_size) \
         .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+def geohash_rollup(images: ray.data.Dataset,
+                   levels: tuple = (2, 4, 6)) -> ray.data.Dataset:
+    """(lvl, prefix, n): multi-resolution geohash census — image counts
+    per geohash cell at every precision in ``levels`` via PREFIX
+    truncation of the finest hash (each level-p cell is the substr(gh,
+    1, p) ancestor), the string-hierarchical drill-down companion to
+    cell_histogram/tile_pyramid.
+
+    Scale plan: one pass computes the finest geohash (vectorized
+    quantize + morton interleave), the block combiner emits one
+    (lvl, prefix) partial row per distinct cell per level, and the
+    merge is bounded by the cell universe, not the row count."""
+    from ..geo.tiles import geohash
+    from ..relational import partial_groupby_agg
+    fine = max(levels)
+
+    def fn(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        gh = pa.array(np.char.decode(geohash(lon, lat, fine), "ascii"))
+        parts = []
+        for lvl in levels:
+            parts.append(pa.table({
+                "lvl": pa.array(np.full(len(lon), lvl, np.int64)),
+                "prefix": pc.utf8_slice_codeunits(gh, 0, lvl),
+                "one": pa.array(np.ones(len(lon), np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    cells = images.map_batches(fn, batch_format="pyarrow",
+                               batch_size=65536)
+    agg = partial_groupby_agg(cells, ["prefix", "lvl"], [("one", "sum")])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lvl": pc.cast(t["lvl"], pa.int64()),
+            "prefix": t["prefix"],
+            "n": pc.cast(t["one_sum"], pa.int64()),
+        })
+
+    return agg.map_batches(shape, batch_format="pyarrow")

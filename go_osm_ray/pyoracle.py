@@ -575,6 +575,29 @@ def _images_geohash_table(sf: float, precision: int = 6,
                      f"gh{prefix}": pa.array(gh4, pa.string())})
 
 
+def _geohash_rollup_table(sf: float,
+                          levels: tuple = (2, 4, 6)) -> pa.Table:
+    """Scalar reference for geohash_rollup: per-image textbook bisection
+    geohash at the finest level, scalar Counter rollup over prefix
+    truncations — independent of the engine's vectorized
+    quantize+morton construction and its block-combiner exchange."""
+    from collections import Counter
+    t = _images_rows(sf, ["phash"])
+    fine = max(levels)
+    cnt: Counter = Counter()
+    for p in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(int(p))
+        g = _scalar_geohash(lon, lat, fine)
+        for lvl in levels:
+            cnt[(lvl, g[:lvl])] += 1
+    rows = sorted(cnt.items())
+    return pa.table({
+        "lvl": pa.array([k[0] for k, _ in rows], pa.int64()),
+        "prefix": pa.array([k[1] for k, _ in rows], pa.string()),
+        "n": pa.array([v for _, v in rows], pa.int64()),
+    })
+
+
 def _images_hex_table(sf: float, size_f: float = 0.5,
                       size_c: float = 2.0) -> pa.Table:
     """Scalar reference for images_hex: per-row axial hex binning via an
@@ -1401,6 +1424,7 @@ _BUILDERS = {
     "way_pagerank": _way_pagerank_table,
     "relation_multipolygons": _relation_multipolygons_table,
     "images_geohash": _images_geohash_table,
+    "geohash_rollup": _geohash_rollup_table,
     "images_hex": _images_hex_table,
     "ann_pq_topk": _ann_pq_table,
     "semdedup": _semdedup_table,
