@@ -581,6 +581,28 @@ def build(sf: float = 0.01) -> dict[str, str]:
         LEFT JOIN c so ON so.gx = a.gx AND so.gy = a.gy + 1
         LEFT JOIN c no ON no.gx = a.gx AND no.gy = a.gy - 1"""
 
+    # analytical hillshade: signed central-difference dual of the
+    # gradient join; zen = radians(45), az = radians(135) (ESRI
+    # 315/45 defaults); identical float formula + 6dp rounding
+    q["raster_hillshade"] = f"""
+        WITH {_pts_cte(images)}, {_g16},
+        d AS (SELECT a.gx, a.gy, a.n,
+                (COALESCE(e.n, 0) - COALESCE(w.n, 0)) / 2.0 AS dzdx,
+                (COALESCE(so.n, 0) - COALESCE(no.n, 0)) / 2.0 AS dzdy
+              FROM c a
+              LEFT JOIN c e ON e.gx = a.gx + 1 AND e.gy = a.gy
+              LEFT JOIN c w ON w.gx = a.gx - 1 AND w.gy = a.gy
+              LEFT JOIN c so ON so.gx = a.gx AND so.gy = a.gy + 1
+              LEFT JOIN c no ON no.gx = a.gx AND no.gy = a.gy - 1),
+        h AS (SELECT gx, gy, n,
+                atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope,
+                atan2(dzdy, -dzdx) AS aspect FROM d)
+        SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+               gx % 64 AS px, gy % 64 AS py, n,
+               {sql_round("GREATEST(255.0 * (cos(radians(45.0)) * cos(slope) + sin(radians(45.0)) * sin(slope) * cos(radians(135.0) - aspect)), 0.0)", 6)}
+                   AS shade6
+        FROM h"""
+
     # D8 flow direction: 8-way LEFT JOIN dual of the direction-slot
     # scatter; all-integer drops, first-max CASE = smallest code
     _d8 = [("e", 1, 0), ("se", 1, 1), ("s", 0, 1), ("sw", -1, 1),
@@ -2437,5 +2459,162 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
                SUM(v) AS sum_value_cents
         FROM d GROUP BY decile ORDER BY decile"""
+
+    # perceptual-signature diversity per res-7 cell (low-16-bit phash
+    # signatures); bitwise & parenthesized for DuckDB precedence
+    q["cell_phash_diversity"] = f"""
+        WITH p2 AS (SELECT phash,
+                      {morton.sql_decode_exprs('phash')[0]} AS lon,
+                      {morton.sql_decode_exprs('phash')[1]} AS lat
+                    FROM {images}),
+        b AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                     (phash & 65535) AS sig FROM p2)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT sig) AS BIGINT) AS n_sig,
+               {sql_round('count(DISTINCT sig) / CAST(count(*) AS DOUBLE)', 6)}
+                   AS diversity6
+        FROM b GROUP BY cell"""
+
+    # quadtree occupancy: occupied z14 descendants per occupied z10
+    # tile; // floor-division mirrors the engine's >> rollup
+    q["tile_coverage"] = f"""
+        WITH {_pts_cte(images)},
+        f AS (SELECT {tiles.sql_tile_x('lon', 14)} AS fx,
+                     {tiles.sql_tile_y('lat', 14)} AS fy,
+                     CAST(count(*) AS BIGINT) AS pn
+              FROM pts GROUP BY 1, 2)
+        SELECT fx // 16 AS tile_x, fy // 16 AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_subtiles,
+               CAST(SUM(pn) AS BIGINT) AS n_pts,
+               {sql_round('count(*) / 256.0', 6)} AS coverage6
+        FROM f GROUP BY 1, 2"""
+
+    # order-insensitive two-channel table digest: Horner chains mod
+    # 2^31-1 keep every product under 2^48 (exact BIGINT, no
+    # wraparound divergence); SUM of row hashes is commutative
+    _ck = ("(((((ok * {m} + ln) % 2147483647) * {m} + q) % 2147483647)"
+           " * {m} + ec) % 2147483647")
+    q["lineitem_checksum"] = f"""
+        WITH r AS (SELECT
+              (l_orderkey % 2147483647) AS ok,
+              (l_linenumber % 2147483647) AS ln,
+              (CAST(l_quantity AS BIGINT) % 2147483647) AS q,
+              (CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               % 2147483647) AS ec
+            FROM lineitem),
+        h AS (SELECT {_ck.format(m=65539)} AS h1,
+                     {_ck.format(m=69623)} AS h2 FROM r)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(h1) % 2147483647 AS BIGINT) AS checksum1,
+               CAST(SUM(h2) % 2147483647 AS BIGINT) AS checksum2
+        FROM h"""
+
+    # one-pass column profiler: integer-scaled sums make the means
+    # order-free; division order ((s / scale) / n) mirrors the engine
+    _prof = []
+    for _c, _s in (("l_quantity", "1.0"), ("l_extendedprice", "100.0"),
+                   ("l_discount", "100.0")):
+        _prof.append(f"""
+        SELECT '{_c}' AS "column", CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT {_c}) AS BIGINT) AS n_distinct,
+               {sql_round(f'min({_c})', 6)} AS min6,
+               {sql_round(f'max({_c})', 6)} AS max6,
+               {sql_round(f'(SUM(CAST(ROUND({_c} * {_s}) AS BIGINT)) / {_s}) / count(*)', 6)}
+                   AS mean6
+        FROM lineitem""")
+    q["lineitem_profile"] = " UNION ALL ".join(_prof)
+
+    # TPC-H Q14 shape: promo revenue share for one ship quarter;
+    # per-row integer cents, share = 100.0 * promo / total in DOUBLE
+    q["q14_promo_revenue"] = f"""
+        WITH li AS (SELECT l_partkey,
+                      SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * 100) AS BIGINT)) AS rc
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                      AND l_shipdate <  TIMESTAMP '1996-06-01'
+                    GROUP BY 1),
+        j AS (SELECT li.rc, p.p_type
+              FROM li JOIN part p ON p.p_partkey = li.l_partkey),
+        s AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc
+                                   ELSE 0 END) AS BIGINT) AS pr,
+                     CAST(SUM(rc) AS BIGINT) AS tt FROM j)
+        SELECT pr AS promo_rev_cents, tt AS total_rev_cents,
+               {sql_round('100.0 * pr / tt', 6)} AS promo_share6
+        FROM s"""
+
+    # TPC-H Q15 shape: max-revenue supplier(s) for one ship quarter
+    # (ties kept; exact because revenue is integer cents)
+    q["q15_top_supplier"] = f"""
+        WITH r AS (SELECT l_suppkey,
+                     SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                              * 100) AS BIGINT)) AS rev
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate <  TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.rev AS BIGINT) AS total_revenue_cents
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.rev = (SELECT max(rev) FROM r)"""
+
+    # TPC-H Q16 shape (lineitem as the part-supplier incidence):
+    # distinct shippers per surviving (brand, type, size) bucket
+    q["q16_part_suppliers"] = """
+        WITH pr AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+                    WHERE p_brand <> 'Brand#4' AND p_type <> 'ECONOMY'
+                      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49))
+        SELECT pr.p_brand, pr.p_type, CAST(pr.p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN pr ON pr.p_partkey = l.l_partkey
+        GROUP BY 1, 2, 3"""
+
+    # TPC-H Q17 shape over ALL parts: quantities are integral doubles,
+    # so SUM/avg are order-free and the 0.2*avg cut is bit-identical
+    q["q17_small_qty"] = f"""
+        WITH a AS (SELECT l_partkey,
+                          0.2 * (SUM(l_quantity) / count(*)) AS cut
+                   FROM lineitem GROUP BY 1),
+        s AS (SELECT l.l_extendedprice
+              FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+              WHERE l.l_quantity < a.cut),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_small,
+                     CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                              AS BIGINT)), 0) AS BIGINT) AS rev_cents
+              FROM s)
+        SELECT n_small, rev_cents,
+               {sql_round('rev_cents / 100.0 / 7.0', 6)} AS avg_yearly6
+        FROM t"""
+
+    # TPC-H Q19 shape: disjunction of (brand, size-range, qty-range)
+    # condition sets over the lineitem x part join
+    q["q19_brand_revenue"] = """
+        SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice
+                 * (1 - l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity >= 1.0 AND l.l_quantity <= 11.0)
+           OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity >= 10.0 AND l.l_quantity <= 20.0)
+           OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 20.0 AND l.l_quantity <= 30.0)"""
+
+    # TPC-H Q22 shape (mktsegment for the phone prefix): above-average
+    # positive balance, no orders; integer cents make the avg exact
+    q["q22_idle_customers"] = """
+        WITH c AS (SELECT c_custkey, c_mktsegment,
+                          CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+                   FROM customer),
+        a AS (SELECT AVG(cents) AS avg_cents FROM c WHERE cents > 0),
+        idle AS (SELECT c.c_mktsegment, c.cents
+                 FROM c, a WHERE c.cents > a.avg_cents
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 300000.0))
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+               CAST(SUM(cents) AS BIGINT) AS sum_acctbal_cents
+        FROM idle GROUP BY 1"""
 
     return {k: " ".join(v.split()) for k, v in q.items()}

@@ -537,3 +537,86 @@ def raster_flow_dir(raster: ray.data.Dataset, z: int, grid: int,
 
     return raster.map_batches(contrib, batch_format="pyarrow") \
         .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def raster_hillshade(raster: ray.data.Dataset, z: int, grid: int,
+                     azimuth_deg: float = 315.0, altitude_deg: float = 45.0,
+                     num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """Analytical hillshade over the sparse density raster (the classic
+    cartographic relief formula, with the density count standing in for
+    elevation): per OCCUPIED pixel, slope/aspect from the SIGNED
+    central differences (dz/dx = (n(E) - n(W)) / 2, dz/dy = (n(S) -
+    n(N)) / 2, absent neighbors 0) and
+
+        shade = 255 * max(0, cos(zen)*cos(slope)
+                             + sin(zen)*sin(slope)*cos(az - aspect))
+
+    with zen = radians(90 - altitude), az = radians(360 - azimuth + 90)
+    (the ESRI convention), aspect = atan2(dz/dy, -dz/dx).
+
+    Physical plan: identical one-exchange sparse-stencil message
+    passing as ``raster_gradient`` (its signed dual — contributions are
+    summed per packed pixel, support = occupied pixels); the trig is
+    vectorized per merge partition.  The stencil sums are all-integer,
+    so engine and DuckDB mirror agree exactly up to the final 6-digit
+    rounding of the shared float formula."""
+    kbits = int(np.log2(grid))
+    shift = np.int64(z + kbits + 1)
+    nglob = np.int64(1 << (z + kbits))
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians((360.0 - azimuth_deg + 90.0) % 360.0)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        gx = (t["tile_x"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy()
+        gy = (t["tile_y"].combine_chunks().to_numpy() << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        outs = [(gx, gy, n, np.zeros_like(n), np.zeros_like(n))]
+        # sx(target) = n(E) - n(W); sy(target) = n(S) - n(N)
+        for dx, dy, sx_sign, sy_sign in ((-1, 0, 1, 0), (1, 0, -1, 0),
+                                         (0, -1, 0, 1), (0, 1, 0, -1)):
+            tx, ty = gx + dx, gy + dy
+            m = (tx >= 0) & (tx < nglob) & (ty >= 0) & (ty < nglob)
+            outs.append((tx[m], ty[m], np.zeros(int(m.sum()), n.dtype),
+                         sx_sign * n[m], sy_sign * n[m]))
+        gxa = np.concatenate([o[0] for o in outs])
+        gya = np.concatenate([o[1] for o in outs])
+        key = (gxa << shift) | gya
+        return pa.table({
+            "key": pa.array(key),
+            "own": pa.array(np.concatenate([o[2] for o in outs])),
+            "sx": pa.array(np.concatenate([o[3] for o in outs])),
+            "sy": pa.array(np.concatenate([o[4] for o in outs])),
+            "part": pa.array(hash_part(key, num_parts)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("key").aggregate(
+            [("own", "sum"), ("sx", "sum"), ("sy", "sum")])
+        own = g["own_sum"].combine_chunks().to_numpy()
+        occ = own > 0
+        key = g["key"].combine_chunks().to_numpy()[occ]
+        gx = key >> shift
+        gy = key & np.int64((1 << int(shift)) - 1)
+        dzdx = g["sx_sum"].combine_chunks().to_numpy()[occ] / 2.0
+        dzdy = g["sy_sum"].combine_chunks().to_numpy()[occ] / 2.0
+        # sqrt form (not np.hypot) so DuckDB's atan(sqrt(x*x + y*y))
+        # reproduces it bit-for-bit
+        slope = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        hs = 255.0 * (np.cos(zen) * np.cos(slope)
+                      + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        hs = np.maximum(hs, 0.0)
+        from ..relational import round_half_away
+        return pa.table({
+            "tile_x": pa.array(gx >> np.int64(kbits)),
+            "tile_y": pa.array(gy >> np.int64(kbits)),
+            "px": pa.array(gx & np.int64(grid - 1)),
+            "py": pa.array(gy & np.int64(grid - 1)),
+            "n": pa.array(own[occ]),
+            "shade6": pa.array(round_half_away(hs, 6)),
+        })
+
+    return raster.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge, batch_format="pyarrow")

@@ -2322,3 +2322,544 @@ def customer_value_deciles(orders: ray.data.Dataset) -> ray.data.Dataset:
 
     return single_merge(percust.map_batches(assign, batch_format="pyarrow"),
                         merge)
+
+
+def q14_promo_revenue(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                      date_lo: str = "1996-03-01",
+                      date_hi: str = "1996-06-01",
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """(promo_rev_cents, total_rev_cents, promo_share6): TPC-H Q14
+    shape — the promo-type revenue share for one ship quarter.
+
+    Scale plan: lineitem filters the window at the scan and collapses
+    to per-partkey cent partials (combiner, output bounded by |part|)
+    BEFORE the single-use hash join with part's (p_partkey, p_type)
+    projection; the share is a one-row merge.  Per-row integer-cents
+    rounding keeps both sums order-free."""
+    from ..relational import partial_groupby_agg
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"], "rc": pa.array(rc)})
+
+    per_part = partial_groupby_agg(
+        lineitem.select_columns(["l_partkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["l_partkey"], [("rc", "sum")])
+
+    j = per_part.join(part.select_columns(["p_partkey", "p_type"]),
+                      join_type="inner", num_partitions=num_partitions,
+                      on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        promo = pc.equal(t["p_type"], "PROMO").combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p": pa.array([int(rc[promo].sum())], pa.int64()),
+            "tt": pa.array([int(rc.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        p = int(pc.sum(t["p"]).as_py() or 0)
+        tt = int(pc.sum(t["tt"]).as_py() or 0)
+        share = 100.0 * p / tt if tt else 0.0
+        return pa.table({
+            "promo_rev_cents": pa.array([p], pa.int64()),
+            "total_rev_cents": pa.array([tt], pa.int64()),
+            "promo_share6": pa.array(round_half_away(
+                np.array([share]), 6))})
+
+    return single_merge(j.map_batches(partial, batch_format="pyarrow"),
+                        merge)
+
+
+def q15_top_supplier(lineitem: ray.data.Dataset,
+                     supplier: ray.data.Dataset,
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01") -> ray.data.Dataset:
+    """(s_suppkey, s_name, total_revenue_cents): TPC-H Q15 shape — the
+    supplier(s) with the maximum revenue for one ship quarter (ties all
+    kept, exact because revenue is integer cents).
+
+    Scale plan: per-suppkey cent partials combine per block, one
+    bounded hash exchange (output bounded by |supplier|), a one-task
+    max+filter merge, then only the winning suppkeys gate a supplier
+    scan (semi-broadcast lookup — the dim table is never shuffled)."""
+    from ..relational import partial_groupby_agg
+
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"], "rc": pa.array(rc)})
+
+    per_supp = partial_groupby_agg(
+        lineitem.select_columns(["l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(li_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["l_suppkey"], [("rc", "sum")])
+
+    def top_merge(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        sk = t["l_suppkey"].combine_chunks().to_numpy()
+        if not len(rc):
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        m = rc == rc.max()
+        return pa.table({"s_suppkey": pa.array(sk[m]),
+                         "rev": pa.array(rc[m])})
+
+    top = single_merge(per_supp, top_merge).take_all()  # bounded: ties
+    win = np.array(sorted(r["s_suppkey"] for r in top), np.int64)
+    rev_of = {r["s_suppkey"]: r["rev"] for r in top}
+
+    def pick(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(np.isin(sk, win)))
+        sk2 = t["s_suppkey"].combine_chunks().to_numpy()
+        return pa.table({
+            "s_suppkey": t["s_suppkey"], "s_name": t["s_name"],
+            "total_revenue_cents": pa.array(
+                np.array([rev_of[int(s)] for s in sk2], np.int64))})
+
+    return supplier.select_columns(["s_suppkey", "s_name"]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+def q16_part_suppliers(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                       excl_brand: str = "Brand#4",
+                       excl_type: str = "ECONOMY",
+                       sizes: tuple = (1, 9, 14, 19, 23, 36, 45, 49),
+                       num_partitions: int = 8) -> ray.data.Dataset:
+    """(p_brand, p_type, p_size, supplier_cnt): TPC-H Q16 shape with
+    lineitem as the part-supplier incidence (the testdata has no
+    partsupp table): distinct suppliers that shipped each surviving
+    (brand, type, size) bucket, one brand and one type excluded.
+
+    Scale plan: per-block DISTINCT (partkey, suppkey) combiner first
+    (pairs repeat per order), then ONE bounded hash exchange dedups
+    globally (partial_groupby_agg keys), a single-use hash join with
+    the filtered part projection, and a bounded (brand, type, size)
+    count exchange — supplier ids are already distinct per part, so
+    the count never needs a count-distinct shuffle."""
+    from ..relational import partial_groupby_agg
+
+    def pairs(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        sk = t["l_suppkey"].combine_chunks().to_numpy()
+        order = np.lexsort((sk, pk))
+        pk, sk = pk[order], sk[order]
+        if len(pk):
+            keep = np.ones(len(pk), bool)
+            keep[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+            pk, sk = pk[keep], sk[keep]
+        return pa.table({"l_partkey": pa.array(pk),
+                         "l_suppkey": pa.array(sk),
+                         "one": pa.array(np.ones(len(pk), np.int64))})
+
+    dpairs = partial_groupby_agg(
+        lineitem.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey", "l_suppkey"], [("one", "sum")])
+
+    size_arr = np.array(sizes, np.int64)
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        sz = t["p_size"].combine_chunks().to_numpy()
+        keep = (np.isin(sz, size_arr)
+                & pc.not_equal(t["p_brand"], excl_brand).combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                & pc.not_equal(t["p_type"], excl_type).combine_chunks()
+                .to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep)) \
+            .select(["p_partkey", "p_brand", "p_type", "p_size"])
+
+    pf = part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(part_filter, batch_format="pyarrow")
+
+    j = dpairs.join(pf, join_type="inner", num_partitions=num_partitions,
+                    on=("l_partkey",), right_on=("p_partkey",))
+
+    def bucket_supp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": t["p_size"], "l_suppkey": t["l_suppkey"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    # a supplier may ship SEVERAL parts of the same (brand, type, size)
+    # bucket: dedup to (bucket, suppkey) before counting (Q16 counts
+    # DISTINCT suppliers per bucket, not incidence pairs)
+    bsupp = partial_groupby_agg(
+        j.map_batches(bucket_supp, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"], [("one", "sum")])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": t["p_size"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = partial_groupby_agg(
+        bsupp.map_batches(ones, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size"], [("one", "sum")])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"], "p_type": t["p_type"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "supplier_cnt": pc.cast(t["one_sum"], pa.int64())})
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def q17_small_qty(lineitem: ray.data.Dataset,
+                  frac: float = 0.2) -> ray.data.Dataset:
+    """(n_small, rev_cents, avg_yearly6): TPC-H Q17 shape over ALL
+    parts — revenue of lineitems whose quantity is below ``frac`` x
+    the part's average quantity (avg_yearly = rev / 7.0 as in the
+    spec).  Quantities are integral doubles, so the per-part sums are
+    exact in float64 and the avg (sum / n) is order-free on both the
+    engine and the DuckDB side.
+
+    Scale plan: pass 1 builds the per-part (sum_qty, n) table with a
+    block combiner + one bounded exchange (output bounded by |part|);
+    the avg table broadcasts once via ``ray.put`` (bounded by |part| —
+    at web scale this is the side that would flip to the repo's
+    hash-co-partition join past a broadcast threshold, the dedup_keep
+    pattern); pass 2 streams lineitem against the broadcast lookup."""
+    from ..relational import partial_groupby_agg
+
+    def qn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"], "q": t["l_quantity"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_part = partial_groupby_agg(
+        lineitem.select_columns(["l_partkey", "l_quantity"])
+        .map_batches(qn, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey"], [("q", "sum"), ("one", "sum")])
+
+    def avg_merge(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        s = t["q_sum"].combine_chunks().to_numpy()
+        n = t["one_sum"].combine_chunks().to_numpy()
+        order = np.argsort(pk)
+        return pa.table({"pk": pa.array(pk[order]),
+                         "cut": pa.array(frac * (s[order] / n[order]))})
+
+    cut_ref = broadcast_table(single_merge(per_part, avg_merge))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ct = ray.get(cut_ref)
+        pk_sorted = ct["pk"].to_numpy()
+        cut = ct["cut"].to_numpy()
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        qty = t["l_quantity"].combine_chunks().to_numpy()
+        idx = np.searchsorted(pk_sorted, pk)
+        keep = qty < cut[idx]
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()[keep]
+            * 100.0, 0).astype(np.int64)
+        return pa.table({"n": pa.array([int(keep.sum())], pa.int64()),
+                         "rc": pa.array([int(rc.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(t["n"]).as_py() or 0)
+        rc = int(pc.sum(t["rc"]).as_py() or 0)
+        return pa.table({
+            "n_small": pa.array([n], pa.int64()),
+            "rev_cents": pa.array([rc], pa.int64()),
+            "avg_yearly6": pa.array(round_half_away(
+                np.array([rc / 100.0 / 7.0]), 6))})
+
+    return single_merge(
+        lineitem.select_columns(["l_partkey", "l_quantity",
+                                 "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+def q19_brand_revenue(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                      conds: tuple = (("Brand#2", 1, 5, 1.0, 11.0),
+                                      ("Brand#4", 1, 10, 10.0, 20.0),
+                                      ("Brand#19", 1, 15, 20.0, 30.0)),
+                      ) -> ray.data.Dataset:
+    """(revenue_cents, n): TPC-H Q19 shape — discounted revenue over a
+    disjunction of (brand, size-range, quantity-range) condition sets.
+
+    Scale plan: part's (partkey, brand, size) projection broadcasts
+    once via ``ray.put`` (bounded by |part|; the hash-join flip applies
+    past a broadcast threshold as in q17) and lineitem streams against
+    it with the full OR predicate vectorized per batch; one-row
+    merge."""
+    part_ref = broadcast_table(part.select_columns(
+        ["p_partkey", "p_brand", "p_size"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pt = ray.get(part_ref).combine_chunks()
+        pk_all = pt["p_partkey"].to_numpy()
+        order = np.argsort(pk_all)
+        brand = pt["p_brand"].to_numpy(zero_copy_only=False)[order]
+        size = pt["p_size"].to_numpy()[order]
+        pk_sorted = pk_all[order]
+
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        qty = t["l_quantity"].combine_chunks().to_numpy()
+        idx = np.searchsorted(pk_sorted, pk)
+        b, sz = brand[idx], size[idx]
+        keep = np.zeros(len(pk), bool)
+        for cb, s_lo, s_hi, q_lo, q_hi in conds:
+            keep |= ((b == cb) & (sz >= s_lo) & (sz <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()[keep]
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()[keep])
+            * 100.0, 0).astype(np.int64)
+        return pa.table({"rc": pa.array([int(rc.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(pc.sum(t["rc"]).as_py() or 0)], pa.int64()),
+            "n": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64())})
+
+    return single_merge(
+        lineitem.select_columns(["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+def q22_idle_customers(customer: ray.data.Dataset,
+                       orders: ray.data.Dataset,
+                       min_totalprice: float = 300_000.0,
+                       num_parts: int = 32) -> ray.data.Dataset:
+    """(c_mktsegment, n_custs, sum_acctbal_cents): TPC-H Q22 shape with
+    the market segment standing in for the phone prefix — customers
+    whose account balance exceeds the average POSITIVE balance and who
+    placed no order above ``min_totalprice``, counted per segment.
+
+    Scale plan: the global positive-average is a two-int scalar from a
+    one-pass combiner (exact: integer cents); the no-order test is the
+    exact hash-co-partitioned ANTI join (``partitioned_anti_filter``,
+    per-block distinct-custkey combiner on the FK side); the segment
+    rollup is a bounded combiner merge."""
+    from ..relational import partial_groupby_agg, partitioned_anti_filter
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    def bal_merge(t: pa.Table) -> pa.Table:
+        s = int(pc.sum(t["s"]).as_py() or 0)
+        n = int(pc.sum(t["n"]).as_py() or 0)
+        return pa.table({"avg_cents": pa.array([s / n if n else 0.0])})
+
+    avg_cents = single_merge(
+        customer.select_columns(["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        bal_merge).take_all()[0]["avg_cents"]
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        return t.filter(pa.array(cents > avg_cents))
+
+    rich_c = customer.select_columns(
+        ["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(rich, batch_format="pyarrow")
+
+    def fk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], min_totalprice))
+        v = np.unique(t["o_custkey"].combine_chunks().to_numpy())
+        return pa.table({"c_custkey": pa.array(v)})
+
+    keys = orders.select_columns(["o_custkey", "o_totalprice"]) \
+        .map_batches(fk, batch_format="pyarrow")
+    idle = partitioned_anti_filter(rich_c, "c_custkey", keys,
+                                   num_parts=num_parts)
+
+    def seg(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["c_acctbal"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(cents)})
+
+    agg = partial_groupby_agg(
+        idle.map_batches(seg, batch_format="pyarrow"),
+        ["c_mktsegment"], [("one", "sum"), ("cents", "sum")])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_custs": pc.cast(t["one_sum"], pa.int64()),
+            "sum_acctbal_cents": pc.cast(t["cents_sum"], pa.int64())})
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+_CKSUM_P = 2147483647          # 2^31 - 1 (Mersenne): products fit BIGINT
+_CKSUM_M = (65539, 69623)      # two independent odd multipliers
+
+
+def lineitem_checksum(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(n, checksum1, checksum2): order-insensitive table digest — the
+    data-validation primitive a 100-TB migration / resumable-write
+    pipeline runs on both sides of a copy.  Each row hashes to two
+    independent Horner chains h = (h * M + v) mod P over
+    (l_orderkey, l_linenumber, quantity, price-cents), all values
+    pre-reduced mod P = 2^31 - 1 so every product stays under 2^48
+    (exact in int64 on the engine AND in DuckDB BIGINT — no
+    wraparound-semantics divergence); the table digest is the SUM of
+    row hashes mod P, which is commutative, so any partitioning /
+    execution order yields the identical digest.
+
+    Scale plan: one streaming pass, two-int partials per block, one-row
+    merge — nothing is exchanged but per-block scalars."""
+    P = np.int64(_CKSUM_P)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy() % P
+        ln = t["l_linenumber"].combine_chunks().to_numpy() % P
+        q = t["l_quantity"].combine_chunks().to_numpy() \
+            .astype(np.int64) % P
+        ec = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64) % P
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, m in enumerate(_CKSUM_M):
+            M = np.int64(m)
+            h = ok.copy()
+            for v in (ln, q, ec):
+                h = (h * M + v) % P
+            out[f"c{i + 1}"] = pa.array([int(h.sum() % P)], pa.int64())
+        return pa.table(out)
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64()),
+            "checksum1": pa.array(
+                [int((pc.sum(t["c1"]).as_py() or 0) % _CKSUM_P)],
+                pa.int64()),
+            "checksum2": pa.array(
+                [int((pc.sum(t["c2"]).as_py() or 0) % _CKSUM_P)],
+                pa.int64())})
+
+    return single_merge(
+        lineitem.select_columns(["l_orderkey", "l_linenumber",
+                                 "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+def lineitem_profile(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(column, n, n_distinct, min6, max6, mean6): one-pass column
+    profiler over lineitem's three numeric measures — the dataset-
+    audit summary every ingestion pipeline emits before training.
+
+    Scale plan: min/max/sum moments are per-block scalar partials
+    merged in one bounded task (3 rows per block); the EXACT distinct
+    counts route every (column, value) through per-block dedup + ONE
+    bounded hash exchange (partial_groupby_agg keys) + a per-column
+    combiner count, so no raw row is exchanged and nothing
+    materializes driver-side but a 3-row moment table.  Means are
+    integer-cent sums (quantities are integral, prices/discounts 2dp),
+    so the floats are order-free and match DuckDB bit-for-bit."""
+    from ..relational import partial_groupby_agg
+
+    COLS = (("l_quantity", 1.0), ("l_extendedprice", 100.0),
+            ("l_discount", 100.0))
+
+    def moments(t: pa.Table) -> pa.Table:
+        names, ns, mins, maxs, sums = [], [], [], [], []
+        for c, scale in COLS:
+            v = t[c].combine_chunks().to_numpy()
+            sc = round_half_away(v * scale, 0).astype(np.int64)
+            names.append(c)
+            ns.append(len(v))
+            mins.append(float(v.min()) if len(v) else np.inf)
+            maxs.append(float(v.max()) if len(v) else -np.inf)
+            sums.append(int(sc.sum()))
+        return pa.table({
+            "column": pa.array(names), "n": pa.array(ns, pa.int64()),
+            "mn": pa.array(mins), "mx": pa.array(maxs),
+            "s": pa.array(sums, pa.int64())})
+
+    mom = single_merge(
+        lineitem.select_columns([c for c, _ in COLS])
+        .map_batches(moments, batch_format="pyarrow", batch_size=65536),
+        lambda t: t.group_by("column").aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max"), ("s", "sum")]),
+    ).take_all()                                   # bounded: 3 rows
+    mom_of = {r["column"]: r for r in mom}
+
+    def vals(t: pa.Table) -> pa.Table:
+        cols, vv = [], []
+        for i, (c, _) in enumerate(COLS):
+            u = np.unique(t[c].combine_chunks().to_numpy())
+            cols.append(np.full(len(u), i, np.int64))
+            vv.append(u)
+        return pa.table({"ci": pa.array(np.concatenate(cols)),
+                         "v": pa.array(np.concatenate(vv)),
+                         "one": pa.array(np.ones(
+                             sum(len(x) for x in vv), np.int64))})
+
+    dv = partial_groupby_agg(
+        lineitem.select_columns([c for c, _ in COLS])
+        .map_batches(vals, batch_format="pyarrow", batch_size=65536),
+        ["ci", "v"], [("one", "sum")])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"ci": t["ci"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    nd = partial_groupby_agg(dv.map_batches(ones, batch_format="pyarrow"),
+                             ["ci"], [("one", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ci = t["ci"].combine_chunks().to_numpy()
+        ndist = t["one_sum"].combine_chunks().to_numpy().astype(np.int64)
+        names = [COLS[int(i)][0] for i in ci]
+        rows = [mom_of[nm] for nm in names]
+        scale = np.array([COLS[int(i)][1] for i in ci])
+        n = np.array([r["n_sum"] for r in rows], np.int64)
+        mean = np.array([r["s_sum"] for r in rows], np.float64) \
+            / scale / n
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n": pa.array(n),
+            "n_distinct": pa.array(ndist),
+            "min6": pa.array(round_half_away(
+                np.array([r["mn_min"] for r in rows]), 6)),
+            "max6": pa.array(round_half_away(
+                np.array([r["mx_max"] for r in rows]), 6)),
+            "mean6": pa.array(round_half_away(mean, 6))})
+
+    return nd.map_batches(finish, batch_format="pyarrow")

@@ -3399,3 +3399,123 @@ def geohash_rollup(images: ray.data.Dataset,
         })
 
     return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def cell_phash_diversity(images: ray.data.Dataset,
+                         res: int = 7) -> ray.data.Dataset:
+    """(cell, n, n_sig, diversity6): perceptual-signature diversity per
+    geo cell — image count, DISTINCT low-16-bit phash signatures, and
+    their ratio per occupied res-``res`` cell.  The geo-curation dual
+    of image_sig_dedup: a cell whose images collapse onto few
+    signatures is dominated by re-posts/near-dups, the standard signal
+    for location-balanced training-corpus sampling.
+
+    Scale plan: per-block (cell, sig) dedup combiner first (signatures
+    repeat within a block), ONE bounded hash exchange dedups globally
+    and counts members, and the per-cell rollup is a second bounded
+    exchange over at most one row per (cell, sig) — no distinct-count
+    shuffle of raw rows, no driver materialization."""
+    from ..geo import tiles
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+
+    def sig(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res).astype(np.int64)
+        s = t["phash"].combine_chunks().to_numpy() & np.int64(0xFFFF)
+        # cell ids use ~61 bits — dedup the (cell, sig) pairs by
+        # lexsort, never by bit-packing into one int64
+        order = np.lexsort((s, cell))
+        cell, s = cell[order], s[order]
+        new = np.ones(len(cell), bool)
+        if len(cell):
+            new[1:] = (cell[1:] != cell[:-1]) | (s[1:] != s[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(cell)]) if len(cell) \
+            else np.empty(0, np.int64)
+        return pa.table({"cell": pa.array(cell[starts]),
+                         "sig": pa.array(s[starts]),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    per_sig = partial_groupby_agg(
+        images.select_columns(["phash", "lon", "lat"])
+        .map_batches(sig, batch_format="pyarrow", batch_size=65536),
+        ["cell", "sig"], [("pn", "sum")])
+
+    def cell_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell": t["cell"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "pn": t["pn_sum"]})
+
+    agg = partial_groupby_agg(
+        per_sig.map_batches(cell_rows, batch_format="pyarrow"),
+        ["cell"], [("one", "sum"), ("pn", "sum")])
+
+    def shape(t: pa.Table) -> pa.Table:
+        nsig = t["one_sum"].combine_chunks().to_numpy().astype(np.int64)
+        n = t["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "cell": t["cell"], "n": pa.array(n),
+            "n_sig": pa.array(nsig),
+            "diversity6": pa.array(round_half_away(nsig / n, 6))})
+
+    return agg.map_batches(shape, batch_format="pyarrow")
+
+
+def tile_coverage(pts: ray.data.Dataset, z_coarse: int = 10,
+                  z_fine: int = 14) -> ray.data.Dataset:
+    """(tile_x, tile_y, n_subtiles, n_pts, coverage6): quadtree
+    occupancy — for every occupied z_coarse web-mercator-grid tile, how
+    many of its 4^(z_fine - z_coarse) z_fine descendants contain data,
+    and the occupancy fraction.  The standard spatial-completeness /
+    sampling-bias audit (a tile with many points but few occupied
+    subtiles is a point-mass hotspot, not areal coverage).
+
+    Scale plan: fine tiles dedup per block (combiner), ONE bounded
+    hash exchange makes them globally unique with counts, the parent
+    rollup dedups per block again and a second bounded exchange sums —
+    every exchanged row is a distinct tile, never a raw point."""
+    from ..geo import tiles
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+    dz = z_fine - z_coarse
+    denom = float(1 << (2 * dz))
+
+    def fine(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        tx, ty = tiles.tile_xy(lon, lat, z_fine)
+        key = (tx << np.int64(z_fine + 1)) | ty
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"fx": pa.array(u >> np.int64(z_fine + 1)),
+                         "fy": pa.array(u & np.int64((1 << (z_fine + 1)) - 1)),
+                         "pn": pa.array(cnt.astype(np.int64))})
+
+    fine_tiles = partial_groupby_agg(
+        pts.select_columns(["lon", "lat"])
+        .map_batches(fine, batch_format="pyarrow", batch_size=65536),
+        ["fx", "fy"], [("pn", "sum")])
+
+    def parent(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.shift_right(t["fx"], dz),
+            "tile_y": pc.shift_right(t["fy"], dz),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "pn": t["pn_sum"]})
+
+    agg = partial_groupby_agg(
+        fine_tiles.map_batches(parent, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], [("one", "sum"), ("pn", "sum")])
+
+    def shape(t: pa.Table) -> pa.Table:
+        nsub = t["one_sum"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "tile_x": pc.cast(t["tile_x"], pa.int64()),
+            "tile_y": pc.cast(t["tile_y"], pa.int64()),
+            "n_subtiles": pa.array(nsub),
+            "n_pts": pc.cast(t["pn_sum"], pa.int64()),
+            "coverage6": pa.array(round_half_away(nsub / denom, 6))})
+
+    return agg.map_batches(shape, batch_format="pyarrow")
