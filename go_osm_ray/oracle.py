@@ -2617,4 +2617,71 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(SUM(cents) AS BIGINT) AS sum_acctbal_cents
         FROM idle GROUP BY 1"""
 
+    # TPC-H Q8 shape: one supplying nation's share of ship-year revenue
+    # inside one consuming region; integer-cents sums make share6 exact
+    q["q8_market_share"] = f"""
+        WITH cust AS (SELECT c_custkey FROM customer c
+                      JOIN nation n ON n.n_nationkey = c.c_nationkey
+                      JOIN region r ON r.r_regionkey = n.n_regionkey
+                      WHERE r.r_name = 'ASIA'),
+        tk AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'),
+        li AS (SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                      CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                           * 100) AS BIGINT) AS rc,
+                      CASE WHEN s.s_nationkey = tk.n_nationkey
+                           THEN 1 ELSE 0 END AS flag
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN cust ON cust.c_custkey = o.o_custkey
+               JOIN supplier s ON s.s_suppkey = l.l_suppkey, tk)
+        SELECT l_year, CAST(SUM(rc) AS BIGINT) AS total_cents,
+               CAST(SUM(rc * flag) AS BIGINT) AS nation_cents,
+               {sql_round('SUM(rc * flag) * 1.0 / SUM(rc)', 6)} AS share6
+        FROM li GROUP BY 1"""
+
+    # TPC-H Q9 shape, cost proxy = 60% of p_retailprice in cents;
+    # quantities are integral so qty*cost is exact BIGINT on both sides
+    q["q9_profit_proxy"] = """
+        SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                        * 100) AS BIGINT)
+                    - CAST(l.l_quantity AS BIGINT)
+                      * CAST(ROUND(p.p_retailprice * 60) AS BIGINT))
+                    AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2"""
+
+    # TPC-H Q11 shape: parts whose revenue exceeds mult x the mean
+    # per-part revenue (scale-free cut; exact int64 sums, float64
+    # cutoff computed identically on both sides)
+    q["q11_important_parts"] = """
+        WITH v AS (SELECT l_partkey,
+                          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                              AS vc
+                   FROM lineitem GROUP BY 1)
+        SELECT l_partkey, CAST(vc AS BIGINT) AS value_cents
+        FROM v WHERE vc > 1.2 * ((SELECT SUM(vc) FROM v) * 1.0
+                                 / (SELECT count(*) FROM v))"""
+
+    # last-touch attribution: credit each purchase to the user's most
+    # recent PRIOR non-purchase event; micro-unit value sums are exact
+    q["events_attribution"] = """
+        WITH w AS (SELECT event_type, value,
+                          COALESCE(LAST_VALUE(CASE WHEN event_type
+                                   <> 'purchase' THEN event_type END
+                                   IGNORE NULLS)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 'none')
+                              AS attrib_type
+                   FROM events)
+        SELECT attrib_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS value_u6
+        FROM w WHERE event_type = 'purchase' GROUP BY 1"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

@@ -2863,3 +2863,295 @@ def lineitem_profile(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             "mean6": pa.array(round_half_away(mean, 6))})
 
     return nd.map_batches(finish, batch_format="pyarrow")
+
+
+def q8_market_share(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
+                    customer: ray.data.Dataset, supplier: ray.data.Dataset,
+                    nation: ray.data.Dataset, region: ray.data.Dataset,
+                    target_region: str = "ASIA",
+                    target_nation: str = "NATION_7",
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """(l_year, total_cents, nation_cents, share6): TPC-H Q8 shape —
+    for orders placed by customers of ``target_region``, the fraction
+    of ship-year revenue supplied by ``target_nation`` (the "market
+    share" of one supplying nation inside one consuming region).
+
+    Scale plan: nation x region (25 x 5 rows) broadcast once to derive
+    the in-region customer-nation set; customer is filtered by that set
+    in a streaming block pass BEFORE the orders hash join (the only
+    all-to-all this query pays, custkey-partitioned); lineitem collapses
+    per (orderkey, year) x supplier-flag in a block combiner keyed by
+    the broadcast supplier→nation map (|supplier| bounded; past the
+    repo's broadcast threshold this side flips to the dedup_keep
+    hash-co-partition join). Final merge is bounded by |years|.
+    Integer-cents revenue on both sides; share6 = nation/total rounded
+    half-away at 6 dp, exact because both operands are exact int64
+    sums. Reference parity: generalizes the nation-revenue rollup of
+    go-osm's summarize counters (osm/Summary.go) to a graded share."""
+    nat_t = nation.take_all()
+    reg_t = region.take_all()
+    reg_key = {r["r_regionkey"]: r["r_name"] for r in reg_t}
+    in_region = {r["n_nationkey"] for r in nat_t
+                 if reg_key[r["n_regionkey"]] == target_region}
+    target_key = next(r["n_nationkey"] for r in nat_t
+                      if r["n_name"] == target_nation)
+    in_region_arr = np.array(sorted(in_region), np.int64)
+
+    supp_ref = broadcast_table(supplier, ["s_suppkey", "s_nationkey"])
+
+    def cust_filter(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].combine_chunks().to_numpy()
+        return t.filter(pa.array(np.isin(nk, in_region_arr))) \
+            .select(["c_custkey"])
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+
+    ords = orders.select_columns(["o_orderkey", "o_custkey"]) \
+        .join(cust, join_type="inner", num_partitions=num_partitions,
+              on=("o_custkey",), right_on=("c_custkey",)) \
+        .select_columns(["o_orderkey"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        st = ray.get(supp_ref)
+        sk = st["s_suppkey"].to_numpy()
+        order = np.argsort(sk)
+        snat = st["s_nationkey"].to_numpy()[order]
+        idx = np.searchsorted(sk[order],
+                              t["l_suppkey"].combine_chunks().to_numpy())
+        year = t["l_shipdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        flag = (snat[idx] == target_key).astype(np.int64)
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "l_year": pa.array(year), "rc": pa.array(rc),
+                      "nc": pa.array(rc * flag)}) \
+            .group_by(["l_orderkey", "l_year"]) \
+            .aggregate([("rc", "sum"), ("nc", "sum")])
+        return g.rename_columns(["l_orderkey", "l_year", "rc", "nc"])
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    j = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["l_year", "rc", "nc"]).group_by(["l_year"]) \
+            .aggregate([("rc", "sum"), ("nc", "sum")])
+        return g.rename_columns(["l_year", "rc", "nc"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_year"]).aggregate([("rc", "sum"), ("nc", "sum")])
+        tot = g["rc_sum"].to_numpy().astype(np.int64)
+        nat = g["nc_sum"].to_numpy().astype(np.int64)
+        return pa.table({
+            "l_year": pc.cast(g["l_year"], pa.int64()),
+            "total_cents": pa.array(tot),
+            "nation_cents": pa.array(nat),
+            "share6": pa.array(round_half_away(nat * 1.0 / tot, 6)),
+        }).sort_by("l_year")
+
+    return single_merge(j.map_batches(year_partial, batch_format="pyarrow"),
+                        merge)
+
+
+def q9_profit_proxy(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                    supplier: ray.data.Dataset, nation: ray.data.Dataset,
+                    cost_frac_x100: int = 60) -> ray.data.Dataset:
+    """(n_name, l_year, profit_cents): TPC-H Q9 shape with the missing
+    partsupp cost replaced by a deterministic proxy — unit cost =
+    ``cost_frac_x100``% of p_retailprice, in integer cents — so profit
+    per lineitem is round(extprice*(1-disc)*100) - qty*cost_cents,
+    grouped by supplier nation and ship year.
+
+    Scale plan: zero all-to-all joins — the part cost map and the
+    supplier→nation map both broadcast once via ``ray.put`` (each
+    bounded by its dimension table; past the repo's broadcast threshold
+    either flips to the hash-co-partition join), lineitem streams once
+    through a block combiner keyed by (nationkey, year), and the final
+    merge is bounded by 25 x years. Quantities are integral doubles so
+    qty*cost_cents is exact int64 arithmetic on both sides."""
+    part_ref = broadcast_table(part, ["p_partkey", "p_retailprice"])
+    supp_ref = broadcast_table(supplier, ["s_suppkey", "s_nationkey"])
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pt, st = ray.get(part_ref), ray.get(supp_ref)
+        pk = pt["p_partkey"].to_numpy()
+        po = np.argsort(pk)
+        cost = round_half_away(
+            pt["p_retailprice"].to_numpy() * float(cost_frac_x100),
+            0).astype(np.int64)[po]
+        sk = st["s_suppkey"].to_numpy()
+        so = np.argsort(sk)
+        snat = st["s_nationkey"].to_numpy()[so]
+        pidx = np.searchsorted(pk[po],
+                               t["l_partkey"].combine_chunks().to_numpy())
+        sidx = np.searchsorted(sk[so],
+                               t["l_suppkey"].combine_chunks().to_numpy())
+        year = t["l_shipdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        rc = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy()
+            * (1.0 - t["l_discount"].combine_chunks().to_numpy()) * 100.0,
+            0).astype(np.int64)
+        qty = t["l_quantity"].combine_chunks().to_numpy().astype(np.int64)
+        profit = rc - qty * cost[pidx]
+        g = pa.table({"nk": pa.array(snat[sidx]),
+                      "l_year": pa.array(year),
+                      "pc": pa.array(profit)}) \
+            .group_by(["nk", "l_year"]).aggregate([("pc", "sum")])
+        return g.rename_columns(["nk", "l_year", "pc"])
+
+    li = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nk", "l_year"]).aggregate([("pc", "sum")])
+        nt = ray.get(nat_ref)
+        keys = nt["n_nationkey"].to_numpy()
+        order = np.argsort(keys)
+        idx = np.searchsorted(keys[order],
+                              g["nk"].combine_chunks().to_numpy())
+        return pa.table({
+            "n_name": nt["n_name"].take(pa.array(order[idx])),
+            "l_year": pc.cast(g["l_year"], pa.int64()),
+            "profit_cents": pc.cast(g["pc_sum"], pa.int64()),
+        }).sort_by([("n_name", "ascending"), ("l_year", "ascending")])
+
+    return single_merge(li, merge)
+
+
+def q11_important_parts(lineitem: ray.data.Dataset,
+                        mult: float = 1.2) -> ray.data.Dataset:
+    """(l_partkey, value_cents): TPC-H Q11 shape with lineitem revenue
+    as the stock-value proxy (no partsupp table) — parts whose total
+    revenue exceeds ``mult`` x the mean per-part revenue (the
+    scale-free analogue of Q11's fraction-of-total cut: the mean
+    adapts to |parts| so the query stays non-degenerate at every sf).
+
+    Scale plan: one bounded exchange builds the per-part value table
+    (block combiner first, output bounded by |part|); the global cutoff
+    is a two-scalar tree reduction over that table's blocks (sum + n,
+    merged in one tiny task) broadcast back into a streaming filter —
+    the per-part table is never single-task-merged. Both engines
+    compute cutoff = mult * (sum/n) in float64 from exact int64 sums,
+    so the comparison is bit-identical."""
+    from ..relational import partial_groupby_agg
+
+    def rc(t: pa.Table) -> pa.Table:
+        v = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        return pa.table({"l_partkey": t["l_partkey"], "vc": pa.array(v)})
+
+    per_part = partial_groupby_agg(
+        lineitem.select_columns(["l_partkey", "l_extendedprice"])
+        .map_batches(rc, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey"], [("vc", "sum")]).materialize()
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        v = t["vc_sum"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"s": pa.array([int(v.sum())]),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    stats = per_part.map_batches(scalar_partial, batch_format="pyarrow") \
+        .sum(["s", "n"])
+    cutoff = mult * (float(stats["sum(s)"]) / float(stats["sum(n)"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["vc_sum"].combine_chunks().to_numpy().astype(np.int64)
+        out = t.filter(pa.array(v > cutoff))
+        return pa.table({
+            "l_partkey": out["l_partkey"],
+            "value_cents": pc.cast(out["vc_sum"], pa.int64())})
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def events_attribution(events: ray.data.Dataset,
+                       convert_type: str = "purchase",
+                       num_parts: int = 16) -> ray.data.Dataset:
+    """(attrib_type, n, value_u6): last-touch attribution — each
+    ``convert_type`` event is credited to the user's most recent PRIOR
+    event of any other type ('none' when the conversion is the user's
+    first such activity), with conversion counts and exact micro-unit
+    value sums per credited type.
+
+    Distributed plan (sessionize-shaped): ONE bounded user-hash
+    exchange co-locates each user's rows; the per-partition kernel
+    lexsorts (user, ts, event_id), walks conversions against the
+    running index of non-conversion events with a vectorized
+    searchsorted (no Python row loop), and emits a partial matrix
+    bounded by |types|+1 rows; partials merge in a single tiny task.
+    Values aggregate as round(value*1e6) int64 so the sums are
+    order-free on both engine and oracle."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks()
+        val = t["value"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        u = uid[order]
+        types = et.take(pa.array(order))
+        v6 = round_half_away(val[order] * 1e6, 0).astype(np.int64)
+        is_conv = pc.equal(types, convert_type).to_numpy(
+            zero_copy_only=False)
+        # segment starts per user (sorted by u)
+        n = len(u)
+        if n == 0:
+            return pa.table({"attrib_type": pa.array([], pa.string()),
+                             "pn": pa.array([], pa.int64()),
+                             "pv": pa.array([], pa.int64())})
+        nonc_pos = np.flatnonzero(~is_conv)
+        conv_pos = np.flatnonzero(is_conv)
+        # most recent non-conversion strictly before each conversion
+        prev_idx = np.searchsorted(nonc_pos, conv_pos) - 1
+        seg_start = np.searchsorted(u, u[conv_pos], side="left")
+        valid = prev_idx >= 0
+        cand = nonc_pos[np.maximum(prev_idx, 0)]
+        valid &= cand >= seg_start  # same user segment
+        attrib = np.where(valid, cand, -1)
+        tdict = types.dictionary_encode()
+        codes = tdict.indices.to_numpy().astype(np.int64)
+        vocab = list(tdict.dictionary.to_pylist()) + ["none"]
+        none_code = len(vocab) - 1
+        acode = np.where(attrib >= 0, codes[np.maximum(attrib, 0)],
+                         none_code)
+        k = len(vocab)
+        cnt = np.bincount(acode, minlength=k)
+        vsum = np.zeros(k, np.int64)
+        np.add.at(vsum, acode, v6[conv_pos])  # int64-exact value sums
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "attrib_type": pa.array([vocab[i] for i in nz], pa.string()),
+            "pn": pa.array(cnt[nz], pa.int64()),
+            "pv": pa.array(vsum[nz], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["attrib_type"]).aggregate(
+            [("pn", "sum"), ("pv", "sum")])
+        return g.rename_columns(["attrib_type", "n", "value_u6"]) \
+            .sort_by("attrib_type")
+
+    parts = (events.select_columns(["event_id", "user_id", "ts",
+                                    "event_type", "value"])
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
+                         batch_format="pyarrow"))
+    return single_merge(parts, merge)
