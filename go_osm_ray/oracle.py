@@ -2666,6 +2666,55 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM v WHERE vc > 1.2 * ((SELECT SUM(vc) FROM v) * 1.0
                                  / (SELECT count(*) FROM v))"""
 
+    # ripley_k: brute-force within-cell pair self-join (same kernel and
+    # ROUND-before-threshold contract as cell_diameter/radius_join); the
+    # engine's lat-band pruned candidate kernel must reproduce these
+    # exact integer pair counts
+    _rk_sdp = f"SIN(((b.lat * {_d2r}) - (a.lat * {_d2r})) / 2.0)"
+    _rk_sdl = f"SIN(((b.lon - a.lon) * {_d2r}) / 2.0)"
+    _rk_a = (f"LEAST({_rk_sdp} * {_rk_sdp} + COS(a.lat * {_d2r}) "
+             f"* COS(b.lat * {_d2r}) * {_rk_sdl} * {_rk_sdl}, 1.0)")
+    _rk_d = sql_round(f"2.0 * {EARTH_R_M!r} * ASIN(SQRT({_rk_a}))", 3)
+    q["ripley_k"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT image_id, lon, lat,
+                     {tiles.sql_cell_id('lon', 'lat', 7)} AS cell
+              FROM pts),
+        pr AS (SELECT a.cell, {_rk_d} AS d
+               FROM c a JOIN c b
+                 ON a.cell = b.cell AND a.image_id < b.image_id),
+        nn AS (SELECT cell, count(*) AS n FROM c GROUP BY cell)
+        SELECT nn.cell AS cell_r7, CAST(nn.n AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN pr.d <= 100.0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS le100,
+               CAST(COALESCE(SUM(CASE WHEN pr.d <= 300.0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS le300,
+               CAST(COALESCE(SUM(CASE WHEN pr.d <= 1000.0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS le1000
+        FROM nn LEFT JOIN pr ON pr.cell = nn.cell
+        GROUP BY nn.cell, nn.n"""
+
+    # sweep-line peak concurrency: half-open [ts, ts+dur) intervals, so
+    # ends sort before starts at equal timestamps (ORDER BY t, d); all
+    # int64 epoch-us arithmetic, exact on both sides
+    q["events_concurrency"] = """
+        WITH b AS (
+          SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d
+          FROM events
+          UNION ALL
+          SELECT event_type,
+                 CAST(epoch_us(ts) AS BIGINT)
+                   + (60 + CAST(FLOOR(value) AS BIGINT)) * 1000000,
+                 -1
+          FROM events),
+        r AS (SELECT event_type,
+                     SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                                  ROWS UNBOUNDED PRECEDING) AS c
+              FROM b)
+        SELECT event_type, CAST(count(*) // 2 AS BIGINT) AS n_events,
+               CAST(max(c) AS BIGINT) AS peak
+        FROM r GROUP BY 1"""
+
     # last-touch attribution: credit each purchase to the user's most
     # recent PRIOR non-purchase event; micro-unit value sums are exact
     q["events_attribution"] = """

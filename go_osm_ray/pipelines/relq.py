@@ -3155,3 +3155,86 @@ def events_attribution(events: ray.data.Dataset,
              .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
                          batch_format="pyarrow"))
     return single_merge(parts, merge)
+
+
+def events_concurrency(events: ray.data.Dataset,
+                       base_dur_s: int = 60,
+                       bucket_s: int = 86400) -> ray.data.Dataset:
+    """(event_type, n_events, peak): peak concurrent activity per event
+    type when each event opens a half-open interval
+    [ts, ts + (base_dur_s + floor(value)) seconds) — the sweep-line
+    "max sessions in flight" statistic, with the end-before-start tie
+    rule at equal timestamps that half-open intervals imply.
+
+    Distributed plan (token_pack-shaped two-phase prefix scan, no
+    global sort): each block emits +1/-1 boundary rows; ONE bounded
+    hash exchange co-locates (event_type, time-bucket) groups; the
+    per-group kernel sorts its own boundaries (vectorized lexsort) and
+    reduces to THREE scalars — boundary delta total, running-prefix
+    max, and start count — so the merge is bounded by types x occupied
+    buckets, never by events.  The merge chains bucket prefixes in
+    time order per type (tiny numpy scan) and the global peak is
+    max(prefix-before-bucket + bucket-local max).  All arithmetic is
+    int64 epoch-microseconds, so engine and oracle agree exactly."""
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        dur = (int(base_dur_s)
+               + np.floor(t["value"].combine_chunks().to_numpy())
+               .astype(np.int64)) * 1_000_000
+        et = t["event_type"].combine_chunks()
+        tt = np.concatenate([ts, ts + dur])
+        dd = np.concatenate([np.ones(len(ts), np.int64),
+                             -np.ones(len(ts), np.int64)])
+        typ = pa.chunked_array([et, et]).combine_chunks()
+        return pa.table({"event_type": typ, "t": pa.array(tt),
+                         "d": pa.array(dd),
+                         "bucket": pa.array(tt // bucket_us)})
+
+    def per_group(t: pa.Table) -> pa.Table:
+        tt = t["t"].combine_chunks().to_numpy()
+        dd = t["d"].combine_chunks().to_numpy()
+        order = np.lexsort((dd, tt))  # ends (-1) before starts at ties
+        run = np.cumsum(dd[order])
+        return pa.table({
+            "event_type": t["event_type"].slice(0, 1),
+            "bucket": t["bucket"].slice(0, 1),
+            "delta": pa.array([int(dd.sum())], pa.int64()),
+            "lmax": pa.array([int(run.max())], pa.int64()),
+            "starts": pa.array([int((dd > 0).sum())], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy().astype(np.int64)
+        bucket = t["bucket"].combine_chunks().to_numpy()
+        delta = t["delta"].combine_chunks().to_numpy()
+        lmax = t["lmax"].combine_chunks().to_numpy()
+        starts = t["starts"].combine_chunks().to_numpy()
+        order = np.lexsort((bucket, codes))
+        codes_s, delta_s, lmax_s = codes[order], delta[order], lmax[order]
+        run = np.cumsum(delta_s)
+        first = np.r_[True, codes_s[1:] != codes_s[:-1]]
+        seg = np.flatnonzero(first)
+        # prefix concurrency entering each bucket = running delta sum
+        # minus the running sum at the start of this type's segment
+        base = np.repeat(np.r_[0, run[seg - 1][1:]] if len(seg) > 1
+                         else np.zeros(len(seg), np.int64),
+                         np.diff(np.r_[seg, len(codes_s)]))
+        enter = np.r_[0, run[:-1]] - base
+        cand = enter + lmax_s
+        peak = np.maximum.reduceat(cand, seg)
+        n_ev = np.add.reduceat(starts[order], seg)
+        out = pa.table({
+            "event_type": et.take(pa.array(order[seg])),
+            "n_events": pa.array(n_ev),
+            "peak": pa.array(peak.astype(np.int64))})
+        return out.sort_by("event_type")
+
+    parts = (events.select_columns(["ts", "event_type", "value"])
+             .map_batches(boundaries, batch_format="pyarrow",
+                          batch_size=65536)
+             .groupby(["event_type", "bucket"])
+             .map_groups(per_group, batch_format="pyarrow"))
+    return single_merge(parts, merge)
