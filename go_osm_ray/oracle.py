@@ -2694,6 +2694,29 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM nn LEFT JOIN pr ON pr.cell = nn.cell
         GROUP BY nn.cell, nn.n"""
 
+    # cell_nn_stats: brute-force per-point nearest neighbour inside the
+    # cell (min of per-pair integer-millimetre distances; min commutes
+    # with the monotone rounding, so the engine may round after its
+    # grid-search min).  Same haversine term order as radius_join.
+    _nnmm = sql_round(f"2.0 * {EARTH_R_M!r} * ASIN(SQRT({_rk_a})) * 1000.0",
+                      0)
+    q["cell_nn_stats"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT image_id, lon, lat,
+                     {tiles.sql_cell_id('lon', 'lat', 7)} AS cell
+              FROM pts),
+        d AS (SELECT a.cell, a.image_id, CAST({_nnmm} AS BIGINT) AS mm
+              FROM c a JOIN c b
+                ON a.cell = b.cell AND a.image_id <> b.image_id),
+        nnp AS (SELECT cell, image_id, min(mm) AS mm FROM d GROUP BY 1, 2)
+        SELECT cell AS cell_r7, CAST(count(*) AS BIGINT) AS n,
+               {sql_round('CAST(SUM(mm) AS DOUBLE) '
+                          '/ (CAST(count(*) AS DOUBLE) * 1000.0)', 6)}
+                   AS nn_mean6,
+               CAST(min(mm) AS DOUBLE) / 1000.0 AS nn_min3,
+               CAST(max(mm) AS DOUBLE) / 1000.0 AS nn_max3
+        FROM nnp GROUP BY cell"""
+
     # sweep-line peak concurrency: half-open [ts, ts+dur) intervals, so
     # ends sort before starts at equal timestamps (ORDER BY t, d); all
     # int64 epoch-us arithmetic, exact on both sides

@@ -3656,3 +3656,147 @@ def ripley_k(pts: ray.data.Dataset, res: int = 7,
     return pts.map_batches(partial, batch_format="pyarrow",
                            batch_size=batch_size) \
         .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+def cell_nn_stats(pts: ray.data.Dataset, res: int = 7,
+                  base_m: float = 200.0,
+                  num_parts: int = 32,
+                  batch_size: int = 65536,
+                  max_pairs_chunk: int = 4_000_000) -> ray.data.Dataset:
+    """(cell_r{res}, n, nn_mean6, nn_min3, nn_max3): exact
+    nearest-neighbour distance statistics per occupied res-``res``
+    cell with n >= 2 — each point's distance to its closest same-cell
+    neighbour (haversine meters, rounded half-away at 3 dp per point),
+    aggregated as mean/min/max.  The Clark-Evans ingredient that
+    separates clustered from dispersed coverage.
+
+    Scale plan: ONE hash(cell) exchange ships (cell, lon, lat).  The
+    per-partition kernel runs a doubling grid search: level L buckets
+    every point into boxes spanning ``base_m * 2^L`` meters (lat box
+    from d >= R|dphi|; lon box widened per cell by (pi/2)/cos(phi)),
+    scans the 3x3 neighborhood of each UNRESOLVED point, and accepts
+    a candidate min that is <= the level guarantee G_L = base_m*2^L —
+    any point outside the neighborhood is provably farther than G_L,
+    so the accepted value is the true NN.  Dense cells resolve at the
+    first level (O(true near-neighbour) candidates); sparse cells
+    escalate with geometrically fewer unresolved points, terminating
+    when one box covers the whole cell (the scan is then exhaustive).
+    Per-point NN converts to integer millimetres before summing, so
+    cell means are summation-order-free and match the oracle's
+    brute-force self-join exactly."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..util import round_half_away
+    from .osm import EARTH_R_M
+
+    cell_col = f"cell_r{res}"
+    d2r = np.pi / 180.0
+    cell_span = 360.0 / float(1 << res)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        return pa.table({"cell": pa.array(c), "lon": pa.array(lon),
+                         "lat": pa.array(lat),
+                         "part": pa.array(hash_part(c, num_parts))})
+
+    def _hav(lon1, lat1, lon2, lat2):
+        p1 = lat1 * d2r
+        p2 = lat2 * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((lon2 - lon1) * d2r / 2.0)
+        a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl, 1.0)
+        return 2.0 * EARTH_R_M * np.arcsin(np.sqrt(a))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["cell"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cells, crank0, counts = np.unique(c, return_inverse=True,
+                                          return_counts=True)
+        ncell = len(cells)
+        npts = len(c)
+        nn = np.full(npts, np.inf)
+        if npts:
+            cosl = np.cos(lat * d2r)
+            cosmin = np.full(ncell, 1.0)
+            np.minimum.at(cosmin, crank0, cosl)
+            # points in singleton cells have no neighbour by definition
+            unresolved = np.flatnonzero(counts[crank0] >= 2)
+            level = 0
+            while len(unresolved):
+                g_m = base_m * (2.0 ** level)
+                band = g_m / (EARTH_R_M * d2r)
+                bw = (np.pi / 2.0) * band / np.maximum(cosmin, 1e-9)
+                by = np.floor(lat / band).astype(np.int64)
+                bx = np.floor(lon / bw[crank0]).astype(np.int64)
+                key = (((crank0.astype(np.int64) << np.int64(22))
+                        + (by + np.int64(1 << 21))) << np.int64(22)) \
+                    + (bx + np.int64(1 << 21))
+                order = np.argsort(key, kind="stable")
+                keys = key[order]
+                lon_s, lat_s = lon[order], lat[order]
+                inv = np.empty(npts, np.int64)
+                inv[order] = np.arange(npts, dtype=np.int64)
+                up = inv[unresolved]          # sorted-domain index of each
+                DY = np.int64(1) << np.int64(22)
+                best = np.full(len(up), np.inf)
+                for dy in (-DY, np.int64(0), DY):
+                    for dx in (np.int64(-1), np.int64(0), np.int64(1)):
+                        tgt = keys[up] + dy + dx
+                        lo1 = np.searchsorted(keys, tgt, side="left")
+                        hi1 = np.searchsorted(keys, tgt, side="right")
+                        rep = np.maximum(hi1 - lo1, 0)
+                        csum = np.cumsum(rep)
+                        s = 0
+                        while s < len(rep):
+                            b0 = csum[s - 1] if s else 0
+                            e = int(np.searchsorted(
+                                csum, b0 + max_pairs_chunk, "left")) + 1
+                            e = min(max(e, s + 1), len(rep))
+                            r = rep[s:e]
+                            tot = int(r.sum())
+                            if tot:
+                                ii = np.repeat(np.arange(s, e), r)
+                                local = np.cumsum(r) - r
+                                w = np.arange(tot, dtype=np.int64) \
+                                    - np.repeat(local, r)
+                                jj = np.repeat(lo1[s:e], r) + w
+                                pi_ = up[ii]
+                                d = _hav(lon_s[pi_], lat_s[pi_],
+                                         lon_s[jj], lat_s[jj])
+                                d[jj == pi_] = np.inf   # self
+                                np.minimum.at(best, ii, d)
+                            s = e
+                accept = best <= g_m
+                if band >= cell_span:
+                    accept[:] = True    # one box covers the whole cell
+                nn[unresolved[accept]] = best[accept]
+                unresolved = unresolved[~accept]
+                level += 1
+        # integer-millimetre per-point NN (monotone round commutes
+        # with min, so this equals the oracle's min of rounded values)
+        has = np.isfinite(nn)
+        mm = round_half_away(np.where(has, nn, 0.0) * 1000.0, 0) \
+            .astype(np.int64)
+        summ = np.zeros(ncell, np.int64)
+        np.add.at(summ, crank0[has], mm[has])
+        mn = np.full(ncell, np.iinfo(np.int64).max)
+        np.minimum.at(mn, crank0[has], mm[has])
+        mx = np.zeros(ncell, np.int64)
+        np.maximum.at(mx, crank0[has], mm[has])
+        keep = counts >= 2
+        n_k = counts[keep].astype(np.int64)
+        return pa.table({
+            cell_col: pa.array(cells[keep]),
+            "n": pa.array(n_k),
+            "nn_mean6": pa.array(round_half_away(
+                summ[keep] / (n_k * 1000.0), 6)),
+            "nn_min3": pa.array(mn[keep] / 1000.0),
+            "nn_max3": pa.array(mx[keep] / 1000.0),
+        })
+
+    return pts.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")
