@@ -743,3 +743,99 @@ def image_entropy(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(
         ImageEntropy, batch_format="pyarrow", batch_size=batch_size,
         concurrency=pool)
+
+
+# ----------------------------------------------------------------- nms
+
+_NMS_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_NMS_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_NMS_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _nms_splitmix(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wrapping uint64 arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * _NMS_M1
+        z = (z ^ (z >> np.uint64(27))) * _NMS_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def synth_boxes(phash: np.ndarray, w: np.ndarray, h: np.ndarray,
+                k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-image candidate boxes: box j of an image is a
+    pure function of (phash, j) via splitmix64, sized 15-60% of the
+    image and centred anywhere on it, with a 24-bit integer score.
+    Returns (boxes[N,k,4] float64 x0,y0,x1,y1, scores[N,k] int64).
+    (The container has no detector model — per the brief the decode /
+    model step is faked deterministically while the Ray plumbing and
+    the NMS kernel are real.)"""
+    ph = phash.astype(np.int64).view(np.uint64)[:, None]
+    ks = (np.arange(k, dtype=np.uint64) + np.uint64(1))[None, :]
+    with np.errstate(over="ignore"):
+        r = _nms_splitmix(ph + ks * _NMS_GOLD)
+    f16 = np.float64(65536.0)
+    m16 = np.uint64(0xFFFF)
+    wf, hf = w.astype(np.float64)[:, None], h.astype(np.float64)[:, None]
+    cx = ((r & m16).astype(np.float64) / f16) * wf
+    cy = (((r >> np.uint64(16)) & m16).astype(np.float64) / f16) * hf
+    bw = (0.15 + ((r >> np.uint64(32)) & m16).astype(np.float64)
+          / f16 * 0.45) * wf
+    bh = (0.15 + ((r >> np.uint64(48)) & m16).astype(np.float64)
+          / f16 * 0.45) * hf
+    boxes = np.stack([cx - bw / 2.0, cy - bh / 2.0,
+                      cx + bw / 2.0, cy + bh / 2.0], axis=2)
+    scores = (_nms_splitmix(r) & np.uint64(0xFFFFFF)).astype(np.int64)
+    return boxes, scores
+
+
+def detect_nms(images: ray.data.Dataset, k: int = 6,
+               iou_thresh: float = 0.5,
+               batch_size: int = 4096) -> ray.data.Dataset:
+    """(image_id, n_kept, keep_mask): greedy non-maximum suppression
+    over each image's k synthetic detection boxes — a box is dropped
+    when a higher-scoring kept box overlaps it with IoU > ``iou_thresh``
+    (ties broken by ascending box index; scores are 24-bit integers so
+    ordering is exact).  keep_mask packs the surviving original box
+    indices as a bitmask, so the result is integer-exact and
+    order-free.
+
+    Scale plan: pure per-row map_batches — the greedy scan is O(k^2)
+    per image but vectorized ACROSS the batch (k x k passes of numpy
+    over all images at once, no per-row Python), the exact shape a
+    batched detector post-process has at 100 TB."""
+    def fn(t: pa.Table) -> pa.Table:
+        ph = t["phash"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        h = t["h"].combine_chunks().to_numpy()
+        boxes, scores = synth_boxes(ph, w, h, k)
+        n = len(ph)
+        # per-image order: score DESC, box index ASC (exact int key)
+        key = scores * np.int64(k) + (np.int64(k - 1)
+                                      - np.arange(k, dtype=np.int64))
+        idx = np.argsort(-key, axis=1, kind="stable")
+        rows = np.arange(n)[:, None]
+        b = boxes[rows, idx]          # (n, k, 4) sorted by rank
+        area = (b[:, :, 2] - b[:, :, 0]) * (b[:, :, 3] - b[:, :, 1])
+        keep = np.ones((n, k), bool)
+        for a in range(1, k):
+            for p in range(a):
+                ix0 = np.maximum(b[:, a, 0], b[:, p, 0])
+                iy0 = np.maximum(b[:, a, 1], b[:, p, 1])
+                ix1 = np.minimum(b[:, a, 2], b[:, p, 2])
+                iy1 = np.minimum(b[:, a, 3], b[:, p, 3])
+                inter = np.maximum(ix1 - ix0, 0.0) \
+                    * np.maximum(iy1 - iy0, 0.0)
+                iou = inter / (area[:, a] + area[:, p] - inter)
+                keep[:, a] &= ~(keep[:, p] & (iou > iou_thresh))
+        mask = np.zeros(n, np.int64)
+        for a in range(k):
+            mask |= np.where(keep[:, a],
+                             np.int64(1) << idx[:, a].astype(np.int64),
+                             0)
+        return pa.table({
+            "image_id": t["image_id"],
+            "n_kept": pa.array(keep.sum(axis=1).astype(np.int64)),
+            "keep_mask": pa.array(mask)})
+
+    return images.map_batches(fn, batch_format="pyarrow",
+                               batch_size=batch_size)

@@ -1403,6 +1403,103 @@ def _way_kcore_table(sf: float) -> pa.Table:
     })
 
 
+def _scalar_hilbert(lon: float, lat: float, order: int) -> int:
+    """Textbook scalar xy2d (rotate/flip per MSB level) — independent
+    of the engine's vectorized bit walk in geo/tiles.hilbert_d."""
+    n = 1 << order
+    vx = (lon + 180.0) / 360.0 * float(n)
+    vy = (lat + 90.0) / 180.0 * float(n)
+    x = int(min(max(vx, 0.0), float(n - 1)))
+    y = int(min(max(vy, 0.0), float(n - 1)))
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _hilbert_order_table(sf: float, order: int = 16,
+                         shard_bits: int = 8) -> pa.Table:
+    t = _images_rows(sf, ["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    hs, sh = [], []
+    shift = 2 * order - shard_bits
+    for p in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(int(p))
+        d = _scalar_hilbert(lon, lat, order)
+        hs.append(d)
+        sh.append(d >> shift)
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     f"hilbert{order}": pa.array(hs, pa.int64()),
+                     "shard": pa.array(sh, pa.int64())})
+
+
+_SM_MASK = (1 << 64) - 1
+
+
+def _scalar_splitmix(z: int) -> int:
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & _SM_MASK
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EB & _SM_MASK
+    return z ^ (z >> 31)
+
+
+def _detect_nms_table(sf: float, k: int = 6,
+                      iou_thresh: float = 0.5) -> pa.Table:
+    """Scalar greedy NMS over the deterministic synthetic boxes —
+    per-image python loops, independent of the engine's
+    batch-vectorized k x k suppression passes."""
+    t = _images_rows(sf, ["image_id", "phash", "w", "h"])
+    out_n, out_m = [], []
+    for iid, p, w, h in zip(t["image_id"].to_pylist(),
+                            t["phash"].to_pylist(),
+                            t["w"].to_pylist(), t["h"].to_pylist()):
+        pu = int(p) & _SM_MASK
+        cand = []
+        for j in range(k):
+            r = _scalar_splitmix((pu + (j + 1) * 0x9E3779B97F4A7C15)
+                                 & _SM_MASK)
+            cx = ((r & 0xFFFF) / 65536.0) * float(w)
+            cy = (((r >> 16) & 0xFFFF) / 65536.0) * float(h)
+            bw = (0.15 + ((r >> 32) & 0xFFFF) / 65536.0 * 0.45) * float(w)
+            bh = (0.15 + ((r >> 48) & 0xFFFF) / 65536.0 * 0.45) * float(h)
+            score = _scalar_splitmix(r) & 0xFFFFFF
+            cand.append((score, j, cx - bw / 2.0, cy - bh / 2.0,
+                         cx + bw / 2.0, cy + bh / 2.0))
+        cand.sort(key=lambda b: (-b[0], b[1]))
+        kept = []
+        mask = 0
+        for b in cand:
+            ok = True
+            for kb in kept:
+                ix0 = max(b[2], kb[2])
+                iy0 = max(b[3], kb[3])
+                ix1 = min(b[4], kb[4])
+                iy1 = min(b[5], kb[5])
+                inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+                ab = (b[4] - b[2]) * (b[5] - b[3])
+                akb = (kb[4] - kb[2]) * (kb[5] - kb[3])
+                iou = inter / (ab + akb - inter)
+                if iou > iou_thresh:
+                    ok = False
+                    break
+            if ok:
+                kept.append(b)
+                mask |= 1 << b[1]
+        out_n.append(len(kept))
+        out_m.append(mask)
+    return pa.table({"image_id": t["image_id"].combine_chunks(),
+                     "n_kept": pa.array(out_n, pa.int64()),
+                     "keep_mask": pa.array(out_m, pa.int64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1436,6 +1533,8 @@ _BUILDERS = {
     "src_js_divergence": _src_js_table,
     "image_entropy": _image_entropy_table,
     "way_kcore": _way_kcore_table,
+    "hilbert_order": _hilbert_order_table,
+    "detect_nms": _detect_nms_table,
 }
 
 

@@ -301,3 +301,58 @@ def test_apply_diff_semantics_and_partition_invariance(ray_session):
     assert 2 not in got              # delete wins over the v7 modify
     assert got[3] == (2, 30.0)       # untouched base row
     assert got[99] == (1, 99.0)      # create
+
+
+def test_hilbert_adjacency_and_coverage():
+    """Consecutive Hilbert indexes map to 4-adjacent grid cells (the
+    defining curve-continuity property, which the morton/Z key lacks)
+    and the order-4 curve is a bijection over the 16x16 grid."""
+    from go_osm_ray.geo.tiles import hilbert_d
+    n = 16
+    # cell-centre lon/lat for every grid cell at order 4
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    lon = (xs.ravel() + 0.5) / n * 360.0 - 180.0
+    lat = (ys.ravel() + 0.5) / n * 180.0 - 90.0
+    d = hilbert_d(lon, lat, order=4)
+    assert sorted(d.tolist()) == list(range(n * n))   # bijection
+    pos = np.empty((n * n, 2), np.int64)
+    pos[d] = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    steps = np.abs(np.diff(pos, axis=0)).sum(axis=1)
+    assert (steps == 1).all()                         # unit grid steps
+
+
+def test_detect_nms_postconditions(ray_session):
+    """Every surviving pair of boxes has IoU <= thresh; every suppressed
+    box overlaps some higher-scoring kept box; mask popcount == n_kept."""
+    from go_osm_ray.pipelines.images import detect_nms, synth_boxes
+    ph = (np.arange(512, dtype=np.int64) * 2654435761 + 7)
+    w = np.full(512, 32, np.int32)
+    h = np.full(512, 24, np.int32)
+    t = pa.table({"image_id": pa.array([f"i{i}" for i in range(512)]),
+                  "phash": pa.array(ph), "w": pa.array(w),
+                  "h": pa.array(h)})
+    out = detect_nms(ray.data.from_arrow(t), k=6).to_pandas() \
+        .set_index("image_id")
+    boxes, scores = synth_boxes(ph, w, h, 6)
+
+    def iou(a, b):
+        ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+        ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+        aa = (a[2] - a[0]) * (a[3] - a[1])
+        ab = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / (aa + ab - inter)
+
+    for i in range(512):
+        mask = int(out.loc[f"i{i}", "keep_mask"])
+        kept = [j for j in range(6) if mask >> j & 1]
+        assert len(kept) == int(out.loc[f"i{i}", "n_kept"]) >= 1
+        for a_ in kept:
+            for b_ in kept:
+                if a_ < b_:
+                    assert iou(boxes[i, a_], boxes[i, b_]) <= 0.5
+        for s in range(6):
+            if s not in kept:
+                assert any(iou(boxes[i, s], boxes[i, j]) > 0.5
+                           for j in kept
+                           if (scores[i, j], -j) > (scores[i, s], -s))
