@@ -2740,6 +2740,47 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(max(c) AS BIGINT) AS peak
         FROM r GROUP BY 1"""
 
+    # grouped argmax with the exact (value DESC, suppkey ASC) tie rule;
+    # integer-cents sums make the comparison order-free
+    q["part_top_supplier"] = """
+        WITH v AS (SELECT l_partkey, l_suppkey,
+                          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                              AS vc
+                   FROM lineitem GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                           ORDER BY vc DESC,
+                                                    l_suppkey ASC) AS rn
+              FROM v)
+        SELECT l_partkey, l_suppkey AS s_best,
+               CAST(vc AS BIGINT) AS value_cents
+        FROM r WHERE rn = 1"""
+
+    # streaming watermark accounting: running max ts in ascending
+    # event_id (arrival) order, strictly-prior window; all int64 epoch
+    # microseconds so the lateness filter and floor-divided sums are
+    # exact on both sides
+    q["events_late_arrivals"] = """
+        WITH w AS (SELECT event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                          max(ts) OVER (PARTITION BY event_type
+                                        ORDER BY event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS wm
+                   FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN wm IS NOT NULL
+                             AND CAST(epoch_us(wm) AS BIGINT) - ts_us
+                                 > 3600000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(COALESCE(SUM(CASE WHEN wm IS NOT NULL
+                             AND CAST(epoch_us(wm) AS BIGINT) - ts_us
+                                 > 3600000000
+                             THEN (CAST(epoch_us(wm) AS BIGINT) - ts_us)
+                                  // 1000000 END), 0) AS BIGINT)
+                   AS sum_late_s
+        FROM w GROUP BY 1"""
+
     # last-touch attribution: credit each purchase to the user's most
     # recent PRIOR non-purchase event; micro-unit value sums are exact
     q["events_attribution"] = """

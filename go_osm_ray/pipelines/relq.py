@@ -3238,3 +3238,133 @@ def events_concurrency(events: ray.data.Dataset,
              .groupby(["event_type", "bucket"])
              .map_groups(per_group, batch_format="pyarrow"))
     return single_merge(parts, merge)
+
+
+def part_top_supplier(lineitem: ray.data.Dataset,
+                      num_parts: int = 32) -> ray.data.Dataset:
+    """(l_partkey, s_best, value_cents): per part, the supplier with the
+    LARGEST total lineitem revenue (integer cents), ties broken by the
+    smallest suppkey — the grouped-argmax shape of TPC-H Q2's
+    min-cost-supplier lookup over the tables this dataset carries.
+
+    Scale plan: block combiner collapses to one (part, supp) partial
+    per block pair BEFORE the single hash(part) exchange; the per-
+    partition kernel re-sums duplicates across blocks (lexsort +
+    reduceat) and takes first-of-group under the exact (part,
+    -value, supp) order.  Output is bounded by |part|; int64 cents
+    make the argmax order-free."""
+    def rc(t: pa.Table) -> pa.Table:
+        v = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"], "vc": pa.array(v)}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("vc", "sum")])
+        pk = g["l_partkey"].combine_chunks().to_numpy()
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"],
+                         "vc": g["vc_sum"],
+                         "part": pa.array(hash_part(pk, num_parts))})
+
+    def argmax_kernel(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        sk = t["l_suppkey"].combine_chunks().to_numpy()
+        vc = t["vc"].combine_chunks().to_numpy().astype(np.int64)
+        # re-sum cross-block duplicates of (part, supp)
+        o = np.lexsort((sk, pk))
+        pk, sk, vc = pk[o], sk[o], vc[o]
+        first = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        starts = np.flatnonzero(first)
+        vsum = np.add.reduceat(vc, starts)
+        pk, sk = pk[starts], sk[starts]
+        # argmax per part: sort (part asc, value desc, supp asc)
+        o2 = np.lexsort((sk, -vsum, pk))
+        pk, sk, vsum = pk[o2], sk[o2], vsum[o2]
+        top = np.r_[True, pk[1:] != pk[:-1]]
+        return pa.table({"l_partkey": pa.array(pk[top]),
+                         "s_best": pa.array(sk[top]),
+                         "value_cents": pa.array(vsum[top])})
+
+    return lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(rc, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: argmax_kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+
+def events_late_arrivals(events: ray.data.Dataset,
+                         threshold_s: int = 3600,
+                         bucket: int = 8192) -> ray.data.Dataset:
+    """(event_type, n_events, n_late, sum_late_s): streaming watermark
+    accounting — replaying each type's stream in arrival order
+    (ascending event_id), an event is LATE when the running max
+    timestamp seen strictly before it exceeds its own timestamp by
+    more than ``threshold_s``; late seconds accumulate as exact
+    floor-divided int64.
+
+    Distributed plan: prefix max is associative, so the scan runs in
+    two bounded phases — phase 1 is a block combiner producing each
+    (type, event_id-bucket)'s max timestamp (output bounded by types x
+    buckets); the tiny carry table (exclusive running max per bucket)
+    is computed once and broadcast; phase 2 re-scans each bucket group
+    with its carry, entirely vectorized (sort by event_id +
+    running-max accumulate).  No global sort, no unbounded state."""
+    from ..relational import partial_groupby_agg
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "bucket": pa.array(eid // bucket),
+                         "event_id": pa.array(eid), "ts_us": pa.array(ts)})
+
+    src = events.select_columns(["event_id", "ts", "event_type"]) \
+        .map_batches(keyed, batch_format="pyarrow", batch_size=65536) \
+        .materialize()
+
+    # phase 1: bounded carry table (exclusive prefix max per bucket)
+    maxes = partial_groupby_agg(src, ["event_type", "bucket"],
+                                [("ts_us", "max")]).take_all()
+    by_type: dict = {}
+    for r in maxes:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["bucket"], r["ts_us_max"]))
+    carry: dict = {}
+    for et, rows in by_type.items():
+        run = -(1 << 62)   # low sentinel; int64.min would wrap in wm-ts
+        for b, mx in sorted(rows):
+            carry[(et, b)] = run
+            run = max(run, mx)
+    carry_ref = ray.put(carry)
+    thr_us = int(threshold_s) * 1_000_000
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        cd = ray.get(carry_ref)
+        et = t["event_type"][0].as_py()
+        b = int(t["bucket"][0].as_py())
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts_us"].combine_chunks().to_numpy()
+        o = np.argsort(eid, kind="stable")
+        ts = ts[o]
+        wm = np.maximum.accumulate(
+            np.r_[cd[(et, b)], ts[:-1]])          # exclusive prefix max
+        late = (wm - ts) > thr_us
+        lsum = int(((wm[late] - ts[late]) // 1_000_000).sum()) \
+            if late.any() else 0
+        return pa.table({"event_type": pa.array([et]),
+                         "pn": pa.array([len(ts)], pa.int64()),
+                         "pl": pa.array([int(late.sum())], pa.int64()),
+                         "ps": pa.array([lsum], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate(
+            [("pn", "sum"), ("pl", "sum"), ("ps", "sum")])
+        return g.rename_columns(
+            ["event_type", "n_events", "n_late", "sum_late_s"]) \
+            .sort_by("event_type")
+
+    parts = src.groupby(["event_type", "bucket"]) \
+        .map_groups(per_bucket, batch_format="pyarrow")
+    return single_merge(parts, merge)
