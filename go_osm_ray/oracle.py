@@ -2740,6 +2740,48 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(max(c) AS BIGINT) AS peak
         FROM r GROUP BY 1"""
 
+    # raster_contour: brute-force marching squares over the zoom-16
+    # count raster — candidate cells from the 4 offsets of every
+    # occupied pixel, corner values by coordinate LEFT JOIN, the same
+    # case tables as the engine (saddles need no ambiguity rule: both
+    # resolutions give 2 diagonal segments)
+    q["raster_contour"] = f"""
+        WITH {_pts_cte(images)}, {_g16},
+        cand AS (SELECT DISTINCT gx + o.dx AS cx, gy + o.dy AS cy
+                 FROM c, (VALUES (0, 0), (-1, 0), (0, -1), (-1, -1))
+                      AS o(dx, dy)),
+        lv AS (SELECT * FROM (VALUES (1), (4), (16)) AS l(level)),
+        cs AS (SELECT l.level,
+                      (CASE WHEN tl.n >= l.level THEN 8 ELSE 0 END
+                       + CASE WHEN tr.n >= l.level THEN 4 ELSE 0 END
+                       + CASE WHEN br.n >= l.level THEN 2 ELSE 0 END
+                       + CASE WHEN bl.n >= l.level THEN 1 ELSE 0 END)
+                          AS k
+               FROM cand cd CROSS JOIN lv l
+               LEFT JOIN c tl ON tl.gx = cd.cx AND tl.gy = cd.cy
+               LEFT JOIN c tr ON tr.gx = cd.cx + 1 AND tr.gy = cd.cy
+               LEFT JOIN c bl ON bl.gx = cd.cx AND bl.gy = cd.cy + 1
+               LEFT JOIN c br ON br.gx = cd.cx + 1
+                             AND br.gy = cd.cy + 1),
+        seg AS (SELECT level,
+                       CASE WHEN k IN (0, 15) THEN 0
+                            WHEN k IN (5, 10) THEN 2 ELSE 1 END AS nseg,
+                       CASE WHEN k IN (3, 6, 9, 12) THEN 1 ELSE 0 END
+                           AS nstr,
+                       CASE WHEN k IN (5, 10) THEN 2
+                            WHEN k IN (0, 3, 6, 9, 12, 15) THEN 0
+                            ELSE 1 END AS ndia
+                FROM cs)
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(SUM(CASE WHEN nseg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cells,
+               CAST(SUM(nseg) AS BIGINT) AS n_segments,
+               CAST(SUM(nstr) AS BIGINT) AS n_straight,
+               CAST(SUM(ndia) AS BIGINT) AS n_diag,
+               {sql_round('SUM(nstr) * 1.0 '
+                          '+ SUM(ndia) * 0.7071067811865476', 6)} AS len6
+        FROM seg GROUP BY 1"""
+
     # grouped argmax with the exact (value DESC, suppkey ASC) tie rule;
     # integer-cents sums make the comparison order-free
     q["part_top_supplier"] = """

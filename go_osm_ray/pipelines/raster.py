@@ -620,3 +620,111 @@ def raster_hillshade(raster: ray.data.Dataset, z: int, grid: int,
 
     return raster.map_batches(contrib, batch_format="pyarrow") \
         .groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- contour
+
+# marching-squares case tables (corner code = TL*8 + TR*4 + BR*2 + BL*1):
+# corner-cut cases carry one diagonal half-cell segment, side-pair cases
+# one straight unit segment, the two saddle cases two diagonals (counts
+# and lengths are identical under either saddle resolution, so the
+# statistic needs no ambiguity rule)
+_MS_NSEG = np.array([0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0],
+                    np.int64)
+_MS_DIAG = np.array([0, 1, 1, 0, 1, 2, 0, 1, 1, 0, 2, 1, 0, 1, 1, 0],
+                    np.int64)
+_MS_STRT = _MS_NSEG - _MS_DIAG
+_MS_DIAG_LEN = 0.7071067811865476   # sqrt(0.5), shared with the oracle
+
+
+def raster_contour(raster: ray.data.Dataset, z: int, grid: int,
+                   levels: tuple = (1, 4, 16),
+                   num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(level, n_cells, n_segments, n_straight, n_diag, len6): global
+    marching-squares census of the count raster's iso-contours at each
+    ``levels`` threshold — per 2x2 pixel-corner cell the standard case
+    index decides how many straight / diagonal unit segments the
+    level-set boundary cuts through it, counted exactly once per cell
+    on the GLOBAL pixel grid (no tile-seam double count: cells are
+    keyed by their own corner coordinate, not by tile).
+
+    Scale plan: each sparse-raster row (a distinct occupied pixel)
+    emits its 4 incident cells with its corner role — O(4 x occupied
+    pixels), the only exchange; the per-partition kernel reduces each
+    cell's <= 4 corners to a case index per level (reduceat over the
+    sorted cell key) and collapses to |levels| partial rows.  Cells
+    with no occupied corner are all-below-threshold everywhere, so
+    never materialize.  All counts are integers and the length is a
+    closed form of two integer counts, so the merge is order-free."""
+    from ..relational import single_merge
+    kbits = int(np.log2(grid))
+    side = np.int64(1) << np.int64(z + kbits)
+    m = np.int64(int(side) + 2)
+    lv = np.asarray(levels, np.int64)
+
+    def emit(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].combine_chunks().to_numpy().astype(np.int64)
+        ty = t["tile_y"].combine_chunks().to_numpy().astype(np.int64)
+        gx = (tx << np.int64(kbits)) \
+            | t["px"].combine_chunks().to_numpy().astype(np.int64)
+        gy = (ty << np.int64(kbits)) \
+            | t["py"].combine_chunks().to_numpy().astype(np.int64)
+        n = t["n"].combine_chunks().to_numpy().astype(np.int64)
+        # (cell dx, cell dy, corner bit): the pixel is TL of its own
+        # cell, TR of the west cell, BL of the north, BR of the NW
+        keys, bits, vals = [], [], []
+        for dx, dy, bit in ((0, 0, 8), (-1, 0, 4), (0, -1, 1),
+                            (-1, -1, 2)):
+            keys.append((gx + dx + 1) * m + (gy + dy + 1))
+            bits.append(np.full(len(n), bit, np.int64))
+            vals.append(n)
+        key = np.concatenate(keys)
+        return pa.table({
+            "key": pa.array(key),
+            "bit": pa.array(np.concatenate(bits)),
+            "n": pa.array(np.concatenate(vals)),
+            "part": pa.array(hash_part(key, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        key = t["key"].combine_chunks().to_numpy()
+        bit = t["bit"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        o = np.argsort(key, kind="stable")
+        key, bit, n = key[o], bit[o], n[o]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        out_lv, out = [], []
+        for l in lv:
+            case = np.add.reduceat(bit * (n >= l), starts)
+            nseg = _MS_NSEG[case]
+            out_lv.append(int(l))
+            out.append((int((nseg > 0).sum()), int(nseg.sum()),
+                        int(_MS_STRT[case].sum()),
+                        int(_MS_DIAG[case].sum())))
+        return pa.table({
+            "level": pa.array(out_lv, pa.int64()),
+            "pc": pa.array([v[0] for v in out], pa.int64()),
+            "ps": pa.array([v[1] for v in out], pa.int64()),
+            "pt": pa.array([v[2] for v in out], pa.int64()),
+            "pd": pa.array([v[3] for v in out], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by(["level"]).aggregate(
+            [("pc", "sum"), ("ps", "sum"), ("pt", "sum"), ("pd", "sum")])
+        ns = g["pt_sum"].to_numpy().astype(np.int64)
+        nd = g["pd_sum"].to_numpy().astype(np.int64)
+        return pa.table({
+            "level": pc.cast(g["level"], pa.int64()),
+            "n_cells": pc.cast(g["pc_sum"], pa.int64()),
+            "n_segments": pc.cast(g["ps_sum"], pa.int64()),
+            "n_straight": pa.array(ns),
+            "n_diag": pa.array(nd),
+            "len6": pa.array(round_half_away(
+                ns * 1.0 + nd * _MS_DIAG_LEN, 6)),
+        }).sort_by("level")
+
+    parts = raster.map_batches(emit, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return single_merge(parts, merge)
