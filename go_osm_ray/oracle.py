@@ -2841,4 +2841,57 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS value_u6
         FROM w WHERE event_type = 'purchase' GROUP BY 1"""
 
+    # TPC-H Q12 mirror: window + join + conditional priority counts
+    q["q12_priority_by_status"] = """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                             ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+    # TPC-H Q20 mirror: per-supplier promo share vs the GLOBAL promo
+    # share, exact integer cross-multiply (HUGEINT avoids overflow)
+    q["q20_promo_share"] = """
+        WITH v AS (SELECT l.l_suppkey,
+                          SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(ROUND(l.l_quantity) AS BIGINT)
+                              ELSE 0 END) AS pq,
+                          SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS tq
+                   FROM lineitem l JOIN part p
+                        ON p.p_partkey = l.l_partkey
+                   GROUP BY 1),
+        g AS (SELECT SUM(pq) AS gpq, SUM(tq) AS gtq FROM v)
+        SELECT s.s_name, CAST(v.pq AS BIGINT) AS promo_qty,
+               CAST(v.tq AS BIGINT) AS total_qty
+        FROM v JOIN supplier s ON s.s_suppkey = v.l_suppkey
+        WHERE CAST(v.pq AS HUGEINT) * (SELECT gtq FROM g)
+              > (SELECT gpq FROM g) * CAST(v.tq AS HUGEINT)
+        ORDER BY s.s_name"""
+
+    # TPC-H Q21 mirror: sole-late supplier on multi-supplier 'F'
+    # orders (EXISTS/NOT-EXISTS collapsed to per-order counts)
+    q["q21_waiting_suppliers"] = """
+        WITH ls AS (SELECT l_orderkey, l_suppkey,
+                           max(l_shipdate) AS sd
+                    FROM lineitem GROUP BY 1, 2),
+        j AS (SELECT ls.l_orderkey, ls.l_suppkey,
+                     CASE WHEN ls.sd > o.o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END AS is_late
+              FROM ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+              WHERE o.o_orderstatus = 'F'),
+        f AS (SELECT l_orderkey, count(*) AS n_supp,
+                     SUM(is_late) AS n_late
+              FROM j GROUP BY 1)
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM j JOIN f USING (l_orderkey)
+        JOIN supplier s ON s.s_suppkey = j.l_suppkey
+        WHERE j.is_late = 1 AND f.n_supp >= 2 AND f.n_late = 1
+        GROUP BY 1 ORDER BY numwait DESC, s_name"""
+
     return {k: " ".join(v.split()) for k, v in q.items()}

@@ -3368,3 +3368,258 @@ def events_late_arrivals(events: ray.data.Dataset,
     parts = src.groupby(["event_type", "bucket"]) \
         .map_groups(per_bucket, batch_format="pyarrow")
     return single_merge(parts, merge)
+
+
+def q12_priority_by_status(lineitem: ray.data.Dataset,
+                           orders: ray.data.Dataset,
+                           date_lo: str = "1996-01-01",
+                           date_hi: str = "1997-01-01",
+                           num_partitions: int = 8) -> ray.data.Dataset:
+    """(l_linestatus, high_line_count, low_line_count): TPC-H Q12
+    shape — lineitems shipped in a window, counted per line status and
+    split by order priority class (HIGH = 1-URGENT/2-HIGH).  The
+    testdata has no l_shipmode column, so l_linestatus plays the
+    grouping dimension (reference query: cmd/osm has no SQL layer;
+    this exercises the generic join+conditional-count surface).
+
+    Scale plan: lineitem filters its ship window at the scan and
+    collapses to one (orderkey, status, n) partial per block pair
+    BEFORE the hash join (ships one row per order-status, not one per
+    lineitem); orders projects to (orderkey, is_high 0/1); the
+    post-join conditional count is a 2-row bounded combine."""
+    lo = np.datetime64(date_lo, "us").astype(np.int64)
+    hi = np.datetime64(date_hi, "us").astype(np.int64)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks().to_numpy().astype(np.int64)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        g = t.group_by(["l_orderkey", "l_linestatus"]) \
+            .aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["l_orderkey", "l_linestatus", "n"])
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_linestatus", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def ord_high(t: pa.Table) -> pa.Table:
+        hi_p = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": pc.cast(hi_p, pa.int64())})
+
+    ords = orders.select_columns(["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_high, batch_format="pyarrow")
+
+    j = li.join(ords, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy().astype(np.int64)
+        ih = t["is_high"].combine_chunks().to_numpy().astype(np.int64)
+        g = pa.table({"l_linestatus": t["l_linestatus"],
+                      "hi": pa.array(n * ih),
+                      "lo": pa.array(n * (1 - ih))}) \
+            .group_by("l_linestatus").aggregate([("hi", "sum"),
+                                                 ("lo", "sum")])
+        return g.rename_columns(["l_linestatus", "hi", "lo"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_linestatus").aggregate([("hi", "sum"),
+                                                  ("lo", "sum")])
+        return pa.table({
+            "l_linestatus": g["l_linestatus"],
+            "high_line_count": pc.cast(g["hi_sum"], pa.int64()),
+            "low_line_count": pc.cast(g["lo_sum"], pa.int64()),
+        }).sort_by("l_linestatus")
+
+    return single_merge(j.map_batches(split_partial,
+                                      batch_format="pyarrow"), merge)
+
+
+def q20_promo_share_suppliers(lineitem: ray.data.Dataset,
+                              part: ray.data.Dataset,
+                              supplier: ray.data.Dataset,
+                              promo_type: str = "PROMO",
+                              num_partitions: int = 8) -> ray.data.Dataset:
+    """(s_name, promo_qty, total_qty): TPC-H Q20 shape — suppliers
+    whose shipped quantity of ``promo_type`` parts exceeds the GLOBAL
+    promo share of shipped quantity, i.e. pq_s / tq_s > PQ / TQ (the
+    reference Q20 gates on partsupp availability, absent here; the
+    semi-join-chain + per-supplier ratio-HAVING shape is the same,
+    and the data-derived threshold stays discriminating at every
+    scale).  Quantities are integral in the testdata, summed as exact
+    int64; the ratio test is an integer cross-multiply, so the gate
+    is order-free.
+
+    Scale plan: lineitem collapses to one (partkey, suppkey) quantity
+    partial per block pair before the part join (ships pairs, not
+    lineitems); part projects to (partkey, is_promo); per-supplier
+    totals go through the bounded partial_groupby_agg exchange
+    (output bounded by |supplier|); only ratio-passing suppliers gate
+    a supplier-table scan for names — the dim is never shuffled."""
+    from ..relational import partial_groupby_agg
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = np.rint(t["l_quantity"].combine_chunks().to_numpy()) \
+            .astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"], "qty": pa.array(q)}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("qty", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "qty"])
+
+    li = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    def part_promo(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "is_promo": pc.cast(pc.equal(t["p_type"],
+                                         pa.scalar(promo_type)),
+                                pa.int64())})
+
+    pt = part.select_columns(["p_partkey", "p_type"]) \
+        .map_batches(part_promo, batch_format="pyarrow")
+
+    j = li.join(pt, join_type="inner", num_partitions=num_partitions,
+                on=("l_partkey",), right_on=("p_partkey",))
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        qty = t["qty"].combine_chunks().to_numpy().astype(np.int64)
+        ip = t["is_promo"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "pq": pa.array(qty * ip), "tq": pa.array(qty)})
+
+    per_supp = partial_groupby_agg(
+        j.map_batches(supp_partial, batch_format="pyarrow"),
+        ["l_suppkey"], [("pq", "sum"), ("tq", "sum")])
+
+    def ratio_filter(t: pa.Table) -> pa.Table:
+        pq = t["pq_sum"].combine_chunks().to_numpy().astype(np.int64)
+        tq = t["tq_sum"].combine_chunks().to_numpy().astype(np.int64)
+        gpq, gtq = int(pq.sum()), int(tq.sum())
+        # integer cross-multiply: pq_s/tq_s > PQ/TQ exactly (python
+        # ints -- pq_s*TQ overflows int64 only past ~9e18 quantity)
+        keep = np.array([int(p) * gtq > gpq * int(q)
+                         for p, q in zip(pq, tq)], bool)             if len(pq) else np.zeros(0, bool)
+        t = t.filter(pa.array(keep))
+        return pa.table({"s_suppkey": t["l_suppkey"],
+                         "promo_qty": t["pq_sum"],
+                         "total_qty": t["tq_sum"]})
+
+    win_ds = single_merge(per_supp, ratio_filter)
+    win = win_ds.take_all()                      # bounded by |supplier|
+    keys = np.array(sorted(r["s_suppkey"] for r in win), np.int64)
+    stats = {r["s_suppkey"]: (r["promo_qty"], r["total_qty"])
+             for r in win}
+
+    def pick(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(np.isin(sk, keys)))
+        sk2 = t["s_suppkey"].combine_chunks().to_numpy()
+        return pa.table({
+            "s_name": t["s_name"],
+            "promo_qty": pa.array(
+                np.array([stats[int(s)][0] for s in sk2], np.int64)),
+            "total_qty": pa.array(
+                np.array([stats[int(s)][1] for s in sk2], np.int64))})
+
+    return supplier.select_columns(["s_suppkey", "s_name"]) \
+        .map_batches(pick, batch_format="pyarrow") \
+        .sort("s_name")
+
+
+def q21_waiting_suppliers(lineitem: ray.data.Dataset,
+                          orders: ray.data.Dataset,
+                          supplier: ray.data.Dataset,
+                          late_days: int = 60,
+                          num_partitions: int = 8,
+                          num_parts: int = 32) -> ray.data.Dataset:
+    """(s_name, numwait): TPC-H Q21 shape — for finished orders
+    ('F' status) with lineitems from AT LEAST TWO distinct suppliers,
+    count per supplier the orders where that supplier was the ONLY
+    late one (late = its max shipdate for the order exceeds
+    o_orderdate + ``late_days``; the testdata has no commit/receipt
+    dates).  The EXISTS + NOT-EXISTS pair of the reference query
+    becomes one bounded per-order kernel.
+
+    Scale plan: lineitem collapses to one (orderkey, suppkey, max
+    shipdate) row per pair (combiner + bounded exchange) BEFORE the
+    orders join; the per-order exists/not-exists evaluation is a
+    vectorized lexsort+reduceat kernel inside a hash(orderkey)
+    partition (per-order state never leaves one task); per-supplier
+    counts ride the bounded partial exchange; only qualifying
+    suppkeys gate the supplier-name scan."""
+    from ..relational import partial_groupby_agg
+
+    def li_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "sd": pa.array(t["l_shipdate"].combine_chunks().to_numpy()
+                           .astype(np.int64))})
+
+    pairs = partial_groupby_agg(
+        lineitem.select_columns(["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(li_sd, batch_format="pyarrow", batch_size=65536),
+        ["l_orderkey", "l_suppkey"], [("sd", "max")])
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+        od = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "od": pa.array(od)})
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(ord_f, batch_format="pyarrow")
+
+    j = pairs.join(ords, join_type="inner", num_partitions=num_partitions,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        return t.append_column("part",
+                               pa.array(hash_part(ok, num_parts)))
+
+    def per_order(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        sk = t["l_suppkey"].combine_chunks().to_numpy()
+        late = t["sd_max"].combine_chunks().to_numpy() \
+            > t["od"].combine_chunks().to_numpy() + late_us
+        o = np.argsort(ok, kind="stable")
+        ok, sk, late = ok[o], sk[o], late[o]
+        first = np.r_[True, ok[1:] != ok[:-1]]
+        starts = np.flatnonzero(first)
+        n_supp = np.diff(np.r_[starts, len(ok)])
+        n_late = np.add.reduceat(late.astype(np.int64), starts)
+        gid = np.cumsum(first) - 1
+        keep = late & (n_supp[gid] >= 2) & (n_late[gid] == 1)
+        g = pa.table({"sk": pa.array(sk[keep]),
+                      "one": pa.array(np.ones(int(keep.sum()), np.int64))}) \
+            .group_by("sk").aggregate([("one", "sum")])
+        return g.rename_columns(["l_suppkey", "nw"])
+
+    per_supp = partial_groupby_agg(
+        j.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: per_order(t.drop_columns(["part"])),
+                    batch_format="pyarrow"),
+        ["l_suppkey"], [("nw", "sum")])
+
+    cnt = per_supp.take_all()                    # bounded by |supplier|
+    keys = np.array(sorted(r["l_suppkey"] for r in cnt), np.int64)
+    nw_of = {r["l_suppkey"]: r["nw_sum"] for r in cnt}
+
+    def pick(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(np.isin(sk, keys)))
+        sk2 = t["s_suppkey"].combine_chunks().to_numpy()
+        return pa.table({
+            "s_name": t["s_name"],
+            "numwait": pa.array(
+                np.array([nw_of[int(s)] for s in sk2], np.int64))})
+
+    return supplier.select_columns(["s_suppkey", "s_name"]) \
+        .map_batches(pick, batch_format="pyarrow") \
+        .sort(["numwait", "s_name"], descending=[True, False])
