@@ -1917,3 +1917,101 @@ def way_jaccard(ways: ray.data.Dataset, num_parts: int = 16,
         .map_groups(lambda t: score_y(t.drop_columns(["part"])),
                     batch_format="pyarrow")
     return cn
+
+
+def way_mst(ways: ray.data.Dataset,
+            num_parts: int = 8) -> ray.data.Dataset:
+    """(component, n_ways, n_edges, total_w): minimum spanning forest
+    of the TRUE shared-node way graph under the deterministic pseudo-
+    weight ``state.bsp.mst_edge_weight`` (total order (w, a, b) makes
+    the MSF unique), summarized per connected component keyed by its
+    minimum way id — the "cheapest skeleton that keeps the road mesh
+    connected" reduction (reference analogue: none; this extends the
+    way/node model of osm/Way.go:15-30 the way way_components does).
+
+    Physical plan: the deduped full pairwise edge set
+    (full_shared_node_edges) shards ONCE via shard_static_edges (both
+    directions + isolated-way markers); resident BSP actors
+    (state.bsp._MSTPart) run distributed Boruvka — per round one
+    vectorized shard scan finds each component's min outgoing edge,
+    mutual-pair hooking + pointer-jump compression merge components,
+    and only labels/claims move between actors. O(log n) rounds, edges
+    never reshuffled. Post-pass: one co-partition exchange attaches
+    each forest edge's final component, then a single bounded
+    partial_groupby_agg emits (min way id, way count, edge count,
+    int64 weight sum) per component."""
+    from ..relational import hash_part, partial_groupby_agg
+    from ..state.bsp import run_mst
+    from .text import shard_static_edges
+
+    pairs = full_shared_node_edges(ways, num_parts)
+    d, has_shard, owned = shard_static_edges(
+        pairs, num_parts, extra_nodes=ways.select_columns(["id"]))
+    labels, forest = run_mst(d, has_shard, num_parts, cleanup=owned)
+
+    imax = np.iinfo(np.int64).max
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        k = t["way_id"].combine_chunks().to_numpy()
+        return pa.table({"k": t["way_id"], "root": t["root"],
+                         "w": pa.array(np.zeros(len(k), np.int64)),
+                         "is_node": pa.array(np.ones(len(k), bool)),
+                         "part": pa.array(hash_part(k, num_parts))})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        k = t["a"].combine_chunks().to_numpy()
+        return pa.table({"k": t["a"],
+                         "root": pa.array(np.zeros(len(k), np.int64)),
+                         "w": t["w"],
+                         "is_node": pa.array(np.zeros(len(k), bool)),
+                         "part": pa.array(hash_part(k, num_parts))})
+
+    def attach_root(t: pa.Table) -> pa.Table:
+        """Edges inherit the component of endpoint ``a`` (both endpoints
+        are in the same component once the forest is final); unified
+        rows then feed ONE bounded per-component aggregation: nodes
+        carry (min way id, way count), edges carry (edge count, weight
+        sum) via a +inf way-id sentinel."""
+        isn = t["is_node"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["k"].combine_chunks().to_numpy()
+        root = t["root"].combine_chunks().to_numpy()
+        w = t["w"].combine_chunks().to_numpy()
+        nk, nroot = k[isn], root[isn]
+        o = np.argsort(nk, kind="stable")
+        nk, nroot = nk[o], nroot[o]
+        ek, ew = k[~isn], w[~isn]
+        j = np.searchsorted(nk, ek).clip(max=max(len(nk) - 1, 0))
+        eroot = nroot[j] if len(nk) else ek
+        return pa.table({
+            "root": pa.array(np.concatenate([nroot, eroot])),
+            "way_min": pa.array(np.concatenate(
+                [nk, np.full(len(ek), imax, np.int64)])),
+            "n_node": pa.array(np.concatenate(
+                [np.ones(len(nk), np.int64), np.zeros(len(ek), np.int64)])),
+            "n_edge": pa.array(np.concatenate(
+                [np.zeros(len(nk), np.int64), np.ones(len(ek), np.int64)])),
+            "w": pa.array(np.concatenate(
+                [np.zeros(len(nk), np.int64), ew])),
+        })
+
+    unified = labels.map_batches(tag_label, batch_format="pyarrow") \
+        .union(forest.map_batches(tag_edge, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: attach_root(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    agg = partial_groupby_agg(
+        unified, ["root"],
+        [("way_min", "min"), ("n_node", "sum"),
+         ("n_edge", "sum"), ("w", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "component": pc.cast(t["way_min_min"], pa.int64()),
+            "n_ways": pc.cast(t["n_node_sum"], pa.int64()),
+            "n_edges": pc.cast(t["n_edge_sum"], pa.int64()),
+            "total_w": pc.cast(t["w_sum"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("component")

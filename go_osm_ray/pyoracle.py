@@ -1403,6 +1403,74 @@ def _way_kcore_table(sf: float) -> pa.Table:
     })
 
 
+def _mst_w_scalar(a: int, b: int) -> int:
+    """Scalar mirror of state.bsp.mst_edge_weight (same constants, same
+    64-bit multiply-xor mix, truncated to 32 bits)."""
+    m = (1 << 64) - 1
+    x = (a * 0x9E3779B97F4A7C15 + b * 0xC2B2AE3D27D4EB4F) & m
+    x ^= x >> 33
+    x = (x * 0x9E3779B97F4A7C15) & m
+    x ^= x >> 29
+    return x >> 32
+
+
+def _way_mst_table(sf: float) -> pa.Table:
+    """Scalar Kruskal reference for way_mst: dict ref-grouping, full
+    pairwise edge set, edges sorted by the total order (w, a, b),
+    textbook union-find — a deliberately different plan from the
+    engine's distributed Boruvka BSP (min-outgoing-edge hooking)."""
+    from collections import defaultdict
+
+    d = datagen.scale_dir(sf)
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    ids = wt["id"].to_pylist()
+    byref: dict[int, list[int]] = defaultdict(list)
+    for wid, refs in zip(ids, wt["refs"].to_pylist()):
+        for r in set(refs):
+            byref[r].append(wid)
+    edges: set[tuple[int, int]] = set()
+    for ws in byref.values():
+        for i, a in enumerate(ws):
+            for b in ws[i + 1:]:
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+    elist = sorted((_mst_w_scalar(a, b), a, b) for a, b in edges)
+
+    parent = {w: w for w in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    accepted: list[tuple[int, int, int]] = []
+    for w, a, b in elist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            accepted.append((w, a, b))
+    comp_min: dict[int, int] = {}
+    comp_n: dict[int, int] = {}
+    for wid in ids:
+        r = find(wid)
+        comp_min[r] = min(comp_min.get(r, wid), wid)
+        comp_n[r] = comp_n.get(r, 0) + 1
+    comp_e: dict[int, int] = {}
+    comp_w: dict[int, int] = {}
+    for w, a, b in accepted:
+        r = find(a)
+        comp_e[r] = comp_e.get(r, 0) + 1
+        comp_w[r] = comp_w.get(r, 0) + w
+    roots = sorted(comp_min, key=lambda r: comp_min[r])
+    return pa.table({
+        "component": pa.array([comp_min[r] for r in roots], pa.int64()),
+        "n_ways": pa.array([comp_n[r] for r in roots], pa.int64()),
+        "n_edges": pa.array([comp_e.get(r, 0) for r in roots], pa.int64()),
+        "total_w": pa.array([comp_w.get(r, 0) for r in roots], pa.int64()),
+    })
+
+
 def _scalar_hilbert(lon: float, lat: float, order: int) -> int:
     """Textbook scalar xy2d (rotate/flip per MSB level) — independent
     of the engine's vectorized bit walk in geo/tiles.hilbert_d."""
@@ -1533,6 +1601,7 @@ _BUILDERS = {
     "src_js_divergence": _src_js_table,
     "image_entropy": _image_entropy_table,
     "way_kcore": _way_kcore_table,
+    "way_mst": _way_mst_table,
     "hilbert_order": _hilbert_order_table,
     "detect_nms": _detect_nms_table,
 }

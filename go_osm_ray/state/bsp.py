@@ -499,3 +499,309 @@ def run_kcore(shard_dir: str, live_parts: set[int], num_parts: int,
             f"run_kcore: no fixpoint in {max_iters} rounds")
     return ray.data.from_arrow_refs(
         [a.result.remote() for a in actors]).materialize()
+
+
+# --------------------------------------------------------------- Boruvka MSF
+
+_W1 = np.uint64(0x9E3779B97F4A7C15)
+_W2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def mst_edge_weight(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-weight of the canonical (a < b) edge: a
+    64-bit multiply-xor mix truncated to [0, 2^32) so per-component
+    int64 weight sums stay exact past billions of edges. Collisions are
+    harmless: every comparison in the engine AND the oracle uses the
+    total order (w, a, b), so the minimum spanning forest is unique."""
+    with np.errstate(over="ignore"):
+        x = a.astype(np.uint64) * _W1 + b.astype(np.uint64) * _W2
+        x ^= x >> np.uint64(33)
+        x *= _W1
+        x ^= x >> np.uint64(29)
+    return (x >> np.uint64(32)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class _MSTPart(_ShardPart):
+    """One partition of distributed Boruvka minimum-spanning-forest.
+
+    Roles held by every actor (all keyed by ``hash_part``):
+    - NODE owner (hash(node)): label vector of its nodes + the cached
+      label of every local edge's far endpoint (exact, not stale: every
+      label change is pushed along the mirror edges at round end);
+    - COMPONENT owner (hash(component id)): this round's min outgoing
+      edge of its components (``sel``) and the hooking parent pointers
+      the jump phases compress.
+
+    One Boruvka round = find_cands -> pick_min -> resolve ->
+    (jump_ask/answer/apply)* -> label_ask/answer -> apply_labels ->
+    apply_dst_labels, each phase one all-to-all of numpy arrays routed
+    actor-to-actor through the object store. Components at least halve
+    per round, so the driver loop is O(log n) rounds; per round every
+    actor scans its static edge shard once (no contraction — the scan
+    is vectorized and the shard never moves)."""
+
+    def __init__(self, shard_dir: str, part: int, num_parts: int,
+                 live_parts: list[int]):
+        super().__init__(shard_dir, part, num_parts, live_parts)
+        self.label = self.uid.copy()
+        self.e_dst_lbl = self.dst.copy()         # exact far-end labels
+        lo = np.minimum(self.src, self.dst)
+        hi = np.maximum(self.src, self.dst)
+        self.e_a, self.e_b = lo, hi
+        self.e_w = mst_edge_weight(lo, hi)
+        # component-owner round state
+        self.sel = None
+        self.parent_c = np.empty(0, np.int64)
+        self.parent_p = np.empty(0, np.int64)
+        self.mst_a: list = []
+        self.mst_b: list = []
+        self.mst_w: list = []
+
+    @staticmethod
+    def _cat(inbox, width):
+        cols = [[] for _ in range(width)]
+        for msg in inbox:
+            if msg is None:
+                continue
+            for i in range(width):
+                cols[i].append(msg[i])
+        if not cols[0]:
+            return [np.empty(0, np.int64) for _ in range(width)]
+        return [np.concatenate(c) for c in cols]
+
+    def _boxes(self, route_ids, *cols):
+        segs = self._dest_segments(route_ids)
+        return [None if len(s) == 0 else tuple(c[s] for c in cols)
+                for s in segs]
+
+    # --- phase 1: local per-component argmin of cross edges -----------
+    def find_cands(self):
+        c = self.label[self.src_j] if len(self.src) \
+            else np.empty(0, np.int64)
+        cross = c != self.e_dst_lbl
+        n_cross = int(cross.sum())
+        if n_cross == 0:
+            return (*([None] * self.n_live), 0)
+        cc, w = c[cross], self.e_w[cross]
+        a, b, co = self.e_a[cross], self.e_b[cross], self.e_dst_lbl[cross]
+        o = np.lexsort((b, a, w, cc))
+        cc, w, a, b, co = cc[o], w[o], a[o], b[o], co[o]
+        first = np.r_[True, cc[1:] != cc[:-1]]
+        boxes = self._boxes(cc[first], cc[first], w[first], a[first],
+                            b[first], co[first])
+        return (*boxes, n_cross)
+
+    # --- phase 2: global argmin per owned component + claims ----------
+    def pick_min(self, *inbox):
+        cc, w, a, b, co = self._cat(inbox, 5)
+        if len(cc):
+            o = np.lexsort((b, a, w, cc))
+            cc, w, a, b, co = cc[o], w[o], a[o], b[o], co[o]
+            first = np.r_[True, cc[1:] != cc[:-1]]
+            cc, w, a, b, co = (cc[first], w[first], a[first], b[first],
+                               co[first])
+        self.sel = (cc, w, a, b, co)
+        # claim to owner(co): "component cc picked edge (a, b) to you"
+        return self._boxes(co, co, cc, a, b)
+
+    # --- phase 3: mutual-pair hooking + MSF edge recording ------------
+    def resolve(self, *inbox):
+        t, frm, ca, cb = self._cat(inbox, 4)
+        # claims are unique per `frm` (one pick per component)
+        fo = np.argsort(frm, kind="stable")
+        frm_s, t_s, ca_s, cb_s = frm[fo], t[fo], ca[fo], cb[fo]
+        cc, w, a, b, co = self.sel
+        if len(cc):
+            if len(frm_s):
+                j = np.searchsorted(frm_s, co).clip(max=len(frm_s) - 1)
+                mutual = ((frm_s[j] == co) & (t_s[j] == cc)
+                          & (ca_s[j] == a) & (cb_s[j] == b))
+            else:
+                mutual = np.zeros(len(co), bool)
+            self.parent_c = cc
+            self.parent_p = np.where(mutual, np.minimum(cc, co), co)
+            keep = ~mutual | (cc < co)
+            self.mst_a.append(a[keep])
+            self.mst_b.append(b[keep])
+            self.mst_w.append(w[keep])
+        else:
+            self.parent_c = np.empty(0, np.int64)
+            self.parent_p = np.empty(0, np.int64)
+        # sort the parent map once for the jump/answer lookups
+        po = np.argsort(self.parent_c, kind="stable")
+        self.parent_c = self.parent_c[po]
+        self.parent_p = self.parent_p[po]
+        return len(self.parent_c)
+
+    def _root_of(self, ids: np.ndarray) -> np.ndarray:
+        """parent[ids] with inactive components as their own root."""
+        if not len(self.parent_c):
+            return ids
+        j = np.searchsorted(self.parent_c, ids) \
+            .clip(max=len(self.parent_c) - 1)
+        hit = self.parent_c[j] == ids
+        return np.where(hit, self.parent_p[j], ids)
+
+    # --- phase 4 (iterated): pointer-jump compression ------------------
+    def jump_ask(self):
+        m = self.parent_p != self.parent_c
+        return self._boxes(self.parent_p[m], self.parent_p[m],
+                           self.parent_c[m])
+
+    def jump_answer(self, *inbox):
+        p, asker = self._cat(inbox, 2)
+        return self._boxes(asker, asker, self._root_of(p))
+
+    def jump_apply(self, *inbox):
+        asker, newp = self._cat(inbox, 2)
+        if not len(asker) or not len(self.parent_c):
+            return 0
+        j = np.searchsorted(self.parent_c, asker) \
+            .clip(max=max(len(self.parent_c) - 1, 0))
+        hit = self.parent_c[j] == asker if len(self.parent_c) \
+            else np.zeros(len(asker), bool)
+        changed = hit & (self.parent_p[j] != newp)
+        self.parent_p[j[changed]] = newp[changed]
+        return int(changed.sum())
+
+    # --- phase 5: relabel nodes + refresh cached far-end labels --------
+    def label_ask(self):
+        ulab = np.unique(self.label)
+        me = np.full(len(ulab), self.part, np.int64)
+        return self._boxes(ulab, ulab, me)
+
+    def label_answer(self, *inbox):
+        c, pt = self._cat(inbox, 2)
+        root = self._root_of(c)
+        # route by EXPLICIT requesting part, not by id hash
+        slot = np.searchsorted(self.live_arr, pt) \
+            .clip(max=max(self.n_live - 1, 0))
+        order = np.argsort(slot, kind="stable")
+        bounds = np.searchsorted(slot[order],
+                                 np.arange(self.n_live + 1))
+        out = []
+        for i in range(self.n_live):
+            s = order[bounds[i]:bounds[i + 1]]
+            out.append(None if len(s) == 0 else (c[s], root[s]))
+        return out
+
+    def apply_labels(self, *inbox):
+        c, root = self._cat(inbox, 2)
+        o = np.argsort(c, kind="stable")
+        c, root = c[o], root[o]
+        if len(self.label) and len(c):
+            j = np.searchsorted(c, self.label).clip(max=len(c) - 1)
+            hit = c[j] == self.label
+            new = np.where(hit, root[j], self.label)
+        else:
+            new = self.label
+        changed = new != self.label
+        self.label = new
+        if not changed.any() or not len(self.src):
+            return [None] * self.n_live
+        hit = changed[self.src_j]
+        # mirror edges (x -> y) live at hash(x): route the new label of
+        # local node y to every neighbour's owner
+        return self._boxes(self.dst[hit], self.src[hit],
+                           new[self.src_j[hit]])
+
+    def apply_dst_labels(self, *inbox):
+        y, lab = self._cat(inbox, 2)
+        if not len(y) or not len(self.dst):
+            return 0
+        o = np.argsort(y, kind="stable")
+        y, lab = y[o], lab[o]
+        first = np.r_[True, y[1:] != y[:-1]]
+        y, lab = y[first], lab[first]
+        j = np.searchsorted(y, self.dst).clip(max=len(y) - 1)
+        hit = y[j] == self.dst
+        self.e_dst_lbl[hit] = lab[j[hit]]
+        return int(hit.sum())
+
+    def result_labels(self) -> pa.Table:
+        return pa.table({"way_id": pa.array(self.uid),
+                         "root": pa.array(self.label)})
+
+    def result_edges(self) -> pa.Table:
+        a = np.concatenate(self.mst_a) if self.mst_a \
+            else np.empty(0, np.int64)
+        b = np.concatenate(self.mst_b) if self.mst_b \
+            else np.empty(0, np.int64)
+        w = np.concatenate(self.mst_w) if self.mst_w \
+            else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "w": pa.array(w)})
+
+
+def run_mst(shard_dir: str, live_parts: set[int], num_parts: int,
+            max_rounds: int = 60, cleanup: bool = False
+            ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Drive the Boruvka actors until a round finds ZERO cross edges
+    (the MSF is then complete — every remaining edge is intra-component).
+    Components at least halve per round, so ``max_rounds`` = 60 covers
+    any int64-addressable graph; raises rather than returning a partial
+    forest. Returns (labels, msf_edges) as materialized Datasets."""
+    empty_l = pa.table({"way_id": pa.array([], pa.int64()),
+                        "root": pa.array([], pa.int64())})
+    empty_e = pa.table({"a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64())})
+    live = sorted(live_parts)
+    if not live:
+        return (ray.data.from_arrow(empty_l), ray.data.from_arrow(empty_e))
+    actors = [
+        _MSTPart.options(scheduling_strategy="SPREAD")
+        .remote(shard_dir, p, num_parts, live) for p in live]
+    ray.get([a.ready.remote() for a in actors])
+    if cleanup:                         # graph now lives in actor memory
+        shutil.rmtree(shard_dir, ignore_errors=True)
+    n = len(actors)
+
+    def route(outs):
+        return [[outs[si][di] for si in range(n)] for di in range(n)]
+
+    for _ in range(max_rounds):
+        outs = [a.find_cands.options(num_returns=n + 1).remote()
+                for a in actors]
+        if sum(ray.get([o[n] for o in outs])) == 0:
+            break
+        inbox = route(outs)
+        outs = [a.pick_min.options(num_returns=n).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = route(outs)
+        ray.get([a.resolve.remote(*inbox[i])
+                 for i, a in enumerate(actors)])
+        for _j in range(64):
+            outs = [a.jump_ask.options(num_returns=n).remote()
+                    for a in actors]
+            inbox = route(outs)
+            outs = [a.jump_answer.options(num_returns=n).remote(*inbox[i])
+                    for i, a in enumerate(actors)]
+            inbox = route(outs)
+            if sum(ray.get([a.jump_apply.remote(*inbox[i])
+                            for i, a in enumerate(actors)])) == 0:
+                break
+        else:
+            raise RuntimeError("run_mst: pointer jumping did not "
+                               "converge in 64 iterations")
+        outs = [a.label_ask.options(num_returns=n).remote()
+                for a in actors]
+        inbox = route(outs)
+        outs = [a.label_answer.options(num_returns=n).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = route(outs)
+        outs = [a.apply_labels.options(num_returns=n).remote(*inbox[i])
+                for i, a in enumerate(actors)]
+        inbox = route(outs)
+        ray.get([a.apply_dst_labels.remote(*inbox[i])
+                 for i, a in enumerate(actors)])
+    else:
+        raise RuntimeError(
+            f"run_mst: no fixpoint in {max_rounds} rounds — components "
+            "must at least halve per round, so this is a protocol bug")
+    labels = ray.data.from_arrow_refs(
+        [a.result_labels.remote() for a in actors]).materialize()
+    edges = ray.data.from_arrow_refs(
+        [a.result_edges.remote() for a in actors]).materialize()
+    return labels, edges
