@@ -2561,6 +2561,35 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
         WHERE r.rev = (SELECT max(rev) FROM r)"""
 
+    # TPC-H Q2 shape (lineitem as the part-supplier incidence; cost =
+    # min extendedprice cents): min-cost EUROPE supplier per surviving
+    # part, ties kept — the correlated-min-subquery shape
+    q["q2_min_cost_supplier"] = """
+        WITH pp AS (SELECT p_partkey, p_brand FROM part
+                    WHERE p_size IN (5, 15, 25, 35, 45)
+                      AND p_type IN ('STANDARD', 'ECONOMY')),
+        eu AS (SELECT s_suppkey, s_name, n_name,
+                      CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+               FROM supplier s
+               JOIN nation n ON n.n_nationkey = s.s_nationkey
+               JOIN region r ON r.r_regionkey = n.n_regionkey
+               WHERE r.r_name = 'EUROPE'),
+        cost AS (SELECT l.l_partkey, l.l_suppkey,
+                        MIN(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                          AS cost_cents
+                 FROM lineitem l
+                 JOIN pp ON pp.p_partkey = l.l_partkey
+                 GROUP BY 1, 2),
+        pc AS (SELECT c.l_partkey, c.l_suppkey, c.cost_cents
+               FROM cost c JOIN eu ON eu.s_suppkey = c.l_suppkey),
+        m AS (SELECT l_partkey, MIN(cost_cents) AS mc FROM pc GROUP BY 1)
+        SELECT pc.l_partkey AS p_partkey, pp.p_brand, eu.s_name, eu.n_name,
+               eu.acctbal_cents, pc.cost_cents
+        FROM pc
+        JOIN m ON m.l_partkey = pc.l_partkey AND pc.cost_cents = m.mc
+        JOIN eu ON eu.s_suppkey = pc.l_suppkey
+        JOIN pp ON pp.p_partkey = pc.l_partkey"""
+
     # TPC-H Q16 shape (lineitem as the part-supplier incidence):
     # distinct shippers per surviving (brand, type, size) bucket
     q["q16_part_suppliers"] = """

@@ -3623,3 +3623,180 @@ def q21_waiting_suppliers(lineitem: ray.data.Dataset,
     return supplier.select_columns(["s_suppkey", "s_name"]) \
         .map_batches(pick, batch_format="pyarrow") \
         .sort(["numwait", "s_name"], descending=[True, False])
+
+
+def q2_min_cost_supplier(lineitem: ray.data.Dataset, part: ray.data.Dataset,
+                         supplier: ray.data.Dataset,
+                         nation: ray.data.Dataset, region: ray.data.Dataset,
+                         region_name: str = "EUROPE",
+                         sizes: tuple = (5, 15, 25, 35, 45),
+                         types: tuple = ("STANDARD", "ECONOMY"),
+                         num_partitions: int = 8) -> ray.data.Dataset:
+    """(p_partkey, p_brand, s_name, n_name, acctbal_cents, cost_cents):
+    TPC-H Q2 shape (correlated min-cost-supplier subquery) with lineitem
+    as the part-supplier incidence (testdata has no partsupp): supply
+    cost per (part, supplier) = MIN extendedprice in integer cents; for
+    each part surviving the size x type cut, emit the ``region_name``
+    supplier(s) achieving the per-part minimum (ties all kept).
+
+    Completes the 22/22 TPC-H shape family (Q2 was the last gap).
+
+    Scale plan: nation x region (<=25 rows) broadcast once via
+    ``ray.put``; the part filter runs distributed and only the tiny
+    survivor (id, brand) projection is broadcast back (bounded by the
+    size x type selectivity, ~3%); lineitem drops non-surviving parts
+    IN the block combiner so the ONLY fact-scale exchange is the
+    bounded (part, supp) min aggregation; supplier is joined, not
+    broadcast (it scales with sf), pruned to the region before the
+    join; the correlated per-part min + winner filter runs in one
+    bounded merge task (input is |surviving parts| x |region suppliers
+    per part| partial rows). Costs are integer cents so the min is
+    exact on both engine and SQL sides."""
+    from ..relational import partial_groupby_agg
+
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name", "n_regionkey"])
+    reg_ref = broadcast_table(region, ["r_regionkey", "r_name"])
+    size_arr = np.array(sizes, np.int64)
+    type_arr = list(types)
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        sz = t["p_size"].combine_chunks().to_numpy().astype(np.int64)
+        keep = np.isin(sz, size_arr) & pc.is_in(
+            t["p_type"], value_set=pa.array(type_arr)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep)).select(["p_partkey", "p_brand"])
+
+    part_ref = broadcast_table(
+        part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"])
+        .map_batches(part_filter, batch_format="pyarrow"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pids = ray.get(part_ref)["p_partkey"].to_numpy()
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(np.isin(pk, pids)))
+        cents = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"],
+                      "cost": pa.array(cents)}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([("cost", "min")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "cost"])
+
+    pair_cost = partial_groupby_agg(
+        lineitem.select_columns(["l_partkey", "l_suppkey",
+                                 "l_extendedprice"])
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        ["l_partkey", "l_suppkey"], [("cost", "min")])
+
+    def _region_nationkeys() -> np.ndarray:
+        nt = ray.get(nat_ref)
+        rt = ray.get(reg_ref)
+        rk = rt.filter(pc.equal(rt["r_name"], region_name))["r_regionkey"] \
+            .to_numpy()
+        keep = np.isin(nt["n_regionkey"].to_numpy(), rk)
+        return nt["n_nationkey"].to_numpy()[keep]
+
+    def supp_f(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["s_nationkey"].combine_chunks().to_numpy()
+                       .astype(np.int64), _region_nationkeys())
+        return t.filter(pa.array(keep))
+
+    supp = supplier.select_columns(
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+        .map_batches(supp_f, batch_format="pyarrow")
+
+    # attach supplier attrs via a union-tag hash co-partition, NOT
+    # Dataset.join: the shuffle-join aggregator chokes when the pruned
+    # supplier side leaves a partition with only canonicalized zero-row
+    # shards (same Ray 2.49 failure family as the way_triangles
+    # deadlock), and the co-partition kernel is the repo's standard
+    # join shape anyway — one hash exchange either way.
+    def tag_pair(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].combine_chunks().to_numpy()
+        return pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+            "cost": pc.cast(t["cost_min"], pa.int64()),
+            "s_name": pa.nulls(len(sk), pa.string()),
+            "s_nationkey": pa.nulls(len(sk), pa.int64()),
+            "s_acctbal": pa.nulls(len(sk), pa.float64()),
+            "_is_s": pa.array(np.zeros(len(sk), bool)),
+            "part": pa.array(hash_part(sk, num_partitions))})
+
+    def tag_supp(t: pa.Table) -> pa.Table:
+        sk = t["s_suppkey"].combine_chunks().to_numpy()
+        return pa.table({
+            "l_partkey": pa.nulls(len(sk), pa.int64()),
+            "l_suppkey": pa.array(sk),
+            "cost": pa.nulls(len(sk), pa.int64()),
+            "s_name": t["s_name"],
+            "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+            "s_acctbal": t["s_acctbal"],
+            "_is_s": pa.array(np.ones(len(sk), bool)),
+            "part": pa.array(hash_part(sk, num_partitions))})
+
+    def attach(t: pa.Table) -> pa.Table:
+        is_s = t["_is_s"].combine_chunks().to_numpy(zero_copy_only=False)
+        st = t.filter(pa.array(is_s))
+        et = t.filter(pa.array(~is_s))
+        sv = st["l_suppkey"].combine_chunks().to_numpy()
+        order = np.argsort(sv)
+        sv = sv[order]
+        ek = et["l_suppkey"].combine_chunks().to_numpy()
+        idx = np.searchsorted(sv, ek)
+        ok = (idx < len(sv))
+        ok[ok] &= sv[idx[ok]] == ek[ok]  # inner: region suppliers only
+        et = et.filter(pa.array(ok))
+        pick = pa.array(order[idx[ok]])
+        return pa.table({
+            "l_partkey": et["l_partkey"], "l_suppkey": et["l_suppkey"],
+            "cost_min": et["cost"],
+            "s_name": st["s_name"].combine_chunks().take(pick),
+            "s_nationkey": st["s_nationkey"].combine_chunks().take(pick),
+            "s_acctbal": st["s_acctbal"].combine_chunks().take(pick)})
+
+    j = pair_cost.map_batches(tag_pair, batch_format="pyarrow") \
+        .union(supp.map_batches(tag_supp, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: attach(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    def winners(t: pa.Table) -> pa.Table:
+        nt = ray.get(nat_ref)
+        pt = ray.get(part_ref)
+        name_of = dict(zip(nt["n_nationkey"].to_numpy().astype(np.int64),
+                           nt["n_name"].to_pylist()))
+        brand_of = dict(zip(pt["p_partkey"].to_numpy(),
+                            pt["p_brand"].to_pylist()))
+        pk = t["l_partkey"].combine_chunks().to_numpy()
+        cost = t["cost_min"].combine_chunks().to_numpy()
+        if not len(pk):
+            return pa.table({
+                "p_partkey": pa.array([], pa.int64()),
+                "p_brand": pa.array([], pa.string()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "acctbal_cents": pa.array([], pa.int64()),
+                "cost_cents": pa.array([], pa.int64())})
+        # correlated min: per-part minimum via lexsort + reduceat
+        order = np.lexsort((cost, pk))
+        pk_s, cost_s = pk[order], cost[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        pmin = dict(zip(pk_s[starts], cost_s[starts]))
+        win = cost == np.array([pmin[p] for p in pk], np.int64)
+        t = t.filter(pa.array(win))
+        pk = pk[win]
+        nk = t["s_nationkey"].combine_chunks().to_numpy().astype(np.int64)
+        ab = round_half_away(
+            t["s_acctbal"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        return pa.table({
+            "p_partkey": pa.array(pk),
+            "p_brand": pa.array([brand_of[int(p)] for p in pk],
+                                pa.string()),
+            "s_name": t["s_name"],
+            "n_name": pa.array([name_of[int(n)] for n in nk], pa.string()),
+            "acctbal_cents": pa.array(ab),
+            "cost_cents": pc.cast(t["cost_min"], pa.int64())})
+
+    return single_merge(j, winners)
