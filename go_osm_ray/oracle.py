@@ -1773,6 +1773,14 @@ def build(sf: float = 0.01) -> dict[str, str]:
         WHERE {md5i} % 100 < CASE WHEN lang = 'en' THEN 60
                                   WHEN lang = 'es' THEN 30 ELSE 10 END"""
 
+    q["src_quota_sample"] = f"""
+        SELECT source, doc_id, lang, n_chars, rk FROM (
+          SELECT source, doc_id, lang, n_chars,
+                 CAST(row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY {md5i}, doc_id) AS BIGINT) AS rk
+          FROM documents) WHERE rk <= 10"""
+
     q["priority_sample"] = f"""
         SELECT doc_id, lang, n_chars FROM documents
         ORDER BY {md5i}, doc_id LIMIT 64"""
@@ -2080,6 +2088,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["cell_convex_hull"] = f"SELECT cell, n_pts, n_hull, area6 FROM read_parquet('{exp['cell_convex_hull']}')"
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
+    q["embed_pca"] = f"SELECT vec_id, pc1, pc2 FROM read_parquet('{exp['embed_pca']}')"
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
     q["src_js_divergence"] = f"SELECT src_a, src_b, js FROM read_parquet('{exp['src_js_divergence']}')"
     q["image_entropy"] = f"SELECT image_id, ok, entropy6, n_buckets FROM read_parquet('{exp['image_entropy']}')"

@@ -252,3 +252,57 @@ def mixture_sample(ds: ray.data.Dataset, weights: dict[str, float],
     thr = mixture_rates(ds, weights, budget_frac, group_col, size_col, mod)
     return stratified_sample(ds, id_col, group_col, rates=thr,
                              default_pct=0, mod=mod)
+
+
+def source_quota_sample(ds: ray.data.Dataset, id_col: str,
+                        group_col: str, k: int,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(group, id, rk, ...): per-group quota cap — at most ``k`` rows
+    per ``group_col`` value, chosen as the k smallest
+    ``(md5_num_lower(id), id)`` within the group (restart-stable,
+    partition-independent), with the within-group rank ``rk`` (1..k).
+    The domain-cap / per-source-quota step of a crawl-curation
+    pipeline: no single domain may dominate the corpus.
+
+    Scale plan: each block keeps at most k rows PER GROUP PRESENT IN
+    THE BLOCK (vectorized grouped bottom-k via lexsort + run starts),
+    so the exchange carries O(groups x blocks x k) partial rows, never
+    the data; ONE bounded hash exchange on the group co-locates each
+    group's partials and the same kernel re-selects the exact global
+    per-group bottom-k.  SQL mirror: ``QUALIFY row_number() OVER
+    (PARTITION BY group ORDER BY md5_number_lower(id), id) <= k``."""
+    from ..relational import _col_hash, hash_part
+
+    def grouped_bottom_k(t: pa.Table, final: bool) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return (t.append_column("rk", pa.array([], pa.int64()))
+                    if final else t)
+        prio = md5_num_lower(ids)
+        enc = t[group_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, np.int64)
+        order = np.lexsort((ids, prio, codes))
+        c_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        rank = np.arange(len(c_s)) - np.repeat(starts,
+                                               np.diff(np.r_[starts,
+                                                             len(c_s)]))
+        keep = order[rank < k]
+        out = t.take(pa.array(keep))
+        if final:
+            out = out.append_column(
+                "rk", pa.array(rank[rank < k] + 1, pa.int64()))
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = grouped_bottom_k(t, final=False)
+        return out.append_column(
+            "part", pa.array(hash_part(_col_hash(out[group_col]),
+                                       num_parts)))
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: grouped_bottom_k(
+            t.drop_columns(["part"]), final=True),
+            batch_format="pyarrow")

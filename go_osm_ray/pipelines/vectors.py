@@ -369,3 +369,33 @@ def embed_outliers(ds: ray.data.Dataset, n_clusters: int = 8,
 
     return single_merge(ds.map_batches(score, batch_format="pyarrow",
                                        batch_size=4096), merge)
+
+
+def embed_pca(ds: ray.data.Dataset, top_m: int = 2,
+              nd: int = 4, col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """(vec_id, pc1, pc2, ...): project every embedding onto the top-m
+    principal components of the corpus — the 2-D map / whitening step
+    of an embedding-curation pipeline.  One moment-combiner pass gives
+    the exact d x d covariance (32 KiB partial per block), the d x d
+    eigh runs ONCE on the driver (d is the embedding dim, never the
+    data), components broadcast via ray.put, and the projection is one
+    matmul per batch — no shuffle anywhere.  Sign-deterministic
+    (largest-|coordinate| positive per component, pca_components), so
+    the output is partition-order independent; values rounded to
+    ``nd`` dp (the distributed moment merge agrees with a single-pass
+    oracle to ~1e-9, far inside the rounding step)."""
+    mean, _w, comps = pca_components(ds, col=col, top_m=top_m)
+    proj = pca_project(ds, mean, comps, col=col, id_col=id_col)
+
+    def shape(t: pa.Table) -> pa.Table:
+        p = np.asarray([np.asarray(r, np.float64) for r in
+                        t["proj"].to_pylist()], np.float64) \
+            if t.num_rows else np.zeros((0, top_m))
+        cols = {id_col: t[id_col].combine_chunks()}
+        for m in range(top_m):
+            cols[f"pc{m + 1}"] = pa.array(
+                round_half_away(p[:, m], nd), pa.float64())
+        return pa.table(cols)
+
+    return proj.map_batches(shape, batch_format="pyarrow")

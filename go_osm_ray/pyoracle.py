@@ -1289,6 +1289,36 @@ def _embed_outliers_table(sf: float, n_clusters: int = 8, m: int = 50,
     })
 
 
+def _embed_pca_table(sf: float, top_m: int = 2, nd: int = 4) -> pa.Table:
+    """Single-pass whole-matrix mirror for vectors.embed_pca: direct
+    centered covariance (xc.T @ xc, no distributed moment merge), the
+    same eigh + largest-|coordinate|-positive sign convention, one
+    matmul.  Independence under test: the engine's covariance comes
+    from merged per-block (n, sum, sum-of-squares) partials."""
+    from .util import round_half_away
+
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = xc.T @ xc / (len(x) - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:top_m]
+    comps = v[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.argmax(np.abs(comps), axis=1)])
+    comps = comps * flip[:, None]
+    p = xc @ comps.T
+    cols = {"vec_id": pa.array(vid, pa.int64())}
+    for m in range(top_m):
+        cols[f"pc{m + 1}"] = pa.array(round_half_away(p[:, m], nd),
+                                      pa.float64())
+    return pa.table(cols)
+
+
 def _src_js_table(sf: float, n_buckets: int = 1024, nd: int = 6) -> pa.Table:
     """Scalar-count mirror for scoring.src_js_divergence: per-doc dict
     counting into per-source vectors, then the shared JS definition
@@ -1599,6 +1629,7 @@ _BUILDERS = {
     "dsir_sample": _dsir_table,
     "embed_outliers": _embed_outliers_table,
     "src_js_divergence": _src_js_table,
+    "embed_pca": _embed_pca_table,
     "image_entropy": _image_entropy_table,
     "way_kcore": _way_kcore_table,
     "way_mst": _way_mst_table,
