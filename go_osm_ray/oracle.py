@@ -1667,6 +1667,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
 
     # per-user event-type bigrams: lead() window mirror of the
     # user-hash-partitioned adjacent-pairing kernel
+    # debounce dedup: lag-window gap filter, ties broken by event_id on
+    # both sides so the keep set is deterministic
+    q["events_dedup_window"] = """
+        SELECT event_id, user_id, event_type, ts, gap_s FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 CAST(COALESCE((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id))) // 1000000, -1)
+                      AS BIGINT) AS gap_s
+          FROM events)
+        WHERE gap_s = -1 OR gap_s >= 86400"""
+
     q["events_transitions"] = """
         WITH s AS (SELECT event_type,
                           lead(event_type) OVER (PARTITION BY user_id
@@ -2088,6 +2100,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["cell_convex_hull"] = f"SELECT cell, n_pts, n_hull, area6 FROM read_parquet('{exp['cell_convex_hull']}')"
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
+    q["ann_recall"] = f"SELECT query_id, n_hit, recall4 FROM read_parquet('{exp['ann_recall']}')"
     q["embed_pca"] = f"SELECT vec_id, pc1, pc2 FROM read_parquet('{exp['embed_pca']}')"
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
     q["src_js_divergence"] = f"SELECT src_a, src_b, js FROM read_parquet('{exp['src_js_divergence']}')"

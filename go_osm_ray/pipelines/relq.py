@@ -3800,3 +3800,54 @@ def q2_min_cost_supplier(lineitem: ray.data.Dataset, part: ray.data.Dataset,
             "cost_cents": pc.cast(t["cost_min"], pa.int64())})
 
     return single_merge(j, winners)
+
+
+def events_dedup_window(events: ray.data.Dataset, window_s: int = 86400,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(event_id, user_id, event_type, ts, gap_s): debounce dedup — an
+    event is kept iff it is the first of its (user, type) stream or at
+    least ``window_s`` seconds after the PREVIOUS event of the same
+    (user, type) (lag semantics: the previous event whether or not it
+    was itself kept), the duplicate-burst suppressor of an ingestion
+    pipeline.  ``gap_s`` is the whole-second gap to that previous event
+    (-1 for stream heads).
+
+    Distributed plan (the sessionize shape): ONE bounded user-hash
+    exchange co-locates each user's rows, the per-partition kernel is a
+    vectorized lexsort (user, type, ts, id) + adjacent diff — no
+    per-event python, no global sort.  Ties (identical ts) order by
+    event_id, so the keep set is deterministic and the SQL lag mirror
+    is exact."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, s = uid[order], codes[order], ts[order]
+        head = np.r_[True, (u[1:] != u[:-1]) | (c[1:] != c[:-1])]
+        gap = np.empty(len(s), np.int64)
+        gap[head] = -1
+        if len(s) > 1:
+            later = ~head
+            gap[later] = (s[1:][later[1:]] - s[:-1][later[1:]]) // 1_000_000
+        keep = head | (gap >= window_s)
+        sel = order[keep]
+        return pa.table({
+            "event_id": t["event_id"].take(pa.array(sel)),
+            "user_id": t["user_id"].take(pa.array(sel)),
+            "event_type": t["event_type"].take(pa.array(sel)),
+            "ts": t["ts"].take(pa.array(sel)),
+            "gap_s": pa.array(gap[keep], pa.int64())})
+
+    return events.map_batches(add_part, batch_format="pyarrow",
+                              batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

@@ -3827,3 +3827,61 @@ def hilbert_order(pts: ray.data.Dataset, order: int = 16,
                          "shard": pa.array(d >> shift)})
 
     return pts.map_batches(fn, batch_format="pyarrow")
+
+
+def ann_recall(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
+               k: int, n_lists: int = 16, nprobe: int = 8,
+               concurrency: int | tuple[int, int] | None = None,
+               batch_size: int = 4096) -> ray.data.Dataset:
+    """(query_id, n_hit, recall4): recall@k of the IVF probe path
+    against the exact brute-force scan — the eval harness every ANN
+    deployment runs before trading exactness for probe locality.
+
+    Scale plan: both legs are the existing distributed operators (one
+    data pass each, actor-pool kernels, bounded per-query top-k
+    merges); their outputs are Q x k rows, so the comparison is a
+    union-tag of two TINY tables into one bounded merge task — the
+    data is never touched a third time.  Queries whose probed lists
+    are all empty simply score 0 hits."""
+    from ..relational import single_merge
+
+    exact = ann_topk(embeddings, queries_ref, k,
+                     concurrency=concurrency, batch_size=batch_size)
+    approx = ann_ivf_topk(embeddings, queries_ref, k, n_lists, nprobe,
+                          concurrency=concurrency, batch_size=batch_size)
+
+    def tag(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "_ex": pa.array(np.full(t.num_rows, flag))})
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        q = t["query_id"].combine_chunks().to_numpy()
+        v = t["vec_id"].combine_chunks().to_numpy()
+        ex = t["_ex"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = (q.astype(np.int64) << np.int64(32)) | v.astype(np.int64)
+        uq = np.unique(q[ex])  # every query has an exact top-k row
+        hits = np.isin(key[~ex], key[ex])
+        codes = np.searchsorted(uq, q[~ex])
+        n_hit = np.bincount(codes[hits], minlength=len(uq)) \
+            .astype(np.int64)
+        return pa.table({
+            "query_id": pa.array(uq),
+            "n_hit": pa.array(n_hit),
+            "recall4": pa.array(round_half_away(n_hit / k, 4),
+                                pa.float64())})
+
+    # materialize each leg's Q x k rows before the union: the two legs
+    # share the candidate Dataset's lineage, and a union over reused
+    # actor-pool lineage deadlocks Ray 2.49's shuffle aggregators at
+    # small CPU counts (the way_triangles precedent); the materialized
+    # tables are bounded by construction so this is free at any scale
+    both = exact.map_batches(tag(True), batch_format="pyarrow") \
+        .materialize() \
+        .union(approx.map_batches(tag(False), batch_format="pyarrow")
+               .materialize())
+    return single_merge(both, merge)

@@ -342,6 +342,43 @@ def _ann_ivf_table(sf: float, n_lists: int = 16, nprobe: int = 8,
                      "vec_id": pa.array(np.concatenate(rows_v))})
 
 
+def _ann_recall_table(sf: float, n_lists: int = 16,
+                      nprobe: int = 8) -> pa.Table:
+    """Recall@k reference for spatial.ann_recall: the approx leg reuses
+    _ann_ivf_table (the gated IVF reference) verbatim; the exact leg is
+    one whole-matrix normalized-f64 matmul with the shared
+    (sim desc, vec_id) tie rule; hits are a set intersection per
+    query."""
+    from .oracle import ANN_K, ANN_QUERY_MAX_ID
+    from .util import round_half_away
+
+    approx = _ann_ivf_table(sf, n_lists=n_lists, nprobe=nprobe)
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    qsel = vid < ANN_QUERY_MAX_ID
+    qid, qm = vid[qsel], emb[qsel]
+    cvid, cemb = vid[~qsel], emb[~qsel]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    cemb = cemb / np.linalg.norm(cemb, axis=1, keepdims=True)
+    sims = qm @ cemb.T
+    rows = []
+    akey = set(zip(approx["query_id"].to_numpy().tolist(),
+                   approx["vec_id"].to_numpy().tolist()))
+    for qi in np.argsort(qid):
+        top = np.lexsort((cvid, -sims[qi]))[:ANN_K]
+        n_hit = sum((int(qid[qi]), int(cvid[j])) in akey for j in top)
+        rows.append((int(qid[qi]), n_hit))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_hit": pa.array([r[1] for r in rows], pa.int64()),
+        "recall4": pa.array(round_half_away(
+            np.array([r[1] for r in rows], np.float64) / ANN_K, 4),
+            pa.float64())})
+
+
 def _ann_pq_table(sf: float, m: int = 16, ksub: int = 256,
                   iters: int = 3, sample: int = 4096) -> pa.Table:
     """Single-matrix reference for ann_pq_topk: the same deterministic
@@ -1622,6 +1659,7 @@ _BUILDERS = {
     "geohash_rollup": _geohash_rollup_table,
     "images_hex": _images_hex_table,
     "ann_pq_topk": _ann_pq_table,
+    "ann_recall": _ann_recall_table,
     "semdedup": _semdedup_table,
     "kcenter_sample": _kcenter_table,
     "cell_convex_hull": _cell_hull_table,
