@@ -338,6 +338,36 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT way_id, CAST(min(lbl) AS BIGINT) AS component_id
         FROM reach GROUP BY way_id"""
 
+    # discrete Hausdorff over shared-node way pairs: per-vertex-pair
+    # haversine rounded 3dp BEFORE the min/max lattice (way_length term
+    # order: lat convert-then-subtract, lon subtract-then-convert), so
+    # the engine's matrix kernel and this max-min aggregation agree on
+    # discrete values
+    _hd_sdp = f"SIN(((vb.lat * {_d2r}) - (va.lat * {_d2r})) / 2.0)"
+    _hd_sdl = f"SIN((vb.lon - va.lon) * {_d2r} / 2.0)"
+    _hd_a = (f"LEAST({_hd_sdp} * {_hd_sdp} + COS(va.lat * {_d2r}) "
+             f"* COS(vb.lat * {_d2r}) * {_hd_sdl} * {_hd_sdl}, 1.0)")
+    _hd_d = sql_round(f"2.0 * {EARTH_R_M!r} * ASIN(SQRT({_hd_a}))", 3)
+    q["way_hausdorff"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id < b.way_id),
+        pts AS (SELECT e.way_id, e.seq, n.lon, n.lat
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        d AS (SELECT ed.a, ed.b, va.seq AS sa, vb.seq AS sb,
+                     {_hd_d} AS d3
+              FROM ed JOIN pts va ON va.way_id = ed.a
+                      JOIN pts vb ON vb.way_id = ed.b),
+        m1 AS (SELECT a, b, sa, MIN(d3) AS md FROM d GROUP BY 1, 2, 3),
+        h1 AS (SELECT a, b, MAX(md) AS h FROM m1 GROUP BY 1, 2),
+        m2 AS (SELECT a, b, sb, MIN(d3) AS md FROM d GROUP BY 1, 2, 3),
+        h2 AS (SELECT a, b, MAX(md) AS h FROM m2 GROUP BY 1, 2)
+        SELECT h1.a, h1.b, GREATEST(h1.h, h2.h) AS hausdorff3
+        FROM h1 JOIN h2 ON h1.a = h2.a AND h1.b = h2.b"""
+
     # triangle census over the full pairwise shared-node edge set
     # (a < b orientation counts each edge and triangle exactly once);
     # wedges = sum C(deg,2); clustering = 3*tri/wedges, half-away 6dp

@@ -2015,3 +2015,149 @@ def way_mst(ways: ray.data.Dataset,
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("component")
+
+
+def way_hausdorff(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                  num_parts: int = 16) -> ray.data.Dataset:
+    """(a, b, hausdorff3): discrete Hausdorff distance (meters,
+    haversine on the EARTH_R_M sphere, each vertex-pair distance
+    rounded half-away at 3 dp BEFORE the min/max lattice so the SQL
+    mirror is exact) between every pair of ways sharing >= 1 node —
+    the geometric near-duplicate / conflation metric on top of the
+    way graph's topological edges.
+
+    Scale plan: candidate pairs are the globally-deduped shared-node
+    edges (full_shared_node_edges — bounded per-node clique emission,
+    see way_triangles' cap discussion), NEVER all way pairs.  Vertex
+    sets ship through exactly two bounded hash exchanges: exchange 1
+    co-locates each edge with side-a's vertices (edge rows replicate
+    per a-vertex, O(edges x |A|) intermediate), exchange 2 re-keys by
+    b and the kernel evaluates the full |A| x |B| distance matrix per
+    edge — both directions of the Hausdorff max-min at once, chunked
+    numpy, no python per vertex pair.  Per-edge cost is |A| x |B|;
+    ways are short by construction (p99 ~13 vertices), and a length
+    cap on pathological ways would bound the worst case at web scale."""
+    from ..relational import hash_part
+
+    pts = join_refs_to_coords(ways, nodes) \
+        .select_columns(["way_id", "lon", "lat"])
+    edges = full_shared_node_edges(ways, num_parts)
+    d2r = np.pi / 180.0
+
+    def _pt_rows(key_part: np.ndarray, way: np.ndarray, lon, lat,
+                 n: int) -> dict:
+        return {"a": pa.array(way), "b": pa.nulls(n, pa.int64()),
+                "alon": lon, "alat": lat,
+                "_is_pt": pa.array(np.ones(n, bool)),
+                "part": pa.array(key_part)}
+
+    def tag_edge1(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        n = len(a)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "alon": pa.nulls(n, pa.float64()),
+            "alat": pa.nulls(n, pa.float64()),
+            "_is_pt": pa.array(np.zeros(n, bool)),
+            "part": pa.array(hash_part(a, num_parts))})
+
+    def tag_pts(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return pa.table(_pt_rows(hash_part(w, num_parts), w,
+                                 t["lon"].combine_chunks(),
+                                 t["lat"].combine_chunks(), len(w)))
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        """Replicate each edge once per a-side vertex."""
+        is_pt = t["_is_pt"].combine_chunks().to_numpy(zero_copy_only=False)
+        ptt = t.filter(pa.array(is_pt))
+        ett = t.filter(pa.array(~is_pt))
+        w = ptt["a"].combine_chunks().to_numpy()
+        lon = ptt["alon"].combine_chunks().to_numpy()
+        lat = ptt["alat"].combine_chunks().to_numpy()
+        order = np.argsort(w, kind="stable")
+        w, lon, lat = w[order], lon[order], lat[order]
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]]) \
+            if len(w) else np.empty(0, np.int64)
+        uniq = w[starts] if len(w) else w
+        counts = np.diff(np.r_[starts, len(w)]) if len(w) \
+            else np.empty(0, np.int64)
+        ea = ett["a"].combine_chunks().to_numpy()
+        eb = ett["b"].combine_chunks().to_numpy()
+        ei = np.searchsorted(uniq, ea)
+        ok = (ei < len(uniq))
+        ok[ok] &= uniq[ei[ok]] == ea[ok]
+        ea, eb, ei = ea[ok], eb[ok], ei[ok]
+        rep = counts[ei]
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        vidx = np.repeat(starts[ei], rep) \
+            + (np.arange(int(rep.sum()), dtype=np.int64) - base)
+        out_b = np.repeat(eb, rep)
+        return pa.table({
+            "a": pa.array(np.repeat(ea, rep)), "b": pa.array(out_b),
+            "alon": pa.array(lon[vidx]), "alat": pa.array(lat[vidx]),
+            "_is_pt": pa.array(np.zeros(len(out_b), bool)),
+            "part": pa.array(hash_part(out_b, num_parts))})
+
+    def hausdorff(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        is_pt = t["_is_pt"].combine_chunks().to_numpy(zero_copy_only=False)
+        ptt = t.filter(pa.array(is_pt))
+        ett = t.filter(pa.array(~is_pt))
+        w = ptt["a"].combine_chunks().to_numpy()
+        plon = ptt["alon"].combine_chunks().to_numpy()
+        plat = ptt["alat"].combine_chunks().to_numpy()
+        order = np.argsort(w, kind="stable")
+        w, plon, plat = w[order], plon[order], plat[order]
+        wstarts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]]) \
+            if len(w) else np.empty(0, np.int64)
+        wuniq = w[wstarts] if len(w) else w
+        wcounts = np.diff(np.r_[wstarts, len(w)]) if len(w) \
+            else np.empty(0, np.int64)
+        ea = ett["a"].combine_chunks().to_numpy()
+        eb = ett["b"].combine_chunks().to_numpy()
+        alon = ett["alon"].combine_chunks().to_numpy()
+        alat = ett["alat"].combine_chunks().to_numpy()
+        eorder = np.lexsort((eb, ea))
+        ea, eb = ea[eorder], eb[eorder]
+        alon, alat = alon[eorder], alat[eorder]
+        estarts = np.flatnonzero(
+            np.r_[True, (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])]) \
+            if len(ea) else np.empty(0, np.int64)
+        ecounts = np.diff(np.r_[estarts, len(ea)]) if len(ea) \
+            else np.empty(0, np.int64)
+        out_a, out_b, out_h = [], [], []
+        for s, c in zip(estarts, ecounts):
+            bway = eb[s]
+            bi = np.searchsorted(wuniq, bway)
+            if bi >= len(wuniq) or wuniq[bi] != bway:
+                continue  # b-side unresolved: no vertex pair exists
+            bs, bc = wstarts[bi], wcounts[bi]
+            p1 = alat[s:s + c, None] * d2r
+            p2 = plat[None, bs:bs + bc] * d2r
+            sdp = np.sin((p2 - p1) / 2.0)
+            sdl = np.sin((plon[None, bs:bs + bc]
+                          - alon[s:s + c, None]) * d2r / 2.0)
+            aa = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2)
+                            * sdl * sdl, 1.0)
+            dm = round_half_away(
+                2.0 * EARTH_R_M * np.arcsin(np.sqrt(aa)), 3)
+            h = max(dm.min(axis=1).max(), dm.min(axis=0).max())
+            out_a.append(ea[s])
+            out_b.append(bway)
+            out_h.append(h)
+        return pa.table({
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "hausdorff3": pa.array(out_h, pa.float64())})
+
+    stage1 = edges.map_batches(tag_edge1, batch_format="pyarrow") \
+        .union(pts.map_batches(tag_pts, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: attach_a(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return stage1 \
+        .union(pts.map_batches(tag_pts, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: hausdorff(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
