@@ -338,6 +338,37 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT way_id, CAST(min(lbl) AS BIGINT) AS component_id
         FROM reach GROUP BY way_id"""
 
+    # per-cell orientation entropy: way_bearings' exact bearing/fold
+    # terms, bucketed by the quadtree cell of the segment midpoint; the
+    # -sum(p ln p) association differs (8 terms) ~1e-16 << the 6dp grid
+    q["cell_orientation_entropy"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        p AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+              FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, x, y, lead(x) OVER w AS x2,
+                       lead(y) OVER w AS y2
+                FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        th AS (SELECT degrees(atan2((x2 - x)
+                                    * cos(radians((y + y2) / 2.0)),
+                                    y2 - y)) AS theta,
+                      (x + x2) / 2.0 AS mx, (y + y2) / 2.0 AS my
+               FROM seg WHERE x2 IS NOT NULL),
+        bn AS (SELECT {tiles.sql_cell_id('mx', 'my', 14)} AS cell,
+                      LEAST(CAST(floor(fmod(fmod(theta, 180.0) + 180.0,
+                                            180.0) / (180.0 / 8))
+                                 AS BIGINT), 7) AS bin
+               FROM th),
+        c AS (SELECT cell, bin, CAST(count(*) AS DOUBLE) AS n
+              FROM bn GROUP BY 1, 2),
+        t AS (SELECT cell, SUM(n) AS tot FROM c GROUP BY 1)
+        SELECT c.cell, CAST(t.tot AS BIGINT) AS n_seg,
+               {sql_round('-SUM((c.n / t.tot) * LN(c.n / t.tot))', 6)}
+                   AS entropy6
+        FROM c JOIN t ON t.cell = c.cell
+        GROUP BY c.cell, t.tot"""
+
     # discrete Hausdorff over shared-node way pairs: per-vertex-pair
     # haversine rounded 3dp BEFORE the min/max lattice (way_length term
     # order: lat convert-then-subtract, lon subtract-then-convert), so

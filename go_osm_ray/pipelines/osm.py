@@ -2161,3 +2161,94 @@ def way_hausdorff(ways: ray.data.Dataset, nodes: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: hausdorff(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def cell_orientation_entropy(ways: ray.data.Dataset,
+                             nodes: ray.data.Dataset,
+                             res: int = 14, bins: int = 8, nd: int = 6,
+                             num_parts: int = 16) -> ray.data.Dataset:
+    """(cell, n_seg, entropy6): per-cell street-grid orientation
+    entropy — every way segment's undirected bearing (the way_bearings
+    formula, bit-shared with the SQL mirror) folds into ``bins``
+    sectors, bucketed by the quadtree cell of the segment MIDPOINT at
+    ``res``, and each cell reports its Shannon entropy (natural log)
+    over the sector distribution.  The city-grid-orientation analysis
+    (regular grids score near 0; organic street nets approach
+    ln(bins)).
+
+    Scale plan: coordinates resolve via the broadcast node lookup, ONE
+    way-hash exchange co-locates each way's ordered points, the
+    per-partition kernel pairs adjacent positions vectorized and
+    collapses to (cell, bin) partial counts (bounded by cells x bins
+    present, never segments), and ONE bounded cell-hash exchange later
+    the final kernel sums counts and computes the entropy per cell —
+    the segment stream itself crosses exactly one exchange."""
+    from ..geo import tiles
+    from ..relational import hash_part
+
+    pts = join_refs_to_coords(ways, nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        same = w[:-1] == w[1:] if len(w) > 1 else np.empty(0, bool)
+        x1, x2 = lon[:-1][same], lon[1:][same]
+        y1, y2 = lat[:-1][same], lat[1:][same]
+        dx = (x2 - x1) * np.cos(np.radians((y1 + y2) / 2.0))
+        theta = np.degrees(np.arctan2(dx, y2 - y1))
+        folded = np.fmod(np.fmod(theta, 180.0) + 180.0, 180.0)
+        b = np.clip(np.floor(folded / (180.0 / bins)).astype(np.int64),
+                    0, bins - 1)
+        cell = tiles.cell_id((x1 + x2) / 2.0, (y1 + y2) / 2.0, res)
+        # cell ids use the high bits (res << 58): build the composite
+        # count key on the block-local dictionary index, not the id
+        uc, inv = np.unique(cell, return_inverse=True)
+        key = inv.astype(np.int64) * np.int64(bins) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        out_cell = uc[uk // np.int64(bins)]
+        return pa.table({
+            "cell": pa.array(out_cell),
+            "bin": pa.array(uk % np.int64(bins)),
+            "pn": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(hash_part(out_cell, num_parts))})
+
+    def entropy_final(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by(["cell", "bin"]).aggregate([("pn", "sum")])
+        cell = g["cell"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.float64)
+        order = np.lexsort((g["bin"].combine_chunks().to_numpy(), cell))
+        cell, n = cell[order], n[order]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]]) \
+            if len(cell) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(cell)] if len(cell) \
+            else np.empty(0, np.int64)
+        out_c, out_n, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            tot = n[s:e].sum()
+            p = n[s:e] / tot
+            out_c.append(cell[s])
+            out_n.append(int(tot))
+            out_h.append(-np.sum(p * np.log(p)))
+        return pa.table({
+            "cell": pa.array(out_c, pa.int64()),
+            "n_seg": pa.array(out_n, pa.int64()),
+            "entropy6": pa.array(round_half_away(
+                np.array(out_h, np.float64), nd), pa.float64())})
+
+    return pts.map_batches(pre, batch_format="pyarrow",
+                           batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: seg_partial(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: entropy_final(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
