@@ -2162,6 +2162,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
     q["ann_recall"] = f"SELECT query_id, n_hit, recall4 FROM read_parquet('{exp['ann_recall']}')"
+    q["neardup_eval"] = f"SELECT n_true, n_lsh, n_hit, precision4, recall4 FROM read_parquet('{exp['neardup_eval']}')"
     q["embed_pca"] = f"SELECT vec_id, pc1, pc2 FROM read_parquet('{exp['embed_pca']}')"
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"
     q["src_js_divergence"] = f"SELECT src_a, src_b, js FROM read_parquet('{exp['src_js_divergence']}')"

@@ -1746,3 +1746,59 @@ def zipf_slope(docs: ray.data.Dataset, k: int = 100,
         .map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("part").map_groups(topk_local, batch_format="pyarrow"),
         merge)
+
+
+def neardup_eval(docs: ray.data.Dataset, threshold: float = 0.5,
+                 nd: int = 4) -> ray.data.Dataset:
+    """(n_true, n_lsh, n_hit, precision4, recall4): quality eval of the
+    MinHash-LSH near-dup pipeline against the exact shared-shingle
+    ground truth at the same Jaccard threshold — the
+    banding-parameters sign-off every dedup deployment runs (recall
+    dips when a true pair agrees on no band; precision is 1.0 by
+    construction because the LSH leg verifies candidates exactly).
+
+    Scale plan: both legs are the existing distributed operators (one
+    corpus pass each); their pair outputs are bounded by the true
+    near-dup rate, so the comparison is a union-tag of two small
+    tables into one merge task.  Each leg materializes first — reused
+    corpus lineage under one union would rerun the reads and can
+    deadlock 2.49's shuffle aggregators (the way_triangles
+    precedent)."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    lsh = minhash_lsh_pairs(docs, threshold)
+    truth = ngram_jaccard_pairs(docs, threshold, max_df=1 << 62)
+
+    def tag(flag: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "_lsh": pa.array(np.full(t.num_rows, flag))})
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        is_l = t["_lsh"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+        lk, tk = key[is_l], key[~is_l]
+        n_hit = int(np.isin(lk, tk).sum())
+        n_lsh, n_true = len(lk), len(tk)
+        prec = n_hit / n_lsh if n_lsh else 1.0
+        rec = n_hit / n_true if n_true else 1.0
+        return pa.table({
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_lsh": pa.array([n_lsh], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "precision4": pa.array(round_half_away(
+                np.array([prec]), nd), pa.float64()),
+            "recall4": pa.array(round_half_away(
+                np.array([rec]), nd), pa.float64())})
+
+    both = lsh.map_batches(tag(True), batch_format="pyarrow") \
+        .materialize() \
+        .union(truth.map_batches(tag(False), batch_format="pyarrow")
+               .materialize())
+    return single_merge(both, merge)

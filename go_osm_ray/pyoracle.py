@@ -1326,6 +1326,34 @@ def _embed_outliers_table(sf: float, n_clusters: int = 8, m: int = 50,
     })
 
 
+def _neardup_eval_table(sf: float, nd: int = 4) -> pa.Table:
+    """Counts-level reference for text.neardup_eval: both legs reuse
+    the existing gated brute-force builders (scalar banding + clique
+    expansion for LSH, global-df blocked exact Jaccard with the cutoff
+    disabled for truth); the set comparison is a python set
+    intersection."""
+    from .util import round_half_away
+
+    lsh = _minhash_pairs_table(sf)
+    truth = _ngram_cutoff_pairs_table(sf, max_df=1 << 62)
+    lset = set(zip(lsh["a"].to_numpy().tolist(),
+                   lsh["b"].to_numpy().tolist()))
+    tset = set(zip(truth["a"].to_numpy().tolist(),
+                   truth["b"].to_numpy().tolist()))
+    n_hit = len(lset & tset)
+    n_lsh, n_true = len(lset), len(tset)
+    prec = n_hit / n_lsh if n_lsh else 1.0
+    rec = n_hit / n_true if n_true else 1.0
+    return pa.table({
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_lsh": pa.array([n_lsh], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "precision4": pa.array(round_half_away(np.array([prec]), nd),
+                               pa.float64()),
+        "recall4": pa.array(round_half_away(np.array([rec]), nd),
+                            pa.float64())})
+
+
 def _embed_pca_table(sf: float, top_m: int = 2, nd: int = 4) -> pa.Table:
     """Single-pass whole-matrix mirror for vectors.embed_pca: direct
     centered covariance (xc.T @ xc, no distributed moment merge), the
@@ -1668,6 +1696,7 @@ _BUILDERS = {
     "embed_outliers": _embed_outliers_table,
     "src_js_divergence": _src_js_table,
     "embed_pca": _embed_pca_table,
+    "neardup_eval": _neardup_eval_table,
     "image_entropy": _image_entropy_table,
     "way_kcore": _way_kcore_table,
     "way_mst": _way_mst_table,
