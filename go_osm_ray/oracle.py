@@ -1740,6 +1740,30 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # two-pass standardize: threshold on the ROUNDED z on both sides;
+    # stddev_samp NULL (n=1 group) and sd=0 both define z=0
+    q["events_zscore"] = f"""
+        WITH st AS (SELECT event_type, avg(value) AS m,
+                           stddev_samp(value) AS sd
+                    FROM events GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               {sql_round('CASE WHEN st.sd > 0 THEN (e.value - st.m) / st.sd ELSE 0.0 END', 6)} AS z6,
+               ABS(z6) > 3.0 AS is_outlier
+        FROM events e JOIN st USING (event_type)"""
+
+    # per-type OLS of value on days-since-epoch0 (small abscissa on
+    # purpose; see pipelines.relq.events_trend)
+    q["events_trend"] = f"""
+        WITH d AS (SELECT event_type,
+                          CAST(date_diff('day', DATE '1995-01-01',
+                                         CAST(ts AS DATE)) AS DOUBLE) AS x,
+                          value AS y FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               {sql_round('COALESCE(regr_slope(y, x), 0.0)', 6)} AS slope6,
+               {sql_round('avg(y) - COALESCE(regr_slope(y, x), 0.0) * avg(x)', 4)}
+                   AS intercept4
+        FROM d GROUP BY 1"""
+
     q["events_transitions"] = """
         WITH s AS (SELECT event_type,
                           lead(event_type) OVER (PARTITION BY user_id

@@ -3851,3 +3851,135 @@ def events_dedup_window(events: ray.data.Dataset, window_s: int = 86400,
         .groupby("part") \
         .map_groups(lambda t: per_partition(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def events_zscore(events: ray.data.Dataset, out_z: float = 3.0,
+                  nd: int = 6) -> ray.data.Dataset:
+    """(event_id, event_type, z6, is_outlier): every event's value
+    standardized against its own type's corpus mean/std (sample) — the
+    two-pass normalize + outlier-flag transform of a feature pipeline.
+    The threshold applies to the ROUNDED z (repo convention), so the
+    flag is oracle-exact; std == 0 (constant series) defines z = 0.
+
+    Scale plan: pass 1 collapses each block to per-type (n, sum,
+    sum-of-squares) moment partials (bounded by |types|), merged in one
+    guarded task and broadcast back via ``ray.put``; pass 2 is an
+    embarrassingly-parallel row map.  The data crosses no exchange —
+    the stats table does, once, at |types| rows."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy()
+        g = pa.table({"event_type": t["event_type"],
+                      "v": pa.array(v), "vv": pa.array(v * v),
+                      "n": pa.array(np.ones(len(v), np.int64))}) \
+            .group_by("event_type") \
+            .aggregate([("v", "sum"), ("vv", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "sv", "svv", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("sv", "sum"), ("svv", "sum"), ("pn", "sum")])
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.float64)
+        sv = g["sv_sum"].combine_chunks().to_numpy()
+        svv = g["svv_sum"].combine_chunks().to_numpy()
+        mean = sv / n
+        var = np.maximum((svv - n * mean * mean)
+                         / np.maximum(n - 1.0, 1.0), 0.0)
+        return pa.table({"event_type": g["event_type"],
+                         "mean": pa.array(mean),
+                         "sd": pa.array(np.sqrt(var))})
+
+    stats = pa.concat_tables(
+        [b.replace_schema_metadata(None) for b in ray.get(
+            single_merge(events.map_batches(
+                partial, batch_format="pyarrow", batch_size=65536),
+                merge).to_arrow_refs()) if b.num_rows])
+    stats_ref = ray.put(stats.combine_chunks())
+
+    def zmap(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        names = np.asarray(st["event_type"].to_pylist())
+        order = np.argsort(names)
+        names = names[order]
+        mean = st["mean"].to_numpy()[order]
+        sd = st["sd"].to_numpy()[order]
+        et = t["event_type"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        i = np.searchsorted(names, et)
+        v = t["value"].combine_chunks().to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd[i] > 0.0, (v - mean[i]) / sd[i], 0.0)
+        z6 = round_half_away(z, nd)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "z6": pa.array(z6, pa.float64()),
+            "is_outlier": pa.array(np.abs(z6) > out_z)})
+
+    return events.map_batches(zmap, batch_format="pyarrow",
+                              batch_size=65536)
+
+
+def events_trend(events: ray.data.Dataset, epoch_day0: str = "1995-01-01",
+                 nd: int = 6, nd_i: int = 4) -> ray.data.Dataset:
+    """(event_type, n, slope6, intercept4): per-type OLS regression of
+    event value on event DAY (days since ``epoch_day0`` — a small
+    abscissa on purpose: raw epoch-microsecond moments would lose the
+    variance to catastrophic cancellation in float64) — the trend
+    monitor of a metrics pipeline.
+
+    Scale plan: one pass of per-block (n, Σx, Σy, Σxy, Σxx) moment
+    partials bounded by |types|, one guarded merge task computes the
+    closed-form slope/intercept.  No exchange touches the event
+    stream.  SQL mirror: regr_slope over the same day abscissa.
+    The intercept extrapolates to day 0 (|x̄| ~ 1e4 amplifies the
+    ~1e-12 association drift to ~1e-8), so it rounds at 4 dp where
+    the slope holds 6."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    t0 = np.datetime64(epoch_day0, "D").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (t["ts"].combine_chunks().to_numpy()
+             .astype("datetime64[D]").astype(np.int64) - t0) \
+            .astype(np.float64)
+        y = t["value"].combine_chunks().to_numpy()
+        g = pa.table({"event_type": t["event_type"],
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+                      "n": pa.array(np.ones(len(x), np.int64))}) \
+            .group_by("event_type") \
+            .aggregate([("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+                        ("sxx", "sum"), ("n", "sum")])
+        return g.rename_columns(
+            ["event_type", "sx", "sy", "sxy", "sxx", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("pn", "sum")])
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.float64)
+        sx = g["sx_sum"].combine_chunks().to_numpy()
+        sy = g["sy_sum"].combine_chunks().to_numpy()
+        sxy = g["sxy_sum"].combine_chunks().to_numpy()
+        sxx = g["sxx_sum"].combine_chunks().to_numpy()
+        den = sxx - sx * sx / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den > 0.0, (sxy - sx * sy / n) / den, 0.0)
+        intercept = sy / n - slope * (sx / n)
+        names = g["event_type"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(names)
+        return pa.table({
+            "event_type": pa.array(names[order]),
+            "n": pa.array(n[order].astype(np.int64)),
+            "slope6": pa.array(round_half_away(slope[order], nd),
+                               pa.float64()),
+            "intercept4": pa.array(round_half_away(intercept[order],
+                                                   nd_i),
+                                   pa.float64())})
+
+    return single_merge(events.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536), merge)
