@@ -1740,6 +1740,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # trailing calendar-range moving average; integer daily counts make
+    # SUM/AVG exact so the frame mean is bit-identical on both sides
+    q["events_moving_avg"] = f"""
+        WITH c AS (SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP)
+                          AS day, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               {sql_round("avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)", 6)}
+                   AS ma6
+        FROM c"""
+
     # two-pass standardize: threshold on the ROUNDED z on both sides;
     # stddev_samp NULL (n=1 group) and sd=0 both define z=0
     q["events_zscore"] = f"""
@@ -2186,6 +2197,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["grid_dbscan"] = f"SELECT cell, cluster, n_pts FROM read_parquet('{exp['grid_dbscan']}')"
     q["dsir_sample"] = f"SELECT rank, doc_id, w FROM read_parquet('{exp['dsir_sample']}')"
     q["ann_recall"] = f"SELECT query_id, n_hit, recall4 FROM read_parquet('{exp['ann_recall']}')"
+    q["kmv_overlap"] = f"SELECT type_a, type_b, kk, est_jac6, est_union3, est_inter3 FROM read_parquet('{exp['kmv_overlap']}')"
     q["neardup_eval"] = f"SELECT n_true, n_lsh, n_hit, precision4, recall4 FROM read_parquet('{exp['neardup_eval']}')"
     q["embed_pca"] = f"SELECT vec_id, pc1, pc2 FROM read_parquet('{exp['embed_pca']}')"
     q["embed_outliers"] = f"SELECT rank, vec_id, cluster, dist FROM read_parquet('{exp['embed_outliers']}')"

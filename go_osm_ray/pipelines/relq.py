@@ -3983,3 +3983,145 @@ def events_trend(events: ray.data.Dataset, epoch_day0: str = "1995-01-01",
 
     return single_merge(events.map_batches(
         partial, batch_format="pyarrow", batch_size=65536), merge)
+
+
+def events_moving_avg(events: ray.data.Dataset, window_days: int = 7,
+                      nd: int = 6) -> ray.data.Dataset:
+    """(event_type, day, n, ma6): per-type daily event volume with its
+    ``window_days``-day TRAILING moving average — a calendar RANGE
+    frame (days with zero events contribute no row, so the mean is
+    over the PRESENT days inside the range, exactly SQL's ``RANGE
+    BETWEEN INTERVAL (w-1) DAYS PRECEDING AND CURRENT ROW``) — the
+    smoothing window of a metrics dashboard.
+
+    Scale plan: blocks collapse to (type, day) partial counts (bounded
+    by types x days), ONE guarded merge task runs the window: per type
+    the day-sorted counts take a two-pointer prefix-sum pass — O(rows)
+    — never a per-row rescan.  The event stream crosses no exchange."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        g = pa.table({"event_type": t["event_type"],
+                      "day": pa.array(day)}) \
+            .group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return g.rename_columns(["event_type", "day", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "day"]).aggregate([("pn", "sum")])
+        et = g["event_type"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        day = g["day"].combine_chunks().to_numpy()
+        n = g["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        d_i = day.astype("datetime64[D]").astype(np.int64)
+        _, code = np.unique(et, return_inverse=True)
+        order = np.lexsort((d_i, code))
+        et, day, n, d_i, code = (et[order], day[order], n[order],
+                                 d_i[order], code[order])
+        ps = np.concatenate([[0], np.cumsum(n)]).astype(np.float64)
+        # two-pointer: first index of the same type with
+        # day > current_day - window  ->  searchsorted per type slice
+        ma = np.empty(len(n), np.float64)
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]]) \
+            if len(n) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(n)] if len(n) \
+            else np.empty(0, np.int64)
+        for s, e in zip(starts, ends):
+            lo = s + np.searchsorted(d_i[s:e],
+                                     d_i[s:e] - (window_days - 1))
+            idx = np.arange(s, e)
+            ma[s:e] = (ps[idx + 1] - ps[lo]) / (idx - lo + 1.0)
+        return pa.table({
+            "event_type": pa.array(et), "day": pa.array(day),
+            "n": pa.array(n),
+            "ma6": pa.array(round_half_away(ma, nd), pa.float64())})
+
+    return single_merge(events.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536), merge)
+
+
+def kmv_overlap(events: ray.data.Dataset, k: int = 64,
+                nd: int = 6) -> ray.data.Dataset:
+    """(type_a, type_b, kk, est_jac6, est_union3, est_inter3): pairwise
+    audience overlap between event types ESTIMATED from k-minimum-value
+    sketches — the mergeable-synopsis alternative to audience_overlap's
+    exact B^T B incidence when the user universe no longer fits an
+    exchange.  Standard KMV set algebra on md5_num_lower(user_id):
+    per type the k smallest distinct user hashes; per pair the kk = 
+    min(k, |union seen|) smallest of the sketch union with threshold
+    tau = kk-th value; est_union = (kk-1) / (tau / 2^64),
+    est_jac = |{h in U_kk : h in both sketches}| / kk,
+    est_inter = est_jac * est_union.  Every float op is a ratio of
+    exact integers evaluated in one fixed order, so the scalar oracle
+    reproduces the estimates bit-for-bit.
+
+    Scale plan: blocks collapse to per-type bottom-k partials over
+    block-distinct users (bounded by types x k per block — the sketch
+    property), ONE guarded merge task unions partials per type and
+    runs the bounded t^2/2 pair algebra.  The event stream crosses no
+    exchange."""
+    from ..relational import single_merge
+    from ..util import md5_num_lower, round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices, np.int64)
+        h = md5_num_lower(uid)
+        order = np.lexsort((h, codes))
+        c_s, h_s = codes[order], h[order]
+        first = np.r_[True, (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        c_s, h_s = c_s[first], h_s[first]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]]) \
+            if len(c_s) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(c_s)]) if len(c_s) \
+            else np.empty(0, np.int64)
+        rank = np.arange(len(c_s)) - np.repeat(starts, counts)
+        keep = rank < k
+        return pa.table({
+            "event_type": et.dictionary.take(pa.array(c_s[keep])),
+            "h": pa.array(h_s[keep].astype(np.int64))})  # bit-cast u64
+
+    def merge(t: pa.Table) -> pa.Table:
+        et = t["event_type"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        h = t["h"].combine_chunks().to_numpy().astype(np.uint64)
+        names = np.unique(et)
+        sk = {}
+        for nm in names:
+            hs = np.unique(h[et == nm])  # sorted distinct
+            sk[nm] = hs[:k]
+        rows = []
+        two64 = 18446744073709551616.0
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = sk[names[i]], sk[names[j]]
+                u = np.unique(np.concatenate([a, b]))
+                kk = min(k, len(u))
+                ukk = u[:kk]
+                tau = float(ukk[-1])
+                inboth = np.isin(ukk, a) & np.isin(ukk, b)
+                jac = float(inboth.sum()) / kk
+                est_union = (kk - 1.0) / (tau / two64) if kk > 1 else 0.0
+                rows.append((names[i], names[j], kk, jac,
+                             est_union, jac * est_union))
+        return pa.table({
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "kk": pa.array([r[2] for r in rows], pa.int64()),
+            "est_jac6": pa.array(round_half_away(
+                np.array([r[3] for r in rows], np.float64), nd),
+                pa.float64()),
+            "est_union3": pa.array(round_half_away(
+                np.array([r[4] for r in rows], np.float64), 3),
+                pa.float64()),
+            "est_inter3": pa.array(round_half_away(
+                np.array([r[5] for r in rows], np.float64), 3),
+                pa.float64())})
+
+    return single_merge(
+        events.select_columns(["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)

@@ -1326,6 +1326,50 @@ def _embed_outliers_table(sf: float, n_clusters: int = 8, m: int = 50,
     })
 
 
+def _kmv_overlap_table(sf: float, k: int = 64, nd: int = 6) -> pa.Table:
+    """Scalar mirror for relq.kmv_overlap: python-set sketches over the
+    shared md5_num_lower user hash and the same KMV set algebra in the
+    same float op order (every estimate is a ratio of exact integers,
+    so parity is bit-for-bit).  Independence under test: the engine's
+    block-level bottom-k combiner + merge."""
+    from .util import md5_num_lower, round_half_away
+
+    t = pq.read_table(_testdata(sf, "events"),
+                      columns=["event_type", "user_id"])
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy()
+    names = sorted(set(et.tolist()))
+    two64 = 18446744073709551616.0
+    sk = {}
+    for nm in names:
+        hs = sorted(set(md5_num_lower(uid[et == nm]).tolist()))
+        sk[nm] = hs[:k]
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = sk[names[i]], sk[names[j]]
+            sa, sb = set(a), set(b)
+            u = sorted(sa | sb)
+            kk = min(k, len(u))
+            ukk = u[:kk]
+            tau = float(ukk[-1])
+            cnt = sum(1 for x in ukk if x in sa and x in sb)
+            jac = float(cnt) / kk
+            est_union = (kk - 1.0) / (tau / two64) if kk > 1 else 0.0
+            rows.append((names[i], names[j], kk, jac, est_union,
+                         jac * est_union))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "kk": pa.array([r[2] for r in rows], pa.int64()),
+        "est_jac6": pa.array(round_half_away(
+            np.array([r[3] for r in rows], np.float64), nd), pa.float64()),
+        "est_union3": pa.array(round_half_away(
+            np.array([r[4] for r in rows], np.float64), 3), pa.float64()),
+        "est_inter3": pa.array(round_half_away(
+            np.array([r[5] for r in rows], np.float64), 3), pa.float64())})
+
+
 def _neardup_eval_table(sf: float, nd: int = 4) -> pa.Table:
     """Counts-level reference for text.neardup_eval: both legs reuse
     the existing gated brute-force builders (scalar banding + clique
@@ -1697,6 +1741,7 @@ _BUILDERS = {
     "src_js_divergence": _src_js_table,
     "embed_pca": _embed_pca_table,
     "neardup_eval": _neardup_eval_table,
+    "kmv_overlap": _kmv_overlap_table,
     "image_entropy": _image_entropy_table,
     "way_kcore": _way_kcore_table,
     "way_mst": _way_mst_table,
