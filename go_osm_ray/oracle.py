@@ -1740,6 +1740,28 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # ABC / Lorenz classification: integer cents + integer boundary
+    # rule (100 * cum_before < pct * total) make the classes exact;
+    # (rc DESC, c) keys are unique so the window cum is deterministic
+    q["customer_abc"] = f"""
+        WITH r AS (SELECT o_custkey AS c,
+                          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS rc
+                   FROM orders GROUP BY 1),
+        w AS (SELECT c, rc,
+                     SUM(rc) OVER (ORDER BY rc DESC, c
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(rc) OVER () AS tot
+              FROM r),
+        k AS (SELECT CASE WHEN 100 * (cum - rc) < 80 * tot THEN 'A'
+                          WHEN 100 * (cum - rc) < 95 * tot THEN 'B'
+                          ELSE 'C' END AS abc_class, rc, tot FROM w)
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rc) AS BIGINT) AS revenue_cents,
+               {sql_round('CAST(SUM(rc) AS DOUBLE) / CAST(max(tot) AS DOUBLE)', 6)}
+                   AS share6
+        FROM k GROUP BY 1"""
+
     # trailing calendar-range moving average; integer daily counts make
     # SUM/AVG exact so the frame mean is bit-identical on both sides
     q["events_moving_avg"] = f"""

@@ -4125,3 +4125,167 @@ def kmv_overlap(events: ray.data.Dataset, k: int = 64,
         events.select_columns(["event_type", "user_id"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+def customer_abc(orders: ray.data.Dataset, a_pct: int = 80,
+                 b_pct: int = 95, nd: int = 6,
+                 num_buckets: int = 4096) -> ray.data.Dataset:
+    """(abc_class, n_customers, revenue_cents, share6): ABC / Lorenz
+    classification — customers ranked by revenue (integer cents,
+    DESC, custkey ties ASC), class A while the cumulative share BEFORE
+    the customer is < a_pct%, B while < b_pct%, else C; the inventory
+    80/15/5 analysis.  All class boundaries are integer comparisons
+    (100 * cum_before < pct * total), so the result is exact.
+
+    Scale plan (NO global sort): (1) per-customer cents via ONE bounded
+    hash exchange; the bounded revenue table materializes once and is
+    the only thing re-read.  (2) a driver-bounded stats row (total,
+    max) and a uniform ``num_buckets`` value histogram of (count, sum)
+    partials locate the buckets where the cumulative weight crosses
+    each pct; (3) only those buckets' members (expected n/num_buckets
+    rows; recurse/refine if a bucket ever exceeds a cap at real scale)
+    plus the next lower nonempty bucket reach the driver, which finds
+    the exact crossing (rc, custkey) threshold pair; (4) the classify
+    pass broadcasts the two threshold pairs, compares lexicographically
+    (rank never materializes), and collapses to 3 partial rows per
+    block.  The fact table is touched once, the revenue table thrice,
+    each time streaming."""
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        rc = round_half_away(
+            t["o_totalprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        g = pa.table({"c": t["o_custkey"], "rc": pa.array(rc)}) \
+            .group_by("c").aggregate([("rc", "sum")])
+        return g.rename_columns(["c", "rc"])
+
+    rev = partial_groupby_agg(
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(o_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["c"], [("rc", "sum")]).materialize()  # (c, rc_sum) bounded
+
+    # ---- driver-bounded stats: total + max --------------------------
+    def s_partial(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        return pa.table({"tot": pa.array([int(rc.sum())], pa.int64()),
+                         "mx": pa.array([int(rc.max()) if len(rc)
+                                         else 0], pa.int64())})
+
+    st = single_merge(
+        rev.map_batches(s_partial, batch_format="pyarrow"),
+        lambda t: pa.table({
+            "tot": pa.array([int(t["tot"].combine_chunks().to_numpy()
+                                 .sum())], pa.int64()),
+            "mx": pa.array([int(t["mx"].combine_chunks().to_numpy()
+                                .max())], pa.int64())})).take_all()
+    tot, mx = int(st[0]["tot"]), int(st[0]["mx"])
+
+    def bucket_of(rc: np.ndarray) -> np.ndarray:
+        return np.minimum(rc * np.int64(num_buckets) // np.int64(mx + 1),
+                          np.int64(num_buckets - 1))
+
+    # ---- histogram of (count, weight) per value bucket ---------------
+    def h_partial(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        g = pa.table({"b": pa.array(bucket_of(rc)),
+                      "n": pa.array(np.ones(len(rc), np.int64)),
+                      "s": pa.array(rc)}) \
+            .group_by("b").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["b", "n", "s"])
+
+    hist = single_merge(
+        rev.map_batches(h_partial, batch_format="pyarrow"),
+        lambda t: t.group_by("b").aggregate([("n", "sum"),
+                                             ("s", "sum")])).take_all()
+    hb = np.array([r["b"] for r in hist], np.int64)
+    hs = np.array([r["s_sum"] for r in hist], np.int64)
+    order = np.argsort(-hb)  # descending revenue buckets
+    hb, hs = hb[order], hs[order]
+    cum_incl = np.cumsum(hs)
+
+    def crossing_buckets(pct: int) -> list[int]:
+        """Bucket holding the crossing + the next lower nonempty one."""
+        thr = pct * tot  # compare against 100 * cum
+        i = int(np.searchsorted(100 * cum_incl, thr, side="left"))
+        if i >= len(hb):
+            return []
+        picks = [int(hb[i])]
+        if i + 1 < len(hb):
+            picks.append(int(hb[i + 1]))
+        return picks
+
+    need = sorted(set(crossing_buckets(a_pct) + crossing_buckets(b_pct)))
+    need_arr = np.array(need, np.int64)
+
+    def member_filter(t: pa.Table) -> pa.Table:
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        return t.filter(pa.array(np.isin(bucket_of(rc), need_arr)))
+
+    mem = pa.concat_tables(
+        [b.replace_schema_metadata(None) for b in ray.get(
+            rev.map_batches(member_filter, batch_format="pyarrow")
+            .to_arrow_refs()) if b.num_rows])
+    mc = mem["c"].to_numpy() if mem.num_rows else np.empty(0, np.int64)
+    mr = mem["rc_sum"].to_numpy() if mem.num_rows \
+        else np.empty(0, np.int64)
+    morder = np.lexsort((mc, -mr))
+    mc, mr = mc[morder], mr[morder]
+
+    def threshold(pct: int):
+        """(rc, c) of the FIRST customer whose cum_before >= pct% —
+        the first NON-member of the class; None if the class holds
+        everyone."""
+        thr = pct * tot
+        i = int(np.searchsorted(100 * cum_incl, thr, side="left"))
+        if i >= len(hb):
+            return None
+        cum_above = int(cum_incl[i - 1]) if i > 0 else 0
+        sel = bucket_of(mr) <= hb[i]  # crossing bucket + lower members
+        run = cum_above
+        for rc_v, c_v in zip(mr[sel], mc[sel]):
+            if 100 * run >= thr:
+                return (int(rc_v), int(c_v))
+            run += int(rc_v)
+        return None
+
+    thr_a, thr_b = threshold(a_pct), threshold(b_pct)
+    thr_ref = ray.put((thr_a, thr_b))
+
+    def before(rc: np.ndarray, c: np.ndarray, thr) -> np.ndarray:
+        if thr is None:
+            return np.ones(len(rc), bool)
+        return (rc > thr[0]) | ((rc == thr[0]) & (c < thr[1]))
+
+    def classify(t: pa.Table) -> pa.Table:
+        ta, tb = ray.get(thr_ref)
+        rc = t["rc_sum"].combine_chunks().to_numpy()
+        c = t["c"].combine_chunks().to_numpy()
+        is_a = before(rc, c, ta)
+        is_b = ~is_a & before(rc, c, tb)
+        cls = np.where(is_a, "A", np.where(is_b, "B", "C"))
+        g = pa.table({"abc_class": pa.array(cls),
+                      "n": pa.array(np.ones(len(rc), np.int64)),
+                      "s": pa.array(rc)}) \
+            .group_by("abc_class").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["abc_class", "n", "s"])
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by("abc_class").aggregate([("n", "sum"),
+                                               ("s", "sum")])
+        cls = g["abc_class"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = g["n_sum"].combine_chunks().to_numpy()
+        s = g["s_sum"].combine_chunks().to_numpy()
+        order2 = np.argsort(cls)
+        return pa.table({
+            "abc_class": pa.array(cls[order2]),
+            "n_customers": pa.array(n[order2].astype(np.int64)),
+            "revenue_cents": pa.array(s[order2].astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                s[order2] / float(tot), nd), pa.float64())})
+
+    return single_merge(rev.map_batches(classify,
+                                        batch_format="pyarrow"), final)
