@@ -1740,6 +1740,33 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # exact sliding-window peak: the quadratic self-join is the honest
+    # independent plan (engine is searchsorted); inclusive both ends
+    q["events_peak_rate"] = """
+        SELECT user_id, CAST(max(c) AS BIGINT) AS peak_n FROM (
+          SELECT a.user_id, a.event_id, count(*) AS c
+          FROM events a JOIN events b ON a.user_id = b.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+          GROUP BY 1, 2)
+        GROUP BY 1"""
+
+    # burstiness: lag-window gaps -> stddev_samp/avg; 6dp absorbs the
+    # moment-formula-vs-streaming float differences
+    q["events_burstiness"] = f"""
+        WITH g AS (SELECT user_id,
+                          (epoch_us(ts) - epoch_us(lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)))
+                            / 1e6 AS gap_s
+                   FROM events),
+        s AS (SELECT user_id, count(*) AS n_gaps,
+                     stddev_samp(gap_s) AS sd, avg(gap_s) AS mu
+              FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+              HAVING count(*) >= 2)
+        SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+               {sql_round('CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) ELSE 0.0 END', 6)}
+                   AS burst6
+        FROM s"""
+
     # ABC / Lorenz classification: integer cents + integer boundary
     # rule (100 * cum_before < pct * total) make the classes exact;
     # (rc DESC, c) keys are unique so the window cum is deterministic

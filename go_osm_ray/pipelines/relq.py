@@ -4289,3 +4289,115 @@ def customer_abc(orders: ray.data.Dataset, a_pct: int = 80,
 
     return single_merge(rev.map_batches(classify,
                                         batch_format="pyarrow"), final)
+
+
+def events_peak_rate(events: ray.data.Dataset, window_s: int = 3600,
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(user_id, peak_n): the maximum number of events a user fires in
+    ANY sliding window of ``window_s`` seconds (inclusive bounds
+    [t, t + window_s]) — the exact peak-rate / burst-ceiling statistic
+    rate-limiter sizing needs.  Exact because every window worth
+    checking starts at an event.
+
+    Scale plan: ONE bounded user-hash exchange; the per-partition
+    kernel lexsorts (user, ts) once and answers every window with two
+    global searchsorteds over a composite key (per-user-disjoint
+    offsets keep the piecewise-sorted ts array binary-searchable in
+    one shot — no per-user loop, no self-join).  SQL mirror is the
+    quadratic self-join; the engine is O(n log n) per partition."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    w_us = np.int64(window_s) * 1_000_000
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "peak_n": pa.array([], pa.int64())})
+        order = np.lexsort((ts, uid))
+        u, ts = uid[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        n_users = len(starts)
+        # composite key: each user's NORMALIZED ts block shifted into a
+        # disjoint range wider than per-user-span+window, so one
+        # searchsorted never crosses a user boundary
+        uidx = np.cumsum(new_user) - 1
+        base = ts - np.repeat(ts[starts], np.diff(np.r_[starts, len(u)]))
+        stride = np.int64(base.max()) + w_us + 2
+        if stride * np.int64(n_users) < np.iinfo(np.int64).max // 2:
+            key = base + uidx * stride
+            ub = np.searchsorted(key, key + w_us, side="right")
+            lb = np.searchsorted(key, key, side="left")  # dup-ts anchors
+            counts = (ub - lb).astype(np.int64)
+            peak = np.maximum.reduceat(counts, starts)
+        else:
+            # overflow-proof fallback (gigantic per-user spans x many
+            # users in one partition): per-segment searchsorted — raise
+            # num_parts instead of hitting this at scale
+            ends = np.r_[starts[1:], len(u)]
+            peak = np.empty(n_users, np.int64)
+            for k in range(n_users):
+                seg = ts[starts[k]:ends[k]]
+                peak[k] = int(np.max(
+                    np.searchsorted(seg, seg + w_us, side="right")
+                    - np.searchsorted(seg, seg, side="left")))
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "peak_n": pa.array(peak, pa.int64())})
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_partition, batch_format="pyarrow"))
+
+
+def events_burstiness(events: ray.data.Dataset, nd: int = 6,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(user_id, n_gaps, burst6): Goh–Barabási burstiness of each
+    user's inter-event gap sequence, B = (sigma - mu) / (sigma + mu)
+    with the SAMPLE stddev (ddof=1, matching SQL stddev_samp); users
+    need >= 2 gaps (3 events).  B -> -1 periodic, 0 Poisson, -> 1
+    bursty — the standard temporal-regularity feature for bot / alert
+    triage.
+
+    Scale plan: the same single user-hash exchange as sessionize; the
+    kernel computes per-user gap sums S1/S2 via reduceat (exact
+    integer microseconds) and only converts to float for the final
+    mu/sigma, rounded at ``nd`` so the SQL window mirror agrees."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, ts = uid[order], ts[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap_s = np.where(same, np.r_[np.int64(0), ts[1:] - ts[:-1]], 0) \
+            / 1e6  # seconds, float64
+        new_user = np.r_[True, ~same[1:]]
+        starts = np.flatnonzero(new_user)
+        n = np.add.reduceat(same.astype(np.int64), starts)
+        s1 = np.add.reduceat(gap_s, starts)
+        s2 = np.add.reduceat(gap_s * gap_s, starts)
+        keep = n >= 2
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        mu = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        sigma = np.sqrt(np.maximum(var, 0.0))
+        burst = np.where(sigma + mu > 0, (sigma - mu) / (sigma + mu), 0.0)
+        return pa.table({
+            "user_id": pa.array(u[starts][keep]),
+            "n_gaps": pa.array(n, pa.int64()),
+            "burst6": pa.array(round_half_away(burst, nd), pa.float64())})
+
+    return (events.select_columns(["user_id", "ts"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_partition, batch_format="pyarrow"))
