@@ -1707,6 +1707,70 @@ def _detect_nms_table(sf: float, k: int = 6,
                      "keep_mask": pa.array(out_m, pa.int64())})
 
 
+def _way_frechet_table(sf: float) -> pa.Table:
+    """Scalar reference for way_frechet: python-dict shared-node pair
+    enumeration and the textbook per-pair O(n*m) discrete-Frechet DP
+    with scalar math.* haversine — shares only EARTH_R_M and the 3 dp
+    half-away rounding convention with the engine's padded-tensor
+    batched DP."""
+    from collections import defaultdict
+
+    from .pipelines.osm import EARTH_R_M
+    from .util import round_half_away
+    d = datagen.scale_dir(sf)
+    nt = pq.read_table(str(d / "osm_nodes.parquet"),
+                       columns=["id", "lon", "lat"])
+    coord = {i: (lo, la) for i, lo, la in
+             zip(nt["id"].to_pylist(), nt["lon"].to_pylist(),
+                 nt["lat"].to_pylist())}
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    refs_of = dict(zip(wt["id"].to_pylist(), wt["refs"].to_pylist()))
+    byref: dict[int, list[int]] = defaultdict(list)
+    for wid, refs in refs_of.items():
+        for r in set(refs):
+            byref[r].append(wid)
+    pairs: set[tuple[int, int]] = set()
+    for members in byref.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
+
+    d2r = math.pi / 180.0
+
+    def hav(lo1, la1, lo2, la2) -> float:
+        p1, p2 = la1 * d2r, la2 * d2r
+        sdp = math.sin((p2 - p1) / 2.0)
+        sdl = math.sin((lo2 - lo1) * d2r / 2.0)
+        aa = min(sdp * sdp + math.cos(p1) * math.cos(p2) * sdl * sdl, 1.0)
+        return float(round_half_away(
+            np.float64(2.0 * EARTH_R_M * math.asin(math.sqrt(aa))), 3))
+
+    rows = {"a": [], "b": [], "frechet3": []}
+    for a, b in sorted(pairs):
+        A = [coord[r] for r in refs_of[a]]
+        B = [coord[r] for r in refs_of[b]]
+        dp = [[0.0] * len(B) for _ in range(len(A))]
+        for i in range(len(A)):
+            for j in range(len(B)):
+                c = hav(A[i][0], A[i][1], B[j][0], B[j][1])
+                if i == 0 and j == 0:
+                    dp[i][j] = c
+                elif i == 0:
+                    dp[i][j] = max(dp[i][j - 1], c)
+                elif j == 0:
+                    dp[i][j] = max(dp[i - 1][j], c)
+                else:
+                    dp[i][j] = max(min(dp[i - 1][j], dp[i - 1][j - 1],
+                                       dp[i][j - 1]), c)
+        rows["a"].append(a)
+        rows["b"].append(b)
+        rows["frechet3"].append(dp[-1][-1])
+    return pa.table({"a": pa.array(rows["a"], pa.int64()),
+                     "b": pa.array(rows["b"], pa.int64()),
+                     "frechet3": pa.array(rows["frechet3"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1747,6 +1811,7 @@ _BUILDERS = {
     "way_mst": _way_mst_table,
     "hilbert_order": _hilbert_order_table,
     "detect_nms": _detect_nms_table,
+    "way_frechet": _way_frechet_table,
 }
 
 
