@@ -2218,6 +2218,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["hilbert_order"] = f"SELECT image_id, hilbert16, shard FROM read_parquet('{exp['hilbert_order']}')"
     q["detect_nms"] = f"SELECT image_id, n_kept, keep_mask FROM read_parquet('{exp['detect_nms']}')"
     q["way_frechet"] = f"SELECT a, b, frechet3 FROM read_parquet('{exp['way_frechet']}')"
+    q["way_rasterize"] = f"SELECT tile_x, tile_y, n_px, visits FROM read_parquet('{exp['way_rasterize']}')"
     q["way_mst"] = f"SELECT component, n_ways, n_edges, total_w FROM read_parquet('{exp['way_mst']}')"
     q["minhash_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['minhash_pairs']}')"
     q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"

@@ -1771,6 +1771,59 @@ def _way_frechet_table(sf: float) -> pa.Table:
                      "frechet3": pa.array(rows["frechet3"], pa.float64())})
 
 
+def _way_rasterize_table(sf: float, z_px: int = 18,
+                         z_tile: int = 13) -> pa.Table:
+    """Scalar reference for way_rasterize: per-segment python DDA loop
+    into a pixel dict, then a per-tile dict rollup — shares only the
+    tile formula constants and the integer offset rule
+    ((2kd + n) // 2n, negated for d < 0) with the engine's
+    repeat-trick vectorization."""
+    from collections import defaultdict
+    d = datagen.scale_dir(sf)
+    nt = pq.read_table(str(d / "osm_nodes.parquet"),
+                       columns=["id", "lon", "lat"])
+    coord = {i: (lo, la) for i, lo, la in
+             zip(nt["id"].to_pylist(), nt["lon"].to_pylist(),
+                 nt["lat"].to_pylist())}
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    n_grid = 1 << z_px
+
+    def px_of(lon: float, lat: float) -> tuple[int, int]:
+        lat_r = np.radians(np.float64(lat))
+        x = np.floor((np.float64(lon) + 180.0) / 360.0 * n_grid)
+        y = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r))
+                      / np.pi) / 2.0 * n_grid)
+        return (int(min(max(x, 0), n_grid - 1)),
+                int(min(max(y, 0), n_grid - 1)))
+
+    def off(k: int, dd: int, n: int) -> int:
+        if n == 0:
+            return 0
+        o = (2 * k * abs(dd) + n) // (2 * n)
+        return o if dd >= 0 else -o
+
+    pix: dict[tuple[int, int], int] = defaultdict(int)
+    for refs in wt["refs"].to_pylist():
+        pts = [px_of(*coord[r]) for r in refs]
+        for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+            dx, dy = x1 - x0, y1 - y0
+            n = max(abs(dx), abs(dy))
+            for k in range(n + 1):
+                pix[(x0 + off(k, dx, n), y0 + off(k, dy, n))] += 1
+    shift = z_px - z_tile
+    tiles_d: dict[tuple[int, int], list[int]] = defaultdict(lambda: [0, 0])
+    for (x, y), c in pix.items():
+        t = tiles_d[(x >> shift, y >> shift)]
+        t[0] += 1
+        t[1] += c
+    keys = sorted(tiles_d)
+    return pa.table({
+        "tile_x": pa.array([k[0] for k in keys], pa.int64()),
+        "tile_y": pa.array([k[1] for k in keys], pa.int64()),
+        "n_px": pa.array([tiles_d[k][0] for k in keys], pa.int64()),
+        "visits": pa.array([tiles_d[k][1] for k in keys], pa.int64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1812,6 +1865,7 @@ _BUILDERS = {
     "hilbert_order": _hilbert_order_table,
     "detect_nms": _detect_nms_table,
     "way_frechet": _way_frechet_table,
+    "way_rasterize": _way_rasterize_table,
 }
 
 
