@@ -2093,6 +2093,23 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT lang, CAST(rk AS BIGINT) AS rank, token, n
         FROM r WHERE rk <= 10"""
 
+    # per-doc top-k keywords: identical double product both sides so
+    # (score DESC, term ASC) row_number is deterministic
+    q["keyword_extract"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
+                      FROM documents),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        sc AS (SELECT doc_id, w, tf * ln(n.n / df.df) AS s
+               FROM tf JOIN df USING (w) CROSS JOIN n),
+        r AS (SELECT doc_id, w, s, row_number() OVER
+                (PARTITION BY doc_id ORDER BY s DESC, w) AS rank
+              FROM sc)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS term,
+               {sql_round('s', 6)} AS score6
+        FROM r WHERE rank <= 3"""
+
     q["tfidf_score"] = f"""
         WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
                       FROM documents),

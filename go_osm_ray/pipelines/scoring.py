@@ -653,3 +653,67 @@ def readability(documents: ray.data.Dataset) -> ray.data.Dataset:
 
     return documents.select_columns(["doc_id", "text"]) \
         .map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def keyword_extract(docs: ray.data.Dataset, n_docs: int, k: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    nd: int = 6,
+                    max_vocab: int | None = None) -> ray.data.Dataset:
+    """(doc_id, rank, term, score6): each document's top-``k`` keywords
+    by tf x ln(N/df) — classic TF-IDF keyword extraction.  Rank order
+    is (score DESC, term ASC), deterministic because both sides
+    compute the identical double product (int tf x the same libm ln)
+    before comparing.
+
+    Scale plan: the (word, df) table builds once (combiner exchange,
+    optionally top-V capped exactly like tfidf_score) and broadcasts;
+    the per-batch kernel is embarrassingly parallel — a doc's tokens
+    live wholly in its row, so the per-doc tf table, scoring and
+    top-k selection all happen inside map_batches with zero further
+    exchange.  Out-of-vocab tokens (possible only under max_vocab)
+    score tf x ln N, same contract as tfidf_score."""
+    vocab = build_vocab(docs, text_col, max_vocab)
+    vocab_ref = ray.put(vocab)
+    state: dict = {}
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if "lut" not in state:
+            v = ray.get(vocab_ref)
+            words = np.asarray(v["word"].to_pylist(), dtype=object)
+            idf = np.log(float(n_docs) /
+                         v["df"].to_numpy(zero_copy_only=False)
+                         .astype(np.float64))
+            state["lut"] = pd.Series(idf, index=words)
+        lut = state["lut"]
+        ids = t[id_col].combine_chunks().to_numpy()
+        counts, toks = _tokens_flat(t[text_col].combine_chunks())
+        row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if not len(toks):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score6": pa.array([], pa.float64())})
+        # np.unique sorts terms -> code order IS the ASC tiebreak
+        uterms, codes = np.unique(toks, return_inverse=True)
+        nv = np.int64(len(uterms))
+        pair = row * nv + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        prow = (upair // nv).astype(np.int64)
+        pcode = (upair % nv).astype(np.int64)
+        idf_per = lut.reindex(uterms).to_numpy(np.float64)
+        idf_per = np.nan_to_num(idf_per, nan=np.log(float(n_docs)))
+        score = tf.astype(np.float64) * idf_per[pcode]
+        order = np.lexsort((pcode, -score, prow))
+        prow_o, pcode_o, score_o = prow[order], pcode[order], score[order]
+        starts = np.flatnonzero(np.r_[True, prow_o[1:] != prow_o[:-1]])
+        rank = np.arange(len(prow_o), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(prow_o)])) + 1
+        keep = rank <= k
+        return pa.table({
+            id_col: pa.array(ids[prow_o[keep]]),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "term": pa.array(uterms[pcode_o[keep]].astype(str)),
+            "score6": pa.array(round_half_away(score_o[keep], nd),
+                               pa.float64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow")
