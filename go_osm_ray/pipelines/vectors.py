@@ -399,3 +399,93 @@ def embed_pca(ds: ray.data.Dataset, top_m: int = 2,
         return pa.table(cols)
 
     return proj.map_batches(shape, batch_format="pyarrow")
+
+
+def mmr_select(embeddings: ray.data.Dataset, queries_ref: "ray.ObjectRef",
+               k: int = 10, n_cand: int = 64, lam: float = 0.7,
+               nd: int = 6, batch_size: int = 4096) -> ray.data.Dataset:
+    """(query_id, rank, vec_id, mmr6): Maximal Marginal Relevance
+    diversified top-k per broadcast query — rank 1 is the most
+    RELEVANT candidate; each later pick maximizes
+    lam * cos(q, c) - (1 - lam) * max_{s in picked} cos(c, s),
+    ties by vec_id ASC.  The standard diversity-aware retrieval /
+    training-subset selection primitive (dedup-aware nearest docs).
+
+    Scale plan: stage 1 is the mergeable partial top-``n_cand`` cosine
+    pattern (TopKCosine's shape) with the candidate's NORMALIZED
+    embedding carried in the partial row, so stage 2 — one tiny
+    groupby over n_cand x num_blocks rows per query — can run the
+    greedy MMR entirely locally: the candidate-candidate similarity
+    matrix is n_cand^2 at most, never corpus-sized.  Exactness: the
+    global top-n_cand candidate set equals the merged per-block
+    top-n_cand sets, and MMR never looks beyond that set by
+    definition of the relevance cutoff it implements."""
+    state: dict = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "qm" not in state:
+            q: pa.Table = ray.get(queries_ref)
+            state["qid"] = q["vec_id"].to_numpy()
+            qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            state["qm"] = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qid, qm = state["qid"], state["qm"]
+        emb = _stack(t, "embedding")
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = t["vec_id"].combine_chunks().to_numpy()
+        sims = emb @ qm.T
+        kk = min(n_cand, sims.shape[0])
+        out = []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.lexsort((vids, -col))[:kk]
+            out.append(pa.table({
+                "query_id": pa.array(np.full(kk, qid[qi], np.int64)),
+                "vec_id": pa.array(vids[top].astype(np.int64)),
+                "sim": pa.array(col[top], pa.float64()),
+                "nemb": pa.array(list(emb[top]),
+                                 pa.list_(pa.float64()))}))
+        return pa.concat_tables(out) if out else pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64()),
+             "nemb": pa.array([], pa.list_(pa.float64()))})
+
+    def mmr(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].combine_chunks().to_numpy()
+        sim = t["sim"].combine_chunks().to_numpy()
+        order = np.lexsort((vids, -sim))[:n_cand]
+        vids, sim = vids[order], sim[order]
+        lst = t["nemb"].combine_chunks()
+        d = len(lst[0]) if len(lst) else 0
+        em = lst.flatten().to_numpy().reshape(-1, d)[order]
+        qid = int(t["query_id"][0].as_py())
+        cc = em @ em.T  # candidate-candidate cosine
+        n = len(vids)
+        picked = np.zeros(n, bool)
+        maxdiv = np.full(n, -np.inf)
+        ranks, ids, scores = [], [], []
+        for step in range(min(k, n)):
+            if step == 0:
+                mscore = lam * sim  # no diversity term yet
+            else:
+                mscore = lam * sim - (1.0 - lam) * maxdiv
+            mscore = np.where(picked, -np.inf, mscore)
+            # ties by vec_id ASC
+            best = np.lexsort((vids, -mscore))[0]
+            picked[best] = True
+            ranks.append(step + 1)
+            ids.append(int(vids[best]))
+            scores.append(float(mscore[best]))
+            maxdiv = np.maximum(maxdiv, cc[:, best])
+        return pa.table({
+            "query_id": pa.array([qid] * len(ranks), pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "mmr6": pa.array(round_half_away(np.array(scores), nd),
+                             pa.float64())})
+
+    return (embeddings.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=batch_size)
+            .groupby("query_id")
+            .map_groups(mmr, batch_format="pyarrow"))

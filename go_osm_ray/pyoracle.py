@@ -1824,6 +1824,56 @@ def _way_rasterize_table(sf: float, z_px: int = 18,
         "visits": pa.array([tiles_d[k][1] for k in keys], pa.int64())})
 
 
+def _mmr_select_table(sf: float, k: int = 10, n_cand: int = 64,
+                      lam: float = 0.7) -> pa.Table:
+    """Single-matrix reference for mmr_select: full-corpus cosine to
+    every query, python greedy MMR loop over the top-n_cand set —
+    shares only the normalization/matmul conventions (np.linalg.norm,
+    float64 @) and the lam constant with the engine's partial-top-k
+    exchange."""
+    from .oracle import ANN_QUERY_MAX_ID
+    from .util import round_half_away
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    isq = vid < ANN_QUERY_MAX_ID
+    qid, qm = vid[isq], X[isq]
+    cid, cm = vid[~isq], X[~isq]
+    rows = {"query_id": [], "rank": [], "vec_id": [], "mmr6": []}
+    for qi in range(len(qid)):
+        sims = cm @ qm[qi]
+        top = np.lexsort((cid, -sims))[:n_cand]
+        tv, ts, tm = cid[top], sims[top], cm[top]
+        cc = tm @ tm.T
+        picked: list[int] = []
+        maxdiv = np.full(len(tv), -np.inf)
+        for step in range(min(k, len(tv))):
+            best, bscore = -1, None
+            for j in range(len(tv)):
+                if j in picked:
+                    continue
+                sc = lam * ts[j] if step == 0 \
+                    else lam * ts[j] - (1.0 - lam) * maxdiv[j]
+                if bscore is None or sc > bscore or \
+                        (sc == bscore and tv[j] < tv[best]):
+                    best, bscore = j, sc
+            picked.append(best)
+            maxdiv = np.maximum(maxdiv, cc[:, best])
+            rows["query_id"].append(int(qid[qi]))
+            rows["rank"].append(step + 1)
+            rows["vec_id"].append(int(tv[best]))
+            rows["mmr6"].append(float(round_half_away(
+                np.float64(bscore), 6)))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "mmr6": pa.array(rows["mmr6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1866,6 +1916,7 @@ _BUILDERS = {
     "detect_nms": _detect_nms_table,
     "way_frechet": _way_frechet_table,
     "way_rasterize": _way_rasterize_table,
+    "mmr_select": _mmr_select_table,
 }
 
 
