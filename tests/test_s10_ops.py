@@ -1,0 +1,178 @@
+"""Session-10 ops: planted-configuration properties the parity gates
+cannot see — Frechet order-sensitivity vs Hausdorff, DDA pixel
+coverage geometry, sliding-window peak exactness across block layouts,
+burstiness limits, ABC class boundary behavior, MMR diversity actually
+diverging from pure relevance."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _mk_ways(way_refs: dict[int, list[int]],
+             node_coords: dict[int, tuple[float, float]]):
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array(sorted(way_refs), pa.int64()),
+        "refs": pa.array([way_refs[w] for w in sorted(way_refs)],
+                         pa.list_(pa.int64()))}))
+    nids = sorted(node_coords)
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array(nids, pa.int64()),
+        "lon": pa.array([node_coords[i][0] for i in nids], pa.float64()),
+        "lat": pa.array([node_coords[i][1] for i in nids], pa.float64())}))
+    return ways, nodes
+
+
+def test_frechet_order_sensitive_vs_hausdorff(ray_session):
+    """Two ways tracing the SAME point set in opposite directions:
+    Hausdorff is ~0 (sets coincide) but discrete Frechet must pay the
+    full end-to-end span — the property that distinguishes the ops."""
+    from go_osm_ray.pipelines.osm import way_frechet, way_hausdorff
+    coords = {1: (0.0, 0.0), 2: (0.01, 0.0), 3: (0.02, 0.0)}
+    ways, nodes = _mk_ways({10: [1, 2, 3], 20: [3, 2, 1]}, coords)
+    h = way_hausdorff(ways, nodes).to_pandas()
+    f = way_frechet(ways, nodes).to_pandas()
+    assert len(h) == 1 and len(f) == 1
+    assert h.hausdorff3[0] == 0.0
+    # reversed trace forces one side to span >= half the full length
+    assert f.frechet3[0] > 1000.0  # 0.02 deg lon ~ 2.2 km
+
+
+def test_frechet_identical_traces_zero(ray_session):
+    from go_osm_ray.pipelines.osm import way_frechet
+    coords = {1: (0.0, 0.0), 2: (0.01, 0.005), 3: (0.02, 0.0)}
+    ways, nodes = _mk_ways({10: [1, 2, 3], 20: [1, 2, 3]}, coords)
+    f = way_frechet(ways, nodes).to_pandas()
+    assert len(f) == 1 and f.frechet3[0] == 0.0
+
+
+def test_frechet_lower_bounded_by_hausdorff(ray_session):
+    """Discrete Frechet >= discrete Hausdorff on every pair (textbook
+    inequality) — checked on the real sf0.001 way graph."""
+    import __ray_entry__ as E
+    f = E.queries()["way_frechet"]("/root/testdata/sf0.001").to_pandas()
+    h = E.queries()["way_hausdorff"]("/root/testdata/sf0.001").to_pandas()
+    m = f.merge(h, on=["a", "b"])
+    assert len(m) == len(f) == len(h) > 0
+    assert (m.frechet3 >= m.hausdorff3 - 1e-9).all()
+
+
+def test_way_rasterize_single_segment_pixels(ray_session):
+    """A horizontal segment spanning N pixels of one tile row covers
+    exactly N distinct pixels with N visits; a degenerate zero-length
+    way covers exactly 1."""
+    from go_osm_ray.geo.tiles import tile_xy
+    from go_osm_ray.pipelines.raster import way_rasterize
+    # pick lons mapping to distinct pixels at z18 along lat=0
+    lon0, lon1 = 10.0, 10.01
+    x0, _ = tile_xy(np.array([lon0]), np.array([0.0]), 18)
+    x1, _ = tile_xy(np.array([lon1]), np.array([0.0]), 18)
+    npix = int(x1[0] - x0[0]) + 1
+    coords = {1: (lon0, 0.0), 2: (lon1, 0.0), 3: (50.0, 20.0)}
+    ways, nodes = _mk_ways({10: [1, 2], 20: [3, 3]}, coords)
+    out = way_rasterize(ways, nodes).to_pandas()
+    assert int(out[out.n_px > 1].n_px.sum()) == npix
+    # way 20's zero-length segment is one DDA sample on one pixel
+    assert int(out.visits.sum()) == npix + 1
+    assert (out.visits >= out.n_px).all()
+
+
+def test_events_peak_rate_block_invariance_and_exactness(ray_session):
+    """Planted bursts: user 1 fires 5 events inside one hour plus
+    stragglers; user 2 is perfectly spread.  Peak must be exact and
+    independent of block layout; duplicate timestamps at the window
+    anchor must all count (the searchsorted-left contract)."""
+    from go_osm_ray.pipelines.relq import events_peak_rate
+    base = np.int64(1_700_000_000_000_000)
+    h = 3_600_000_000
+    rows = []
+    # user 1: 5 in one window (two at the same ts), then 2 far away
+    for off in [0, 0, 10, 20, h - 1_000_000, 3 * h, 7 * h]:
+        rows.append((1, base + off))
+    # user 2: one event every 2 hours
+    for i in range(6):
+        rows.append((2, base + i * 2 * h))
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array(np.array([r[1] for r in rows], np.int64)
+                                 .astype("datetime64[us]"))})
+    for blocks in (1, 5):
+        out = events_peak_rate(
+            ray.data.from_arrow(t).repartition(blocks)).to_pandas() \
+            .set_index("user_id").peak_n
+        assert int(out[1]) == 5
+        assert int(out[2]) == 1
+
+
+def test_events_burstiness_limits(ray_session):
+    """Perfectly periodic gaps -> sigma 0 -> B = -1; a single huge gap
+    among tiny ones pushes B toward +1 (must be > 0)."""
+    from go_osm_ray.pipelines.relq import events_burstiness
+    base = np.int64(1_700_000_000_000_000)
+    rows = [(1, base + i * 60_000_000) for i in range(10)]
+    offs = [0, 1, 2, 3, 4, 3_600_000]  # ms-ish ticks then a huge gap
+    rows += [(2, base + o * 1_000_000) for o in offs]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array(np.array([r[1] for r in rows], np.int64)
+                                 .astype("datetime64[us]"))})
+    out = events_burstiness(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[1].burst6 == -1.0
+    # one outlier among 5 gaps caps B at (sqrt(5)-1)/(sqrt(5)+1) ~ 0.38
+    assert out.loc[2].burst6 > 0.3
+
+
+def test_customer_abc_boundaries(ray_session):
+    """Hand-sized Lorenz curve: revenues 50/30/15/5 with an exact 80%
+    prefix — the boundary customer (cum_before = 80%) must fall OUT of
+    class A per the strict '< pct' rule."""
+    from go_osm_ray.pipelines.relq import customer_abc
+    t = pa.table({"o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "o_totalprice": pa.array([50.0, 30.0, 15.0, 5.0])})
+    out = customer_abc(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("abc_class")
+    # cum_before: 1->0%, 2->50%, 3->80% (NOT < 80 -> B), 4->95% (-> C)
+    assert int(out.loc["A"].n_customers) == 2
+    assert int(out.loc["B"].n_customers) == 1
+    assert int(out.loc["C"].n_customers) == 1
+    assert abs(out.share6.sum() - 1.0) < 1e-9
+
+
+def test_mmr_diverges_from_pure_relevance(ray_session):
+    """Planted: query q; two near-identical highly-relevant vectors and
+    one orthogonal-ish medium one.  Pure top-2 keeps the twins; MMR at
+    lam=0.5 must swap in the diverse vector at rank 2."""
+    from go_osm_ray.pipelines.vectors import mmr_select
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.999, 0.04, 0.0, 0.0])   # twin 1
+    b = np.array([0.999, 0.041, 0.0, 0.0])  # twin 2
+    c = np.array([0.6, 0.0, 0.8, 0.0])      # diverse, lower relevance
+    emb = pa.table({
+        "vec_id": pa.array([100, 101, 102], pa.int64()),
+        "embedding": pa.array([list(a), list(b), list(c)],
+                              pa.list_(pa.float64()))})
+    qt = pa.table({"vec_id": pa.array([0], pa.int64()),
+                   "embedding": pa.array([list(q)],
+                                         pa.list_(pa.float64()))})
+    out = mmr_select(ray.data.from_arrow(emb), ray.put(qt), k=2,
+                     lam=0.5).to_pandas().sort_values("rank")
+    assert list(out.vec_id) == [100, 102]
+
+
+def test_keyword_extract_rank_contract(ray_session):
+    """Ranks are dense 1..k per doc, scores non-increasing, and the
+    top keyword of a doc with one clearly rare repeated term is that
+    term."""
+    from go_osm_ray.pipelines.scoring import keyword_extract
+    docs = ["common common zebra zebra zebra",
+            "common common common apple",
+            "common banana banana"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(docs)})
+    out = keyword_extract(ray.data.from_arrow(t), n_docs=3, k=2) \
+        .to_pandas().sort_values(["doc_id", "rank"])
+    for _, g in out.groupby("doc_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g.score6) <= 1e-12).all()
+    assert out[out.doc_id == 1].iloc[0].term == "zebra"
+    assert out[out.doc_id == 3].iloc[0].term == "banana"
