@@ -2237,6 +2237,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_frechet"] = f"SELECT a, b, frechet3 FROM read_parquet('{exp['way_frechet']}')"
     q["way_rasterize"] = f"SELECT tile_x, tile_y, n_px, visits FROM read_parquet('{exp['way_rasterize']}')"
     q["mmr_select"] = f"SELECT query_id, rank, vec_id, mmr6 FROM read_parquet('{exp['mmr_select']}')"
+    q["way_pseudo_diameter"] = f"SELECT component, n_ways, diameter FROM read_parquet('{exp['way_pseudo_diameter']}')"
     q["way_mst"] = f"SELECT component, n_ways, n_edges, total_w FROM read_parquet('{exp['way_mst']}')"
     q["minhash_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['minhash_pairs']}')"
     q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"

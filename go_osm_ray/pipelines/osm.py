@@ -2442,3 +2442,132 @@ def way_frechet(ways: ray.data.Dataset, nodes: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: frechet(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def way_pseudo_diameter(ways: ray.data.Dataset,
+                        num_parts: int = 16,
+                        max_hops: int = 128) -> ray.data.Dataset:
+    """(component, n_ways, diameter): double-sweep pseudo-diameter of
+    every connected component of the shared-node way graph — BFS from
+    the component's canonical (min-id) way, then BFS from the farthest
+    way found (ties min id); the second eccentricity is the classic
+    lower bound that is exact on trees and near-exact on road
+    networks.  Hop counts run on the BIPARTITE way<->ref graph
+    (dist // 2 is the exact shared-node hop count, see way_bfs_depth).
+
+    Scale plan: the bipartite edge shards build ONCE and both BFS
+    phases run on the same resident BSP actors' files; each phase
+    exchanges only frontier (node, dist) messages.  Between phases,
+    depths join component labels by ONE way-hash co-partition (the
+    union-tag pattern — no Dataset.join), collapse to per-partition
+    (component, argmax) partials, and only per-COMPONENT rows (seeds,
+    n_ways, eccentricities) ever reach the driver — bounded by the
+    component count, never ways."""
+    from ..relational import hash_part, single_merge
+    from ..state.bsp import run_bfs
+    from .text import shard_static_edges
+
+    comp = way_components(ways, num_parts).materialize()
+
+    def comp_ids(t: pa.Table) -> pa.Table:
+        c = t["component_id"].combine_chunks().to_numpy()
+        return pa.table({"c": pa.array(np.unique(c))})
+
+    seeds1 = np.unique(np.concatenate([
+        b["c"].combine_chunks().to_numpy() for b in ray.get(
+            comp.map_batches(comp_ids, batch_format="pyarrow")
+            .to_arrow_refs()) if b.num_rows] or
+        [np.empty(0, np.int64)]))
+
+    def bipartite(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        r = t["ref"].combine_chunks().to_numpy()
+        return pa.table({"a": pa.array(w * 2),
+                         "b": pa.array(r * 2 + 1)})
+
+    pairs = explode_refs(ways).select_columns(["way_id", "ref"]) \
+        .map_batches(bipartite, batch_format="pyarrow")
+    d, has_shard, owned = shard_static_edges(pairs, num_parts)
+
+    def _tag(ds: ray.data.Dataset, is_depth: bool) -> ray.data.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            w = t["way_id"].combine_chunks().to_numpy()
+            if is_depth:
+                dep = t["depth"].combine_chunks().to_numpy()
+                c = np.full(len(w), -1, np.int64)
+            else:
+                dep = np.full(len(w), -1, np.int64)
+                c = t["component_id"].combine_chunks().to_numpy()
+            return pa.table({
+                "w": pa.array(w), "dep": pa.array(dep), "c": pa.array(c),
+                "part": pa.array(hash_part(w, num_parts))})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def _join_depth(depth_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """co-partition comp + depth; emit per-(partition, component)
+        partials: n_ways, max depth, argmax way (depth desc, way asc).
+        Ways absent from the BFS universe (no refs) count depth 0."""
+        def kernel(t: pa.Table) -> pa.Table:
+            c_rows = t.filter(pc.greater_equal(t["c"], 0))
+            d_rows = t.filter(pc.greater_equal(t["dep"], 0))
+            w = c_rows["w"].combine_chunks().to_numpy()
+            c = c_rows["c"].combine_chunks().to_numpy()
+            dw = d_rows["w"].combine_chunks().to_numpy()
+            dd = d_rows["dep"].combine_chunks().to_numpy()
+            dorder = np.argsort(dw, kind="stable")
+            dw, dd = dw[dorder], dd[dorder]
+            if len(dw):
+                j = np.clip(np.searchsorted(dw, w), 0, len(dw) - 1)
+                dep = np.where(dw[j] == w, dd[j], 0)
+            else:
+                dep = np.zeros(len(w), np.int64)
+            order = np.lexsort((w, -dep, c))
+            c_o, w_o, dep_o = c[order], w[order], dep[order]
+            starts = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]]) \
+                if len(c_o) else np.empty(0, np.int64)
+            n = np.diff(np.r_[starts, len(c_o)]) if len(c_o) \
+                else np.empty(0, np.int64)
+            return pa.table({
+                "component": pa.array(c_o[starts]),
+                "n_ways": pa.array(n, pa.int64()),
+                "ecc": pa.array(dep_o[starts], pa.int64()),
+                "far_way": pa.array(w_o[starts], pa.int64())})
+        return (_tag(comp, False).union(_tag(depth_ds, True))
+                .groupby("part")
+                .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                            batch_format="pyarrow"))
+
+    def _merge_pick(t: pa.Table) -> pa.Table:
+        c = t["component"].combine_chunks().to_numpy()
+        n = t["n_ways"].combine_chunks().to_numpy()
+        e = t["ecc"].combine_chunks().to_numpy()
+        f = t["far_way"].combine_chunks().to_numpy()
+        order = np.lexsort((f, -e, c))
+        c_o, e_o, f_o = c[order], e[order], f[order]
+        starts = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]]) \
+            if len(c_o) else np.empty(0, np.int64)
+        nsum = np.zeros(len(starts), np.int64)
+        if len(c_o):
+            grp = np.cumsum(np.r_[True, c_o[1:] != c_o[:-1]]) - 1
+            np.add.at(nsum, grp, n[order])
+        return pa.table({
+            "component": pa.array(c_o[starts]),
+            "n_ways": pa.array(nsum, pa.int64()),
+            "ecc": pa.array(e_o[starts], pa.int64()),
+            "far_way": pa.array(f_o[starts], pa.int64())})
+
+    p1 = single_merge(_join_depth(run_bfs(
+        d, has_shard, num_parts, max_rounds=2 * max_hops,
+        seed_ways=seeds1)), _merge_pick).take_all()
+    seeds2 = np.array(sorted(r["far_way"] for r in p1), np.int64)
+    n_of = {int(r["component"]): int(r["n_ways"]) for r in p1}
+
+    p2 = single_merge(_join_depth(run_bfs(
+        d, has_shard, num_parts, max_rounds=2 * max_hops,
+        seed_ways=seeds2, cleanup=owned)), _merge_pick).take_all()
+    comps = sorted(int(r["component"]) for r in p2)
+    diam = {int(r["component"]): int(r["ecc"]) for r in p2}
+    return ray.data.from_arrow(pa.table({
+        "component": pa.array(comps, pa.int64()),
+        "n_ways": pa.array([n_of[c] for c in comps], pa.int64()),
+        "diameter": pa.array([diam[c] for c in comps], pa.int64())}))

@@ -1874,6 +1874,52 @@ def _mmr_select_table(sf: float, k: int = 10, n_cand: int = 64,
         "mmr6": pa.array(rows["mmr6"], pa.float64())})
 
 
+def _way_pseudo_diameter_table(sf: float) -> pa.Table:
+    """Scalar reference for way_pseudo_diameter: python-dict adjacency
+    (full pairwise within each ref group), deque BFS components, then
+    the double sweep — BFS from the component min id, pick the farthest
+    way (ties min id), BFS again, report its eccentricity."""
+    from collections import defaultdict, deque
+    d = datagen.scale_dir(sf)
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    ids = wt["id"].to_pylist()
+    byref: dict[int, list[int]] = defaultdict(list)
+    for wid, refs in zip(ids, wt["refs"].to_pylist()):
+        for r in set(refs):
+            byref[r].append(wid)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for members in byref.values():
+        for x in members:
+            for y in members:
+                if x != y:
+                    adj[x].add(y)
+
+    def bfs(src: int) -> dict[int, int]:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    seen: set[int] = set()
+    rows = {"component": [], "n_ways": [], "diameter": []}
+    for wid in sorted(ids):
+        if wid in seen:
+            continue
+        d1 = bfs(wid)
+        seen.update(d1)
+        far = min((w for w in d1), key=lambda w: (-d1[w], w))
+        d2 = bfs(far)
+        rows["component"].append(wid)
+        rows["n_ways"].append(len(d1))
+        rows["diameter"].append(max(d2.values()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1917,6 +1963,7 @@ _BUILDERS = {
     "way_frechet": _way_frechet_table,
     "way_rasterize": _way_rasterize_table,
     "mmr_select": _mmr_select_table,
+    "way_pseudo_diameter": _way_pseudo_diameter_table,
 }
 
 

@@ -306,11 +306,21 @@ class _BFSPart(_ShardPart):
     pointer jumps (distances are already shortest-path monotone)."""
 
     def __init__(self, shard_dir: str, part: int, num_parts: int,
-                 live_parts: list[int], seed_mask: np.ndarray | None = None,
+                 live_parts: list[int], seed_ways: np.ndarray | None = None,
                  seed_mod: int = 41):
         super().__init__(shard_dir, part, num_parts, live_parts)
-        # seeds: WAY-namespace nodes (even id) with (id//2) % seed_mod == 0
-        seeded = (self.uid % 2 == 0) & ((self.uid // 2) % seed_mod == 0)
+        way = self.uid // 2
+        if seed_ways is not None:
+            # explicit SORTED way-id seed set (pseudo-diameter phases)
+            if len(seed_ways):
+                j = np.clip(np.searchsorted(seed_ways, way), 0,
+                            len(seed_ways) - 1)
+                seeded = (self.uid % 2 == 0) & (seed_ways[j] == way)
+            else:
+                seeded = np.zeros(len(self.uid), bool)
+        else:
+            # WAY-namespace nodes (even id) with (id//2) % seed_mod == 0
+            seeded = (self.uid % 2 == 0) & (way % seed_mod == 0)
         self.dist = np.where(seeded, 0, -1).astype(np.int64)
         self.first = True
 
@@ -358,6 +368,7 @@ class _BFSPart(_ShardPart):
 
 def run_bfs(shard_dir: str, live_parts: set[int], num_parts: int,
             max_rounds: int, seed_mod: int = 41,
+            seed_ways: np.ndarray | None = None,
             cleanup: bool = False) -> ray.data.Dataset:
     """Drive the BFS actors for at most ``max_rounds`` rounds (= 2x the
     way-hop cap on the bipartite graph) or to a quiet round."""
@@ -368,7 +379,7 @@ def run_bfs(shard_dir: str, live_parts: set[int], num_parts: int,
              "depth": pa.array([], pa.int64())}))
     actors = [
         _BFSPart.options(scheduling_strategy="SPREAD")
-        .remote(shard_dir, p, num_parts, live, None, seed_mod)
+        .remote(shard_dir, p, num_parts, live, seed_ways, seed_mod)
         for p in live]
     ray.get([a.ready.remote() for a in actors])
     if cleanup:
