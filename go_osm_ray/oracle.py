@@ -446,6 +446,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # capped at BFS_MAX_DEPTH hops; UNION-dedup on (way_id, d) plus the
     # depth bound makes the recursion finite on cyclic graphs
     from .pipelines.osm import BFS_MAX_DEPTH, BFS_SEED_MOD
+    # tag-key PMI: distinct keys per way, clique pairs, same ln
+    # expression shape both sides
+    q["osm_tag_cooccurrence"] = f"""
+        WITH kt AS (SELECT DISTINCT id, t.key AS k
+                    FROM (SELECT id, unnest(tags) AS t FROM {ways})),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {ways}),
+        kc AS (SELECT k, count(*) AS c FROM kt GROUP BY k),
+        p AS (SELECT a.k AS k1, b.k AS k2, count(*) AS n_pair
+              FROM kt a JOIN kt b ON a.id = b.id AND a.k < b.k
+              GROUP BY 1, 2)
+        SELECT k1, k2, CAST(n_pair AS BIGINT) AS n_pair,
+               {sql_round('ln(n_pair * n.n / (ca.c * cb.c))', 6)} AS pmi6
+        FROM p JOIN kc ca ON ca.k = p.k1 JOIN kc cb ON cb.k = p.k2
+        CROSS JOIN n"""
+
     q["way_bfs_depth"] = f"""
         WITH RECURSIVE exp AS (
           SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),

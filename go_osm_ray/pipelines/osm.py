@@ -2571,3 +2571,98 @@ def way_pseudo_diameter(ways: ray.data.Dataset,
         "component": pa.array(comps, pa.int64()),
         "n_ways": pa.array([n_of[c] for c in comps], pa.int64()),
         "diameter": pa.array([diam[c] for c in comps], pa.int64())}))
+
+
+def osm_tag_cooccurrence(ways: ray.data.Dataset, n_ways: int,
+                         num_parts: int = 8,
+                         nd: int = 6) -> ray.data.Dataset:
+    """(k1, k2, n_pair, pmi6): pointwise mutual information between
+    tag KEYS across ways — PMI = ln(n_pair * N / (n_k1 * n_k2)) over
+    distinct-key-per-way occurrences, the tag-schema discovery /
+    preset-mining analysis (which keys travel together: building +
+    landuse, highway + maxspeed).
+
+    Scale plan: per-block kernels emit (key) and (k1 < k2) clique
+    partials over each way's DISTINCT key set (ways carry a handful of
+    tags, so the clique is O(tags^2) per way, bounded); pair partials
+    merge through one bounded hash exchange (partial_groupby_agg), and
+    the per-key count table — bounded by the tag-key vocabulary, which
+    is small by OSM's nature — broadcasts into the final PMI pass."""
+    from ..relational import broadcast_table, partial_groupby_agg
+
+    def _way_keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(per-way distinct-key counts, flat sorted-distinct keys) —
+        vectorized: lexsort (row, key), adjacent-dup mask, bincount."""
+        lst = t["tags"].combine_chunks()
+        offs = np.asarray(lst.offsets, np.int64)
+        offs = offs - offs[0]
+        keys = np.asarray(lst.flatten().field("key").to_pylist(),
+                          dtype=object)
+        n_rows = len(offs) - 1
+        lens = np.diff(offs)
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        if not len(keys):
+            return np.zeros(n_rows, np.int64), keys
+        order = np.lexsort((keys, row))
+        row, keys = row[order], keys[order]
+        keep = np.r_[True, (row[1:] != row[:-1]) | (keys[1:] != keys[:-1])]
+        row, keys = row[keep], keys[keep]
+        return np.bincount(row, minlength=n_rows).astype(np.int64), keys
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        _, flat = _way_keys(t)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"k": pa.array(u.astype(str)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        counts, flat = _way_keys(t)
+        if not len(flat):
+            return pa.table({"k1": pa.array([], pa.string()),
+                             "k2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pos = np.arange(len(flat), dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts,
+                                                           counts)) - 1
+        first = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second = first + 1 + (np.arange(int(rep.sum()), dtype=np.int64)
+                              - base)
+        tb = pa.table({"k1": pa.array(flat[first].astype(str)),
+                       "k2": pa.array(flat[second].astype(str)),
+                       "n": pa.array(np.ones(len(first), np.int64))})
+        g = tb.group_by(["k1", "k2"]).aggregate([("n", "sum")])
+        return g.rename_columns(["k1", "k2", "n"])
+
+    kc = broadcast_table(
+        partial_groupby_agg(
+            ways.map_batches(key_partial, batch_format="pyarrow"),
+            ["k"], [("n", "sum")], num_parts=num_parts),
+        ["k", "n_sum"])
+    pairs = partial_groupby_agg(
+        ways.map_batches(pair_partial, batch_format="pyarrow"),
+        ["k1", "k2"], [("n", "sum")], num_parts=num_parts)
+
+    state: dict = {}
+
+    def pmi(t: pa.Table) -> pa.Table:
+        if "lut" not in state:
+            v = ray.get(kc)
+            state["lut"] = dict(zip(v["k"].to_pylist(),
+                                    v["n_sum"].to_pylist()))
+        lut = state["lut"]
+        k1 = t["k1"].combine_chunks().to_pylist()
+        k2 = t["k2"].combine_chunks().to_pylist()
+        n = t["n_sum"].combine_chunks().to_numpy()
+        ca = np.array([lut[k] for k in k1], np.int64)
+        cb = np.array([lut[k] for k in k2], np.int64)
+        val = np.log(n.astype(np.float64) * float(n_ways)
+                     / (ca * cb).astype(np.float64))
+        return pa.table({
+            "k1": pa.array(k1, pa.string()),
+            "k2": pa.array(k2, pa.string()),
+            "n_pair": pa.array(n.astype(np.int64)),
+            "pmi6": pa.array(round_half_away(val, nd), pa.float64())})
+
+    return pairs.map_batches(pmi, batch_format="pyarrow")
