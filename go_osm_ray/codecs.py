@@ -214,3 +214,16 @@ def ahash64(px: np.ndarray, side: int = 8) -> int:
                  np.uint64(0)))
     v = int(acc)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def nn_thumb(px: np.ndarray, side: int) -> np.ndarray:
+    """Nearest-neighbor thumbnail of an (H, W, 3) uint8 image as a
+    (side, side, 3) uint8 array — the same index rule as ahash64's
+    subsample (yi = arange(side) * h // side).  A shared PRIMITIVE:
+    engine mosaic stages and the scalar python-oracle both call this
+    one definition; what the oracle gate exercises around it is the
+    selection, exchange and canvas assembly."""
+    h, w, _ = px.shape
+    yi = np.arange(side) * h // side
+    xi = np.arange(side) * w // side
+    return px[yi][:, xi]

@@ -839,3 +839,95 @@ def detect_nms(images: ray.data.Dataset, k: int = 6,
 
     return images.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_size)
+
+
+def cell_image_mosaic(images: ray.data.Dataset, res: int = 7,
+                      k: int = 4, side: int = 16, num_parts: int = 8,
+                      nd: int = 6) -> ray.data.Dataset:
+    """(cell, n_imgs, mean6, crc): per-geocell CONTACT SHEET — the k
+    lexicographically-first images of each slippy cell at ``res``
+    decode, thumbnail (codecs.nn_thumb, the ahash subsample rule) and
+    paste row-major onto a ceil(sqrt(k))-grid canvas; the query emits
+    the canvas's exact integer mean and crc32 so the full byte surface
+    is oracle-checkable without shipping canvases through the gate.
+    The map-tile preview / visual-QA layer over a geotagged corpus.
+
+    Scale plan: the per-block kernel selects each cell's k smallest
+    image ids BEFORE the exchange (bytes for at most k x cells-per-
+    block rows move, never the corpus), one bounded cell-hash exchange
+    co-locates finalists, and the per-partition merge re-selects the
+    global k and decodes only winners — decode cost is k x occupied
+    cells no matter the corpus size.  Selection by id is deterministic
+    and restart-stable."""
+    import zlib
+
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    grid = int(np.ceil(np.sqrt(k)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        iid = np.asarray(t["image_id"].combine_chunks().to_pylist(),
+                         dtype=object)
+        order = np.lexsort((iid, cell))
+        c_o = cell[order]
+        starts = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]]) \
+            if len(c_o) else np.empty(0, np.int64)
+        rank = np.arange(len(c_o), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(c_o)]))
+        take = order[rank < k]
+        sub = t.select(["image_id", "fmt", "bytes"]).take(pa.array(take))
+        return (sub.append_column("cell", pa.array(cell[take]))
+                .append_column("part", pa.array(
+                    hash_part(cell[take], num_parts))))
+
+    def merge(t: pa.Table) -> pa.Table:
+        cell = t["cell"].combine_chunks().to_numpy()
+        iid = np.asarray(t["image_id"].combine_chunks().to_pylist(),
+                         dtype=object)
+        order = np.lexsort((iid, cell))
+        c_o = cell[order]
+        starts = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]]) \
+            if len(c_o) else np.empty(0, np.int64)
+        rank = np.arange(len(c_o), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(c_o)]))
+        keep = rank < k
+        sel = order[keep]
+        fmts = t["fmt"].combine_chunks()
+        blobs = t["bytes"].combine_chunks()
+        out = {"cell": [], "n_imgs": [], "mean6": [], "crc": []}
+        canvas_cells = c_o[keep]
+        bounds = np.flatnonzero(
+            np.r_[True, canvas_cells[1:] != canvas_cells[:-1]])
+        for gi, s in enumerate(bounds):
+            e = bounds[gi + 1] if gi + 1 < len(bounds) \
+                else len(canvas_cells)
+            canvas = np.zeros((grid * side, grid * side, 3), np.uint8)
+            for slot, row in enumerate(sel[s:e]):
+                px = codecs.decode(blobs[int(row)].as_py(),
+                                   fmts[int(row)].as_py())
+                th = codecs.nn_thumb(px, side)
+                y, x = (slot // grid) * side, (slot % grid) * side
+                canvas[y:y + side, x:x + side] = th
+            out["cell"].append(int(canvas_cells[s]))
+            out["n_imgs"].append(e - s)
+            out["mean6"].append(float(round_half_away(np.float64(
+                int(canvas.astype(np.int64).sum()) / canvas.size), nd)))
+            out["crc"].append(zlib.crc32(canvas.tobytes()))
+        return pa.table({
+            "cell": pa.array(out["cell"], pa.int64()),
+            "n_imgs": pa.array(out["n_imgs"], pa.int64()),
+            "mean6": pa.array(out["mean6"], pa.float64()),
+            "crc": pa.array(out["crc"], pa.int64())})
+
+    return (images.map_batches(partial, batch_format="pyarrow",
+                               batch_size=1024)
+            .groupby("part")
+            .map_groups(lambda t: merge(t.drop_columns(["part"])),
+                        batch_format="pyarrow"))

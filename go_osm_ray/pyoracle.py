@@ -1920,6 +1920,51 @@ def _way_pseudo_diameter_table(sf: float) -> pa.Table:
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
 
 
+def _cell_image_mosaic_table(sf: float, res: int = 7, k: int = 4,
+                             side: int = 16) -> pa.Table:
+    """Scalar reference for cell_image_mosaic: python-dict cell
+    grouping (scalar morton + slippy formula), sorted-id pick, decode
+    + nn_thumb per winner, same canvas layout — shares only the codec
+    / thumbnail primitives and the layout constants with the engine's
+    pre-selected two-stage exchange."""
+    import zlib
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes", "phash"])
+    n = 1 << res
+    groups: dict[int, list[tuple[str, str, bytes]]] = {}
+    for iid, f, b, ph in zip(t["image_id"].to_pylist(),
+                             t["fmt"].to_pylist(),
+                             t["bytes"].to_pylist(),
+                             t["phash"].to_pylist()):
+        lon, lat = _scalar_morton_decode(int(ph))
+        r = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        y = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                        / math.pi) / 2.0 * n)
+        xy = (min(max(int(x), 0), n - 1), min(max(int(y), 0), n - 1))
+        cell = (res << 58) | (xy[0] << 29) | xy[1]
+        groups.setdefault(cell, []).append((iid, f, b))
+    grid = math.ceil(math.sqrt(k))
+    rows = {"cell": [], "n_imgs": [], "mean6": [], "crc": []}
+    for cell in sorted(groups):
+        picks = sorted(groups[cell])[:k]
+        canvas = np.zeros((grid * side, grid * side, 3), np.uint8)
+        for slot, (_, f, b) in enumerate(picks):
+            th = codecs.nn_thumb(codecs.decode(b, f), side)
+            yy, xx = (slot // grid) * side, (slot % grid) * side
+            canvas[yy:yy + side, xx:xx + side] = th
+        rows["cell"].append(cell)
+        rows["n_imgs"].append(len(picks))
+        rows["mean6"].append(round(
+            int(canvas.astype(np.int64).sum()) / canvas.size, 6))
+        rows["crc"].append(zlib.crc32(canvas.tobytes()))
+    return pa.table({
+        "cell": pa.array(rows["cell"], pa.int64()),
+        "n_imgs": pa.array(rows["n_imgs"], pa.int64()),
+        "mean6": pa.array(rows["mean6"], pa.float64()),
+        "crc": pa.array(rows["crc"], pa.int64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -1964,6 +2009,7 @@ _BUILDERS = {
     "way_rasterize": _way_rasterize_table,
     "mmr_select": _mmr_select_table,
     "way_pseudo_diameter": _way_pseudo_diameter_table,
+    "cell_image_mosaic": _cell_image_mosaic_table,
 }
 
 
