@@ -1755,6 +1755,26 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # lag-1 autocorrelation of per-type daily counts over the global
+    # span (missing days 0); 6dp absorbs streaming-corr float diffs
+    q["events_autocorr"] = f"""
+        WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        days AS (SELECT unnest(range((SELECT lo FROM r),
+                                     (SELECT hi FROM r) + 1)) AS day),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        g AS (SELECT ty.event_type, days.day, COALESCE(e.c, 0) AS c
+              FROM ty CROSS JOIN days
+              LEFT JOIN e ON e.event_type = ty.event_type
+                         AND e.day = days.day),
+        l AS (SELECT event_type, c, lag(c) OVER
+                (PARTITION BY event_type ORDER BY day) AS pc FROM g)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               {sql_round('corr(c, pc)', 6)} AS r1_6
+        FROM l WHERE pc IS NOT NULL GROUP BY 1"""
+
     # exact sliding-window peak: the quadratic self-join is the honest
     # independent plan (engine is searchsorted); inclusive both ends
     q["events_peak_rate"] = """

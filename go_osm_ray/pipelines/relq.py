@@ -4401,3 +4401,68 @@ def events_burstiness(events: ray.data.Dataset, nd: int = 6,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_partition, batch_format="pyarrow"))
+
+
+def events_autocorr(events: ray.data.Dataset, nd: int = 6,
+                    num_parts: int = 8) -> ray.data.Dataset:
+    """(event_type, n_pairs, r1_6): lag-1 autocorrelation of each
+    type's DAILY event-count series over the global calendar span
+    (absent days count 0) — the seasonality/trend-memory screen.
+
+    Scale plan: one combiner exchange collapses events to (type, day)
+    integer counts — bounded by types x days, never events — and the
+    single bounded final task densifies each type over the global
+    [min_day, max_day] range and evaluates the textbook correlation
+    from EXACT int64 moment sums (counts are integers), so the only
+    float is the last ratio; 6 dp absorbs DuckDB corr()'s streaming
+    accumulation."""
+    from ..relational import partial_groupby_agg, single_merge
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        g = pa.table({"event_type": t["event_type"].combine_chunks(),
+                      "day": pa.array(ts // 86_400_000_000),
+                      "n": pa.array(np.ones(len(ts), np.int64))}) \
+            .group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    counts = partial_groupby_agg(
+        events.select_columns(["event_type", "ts"])
+        .map_batches(day_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["event_type", "day"], [("n", "sum")], num_parts=num_parts)
+
+    def final(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t["event_type"].combine_chunks().to_pylist(),
+                        dtype=object)
+        day = t["day"].combine_chunks().to_numpy()
+        n = t["n_sum"].combine_chunks().to_numpy()
+        if not len(day):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "r1_6": pa.array([], pa.float64())})
+        lo, hi = int(day.min()), int(day.max())
+        m = hi - lo + 1
+        out_t, out_n, out_r = [], [], []
+        for tv in sorted(set(ty)):
+            x = np.zeros(m, np.int64)
+            sel = ty == tv
+            x[day[sel] - lo] = n[sel]
+            a, b = x[:-1], x[1:]
+            npairs = m - 1
+            sa, sb = int(a.sum()), int(b.sum())
+            saa = int((a * a).sum())
+            sbb = int((b * b).sum())
+            sab = int((a * b).sum())
+            num = npairs * sab - sa * sb
+            den = (npairs * saa - sa * sa) * (npairs * sbb - sb * sb)
+            r = num / np.sqrt(float(den)) if den > 0 else 0.0
+            out_t.append(tv)
+            out_n.append(npairs)
+            out_r.append(float(round_half_away(np.float64(r), nd)))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "n_pairs": pa.array(out_n, pa.int64()),
+                         "r1_6": pa.array(out_r, pa.float64())})
+
+    return single_merge(counts, final)
