@@ -931,3 +931,45 @@ def cell_image_mosaic(images: ray.data.Dataset, res: int = 7,
             .groupby("part")
             .map_groups(lambda t: merge(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
+
+
+class TranscodeQnt5:
+    """Actor-pool stage: decode -> re-encode to the 5-bit quantized
+    codec -> round-trip decode; emits the compression outcome per
+    image (output size, exact byte-shrink ratio, round-trip PSNR).
+    The format-migration / storage-planning pass of an image corpus:
+    all state-free codec work, batched in the pool so the byte blobs
+    never cross an exchange."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        rows = {"image_id": [], "fmt": [], "in_bytes": [],
+                "out_bytes": [], "psnr6": []}
+        for iid, f, b in zip(ids, fmts, blobs):
+            px = codecs.decode(b, f)
+            out = codecs.encode(px, "qnt5")
+            rt = codecs.decode(out, "qnt5")
+            p = codecs.psnr(px, rt)
+            rows["image_id"].append(iid)
+            rows["fmt"].append(f)
+            rows["in_bytes"].append(len(b))
+            rows["out_bytes"].append(len(out))
+            rows["psnr6"].append(round(min(p, 999.0), 6))
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "in_bytes": pa.array(rows["in_bytes"], pa.int64()),
+            "out_bytes": pa.array(rows["out_bytes"], pa.int64()),
+            "psnr6": pa.array(rows["psnr6"], pa.float64())})
+
+
+def image_transcode(images: ray.data.Dataset, concurrency=None,
+                    batch_size: int = 512) -> ray.data.Dataset:
+    """(image_id, fmt, in_bytes, out_bytes, psnr6): qnt5 migration
+    outcome per image — see TranscodeQnt5."""
+    from ..util import default_pool
+    return images.map_batches(TranscodeQnt5, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool())

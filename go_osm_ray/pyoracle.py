@@ -1965,6 +1965,33 @@ def _cell_image_mosaic_table(sf: float, res: int = 7, k: int = 4,
         "crc": pa.array(rows["crc"], pa.int64())})
 
 
+def _image_transcode_table(sf: float) -> pa.Table:
+    """Scalar reference for image_transcode: per-row decode -> qnt5
+    encode -> decode loop straight off the parquet — shares only the
+    codec primitives; exercises the actor pool, batching and id
+    alignment around them."""
+    from . import codecs
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    rows = {"image_id": [], "fmt": [], "in_bytes": [], "out_bytes": [],
+            "psnr6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        px = codecs.decode(b, f)
+        out = codecs.encode(px, "qnt5")
+        rt = codecs.decode(out, "qnt5")
+        rows["image_id"].append(iid)
+        rows["fmt"].append(f)
+        rows["in_bytes"].append(len(b))
+        rows["out_bytes"].append(len(out))
+        rows["psnr6"].append(round(min(codecs.psnr(px, rt), 999.0), 6))
+    return pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+        "in_bytes": pa.array(rows["in_bytes"], pa.int64()),
+        "out_bytes": pa.array(rows["out_bytes"], pa.int64()),
+        "psnr6": pa.array(rows["psnr6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2010,6 +2037,7 @@ _BUILDERS = {
     "mmr_select": _mmr_select_table,
     "way_pseudo_diameter": _way_pseudo_diameter_table,
     "cell_image_mosaic": _cell_image_mosaic_table,
+    "image_transcode": _image_transcode_table,
 }
 
 
