@@ -296,6 +296,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # street-grid orientation histogram: lead-window segment mirror of
     # the way-hash adjacent-pair kernel; identical bearing term order
     # (atan2(dlon * cos(mid_lat), dlat), fmod-folded to [0, 180))
+    # per-way turn stats: lag of the directed bearing per way, folded
+    # to (-180, 180]; 6dp absorbs group-sum order
+    q["way_turn_stats"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq
+                     FROM {ways}),
+        p AS (SELECT e.way_id, e.seq, n.lon AS x, n.lat AS y
+              FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, seq, x, y, lead(x) OVER w AS x2,
+                       lead(y) OVER w AS y2
+                FROM p WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        th AS (SELECT way_id, seq,
+                      degrees(atan2((x2 - x)
+                                    * cos(radians((y + y2) / 2.0)),
+                                    y2 - y)) AS theta
+               FROM seg WHERE x2 IS NOT NULL),
+        tn AS (SELECT way_id,
+                      abs(fmod(fmod(theta - lag(theta) OVER
+                            (PARTITION BY way_id ORDER BY seq), 360.0)
+                            + 540.0, 360.0) - 180.0) AS turn
+               FROM th)
+        SELECT way_id, CAST(count(*) AS BIGINT) AS n_turns,
+               {sql_round('SUM(turn)', 6)} AS total_turn6,
+               {sql_round('MAX(turn)', 6)} AS max_turn6
+        FROM tn WHERE turn IS NOT NULL GROUP BY 1"""
+
     q["way_bearings"] = f"""
         WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
                             generate_subscripts(refs, 1) AS seq

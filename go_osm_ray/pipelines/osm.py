@@ -2666,3 +2666,66 @@ def osm_tag_cooccurrence(ways: ray.data.Dataset, n_ways: int,
             "pmi6": pa.array(round_half_away(val, nd), pa.float64())})
 
     return pairs.map_batches(pmi, batch_format="pyarrow")
+
+
+def way_turn_stats(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                   nd: int = 6,
+                   num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, n_turns, total_turn6, max_turn6): per-way curvature —
+    at every interior vertex the DIRECTED equirectangular bearing
+    change between the incoming and outgoing segment, folded to
+    (-180, 180], absolute-summed and maxed.  The route-geometry
+    quality screen (switchback detection, digitization-zigzag
+    flagging) on top of the way model.
+
+    Scale plan: the way_bearings skeleton — broadcast node lookup, ONE
+    way-hash exchange, per-partition vectorized kernel (adjacent
+    segment pairs via two shifted masks, no per-way loop); bearings
+    and the fmod fold run the exact SQL term order so turns agree to
+    the 6 dp round."""
+    from ..relational import hash_part
+
+    pts = join_refs_to_coords(ways, nodes)
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(w, num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        w = t["way_id"].combine_chunks().to_numpy()
+        pos = t["pos"].combine_chunks().to_numpy()
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        order = np.lexsort((pos, w))
+        w, lon, lat = w[order], lon[order], lat[order]
+        same = w[:-1] == w[1:] if len(w) > 1 else np.empty(0, bool)
+        dx = (lon[1:] - lon[:-1]) \
+            * np.cos(np.radians((lat[:-1] + lat[1:]) / 2.0))
+        theta = np.degrees(np.arctan2(dx, lat[1:] - lat[:-1]))
+        # interior vertices: segment i and i+1 both within one way
+        inner = same[:-1] & same[1:] if len(same) > 1 \
+            else np.empty(0, bool)
+        d = theta[1:][inner] - theta[:-1][inner]
+        turn = np.abs(np.fmod(np.fmod(d, 360.0) + 540.0, 360.0) - 180.0)
+        wway = w[1:-1][inner] if len(w) > 2 else np.empty(0, np.int64)
+        if not len(wway):
+            return pa.table({"way_id": pa.array([], pa.int64()),
+                             "n_turns": pa.array([], pa.int64()),
+                             "total_turn6": pa.array([], pa.float64()),
+                             "max_turn6": pa.array([], pa.float64())})
+        starts = np.flatnonzero(np.r_[True, wway[1:] != wway[:-1]])
+        n = np.diff(np.r_[starts, len(wway)])
+        tot = np.add.reduceat(turn, starts)
+        mx = np.maximum.reduceat(turn, starts)
+        return pa.table({
+            "way_id": pa.array(wway[starts]),
+            "n_turns": pa.array(n.astype(np.int64)),
+            "total_turn6": pa.array(round_half_away(tot, nd),
+                                    pa.float64()),
+            "max_turn6": pa.array(round_half_away(mx, nd),
+                                  pa.float64())})
+
+    return (pts.map_batches(pre, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                        batch_format="pyarrow"))
