@@ -176,3 +176,97 @@ def test_keyword_extract_rank_contract(ray_session):
         assert (np.diff(g.score6) <= 1e-12).all()
     assert out[out.doc_id == 1].iloc[0].term == "zebra"
     assert out[out.doc_id == 3].iloc[0].term == "banana"
+
+
+def test_way_turn_stats_geometry(ray_session):
+    """Collinear way turns 0; an L-shaped way turns ~90 at its corner
+    (equirectangular at lat 0 is exact there)."""
+    from go_osm_ray.pipelines.osm import way_turn_stats
+    coords = {1: (0.0, 0.0), 2: (0.01, 0.0), 3: (0.02, 0.0),
+              4: (0.02, 0.01)}
+    ways, nodes = _mk_ways({10: [1, 2, 3], 20: [1, 2, 4]}, coords)
+    out = way_turn_stats(ways, nodes).to_pandas().set_index("way_id")
+    assert out.loc[10].total_turn6 == 0.0
+    assert int(out.loc[10].n_turns) == 1
+    assert 40.0 < out.loc[20].total_turn6 < 90.0  # bends toward node 4
+
+
+def test_way_pseudo_diameter_chain(ray_session):
+    """Three ways chained by shared endpoints: one component of 3 ways
+    with pseudo-diameter exactly 2; an isolated way reports 0."""
+    from go_osm_ray.pipelines.osm import way_pseudo_diameter
+    refs = {10: [1, 2], 20: [2, 3], 30: [3, 4], 40: [7, 8]}
+    coords = {i: (float(i) / 100, 0.0) for i in range(1, 9)}
+    ways, _ = _mk_ways(refs, coords)
+    out = way_pseudo_diameter(ways).to_pandas().set_index("component")
+    assert int(out.loc[10].n_ways) == 3
+    assert int(out.loc[10].diameter) == 2
+    assert int(out.loc[40].n_ways) == 1
+    assert int(out.loc[40].diameter) == 0
+
+
+def test_cell_image_mosaic_block_invariance(ray_session):
+    """The contact sheet is a pure function of the cell's id-sorted
+    image set — block layout must not change any crc."""
+    import __ray_entry__ as E
+    from go_osm_ray.pipelines.images import cell_image_mosaic
+    ds = E._read_gen("/root/testdata/sf0.001", "images",
+                     ["image_id", "fmt", "bytes", "phash"])
+    a = cell_image_mosaic(ds).to_pandas().sort_values("cell") \
+        .reset_index(drop=True)
+    b = cell_image_mosaic(ds.repartition(7)).to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a.crc.values == b.crc.values).all()
+    assert (a.n_imgs <= 4).all()
+
+
+def test_image_transcode_bounds(ray_session):
+    """qnt5 is 5-bit lossy: round-trip PSNR must clear the usable bar
+    everywhere and byte sizes must be positive and format-consistent."""
+    import __ray_entry__ as E
+    out = E.queries()["image_transcode"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(out) == 2000
+    assert (out.psnr6 > 25.0).all()
+    assert (out.out_bytes > 0).all() and (out.in_bytes > 0).all()
+
+
+def test_osm_tag_cooccurrence_planted(ray_session):
+    """3 ways: {a,b}, {a,b}, {a} -> n_pair(a,b)=2, PMI =
+    ln(2*3/(3*2)) = 0; duplicate keys within one way count once."""
+    from go_osm_ray.pipelines.osm import osm_tag_cooccurrence
+    tag_t = pa.list_(pa.struct([("key", pa.string()),
+                                ("value", pa.string())]))
+    rows = [[{"key": "a", "value": "1"}, {"key": "b", "value": "2"},
+             {"key": "a", "value": "3"}],
+            [{"key": "a", "value": "1"}, {"key": "b", "value": "2"}],
+            [{"key": "a", "value": "9"}]]
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "tags": pa.array(rows, tag_t)}))
+    out = osm_tag_cooccurrence(ways, 3).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].k1 == "a" and out.iloc[0].k2 == "b"
+    assert int(out.iloc[0].n_pair) == 2
+    assert out.iloc[0].pmi6 == 0.0
+
+
+def test_events_autocorr_alternating(ray_session):
+    """A strict high/low alternating daily series has lag-1
+    autocorrelation -1."""
+    from go_osm_ray.pipelines.relq import events_autocorr
+    base = np.int64(1_700_000_000_000_000)
+    day = 86_400_000_000
+    rows = []
+    for d in range(10):
+        n = 3 if d % 2 == 0 else 1
+        for i in range(n):
+            rows.append(base + d * day + i)
+    t = pa.table({"event_type": pa.array(["x"] * len(rows)),
+                  "ts": pa.array(np.array(rows, np.int64)
+                                 .astype("datetime64[us]"))})
+    out = events_autocorr(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    assert int(out.iloc[0].n_pairs) == 9
+    assert abs(out.iloc[0].r1_6 + 1.0) < 0.02
