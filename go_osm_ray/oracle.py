@@ -1801,6 +1801,17 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('corr(c, pc)', 6)} AS r1_6
         FROM l WHERE pc IS NOT NULL GROUP BY 1"""
 
+    # fulfillment lag histogram: integer day arithmetic both sides
+    q["order_fulfillment_lag"] = """
+        WITH m AS (SELECT l_orderkey, max(l_shipdate) AS sd
+                   FROM lineitem GROUP BY 1)
+        SELECT o_orderpriority,
+               epoch_us(sd) // 86400000000
+                 - epoch_us(o_orderdate) // 86400000000 AS lag_days,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN m ON m.l_orderkey = o_orderkey
+        GROUP BY 1, 2"""
+
     # exact sliding-window peak: the quadratic self-join is the honest
     # independent plan (engine is searchsorted); inclusive both ends
     q["events_peak_rate"] = """

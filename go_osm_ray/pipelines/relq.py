@@ -4466,3 +4466,64 @@ def events_autocorr(events: ray.data.Dataset, nd: int = 6,
                          "r1_6": pa.array(out_r, pa.float64())})
 
     return single_merge(counts, final)
+
+
+def order_fulfillment_lag(lineitem: ray.data.Dataset,
+                          orders: ray.data.Dataset,
+                          num_partitions: int = 8,
+                          num_parts: int = 32) -> ray.data.Dataset:
+    """(o_orderpriority, lag_days, n_orders): fulfillment-lag
+    distribution — per order, the whole-day gap between order date and
+    its LAST lineitem shipment, histogrammed by priority.  The
+    logistics SLA panel.  All integer day arithmetic (epoch floor
+    division), so the histogram is exact.
+
+    Scale plan: lineitem collapses to one (orderkey, max shipdate) row
+    per key BEFORE the join (block combiner + bounded exchange, the
+    q4 shape); the join ships one row per order; the histogram is a
+    (priority x lag) bounded combine."""
+    from ..relational import partial_groupby_agg
+
+    def li_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "sd": pa.array(t["l_shipdate"].combine_chunks().to_numpy()
+                           .astype(np.int64))})
+
+    li = partial_groupby_agg(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_sd, batch_format="pyarrow", batch_size=65536),
+        ["l_orderkey"], [("sd", "max")])
+
+    def ord_pre(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "od": pa.array(od),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    ords = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(ord_pre, batch_format="pyarrow")
+    j = ords.join(li, join_type="inner", num_partitions=num_partitions,
+                  on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        sd = t["sd_max"].combine_chunks().to_numpy()
+        od = t["od"].combine_chunks().to_numpy()
+        lag = sd // 86_400_000_000 - od // 86_400_000_000
+        g = pa.table({"o_orderpriority":
+                      t["o_orderpriority"].combine_chunks(),
+                      "lag_days": pa.array(lag),
+                      "n": pa.array(np.ones(len(lag), np.int64))}) \
+            .group_by(["o_orderpriority", "lag_days"]) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["o_orderpriority", "lag_days", "n"])
+
+    g = partial_groupby_agg(
+        j.map_batches(lag_partial, batch_format="pyarrow"),
+        ["o_orderpriority", "lag_days"], [("n", "sum")],
+        num_parts=num_parts)
+    return g.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "lag_days",
+                                    "n_orders"]),
+        batch_format="pyarrow")
