@@ -489,3 +489,87 @@ def mmr_select(embeddings: ray.data.Dataset, queries_ref: "ray.ObjectRef",
                                    batch_size=batch_size)
             .groupby("query_id")
             .map_groups(mmr, batch_format="pyarrow"))
+
+
+def embed_hard_negatives(embeddings: ray.data.Dataset,
+                         queries_ref: "ray.ObjectRef", nd: int = 6,
+                         batch_size: int = 4096) -> ray.data.Dataset:
+    """(query_id, pos_id, neg_id, pos6, neg6, margin6): triplet mining
+    — for every broadcast labeled query, the most-similar SAME-label
+    candidate (positive) and the most-similar DIFFERENT-label
+    candidate (hard negative), with the cosine margin between them.
+    The contrastive-training batch-construction primitive.
+
+    Scale plan: per-batch partials emit at most TWO rows per query
+    (local best positive / best negative — an argmax is mergeable),
+    one tiny groupby per query finishes; ties break by vec_id ASC.
+    Identical normalization/matmul conventions as ann_topk so the
+    single-matrix pyoracle is bit-comparable."""
+    state: dict = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "qm" not in state:
+            q: pa.Table = ray.get(queries_ref)
+            state["qid"] = q["vec_id"].to_numpy()
+            state["qlab"] = q["label"].to_numpy()
+            qm = np.stack(q["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            state["qm"] = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qid, qlab, qm = state["qid"], state["qlab"], state["qm"]
+        emb = _stack(t, "embedding")
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        vids = t["vec_id"].combine_chunks().to_numpy()
+        labs = t["label"].combine_chunks().to_numpy()
+        sims = emb @ qm.T
+        out_q, out_p, out_v, out_s = [], [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            for is_pos in (True, False):
+                m = labs == qlab[qi] if is_pos else labs != qlab[qi]
+                if not m.any():
+                    continue
+                sub = np.flatnonzero(m)
+                best = sub[np.lexsort((vids[sub], -col[sub]))[0]]
+                out_q.append(int(qid[qi]))
+                out_p.append(is_pos)
+                out_v.append(int(vids[best]))
+                out_s.append(float(col[best]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "is_pos": pa.array(out_p, pa.bool_()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        qid = int(t["query_id"][0].as_py())
+        isp = t["is_pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].combine_chunks().to_numpy()
+        sim = t["sim"].combine_chunks().to_numpy()
+        row = {}
+        for flag in (True, False):
+            m = isp == flag
+            if not m.any():
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "pos_id": pa.array([], pa.int64()),
+                                 "neg_id": pa.array([], pa.int64()),
+                                 "pos6": pa.array([], pa.float64()),
+                                 "neg6": pa.array([], pa.float64()),
+                                 "margin6": pa.array([], pa.float64())})
+            sub = np.flatnonzero(m)
+            best = sub[np.lexsort((vid[sub], -sim[sub]))[0]]
+            row[flag] = (int(vid[best]), float(sim[best]))
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "pos_id": pa.array([row[True][0]], pa.int64()),
+            "neg_id": pa.array([row[False][0]], pa.int64()),
+            "pos6": pa.array([float(round_half_away(
+                np.float64(row[True][1]), nd))], pa.float64()),
+            "neg6": pa.array([float(round_half_away(
+                np.float64(row[False][1]), nd))], pa.float64()),
+            "margin6": pa.array([float(round_half_away(
+                np.float64(row[True][1] - row[False][1]), nd))],
+                pa.float64())})
+
+    return (embeddings.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=batch_size)
+            .groupby("query_id")
+            .map_groups(finish, batch_format="pyarrow"))

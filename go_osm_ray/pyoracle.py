@@ -1992,6 +1992,49 @@ def _image_transcode_table(sf: float) -> pa.Table:
         "psnr6": pa.array(rows["psnr6"], pa.float64())})
 
 
+def _embed_hard_negatives_table(sf: float) -> pa.Table:
+    """Single-matrix reference for embed_hard_negatives: full-corpus
+    cosine per query, scalar argmax per label class (ties vec_id
+    ASC)."""
+    from .oracle import ANN_QUERY_MAX_ID
+    from .util import round_half_away
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding", "label"])
+    vid = t["vec_id"].to_numpy()
+    lab = t["label"].to_numpy()
+    X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    isq = vid < ANN_QUERY_MAX_ID
+    rows = {"query_id": [], "pos_id": [], "neg_id": [], "pos6": [],
+            "neg6": [], "margin6": []}
+    for qi in np.flatnonzero(isq):
+        sims = X[~isq] @ X[qi]
+        cv, cl = vid[~isq], lab[~isq]
+        picks = {}
+        for flag in (True, False):
+            m = cl == lab[qi] if flag else cl != lab[qi]
+            sub = np.flatnonzero(m)
+            best = sub[np.lexsort((cv[sub], -sims[sub]))[0]]
+            picks[flag] = (int(cv[best]), float(sims[best]))
+        rows["query_id"].append(int(vid[qi]))
+        rows["pos_id"].append(picks[True][0])
+        rows["neg_id"].append(picks[False][0])
+        rows["pos6"].append(float(round_half_away(
+            np.float64(picks[True][1]), 6)))
+        rows["neg6"].append(float(round_half_away(
+            np.float64(picks[False][1]), 6)))
+        rows["margin6"].append(float(round_half_away(
+            np.float64(picks[True][1] - picks[False][1]), 6)))
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "pos_id": pa.array(rows["pos_id"], pa.int64()),
+        "neg_id": pa.array(rows["neg_id"], pa.int64()),
+        "pos6": pa.array(rows["pos6"], pa.float64()),
+        "neg6": pa.array(rows["neg6"], pa.float64()),
+        "margin6": pa.array(rows["margin6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2038,6 +2081,7 @@ _BUILDERS = {
     "way_pseudo_diameter": _way_pseudo_diameter_table,
     "cell_image_mosaic": _cell_image_mosaic_table,
     "image_transcode": _image_transcode_table,
+    "embed_hard_negatives": _embed_hard_negatives_table,
 }
 
 
