@@ -1812,6 +1812,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
         FROM orders JOIN m ON m.l_orderkey = o_orderkey
         GROUP BY 1, 2"""
 
+    # per-user transition entropy; 6dp absorbs float sum order
+    q["user_transition_entropy"] = f"""
+        WITH s AS (SELECT user_id, event_type, lead(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                   FROM events),
+        p AS (SELECT user_id, event_type, nxt, count(*) AS c
+              FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+        n AS (SELECT user_id, SUM(c) AS n FROM p GROUP BY 1)
+        SELECT p.user_id, CAST(max(n.n) AS BIGINT) AS n_trans,
+               {sql_round('-SUM((CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n))', 6)}
+                   AS h6
+        FROM p JOIN n USING (user_id) GROUP BY 1"""
+
     # exact sliding-window peak: the quadratic self-join is the honest
     # independent plan (engine is searchsorted); inclusive both ends
     q["events_peak_rate"] = """

@@ -4527,3 +4527,59 @@ def order_fulfillment_lag(lineitem: ray.data.Dataset,
         lambda t: t.rename_columns(["o_orderpriority", "lag_days",
                                     "n_orders"]),
         batch_format="pyarrow")
+
+
+def user_transition_entropy(events: ray.data.Dataset, nd: int = 6,
+                            num_parts: int = 16) -> ray.data.Dataset:
+    """(user_id, n_trans, h6): Shannon entropy (nats) of each user's
+    event-type TRANSITION distribution, ordered by (ts, event_id) —
+    the per-user behavioral-predictability feature (bots repeat one
+    transition, H -> 0; erratic users approach ln(K^2)).
+
+    Scale plan: ONE user-hash exchange; the kernel factorizes types
+    once per partition, builds composite (user, from, to) keys, counts
+    via np.unique and folds each user's -sum(p ln p) with reduceat —
+    no per-user loop, no second exchange."""
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(uid, num_parts)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ty = np.asarray(t["event_type"].combine_chunks().to_pylist(),
+                        dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u, ty = uid[order], ty[order]
+        same = np.r_[False, u[1:] == u[:-1]] if len(u) else \
+            np.empty(0, bool)
+        src = ty[:-1][same[1:]] if len(u) > 1 else ty[:0]
+        dst = ty[1:][same[1:]] if len(u) > 1 else ty[:0]
+        tu = u[1:][same[1:]] if len(u) > 1 else u[:0]
+        if not len(tu):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_trans": pa.array([], pa.int64()),
+                             "h6": pa.array([], pa.float64())})
+        _, codes = np.unique(np.concatenate([src, dst]),
+                             return_inverse=True)
+        k = np.int64(codes.max()) + 1
+        pair = codes[:len(src)] * k + codes[len(src):]
+        key = tu * (k * k) + pair
+        ukey, c = np.unique(key, return_counts=True)
+        kuser = ukey // (k * k)
+        starts = np.flatnonzero(np.r_[True, kuser[1:] != kuser[:-1]])
+        n = np.add.reduceat(c, starts).astype(np.float64)
+        p = c / np.repeat(n, np.diff(np.r_[starts, len(kuser)]))
+        h = -np.add.reduceat(p * np.log(p), starts)
+        return pa.table({
+            "user_id": pa.array(kuser[starts]),
+            "n_trans": pa.array(n.astype(np.int64)),
+            "h6": pa.array(round_half_away(h, nd), pa.float64())})
+
+    return (events.select_columns(["user_id", "event_id", "ts",
+                                   "event_type"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_partition, batch_format="pyarrow"))
