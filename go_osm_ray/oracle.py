@@ -2144,6 +2144,22 @@ def build(sf: float = 0.01) -> dict[str, str]:
 
     # bigram PMI collocations: unnest-window mirror of the bigram-hash
     # exchange; identical (n * total) / (n1 * n2) term order before ln
+    # per-doc shingle novelty: min-owner fold, integer counts exact
+    q["doc_novelty"] = f"""
+        WITH toks AS (SELECT doc_id, {split_toks} AS tk FROM documents),
+        tg AS (SELECT DISTINCT doc_id,
+                      tk[u.i] || ' ' || tk[u.i + 1] || ' ' || tk[u.i + 2]
+                        AS s
+               FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)),
+        own AS (SELECT s, min(doc_id) AS doc_id FROM tg GROUP BY 1),
+        tot AS (SELECT doc_id, count(*) AS n_sh FROM tg GROUP BY 1),
+        nov AS (SELECT doc_id, count(*) AS n_novel FROM own GROUP BY 1)
+        SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_shingles,
+               CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+               {sql_round('COALESCE(nov.n_novel, 0) / CAST(t.n_sh AS DOUBLE)', 6)}
+                   AS novelty6
+        FROM tot t LEFT JOIN nov USING (doc_id)"""
+
     q["collocations"] = f"""
         WITH toks AS (SELECT {split_toks} AS tk FROM documents),
         bg AS (SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2

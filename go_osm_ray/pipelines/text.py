@@ -1802,3 +1802,99 @@ def neardup_eval(docs: ray.data.Dataset, threshold: float = 0.5,
         .union(truth.map_batches(tag(False), batch_format="pyarrow")
                .materialize())
     return single_merge(both, merge)
+
+
+def doc_novelty(docs: ray.data.Dataset, k: int = 3, nd: int = 6,
+                num_parts: int = 16) -> ray.data.Dataset:
+    """(doc_id, n_shingles, n_novel, novelty6): per-document novelty —
+    the fraction of the doc's DISTINCT word ``k``-gram shingles whose
+    global FIRST OWNER (minimum doc_id over the corpus) is the doc
+    itself.  The dedup-adjacent freshness profile: boilerplate scores
+    near 0, genuinely new text near 1.  Docs with fewer than ``k``
+    tokens emit nothing (no shingles).
+
+    Scale plan: per-batch kernels emit each doc's distinct shingles
+    (vectorized lexsort dedup) plus a per-doc total row; ONE
+    shingle-hash exchange finds each shingle's min owner wholly inside
+    a partition and collapses to (owner, novel-count) partials; totals
+    and novel counts then merge through one bounded per-doc combiner
+    as two columns of the same union — two exchanges total, both
+    keyed, nothing corpus-sized on the driver."""
+    import pandas as pd
+
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+
+    def shingles(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        n_sh_raw = np.maximum(counts - (k - 1), 0)
+        doc_rep = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            n_sh_raw)
+        if not len(doc_rep):
+            return doc_rep, np.empty(0, dtype=object)
+        # flat positions of each shingle's first token
+        starts = np.cumsum(counts) - counts
+        base = np.repeat(starts, n_sh_raw) + (
+            np.arange(len(doc_rep), dtype=np.int64)
+            - np.repeat(np.cumsum(n_sh_raw) - n_sh_raw, n_sh_raw))
+        s = pd.Series(toks[base])
+        for j in range(1, k):
+            s = s + " " + pd.Series(toks[base + j])
+        sv = s.to_numpy(dtype=object)
+        order = np.lexsort((sv, doc_rep))
+        doc_rep, sv = doc_rep[order], sv[order]
+        keep = np.r_[True, (doc_rep[1:] != doc_rep[:-1])
+                     | (sv[1:] != sv[:-1])]
+        return doc_rep[keep], sv[keep]
+
+    def stage1(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        doc_rep, sv = shingles(t)
+        part = _crc32_map(sv) % np.uint32(num_parts) if len(sv) \
+            else np.empty(0, np.uint32)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_rep]),
+            "s": pa.array(sv.astype(str) if len(sv) else [],
+                          pa.string()),
+            "part": pa.array(part.astype(np.int64))})
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        doc_rep, _ = shingles(t)
+        u, c = np.unique(doc_rep, return_counts=True)
+        return pa.table({"doc_id": pa.array(ids[u]),
+                         "n_sh": pa.array(c.astype(np.int64)),
+                         "n_novel": pa.array(np.zeros(len(u), np.int64))})
+
+    def owners(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().to_numpy()
+        sv = np.asarray(t["s"].combine_chunks().to_pylist(), dtype=object)
+        order = np.lexsort((d, sv))
+        d, sv = d[order], sv[order]
+        first = np.r_[True, sv[1:] != sv[:-1]] if len(sv) else \
+            np.empty(0, bool)
+        u, c = np.unique(d[first], return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "n_sh": pa.array(np.zeros(len(u), np.int64)),
+                         "n_novel": pa.array(c.astype(np.int64))})
+
+    novel = (docs.map_batches(stage1, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(lambda t: owners(t.drop_columns(["part"])),
+                         batch_format="pyarrow"))
+    tot = docs.map_batches(totals, batch_format="pyarrow")
+    g = partial_groupby_agg(novel.union(tot), ["doc_id"],
+                            [("n_sh", "sum"), ("n_novel", "sum")],
+                            num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_sh = t["n_sh_sum"].combine_chunks().to_numpy()
+        n_nov = t["n_novel_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "n_shingles": pa.array(n_sh.astype(np.int64)),
+            "n_novel": pa.array(n_nov.astype(np.int64)),
+            "novelty6": pa.array(round_half_away(
+                n_nov / n_sh.astype(np.float64), nd), pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")
