@@ -788,6 +788,40 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('CAST(sum(n) AS DOUBLE) / count(*)', 6)} AS mean6
         FROM hits GROUP BY feature_id"""
 
+    # zonal majority: same hits CTE, exact log2 magnitude buckets,
+    # row_number argmax (count DESC, bucket ASC)
+    q["zonal_majority"] = f"""
+        WITH {_pts_cte(images)},
+        g AS (SELECT {tiles.sql_tile_x('lon', ZONAL_Z + 8)} AS gx,
+                     {tiles.sql_tile_y('lat', ZONAL_Z + 8)} AS gy FROM pts),
+        c AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n
+              FROM g GROUP BY gx, gy),
+        ctr AS (SELECT gx, gy, n,
+                       ((gx + 0.5) / {_zn!r} * 360.0 - 180.0) AS clon,
+                       degrees(atan((exp({_zv}) - exp(-{_zv})) / 2.0)) AS clat
+                FROM c),
+        {poly_edges},
+        hits AS (
+          SELECT ctr.gx, ctr.gy, ctr.n, e.feature_id
+          FROM ctr, e2 e
+          WHERE ((e.y1 > ctr.clat) <> (e.y2 > ctr.clat))
+            AND (ctr.clon < (e.x2 - e.x1) * (ctr.clat - e.y1)
+                            / (e.y2 - e.y1) + e.x1)
+          GROUP BY ctr.gx, ctr.gy, ctr.n, e.feature_id
+          HAVING count(*) % 2 = 1),
+        b AS (SELECT feature_id, length(printf('%b', n)) - 1 AS bucket
+              FROM hits),
+        bc AS (SELECT feature_id, bucket, count(*) AS c
+               FROM b GROUP BY 1, 2),
+        r AS (SELECT feature_id, bucket, c,
+                     row_number() OVER (PARTITION BY feature_id
+                                        ORDER BY c DESC, bucket) AS rk,
+                     count(*) OVER (PARTITION BY feature_id) AS nb
+              FROM bc)
+        SELECT feature_id, CAST(bucket AS BIGINT) AS maj_bucket,
+               CAST(c AS BIGINT) AS maj_n, CAST(nb AS BIGINT) AS n_buckets
+        FROM r WHERE rk = 1"""
+
     # osm_apply_diff: CDC changeset merge — the synthetic delta recipe
     # (pipelines/osm.make_node_diff) mirrored 1:1, survivor = max
     # version per id, delete ids removed

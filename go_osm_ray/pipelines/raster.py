@@ -836,3 +836,82 @@ def way_rasterize(ways: ray.data.Dataset, nodes: ray.data.Dataset,
             .groupby("part")
             .map_groups(lambda t: merge(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
+
+
+def zonal_majority(raster: ray.data.Dataset, index_ref,
+                   z: int, grid: int,
+                   concurrency: int | tuple[int, int] | None = None,
+                   num_parts: int = 8,
+                   batch_size: int = 8192) -> ray.data.Dataset:
+    """(feature_id, maj_bucket, maj_n, n_buckets): zonal MAJORITY —
+    the categorical sibling of zonal_stats: every in-polygon pixel's
+    count value folds to its exact floor(log2) magnitude bucket and
+    each feature reports the most frequent bucket (ties lowest).  The
+    land-cover-class rollup shape, where mean/max are meaningless.
+
+    Plan: the zonal_stats actor-pool tagger emits (feature, bucket)
+    rows, one combiner exchange collapses to per-(feature, bucket)
+    counts, and one tiny feature-hash exchange (rows = features x
+    buckets present) runs the argmax — pixels never cross twice."""
+    from ..relational import hash_part, partial_groupby_agg
+    from ..util import default_pool
+
+    kbits = int(np.log2(grid))
+    nglob = float(1 << (z + kbits))
+    pow2 = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    class MajorityTagger:
+        def __init__(self, ref):
+            self.index = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gx = (t["tile_x"].combine_chunks().to_numpy()
+                  << np.int64(kbits)) \
+                | t["px"].combine_chunks().to_numpy()
+            gy = (t["tile_y"].combine_chunks().to_numpy()
+                  << np.int64(kbits)) \
+                | t["py"].combine_chunks().to_numpy()
+            lon = (gx + 0.5) / nglob * 360.0 - 180.0
+            v = np.pi * (1.0 - 2.0 * (gy + 0.5) / nglob)
+            lat = np.degrees(np.arctan((np.exp(v) - np.exp(-v)) / 2.0))
+            pi_idx, fids = self.index.query(lon, lat)
+            n = t["n"].combine_chunks().to_numpy()[pi_idx]
+            bucket = np.searchsorted(pow2, n, side="right") - 1
+            g = pa.table({"feature_id": pa.array(fids),
+                          "bucket": pa.array(bucket.astype(np.int64)),
+                          "c": pa.array(np.ones(len(fids), np.int64))}) \
+                .group_by(["feature_id", "bucket"]) \
+                .aggregate([("c", "sum")])
+            return g.rename_columns(["feature_id", "bucket", "c"])
+
+    tagged = raster.map_batches(
+        MajorityTagger, fn_constructor_args=(index_ref,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(8))
+    bc = partial_groupby_agg(tagged, ["feature_id", "bucket"],
+                             [("c", "sum")], num_parts=num_parts)
+
+    def pre(t: pa.Table) -> pa.Table:
+        f = t["feature_id"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(f, num_parts)))
+
+    def argmax(t: pa.Table) -> pa.Table:
+        f = t["feature_id"].combine_chunks().to_numpy()
+        b = t["bucket"].combine_chunks().to_numpy()
+        c = t["c_sum"].combine_chunks().to_numpy()
+        order = np.lexsort((b, -c, f))
+        f_o, b_o, c_o = f[order], b[order], c[order]
+        starts = np.flatnonzero(np.r_[True, f_o[1:] != f_o[:-1]]) \
+            if len(f_o) else np.empty(0, np.int64)
+        nb = np.diff(np.r_[starts, len(f_o)]) if len(f_o) \
+            else np.empty(0, np.int64)
+        return pa.table({
+            "feature_id": pa.array(f_o[starts]),
+            "maj_bucket": pa.array(b_o[starts].astype(np.int64)),
+            "maj_n": pa.array(c_o[starts].astype(np.int64)),
+            "n_buckets": pa.array(nb.astype(np.int64))})
+
+    return (bc.map_batches(pre, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda t: argmax(t.drop_columns(["part"])),
+                        batch_format="pyarrow"))
