@@ -1815,6 +1815,37 @@ def build(sf: float = 0.01) -> dict[str, str]:
           FROM events)
         WHERE gap_s = -1 OR gap_s >= 86400"""
 
+    # CUSUM changepoint: deviation scaled by m keeps the argmax pure
+    # int64; ties earliest day
+    q["events_cusum"] = f"""
+        WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT min(day) AS lo, max(day) AS hi FROM e),
+        days AS (SELECT unnest(range((SELECT lo FROM r),
+                                     (SELECT hi FROM r) + 1)) AS day),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        g AS (SELECT ty.event_type, days.day, COALESCE(e.c, 0) AS c
+              FROM ty CROSS JOIN days
+              LEFT JOIN e ON e.event_type = ty.event_type
+                         AND e.day = days.day),
+        w AS (SELECT event_type, day,
+                     SUM(c) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS cs,
+                     SUM(c) OVER (PARTITION BY event_type) AS tot,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS t,
+                     count(*) OVER (PARTITION BY event_type) AS m
+              FROM g),
+        s AS (SELECT event_type, day, abs(cs * m - tot * t) AS dev, m,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY abs(cs * m - tot * t)
+                                          DESC, day) AS rk
+              FROM w)
+        SELECT event_type, day AS cp_day,
+               {sql_round('CAST(dev AS DOUBLE) / m', 6)} AS cusum6
+        FROM s WHERE rk = 1"""
+
     # lag-1 autocorrelation of per-type daily counts over the global
     # span (missing days 0); 6dp absorbs streaming-corr float diffs
     q["events_autocorr"] = f"""

@@ -4583,3 +4583,61 @@ def user_transition_entropy(events: ray.data.Dataset, nd: int = 6,
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_partition, batch_format="pyarrow"))
+
+
+def events_cusum(events: ray.data.Dataset, nd: int = 6,
+                 num_parts: int = 8) -> ray.data.Dataset:
+    """(event_type, cp_day, cusum6): CUSUM changepoint scan per type —
+    over the dense daily count series, the day t maximizing
+    |cumsum(x)[t] - t * mean| (ties earliest day), with the deviation
+    reported in count units.  The level-shift detector.
+
+    Exactness: the deviation is evaluated SCALED BY m (series length):
+    dev_t = |cs_t * m - tot * t| is pure int64, so the argmax and tie
+    handling are exact on both sides; only the final report divides by
+    m.  Same bounded (type, day) combiner exchange as
+    events_autocorr."""
+    from ..relational import partial_groupby_agg, single_merge
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        g = pa.table({"event_type": t["event_type"].combine_chunks(),
+                      "day": pa.array(ts // 86_400_000_000),
+                      "n": pa.array(np.ones(len(ts), np.int64))}) \
+            .group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    counts = partial_groupby_agg(
+        events.select_columns(["event_type", "ts"])
+        .map_batches(day_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["event_type", "day"], [("n", "sum")], num_parts=num_parts)
+
+    def final(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t["event_type"].combine_chunks().to_pylist(),
+                        dtype=object)
+        day = t["day"].combine_chunks().to_numpy()
+        n = t["n_sum"].combine_chunks().to_numpy()
+        out_t, out_d, out_s = [], [], []
+        if len(day):
+            lo, hi = int(day.min()), int(day.max())
+            m = hi - lo + 1
+            for tv in sorted(set(ty)):
+                x = np.zeros(m, np.int64)
+                sel = ty == tv
+                x[day[sel] - lo] = n[sel]
+                cs = np.cumsum(x)
+                tot = int(cs[-1])
+                tt = np.arange(1, m + 1, dtype=np.int64)
+                dev = np.abs(cs * np.int64(m) - np.int64(tot) * tt)
+                best = int(np.lexsort((tt, -dev))[0])
+                out_t.append(tv)
+                out_d.append(lo + best)
+                out_s.append(float(round_half_away(
+                    np.float64(int(dev[best]) / m), nd)))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "cp_day": pa.array(out_d, pa.int64()),
+                         "cusum6": pa.array(out_s, pa.float64())})
+
+    return single_merge(counts, final)
