@@ -351,6 +351,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # connected components of ways joined by shared node refs; label
     # closure via recursive reachability (components are small by
     # construction, so the closure is cheap — embed_neardup_keep pattern)
+    # conflation closure over the frechet pyoracle pairs (the pair
+    # values themselves are gated by way_frechet); min-label reach
+    q["way_conflate"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT a, b FROM read_parquet('__EXP_WAY_FRECHET__')
+          WHERE frechet3 <= 250.0),
+        u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        reach(way_id, lbl) AS (
+          SELECT id, id FROM {ways}
+          UNION
+          SELECT u.b, r.lbl FROM reach r JOIN u ON u.a = r.way_id)
+        SELECT way_id, CAST(min(lbl) AS BIGINT) AS keeper,
+               min(lbl) <> way_id AS is_dup
+        FROM reach GROUP BY way_id"""
+
     q["way_components"] = f"""
         WITH RECURSIVE exp AS (
           SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
@@ -2401,6 +2416,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["hilbert_order"] = f"SELECT image_id, hilbert16, shard FROM read_parquet('{exp['hilbert_order']}')"
     q["detect_nms"] = f"SELECT image_id, n_kept, keep_mask FROM read_parquet('{exp['detect_nms']}')"
     q["way_frechet"] = f"SELECT a, b, frechet3 FROM read_parquet('{exp['way_frechet']}')"
+    q["way_conflate"] = q["way_conflate"].replace(
+        "__EXP_WAY_FRECHET__", exp["way_frechet"])
     q["way_rasterize"] = f"SELECT tile_x, tile_y, n_px, visits FROM read_parquet('{exp['way_rasterize']}')"
     q["mmr_select"] = f"SELECT query_id, rank, vec_id, mmr6 FROM read_parquet('{exp['mmr_select']}')"
     q["way_pseudo_diameter"] = f"SELECT component, n_ways, diameter FROM read_parquet('{exp['way_pseudo_diameter']}')"

@@ -2729,3 +2729,47 @@ def way_turn_stats(ways: ray.data.Dataset, nodes: ray.data.Dataset,
             .groupby("part")
             .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
+
+
+def way_conflate(ways: ray.data.Dataset, nodes: ray.data.Dataset,
+                 eps_m: float = 250.0,
+                 num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, keeper, is_dup): geometric CONFLATION dedup — ways
+    whose discrete Frechet distance is <= ``eps_m`` meters merge into
+    one cluster (transitive closure) and every way maps to its
+    cluster's min-id keeper.  The near-duplicate-geometry purge the
+    dedup family runs on documents, applied to the way model: a map
+    built from overlapping imports keeps one rendition per corridor.
+
+    Scale plan: candidate pairs are way_frechet's (already bounded by
+    the shared-node edge set — truly disjoint duplicate geometries
+    don't share nodes and would need a cell-bucketed candidate stage,
+    documented limitation); the filtered pair graph plus self-edges
+    runs the static-shard pointer-jumping components BSP, so the
+    closure exchanges only labels."""
+    from .text import min_label_components_static
+
+    pairs = way_frechet(ways, nodes, num_parts=num_parts)
+
+    def close_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["frechet3"], eps_m)
+        f = t.filter(keep)
+        return pa.table({"a": f["a"], "b": f["b"]})
+
+    def self_edges(t: pa.Table) -> pa.Table:
+        w = t["id"].combine_chunks()
+        return pa.table({"a": w, "b": w})
+
+    graph = pairs.map_batches(close_pairs, batch_format="pyarrow").union(
+        ways.select_columns(["id"])
+        .map_batches(self_edges, batch_format="pyarrow"))
+    comps = min_label_components_static(graph, num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t["doc_id"].combine_chunks().to_numpy()
+        lab = t["group_id"].combine_chunks().to_numpy()
+        return pa.table({"way_id": pa.array(w),
+                         "keeper": pa.array(lab),
+                         "is_dup": pa.array(lab != w)})
+
+    return comps.map_batches(finish, batch_format="pyarrow")
