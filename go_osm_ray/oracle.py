@@ -1881,6 +1881,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('corr(c, pc)', 6)} AS r1_6
         FROM l WHERE pc IS NOT NULL GROUP BY 1"""
 
+    # Benford first digit from the decimal string of integer cents —
+    # no float log10 edge on either side
+    q["lineitem_benford"] = f"""
+        WITH c AS (SELECT l_returnflag,
+                          CAST(substr(printf('%d',
+                            CAST(ROUND(l_extendedprice * 100) AS BIGINT)),
+                            1, 1) AS BIGINT) AS digit
+                   FROM lineitem),
+        g AS (SELECT l_returnflag, digit, count(*) AS n
+              FROM c GROUP BY 1, 2),
+        t AS (SELECT l_returnflag, SUM(n) AS tot FROM g GROUP BY 1)
+        SELECT g.l_returnflag, g.digit, CAST(g.n AS BIGINT) AS n,
+               {sql_round('CAST(g.n AS DOUBLE) / t.tot', 6)} AS share6
+        FROM g JOIN t USING (l_returnflag)"""
+
     # fulfillment lag histogram: integer day arithmetic both sides
     q["order_fulfillment_lag"] = """
         WITH m AS (SELECT l_orderkey, max(l_shipdate) AS sd

@@ -4641,3 +4641,56 @@ def events_cusum(events: ray.data.Dataset, nd: int = 6,
                          "cusum6": pa.array(out_s, pa.float64())})
 
     return single_merge(counts, final)
+
+
+def lineitem_benford(lineitem: ray.data.Dataset, nd: int = 6,
+                     num_parts: int = 8) -> ray.data.Dataset:
+    """(l_returnflag, digit, n, share6): Benford first-digit
+    distribution of extended prices (integer cents) per return flag —
+    the classic fraud/synthetic-data screen.  The digit is taken from
+    the DECIMAL STRING of the cents value on both sides (no log10
+    float edge at powers of ten), so counts are exact.
+
+    Scale plan: one bounded (flag x 9 digits) combiner exchange; the
+    share denominator folds per flag in the final bounded task."""
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0,
+            0).astype(np.int64)
+        ndig = np.char.str_len(cents.astype("U")).astype(np.int64)
+        first = cents // 10 ** (ndig - 1)
+        g = pa.table({"l_returnflag":
+                      t["l_returnflag"].combine_chunks(),
+                      "digit": pa.array(first.astype(np.int64)),
+                      "n": pa.array(np.ones(len(cents), np.int64))}) \
+            .group_by(["l_returnflag", "digit"]).aggregate([("n", "sum")])
+        return g.rename_columns(["l_returnflag", "digit", "n"])
+
+    g = partial_groupby_agg(
+        lineitem.select_columns(["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_returnflag", "digit"], [("n", "sum")], num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = np.asarray(t["l_returnflag"].combine_chunks().to_pylist(),
+                       dtype=object)
+        d = t["digit"].combine_chunks().to_numpy()
+        n = t["n_sum"].combine_chunks().to_numpy()
+        order = np.lexsort((d, f))
+        f, d, n = f[order], d[order], n[order]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]]) \
+            if len(f) else np.empty(0, np.int64)
+        tot = np.repeat(np.add.reduceat(n, starts),
+                        np.diff(np.r_[starts, len(f)])) if len(f) \
+            else n
+        return pa.table({
+            "l_returnflag": pa.array(f, pa.string()),
+            "digit": pa.array(d.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n / tot.astype(np.float64), nd), pa.float64())})
+
+    return single_merge(g, finish)
