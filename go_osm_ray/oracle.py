@@ -2439,6 +2439,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["cell_image_mosaic"] = f"SELECT cell, n_imgs, mean6, crc FROM read_parquet('{exp['cell_image_mosaic']}')"
     q["image_transcode"] = f"SELECT image_id, fmt, in_bytes, out_bytes, psnr6 FROM read_parquet('{exp['image_transcode']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
+    q["events_markov_stationary"] = f"SELECT event_type, pi6 FROM read_parquet('{exp['events_markov_stationary']}')"
     q["way_mst"] = f"SELECT component, n_ways, n_edges, total_w FROM read_parquet('{exp['way_mst']}')"
     q["minhash_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['minhash_pairs']}')"
     q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"

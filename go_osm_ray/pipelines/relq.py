@@ -4694,3 +4694,76 @@ def lineitem_benford(lineitem: ray.data.Dataset, nd: int = 6,
                 n / tot.astype(np.float64), nd), pa.float64())})
 
     return single_merge(g, finish)
+
+
+MARKOV_ITERS = 64
+
+
+def events_markov_stationary(events: ray.data.Dataset,
+                             iters: int = MARKOV_ITERS, nd: int = 6,
+                             num_parts: int = 8) -> ray.data.Dataset:
+    """(event_type, pi6): stationary distribution of the event-type
+    Markov chain — per-user (ts, event_id)-ordered transitions counted
+    once, the row-normalized K x K matrix power-iterated ``iters``
+    times from uniform.  The long-run traffic-mix forecast.
+
+    Scale plan: transitions collapse to a K^2-bounded combiner
+    exchange (K event types); the iteration runs on the driver-free
+    single bounded task over a 5x5 matrix.  Types with no outgoing
+    transitions hold their mass (self-loop), keeping the matrix
+    stochastic."""
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    def trans_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        ty = np.asarray(t["event_type"].combine_chunks().to_pylist(),
+                        dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        u, ty = uid[order], ty[order]
+        same = u[1:] == u[:-1] if len(u) > 1 else np.empty(0, bool)
+        g = pa.table({"src": pa.array(ty[:-1][same].astype(str)),
+                      "dst": pa.array(ty[1:][same].astype(str)),
+                      "n": pa.array(np.ones(int(same.sum()), np.int64))})
+        g = g.group_by(["src", "dst"]).aggregate([("n", "sum")])
+        return g.rename_columns(["src", "dst", "n"])
+
+    counts = partial_groupby_agg(
+        events.select_columns(["user_id", "event_id", "ts",
+                               "event_type"])
+        .map_batches(trans_partial, batch_format="pyarrow",
+                     batch_size=65536),
+        ["src", "dst"], [("n", "sum")], num_parts=num_parts)
+
+    def final(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].combine_chunks().to_pylist(),
+                         dtype=object)
+        dst = np.asarray(t["dst"].combine_chunks().to_pylist(),
+                         dtype=object)
+        n = t["n_sum"].combine_chunks().to_numpy().astype(np.float64)
+        types = sorted(set(src) | set(dst))
+        k = len(types)
+        if not k:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "pi6": pa.array([], pa.float64())})
+        idx = {ty: i for i, ty in enumerate(types)}
+        P = np.zeros((k, k))
+        for s, d, c in zip(src, dst, n):
+            P[idx[s], idx[d]] = c
+        rs = P.sum(axis=1)
+        for i in range(k):
+            if rs[i] > 0:
+                P[i] /= rs[i]
+            else:
+                P[i, i] = 1.0
+        pi = np.full(k, 1.0 / k)
+        for _ in range(iters):
+            pi = pi @ P
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "pi6": pa.array(round_half_away(pi, nd), pa.float64())})
+
+    return single_merge(counts, final)

@@ -2035,6 +2035,49 @@ def _embed_hard_negatives_table(sf: float) -> pa.Table:
         "margin6": pa.array(rows["margin6"], pa.float64())})
 
 
+def _events_markov_table(sf: float) -> pa.Table:
+    """Scalar reference for events_markov_stationary: python-dict
+    transition counts in one pass over the sorted rows, nested-loop
+    row normalization and power iteration — shares only the iteration
+    count and the uniform start."""
+    from .pipelines.relq import MARKOV_ITERS
+    from .util import round_half_away
+    t = pq.read_table(_testdata(sf, "events"),
+                      columns=["user_id", "event_id", "ts", "event_type"])
+    rows = sorted(zip(t["user_id"].to_pylist(),
+                      [v.timestamp() for v in t["ts"].to_pylist()],
+                      t["event_id"].to_pylist(),
+                      t["event_type"].to_pylist()))
+    cnt: dict[tuple[str, str], float] = {}
+    for (u1, _, _, a), (u2, _, _, b) in zip(rows[:-1], rows[1:]):
+        if u1 == u2:
+            cnt[(a, b)] = cnt.get((a, b), 0.0) + 1.0
+    types = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    k = len(types)
+    idx = {ty: i for i, ty in enumerate(types)}
+    P = np.zeros((k, k))
+    for (a, b), c in cnt.items():
+        P[idx[a], idx[b]] = c
+    rs = P.sum(axis=1)
+    for i in range(k):
+        if rs[i] > 0:
+            P[i] /= rs[i]
+        else:
+            P[i, i] = 1.0
+    pi = np.full(k, 1.0 / k)
+    for _ in range(MARKOV_ITERS):
+        nxt = np.zeros(k)
+        for j in range(k):
+            acc = 0.0
+            for i in range(k):
+                acc += pi[i] * P[i, j]
+            nxt[j] = acc
+        pi = nxt
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "pi6": pa.array(round_half_away(pi, 6),
+                                     pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2082,6 +2125,7 @@ _BUILDERS = {
     "cell_image_mosaic": _cell_image_mosaic_table,
     "image_transcode": _image_transcode_table,
     "embed_hard_negatives": _embed_hard_negatives_table,
+    "events_markov_stationary": _events_markov_table,
 }
 
 
