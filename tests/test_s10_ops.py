@@ -270,3 +270,85 @@ def test_events_autocorr_alternating(ray_session):
     assert len(out) == 1
     assert int(out.iloc[0].n_pairs) == 9
     assert abs(out.iloc[0].r1_6 + 1.0) < 0.02
+
+
+def test_lineitem_benford_shares(ray_session):
+    """Digits are 1..9 only, shares sum to 1 per flag, and counts are
+    exact for a planted set crossing a power-of-ten boundary."""
+    from go_osm_ray.pipelines.relq import lineitem_benford
+    t = pa.table({"l_returnflag": pa.array(["A"] * 4),
+                  # cents: 99999, 100000, 100001, 20000
+                  "l_extendedprice": pa.array([999.99, 1000.00,
+                                               1000.01, 200.00])})
+    out = lineitem_benford(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out.digit, out.n))
+    assert got == {9: 1, 1: 2, 2: 1}
+    assert abs(out.share6.sum() - 1.0) < 1e-9
+
+
+def test_way_conflate_transitivity(ray_session):
+    """Three near-identical parallel traces sharing a node chain merge
+    into ONE cluster with the min id as keeper; a far way stays
+    unclustered."""
+    from go_osm_ray.pipelines.osm import way_conflate
+    # ways 10/20/30 all run through nodes 1,2,3 (identical geometry);
+    # way 40 shares node 3 but veers far away
+    coords = {1: (0.0, 0.0), 2: (0.001, 0.0), 3: (0.002, 0.0),
+              4: (1.0, 1.0)}
+    refs = {10: [1, 2, 3], 20: [1, 2, 3], 30: [1, 2, 3], 40: [3, 4]}
+    ways, nodes = _mk_ways(refs, coords)
+    out = way_conflate(ways, nodes).to_pandas().set_index("way_id")
+    assert int(out.loc[10].keeper) == 10 and not out.loc[10].is_dup
+    assert int(out.loc[20].keeper) == 10 and out.loc[20].is_dup
+    assert int(out.loc[30].keeper) == 10 and out.loc[30].is_dup
+    assert int(out.loc[40].keeper) == 40 and not out.loc[40].is_dup
+
+
+def test_events_cusum_planted_shift(ray_session):
+    """A clean level shift: 10 days at 1/day then 10 days at 5/day —
+    the CUSUM argmax lands on the last low day."""
+    from go_osm_ray.pipelines.relq import events_cusum
+    base = np.int64(1_700_000_000_000_000)
+    day = 86_400_000_000
+    rows = []
+    for d in range(20):
+        for i in range(1 if d < 10 else 5):
+            rows.append(base + d * day + i)
+    t = pa.table({"event_type": pa.array(["x"] * len(rows)),
+                  "ts": pa.array(np.array(rows, np.int64)
+                                 .astype("datetime64[us]"))})
+    out = events_cusum(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    base_day = int(base // day)
+    assert int(out.iloc[0].cp_day) == base_day + 9
+
+
+def test_markov_stationary_planted(ray_session):
+    """Deterministic a->b->a chain: stationary mass 0.5/0.5."""
+    from go_osm_ray.pipelines.relq import events_markov_stationary
+    base = np.int64(1_700_000_000_000_000)
+    ty = ["a", "b"] * 20
+    t = pa.table({"user_id": pa.array([1] * 40, pa.int64()),
+                  "event_id": pa.array(list(range(40)), pa.int64()),
+                  "ts": pa.array((base + np.arange(40) * 1_000_000)
+                                 .astype("datetime64[us]")),
+                  "event_type": pa.array(ty)})
+    out = events_markov_stationary(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out.event_type) == ["a", "b"]
+    assert (np.abs(out.pi6 - 0.5) < 1e-6).all()
+
+
+def test_doc_novelty_planted(ray_session):
+    """Doc 1 owns its shingles; doc 2 copies doc 1 verbatim (novelty
+    0); doc 3 is half-copied."""
+    from go_osm_ray.pipelines.text import doc_novelty
+    d1 = "alpha beta gamma delta"
+    d3 = "alpha beta gamma zeta eta theta"
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([d1, d1, d3])})
+    out = doc_novelty(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1].novelty6 == 1.0
+    assert out.loc[2].novelty6 == 0.0
+    # doc 3: shingles abg(copied), bgz, gze, zet = 1 copied / 4
+    assert out.loc[3].novelty6 == 0.75
