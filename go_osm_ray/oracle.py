@@ -1896,6 +1896,20 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('CAST(g.n AS DOUBLE) / t.tot', 6)} AS share6
         FROM g JOIN t USING (l_returnflag)"""
 
+    # full-outer purchase/order reconciliation
+    q["purchase_reconciliation"] = """
+        WITH e AS (SELECT user_id AS id, count(*) AS n_p FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1),
+        o AS (SELECT o_custkey AS id, count(*) AS n_o FROM orders
+              GROUP BY 1)
+        SELECT COALESCE(e.id, o.id) AS id,
+               CAST(COALESCE(n_p, 0) AS BIGINT) AS n_purchases,
+               CAST(COALESCE(n_o, 0) AS BIGINT) AS n_orders,
+               CASE WHEN e.id IS NULL THEN 'orders_only'
+                    WHEN o.id IS NULL THEN 'events_only'
+                    ELSE 'both' END AS status
+        FROM e FULL OUTER JOIN o ON e.id = o.id"""
+
     # fulfillment lag histogram: integer day arithmetic both sides
     q["order_fulfillment_lag"] = """
         WITH m AS (SELECT l_orderkey, max(l_shipdate) AS sd
@@ -2440,6 +2454,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_transcode"] = f"SELECT image_id, fmt, in_bytes, out_bytes, psnr6 FROM read_parquet('{exp['image_transcode']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
     q["events_markov_stationary"] = f"SELECT event_type, pi6 FROM read_parquet('{exp['events_markov_stationary']}')"
+    q["doc_compression_ratio"] = f"SELECT doc_id, raw_len, comp_len, ratio6 FROM read_parquet('{exp['doc_compression_ratio']}')"
     q["way_mst"] = f"SELECT component, n_ways, n_edges, total_w FROM read_parquet('{exp['way_mst']}')"
     q["minhash_pairs"] = f"SELECT a, b, jac6 FROM read_parquet('{exp['minhash_pairs']}')"
     q["simhash_pairs"] = f"SELECT a, b, hamming FROM read_parquet('{exp['simhash_pairs']}')"

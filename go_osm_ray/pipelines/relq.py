@@ -4767,3 +4767,54 @@ def events_markov_stationary(events: ray.data.Dataset,
             "pi6": pa.array(round_half_away(pi, nd), pa.float64())})
 
     return single_merge(counts, final)
+
+
+def purchase_reconciliation(events: ray.data.Dataset,
+                            orders: ray.data.Dataset,
+                            num_parts: int = 32) -> ray.data.Dataset:
+    """(id, n_purchases, n_orders, status): FULL-OUTER reconciliation
+    of purchase events against the orders ledger keyed on user/
+    customer id — 'both' / 'events_only' / 'orders_only'.  The
+    cross-system integrity audit.
+
+    Scale plan: both sides collapse to per-key counts at the block
+    level, then ONE union-tag hash co-partition merges them (the house
+    full-outer: no Dataset.join, zeros materialize the outer sides)."""
+    from ..relational import partial_groupby_agg
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"].combine_chunks(), "purchase")
+        u = t.filter(m)["user_id"].combine_chunks().to_numpy()
+        k, c = np.unique(u, return_counts=True)
+        return pa.table({"id": pa.array(k),
+                         "n_p": pa.array(c.astype(np.int64)),
+                         "n_o": pa.array(np.zeros(len(k), np.int64))})
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].combine_chunks().to_numpy()
+        k, c = np.unique(u, return_counts=True)
+        return pa.table({"id": pa.array(k),
+                         "n_p": pa.array(np.zeros(len(k), np.int64)),
+                         "n_o": pa.array(c.astype(np.int64))})
+
+    both = events.select_columns(["user_id", "event_type"]) \
+        .map_batches(ev_partial, batch_format="pyarrow",
+                     batch_size=65536) \
+        .union(orders.select_columns(["o_custkey"])
+               .map_batches(ord_partial, batch_format="pyarrow",
+                            batch_size=65536))
+    g = partial_groupby_agg(both, ["id"],
+                            [("n_p", "sum"), ("n_o", "sum")],
+                            num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        np_ = t["n_p_sum"].combine_chunks().to_numpy()
+        no = t["n_o_sum"].combine_chunks().to_numpy()
+        status = np.where(np_ == 0, "orders_only",
+                          np.where(no == 0, "events_only", "both"))
+        return pa.table({"id": t["id"].combine_chunks(),
+                         "n_purchases": pa.array(np_.astype(np.int64)),
+                         "n_orders": pa.array(no.astype(np.int64)),
+                         "status": pa.array(status)})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -1898,3 +1898,39 @@ def doc_novelty(docs: ray.data.Dataset, k: int = 3, nd: int = 6,
                 n_nov / n_sh.astype(np.float64), nd), pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_compression_ratio(docs: ray.data.Dataset, level: int = 6,
+                          nd: int = 6,
+                          batch_size: int = 4096) -> ray.data.Dataset:
+    """(doc_id, raw_len, comp_len, ratio6): zlib(level) compressed
+    size per document over the UTF-8 bytes — the classic redundancy
+    screen for corpus curation (boilerplate and repetition compress
+    far below prose; ratio = comp/raw, lower = more redundant).
+
+    Scale plan: embarrassingly parallel map_batches; zlib is C-speed
+    per doc and the blobs never leave the task.  ratio6 =
+    round(comp/raw, 6); empty docs report ratio 0."""
+    import zlib
+
+    from ..util import round_half_away
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        texts = t["text"].combine_chunks().to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return pa.table({
+            "doc_id": ids,
+            "raw_len": pa.array(raw),
+            "comp_len": pa.array(comp),
+            "ratio6": pa.array(round_half_away(ratio, nd),
+                               pa.float64())})
+
+    return docs.map_batches(kernel, batch_format="pyarrow",
+                            batch_size=batch_size)

@@ -2078,6 +2078,32 @@ def _events_markov_table(sf: float) -> pa.Table:
                                      pa.float64())})
 
 
+def _doc_compression_table(sf: float, level: int = 6) -> pa.Table:
+    """Scalar reference for doc_compression_ratio: per-row zlib loop
+    straight off the parquet — shares only the zlib level constant
+    and the repo-wide half-away rounding."""
+    import zlib
+
+    from .util import round_half_away
+    t = pq.read_table(_testdata(sf, "documents"),
+                      columns=["doc_id", "text"])
+    rows = {"doc_id": [], "raw_len": [], "comp_len": [], "ratio6": []}
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = s.encode("utf-8")
+        c = len(zlib.compress(b, level))
+        rows["doc_id"].append(did)
+        rows["raw_len"].append(len(b))
+        rows["comp_len"].append(c)
+        rows["ratio6"].append(
+            float(round_half_away(np.float64(c / len(b)), 6))
+            if len(b) else 0.0)
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "raw_len": pa.array(rows["raw_len"], pa.int64()),
+        "comp_len": pa.array(rows["comp_len"], pa.int64()),
+        "ratio6": pa.array(rows["ratio6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2126,6 +2152,7 @@ _BUILDERS = {
     "image_transcode": _image_transcode_table,
     "embed_hard_negatives": _embed_hard_negatives_table,
     "events_markov_stationary": _events_markov_table,
+    "doc_compression_ratio": _doc_compression_table,
 }
 
 
