@@ -483,6 +483,25 @@ def build(sf: float = 0.01) -> dict[str, str]:
         WHERE CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common)
               >= 0.2"""
 
+    # Adamic-Adar: degree-bucketed common-neighbor counts, then an
+    # ORDERED (ascending d) sum so both sides accumulate the same
+    # sequence of doubles
+    q["way_adamic_adar"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id <> b.way_id),
+        deg AS (SELECT a AS v, count(*) AS d FROM ed GROUP BY a),
+        cn AS (SELECT e1.b AS x, e2.b AS y, e1.a AS z
+               FROM ed e1 JOIN ed e2
+                 ON e1.a = e2.a AND e1.b < e2.b),
+        bk AS (SELECT x, y, dg.d AS d, count(*) AS cnt
+               FROM cn JOIN deg dg ON dg.v = cn.z
+               GROUP BY 1, 2, 3)
+        SELECT x AS a, y AS b, CAST(sum(cnt) AS BIGINT) AS common,
+               {sql_round('sum(cnt / ln(d) ORDER BY d)', 6)} AS aa6
+        FROM bk GROUP BY 1, 2"""
+
     # multi-source BFS hop depth over the same shared-node edge set,
     # capped at BFS_MAX_DEPTH hops; UNION-dedup on (way_id, d) plus the
     # depth bound makes the recursion finite on cyclic graphs
@@ -1909,6 +1928,38 @@ def build(sf: float = 0.01) -> dict[str, str]:
                     WHEN o.id IS NULL THEN 'events_only'
                     ELSE 'both' END AS status
         FROM e FULL OUTER JOIN o ON e.id = o.id"""
+
+    # exact-quintile RFM segmentation: integer cents / integer day
+    # floors; score = 1 + #thresholds strictly below (quantile_disc
+    # thresholds, recency inverted), the deciles-oracle pattern
+    q["user_rfm"] = """
+        WITH nw AS (SELECT max(ts) AS n FROM events),
+        u AS (SELECT user_id,
+                CAST((epoch_us((SELECT n FROM nw)) - epoch_us(max(ts)))
+                     // 86400000000 AS BIGINT) AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS monetary_cents
+              FROM events GROUP BY user_id),
+        t AS (SELECT
+                quantile_disc(CAST(recency_days AS DOUBLE),
+                              [0.2, 0.4, 0.6, 0.8]) AS tr,
+                quantile_disc(CAST(frequency AS DOUBLE),
+                              [0.2, 0.4, 0.6, 0.8]) AS tf,
+                quantile_disc(CAST(monetary_cents AS DOUBLE),
+                              [0.2, 0.4, 0.6, 0.8]) AS tm FROM u)
+        SELECT user_id, recency_days, frequency, monetary_cents,
+          CAST(5 - (SELECT count(*) FROM unnest((SELECT tr FROM t))
+                    AS z(v) WHERE z.v < CAST(recency_days AS DOUBLE))
+               AS BIGINT) AS r_score,
+          CAST(1 + (SELECT count(*) FROM unnest((SELECT tf FROM t))
+                    AS z(v) WHERE z.v < CAST(frequency AS DOUBLE))
+               AS BIGINT) AS f_score,
+          CAST(1 + (SELECT count(*) FROM unnest((SELECT tm FROM t))
+                    AS z(v) WHERE z.v < CAST(monetary_cents AS DOUBLE))
+               AS BIGINT) AS m_score
+        FROM u"""
 
     # fulfillment lag histogram: integer day arithmetic both sides
     q["order_fulfillment_lag"] = """

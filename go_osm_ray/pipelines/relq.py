@@ -4818,3 +4818,87 @@ def purchase_reconciliation(events: ray.data.Dataset,
                          "status": pa.array(status)})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def user_rfm(events: ray.data.Dataset,
+             num_parts: int = 32) -> ray.data.Dataset:
+    """(user_id, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score): RFM segmentation of the event stream — recency
+    in whole days behind the stream's global max timestamp, frequency
+    = event count, monetary = integer-cents sum of purchase values,
+    each scored into exact quintiles (quantile_disc thresholds,
+    score = 1 + #thresholds strictly below the value; recency scored
+    INVERTED so 5 = most recent).  The classic audience-segmentation
+    reduction.
+
+    Scale plan: ONE bounded per-user combiner exchange
+    (partial_groupby_agg: max ts / count / conditional cents sum);
+    the bounded per-user table is materialized once and feeds three
+    two-phase exact-quantile selections (no global sort); thresholds
+    broadcast as 3x4 floats; scoring is a stateless vectorized pass.
+    Integer cents + integer day floors keep both sides drift-free."""
+    from ..relational import partial_groupby_agg
+
+    US_DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        val = t["value"].combine_chunks().to_numpy()
+        is_p = pc.equal(t["event_type"].combine_chunks(),
+                        "purchase").to_numpy(zero_copy_only=False)
+        cents = np.where(is_p, round_half_away(val * 100.0, 0), 0.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "ts": pa.array(ts),
+                         "one": pa.array(np.ones(len(ts), np.int64)),
+                         "cents": pa.array(cents)})
+
+    base = events.select_columns(["user_id", "ts", "event_type",
+                                  "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    per_user = partial_groupby_agg(
+        base, ["user_id"],
+        [("ts", "max"), ("one", "sum"), ("cents", "sum")],
+        num_parts=num_parts).materialize()
+
+    # global max ts = max over the bounded per-user maxima
+    now_us = int(per_user.max("ts_max"))
+
+    def metrics(t: pa.Table) -> pa.Table:
+        last = t["ts_max"].combine_chunks().to_numpy()
+        return pa.table({
+            "user_id": t["user_id"],
+            "recency_days": pa.array((now_us - last) // US_DAY),
+            "frequency": pc.cast(t["one_sum"], pa.int64()),
+            "monetary_cents": pc.cast(t["cents_sum"], pa.int64())})
+
+    m = per_user.map_batches(metrics, batch_format="pyarrow") \
+        .materialize()
+
+    ps = (0.2, 0.4, 0.6, 0.8)
+    ths = {}
+    for col in ("recency_days", "frequency", "monetary_cents"):
+        def to_f(t: pa.Table, c=col) -> pa.Table:
+            return pa.table({"v": pc.cast(t[c], pa.float64())})
+        vals = m.map_batches(to_f, batch_format="pyarrow")
+        ths[col] = np.array(sorted(
+            r["value"] for r in
+            exact_quantiles(vals, col="v", ps=ps).take_all()),
+            np.float64)
+
+    def score(t: pa.Table) -> pa.Table:
+        rec = t["recency_days"].combine_chunks().to_numpy() \
+            .astype(np.float64)
+        fre = t["frequency"].combine_chunks().to_numpy() \
+            .astype(np.float64)
+        mon = t["monetary_cents"].combine_chunks().to_numpy() \
+            .astype(np.float64)
+        r_s = 5 - np.searchsorted(ths["recency_days"], rec, side="left")
+        f_s = 1 + np.searchsorted(ths["frequency"], fre, side="left")
+        m_s = 1 + np.searchsorted(ths["monetary_cents"], mon,
+                                  side="left")
+        return t.append_column("r_score", pa.array(r_s.astype(np.int64))) \
+            .append_column("f_score", pa.array(f_s.astype(np.int64))) \
+            .append_column("m_score", pa.array(m_s.astype(np.int64)))
+
+    return m.map_batches(score, batch_format="pyarrow")
