@@ -2503,6 +2503,10 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_pseudo_diameter"] = f"SELECT component, n_ways, diameter FROM read_parquet('{exp['way_pseudo_diameter']}')"
     q["cell_image_mosaic"] = f"SELECT cell, n_imgs, mean6, crc FROM read_parquet('{exp['cell_image_mosaic']}')"
     q["image_transcode"] = f"SELECT image_id, fmt, in_bytes, out_bytes, psnr6 FROM read_parquet('{exp['image_transcode']}')"
+    q["image_sharpness"] = f"SELECT image_id, ok, n_px, lap_var6 FROM read_parquet('{exp['image_sharpness']}')"
+    q["image_palette"] = f"SELECT image_id, ok, top_bucket, top_share6, n_colors FROM read_parquet('{exp['image_palette']}')"
+    q["image_ssim"] = f"SELECT image_id, fmt, ssim6 FROM read_parquet('{exp['image_ssim']}')"
+    q["image_border_contrast"] = f"SELECT image_id, ok, border_mean6, ratio6 FROM read_parquet('{exp['image_border_contrast']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
     q["events_markov_stationary"] = f"SELECT event_type, pi6 FROM read_parquet('{exp['events_markov_stationary']}')"
     q["doc_compression_ratio"] = f"SELECT doc_id, raw_len, comp_len, ratio6 FROM read_parquet('{exp['doc_compression_ratio']}')"

@@ -973,3 +973,222 @@ def image_transcode(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(TranscodeQnt5, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool())
+
+
+# ------------------------------------------------- curation quality gates
+
+
+def _ssim_from_moments(n: int, sx: int, sy: int, sxx: int, syy: int,
+                       sxy: int, lum_range: float = 765.0) -> float:
+    """Global SSIM from EXACT integer luma moments — the shared numeric
+    definition (both gate sides call this with independently-computed
+    integer sums, so the double expression order is identical)."""
+    c1 = (0.01 * lum_range) ** 2
+    c2 = (0.03 * lum_range) ** 2
+    mx, my = sx / n, sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cov = sxy / n - mx * my
+    return ((2.0 * mx * my + c1) * (2.0 * cov + c2)) / \
+        ((mx * mx + my * my + c1) * (vx + vy + c2))
+
+
+class ImageSharpness:
+    """Actor-pool stage: decode -> summed-channel luma -> interior
+    Laplacian (4c - up - down - left - right) -> its EXACT integer
+    variance ((n*S2 - S1^2) / n^2) — the classic blur/defocus screen
+    of an image-curation funnel (low variance = blurry or flat).
+    Error-as-data like DecodeStats."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, var6 = [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                lum = px.astype(np.int64).sum(axis=2)
+                lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1]
+                       - lum[2:, 1:-1] - lum[1:-1, :-2] - lum[1:-1, 2:])
+                n = lap.size
+                s1 = int(lap.sum())
+                s2 = int((lap * lap).sum())
+                v = (n * s2 - s1 * s1) / (n * n)
+                ok.append(True)
+                npx.append(n)
+                var6.append(float(round_half_away(np.float64(v), 6)))
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                var6.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "lap_var6": pa.array(var6, pa.float64())})
+
+
+def image_sharpness(images: ray.data.Dataset, concurrency=None,
+                    batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, lap_var6): Laplacian-variance sharpness
+    per image — see ImageSharpness."""
+    from ..util import default_pool
+    return images.map_batches(ImageSharpness, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImagePalette:
+    """Actor-pool stage: decode -> 4x4x4 RGB cube histogram (64 buckets,
+    2 high bits per channel) -> dominant bucket + its share + color
+    count — the monochrome/solid-fill and palette-diversity screen.
+    Ties break to the SMALLEST bucket id (argmax-first both sides);
+    all stats are exact integer ratios."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, top, share, ncol = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f).astype(np.int64)
+                bucket = ((px[..., 0] >> 6) << 4) | \
+                    ((px[..., 1] >> 6) << 2) | (px[..., 2] >> 6)
+                cnt = np.bincount(bucket.ravel(), minlength=64)
+                t = int(np.argmax(cnt))
+                ok.append(True)
+                top.append(t)
+                share.append(float(round_half_away(
+                    np.float64(cnt[t] / bucket.size), 6)))
+                ncol.append(int((cnt > 0).sum()))
+            except Exception:
+                ok.append(False)
+                top.append(-1)
+                share.append(0.0)
+                ncol.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "top_bucket": pa.array(top, pa.int64()),
+            "top_share6": pa.array(share, pa.float64()),
+            "n_colors": pa.array(ncol, pa.int64())})
+
+
+def image_palette(images: ray.data.Dataset, concurrency=None,
+                  batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, top_bucket, top_share6, n_colors): dominant
+    RGB-cube bucket per image — see ImagePalette."""
+    from ..util import default_pool
+    return images.map_batches(ImagePalette, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImageSSIM:
+    """Actor-pool stage: decode -> qnt5 round-trip -> GLOBAL SSIM on
+    the summed-channel luma (exact integer moments fed to the shared
+    _ssim_from_moments expression) — the perceptual fidelity sibling
+    of image_transcode's PSNR (what a lossy-migration QA gate reads)."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        rows = {"image_id": [], "fmt": [], "ssim6": []}
+        for iid, f, b in zip(ids, fmts, blobs):
+            px = codecs.decode(b, f)
+            rt = codecs.decode(codecs.encode(px, "qnt5"), "qnt5")
+            x = px.astype(np.int64).sum(axis=2).ravel()
+            y = rt.astype(np.int64).sum(axis=2).ravel()
+            s = _ssim_from_moments(
+                x.size, int(x.sum()), int(y.sum()),
+                int((x * x).sum()), int((y * y).sum()),
+                int((x * y).sum()))
+            rows["image_id"].append(iid)
+            rows["fmt"].append(f)
+            rows["ssim6"].append(float(round_half_away(np.float64(s),
+                                                       6)))
+        return pa.table({
+            "image_id": pa.array(rows["image_id"], pa.string()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "ssim6": pa.array(rows["ssim6"], pa.float64())})
+
+
+def image_ssim(images: ray.data.Dataset, concurrency=None,
+               batch_size: int = 512) -> ray.data.Dataset:
+    """(image_id, fmt, ssim6): luma SSIM of the qnt5 round-trip —
+    see ImageSSIM."""
+    from ..util import default_pool
+    return images.map_batches(ImageSSIM, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool())
+
+
+class ImageBorderContrast:
+    """Actor-pool stage: decode -> mean luma of the 2-px border frame
+    vs the interior, as EXACT integer cross-products — the solid
+    border / letterbox / watermark-frame screen (ratio far from 1 =
+    framed content). Error-as-data like DecodeStats."""
+
+    BORDER = 2
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        w = self.BORDER
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, bm6, ratio6 = [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                lum = px.astype(np.int64).sum(axis=2)
+                tot = int(lum.sum())
+                inner = lum[w:-w, w:-w]
+                s_i = int(inner.sum())
+                n_i = inner.size
+                s_b = tot - s_i
+                n_b = lum.size - n_i
+                ok.append(True)
+                bm6.append(float(round_half_away(
+                    np.float64(s_b / n_b), 6)))
+                # one double division of exact integer products
+                ratio6.append(float(round_half_away(
+                    np.float64((s_b * n_i) / (s_i * n_b)), 6)))
+            except Exception:
+                ok.append(False)
+                bm6.append(0.0)
+                ratio6.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "border_mean6": pa.array(bm6, pa.float64()),
+            "ratio6": pa.array(ratio6, pa.float64())})
+
+
+def image_border_contrast(images: ray.data.Dataset, concurrency=None,
+                          batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, border_mean6, ratio6): border-vs-interior luma
+    contrast per image — see ImageBorderContrast."""
+    from ..util import default_pool
+    return images.map_batches(ImageBorderContrast,
+                              batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

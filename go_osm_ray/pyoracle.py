@@ -2104,6 +2104,154 @@ def _doc_compression_table(sf: float, level: int = 6) -> pa.Table:
         "ratio6": pa.array(rows["ratio6"], pa.float64())})
 
 
+
+
+def _image_sharpness_table(sf: float) -> pa.Table:
+    """Scalar reference for image_sharpness: per-row decode loop, the
+    Laplacian built via explicit shifted COPIES (np.roll + edge trim,
+    a different construction than the engine's slice arithmetic) and
+    the variance from the same exact integer sums."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "lap_var6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f)
+            lum = px.astype(np.int64).sum(axis=2)
+            lap_full = (4 * lum
+                        - np.roll(lum, 1, axis=0) - np.roll(lum, -1, axis=0)
+                        - np.roll(lum, 1, axis=1) - np.roll(lum, -1, axis=1))
+            lap = lap_full[1:-1, 1:-1]
+            n = int(lap.size)
+            s1 = int(lap.sum())
+            s2 = int((lap.astype(object) ** 2).sum())
+            v = (n * s2 - s1 * s1) / (n * n)
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["lap_var6"].append(float(round_half_away(np.float64(v), 6)))
+        except Exception:
+            out["ok"].append(False)
+            out["n_px"].append(0)
+            out["lap_var6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "lap_var6": pa.array(out["lap_var6"], pa.float64())})
+
+
+def _image_palette_table(sf: float) -> pa.Table:
+    """Scalar reference for image_palette: bucket ids built by integer
+    DIVISION (c // 64) instead of bit shifts, counts via a python
+    Counter — independent path, identical exact integers."""
+    from collections import Counter
+
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "top_bucket": [], "top_share6": [],
+           "n_colors": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f).astype(np.int64)
+            buckets = (px[..., 0] // 64) * 16 + (px[..., 1] // 64) * 4 \
+                + (px[..., 2] // 64)
+            c = Counter(buckets.ravel().tolist())
+            # ties -> smallest bucket id
+            top = min(k for k, v in c.items() if v == max(c.values()))
+            out["ok"].append(True)
+            out["top_bucket"].append(int(top))
+            out["top_share6"].append(float(round_half_away(
+                np.float64(c[top] / buckets.size), 6)))
+            out["n_colors"].append(len(c))
+        except Exception:
+            out["ok"].append(False)
+            out["top_bucket"].append(-1)
+            out["top_share6"].append(0.0)
+            out["n_colors"].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "top_bucket": pa.array(out["top_bucket"], pa.int64()),
+        "top_share6": pa.array(out["top_share6"], pa.float64()),
+        "n_colors": pa.array(out["n_colors"], pa.int64())})
+
+
+def _image_ssim_table(sf: float) -> pa.Table:
+    """Scalar reference for image_ssim: per-row decode + qnt5 round
+    trip, integer moments via python-int accumulation (independent of
+    the engine's numpy sums — both exact), shared final expression
+    (_ssim_from_moments, the declared common numeric definition)."""
+    from . import codecs
+    from .pipelines.images import _ssim_from_moments
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "fmt": [], "ssim6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        px = codecs.decode(b, f)
+        rt = codecs.decode(codecs.encode(px, "qnt5"), "qnt5")
+        x = px.astype(np.int64).sum(axis=2).ravel().tolist()
+        y = rt.astype(np.int64).sum(axis=2).ravel().tolist()
+        sx = sum(x); sy = sum(y)
+        sxx = sum(v * v for v in x)
+        syy = sum(v * v for v in y)
+        sxy = sum(a * c for a, c in zip(x, y))
+        s = _ssim_from_moments(len(x), sx, sy, sxx, syy, sxy)
+        out["image_id"].append(iid)
+        out["fmt"].append(f)
+        out["ssim6"].append(float(round_half_away(np.float64(s), 6)))
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "fmt": pa.array(out["fmt"], pa.string()),
+        "ssim6": pa.array(out["ssim6"], pa.float64())})
+
+
+def _image_border_table(sf: float) -> pa.Table:
+    """Scalar reference for image_border_contrast: border sum built by
+    explicit frame-strip slices (top/bottom rows + side columns) rather
+    than the engine's total-minus-interior — identical exact ints."""
+    from . import codecs
+    from .util import round_half_away
+
+    W = 2
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "border_mean6": [], "ratio6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f)
+            lum = px.astype(np.int64).sum(axis=2)
+            s_b = int(lum[:W].sum()) + int(lum[-W:].sum()) \
+                + int(lum[W:-W, :W].sum()) + int(lum[W:-W, -W:].sum())
+            n_b = lum.size - (lum.shape[0] - 2 * W) * (lum.shape[1] - 2 * W)
+            s_i = int(lum.sum()) - s_b
+            n_i = lum.size - n_b
+            out["ok"].append(True)
+            out["border_mean6"].append(float(round_half_away(
+                np.float64(s_b / n_b), 6)))
+            out["ratio6"].append(float(round_half_away(
+                np.float64((s_b * n_i) / (s_i * n_b)), 6)))
+        except Exception:
+            out["ok"].append(False)
+            out["border_mean6"].append(0.0)
+            out["ratio6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "border_mean6": pa.array(out["border_mean6"], pa.float64()),
+        "ratio6": pa.array(out["ratio6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2153,6 +2301,10 @@ _BUILDERS = {
     "embed_hard_negatives": _embed_hard_negatives_table,
     "events_markov_stationary": _events_markov_table,
     "doc_compression_ratio": _doc_compression_table,
+    "image_sharpness": _image_sharpness_table,
+    "image_palette": _image_palette_table,
+    "image_ssim": _image_ssim_table,
+    "image_border_contrast": _image_border_table,
 }
 
 

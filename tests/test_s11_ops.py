@@ -1,0 +1,131 @@
+"""Session-11 ops: planted-image properties the parity gates cannot
+see — zero Laplacian variance on linear ramps, solid-fill palette
+collapse, SSIM=1 on an identity round-trip, border-ratio symmetry on
+uniform fills, RFM score monotonicity, Adamic-Adar hub discounting."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from go_osm_ray import codecs
+
+
+def _img_ds(pixel_arrays, fmt="bmp"):
+    blobs = [codecs.encode(px, fmt) for px in pixel_arrays]
+    return ray.data.from_arrow(pa.table({
+        "image_id": pa.array([f"t{i:03d}" for i in range(len(blobs))],
+                             pa.string()),
+        "fmt": pa.array([fmt] * len(blobs), pa.string()),
+        "bytes": pa.array(blobs, pa.binary())}))
+
+
+def test_sharpness_zero_on_linear_ramp(ray_session):
+    """A per-channel linear ramp has identically zero Laplacian, so
+    lap_var6 must be exactly 0; a checkerboard must be positive."""
+    from go_osm_ray.pipelines.images import image_sharpness
+    ys, xs = np.mgrid[0:16, 0:16]
+    # keep values linear (no wraparound) so the Laplacian is truly 0
+    ramp = np.stack([2 * xs + 3 * ys + 10] * 3, -1).astype(np.uint8)
+    checker = (((xs + ys) % 2) * 200).astype(np.uint8)
+    checker = np.stack([checker] * 3, -1)
+    df = image_sharpness(_img_ds([ramp, checker]),
+                         concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "lap_var6"] == 0.0
+    assert df.loc["t001", "lap_var6"] > 1000.0
+    assert bool(df["ok"].all())
+
+
+def test_palette_solid_fill_collapses(ray_session):
+    """A solid-color image lands in one bucket with share 1.0; the
+    bucket id is the channel high bits."""
+    from go_osm_ray.pipelines.images import image_palette
+    solid = np.full((16, 16, 3), 200, np.uint8)     # 200 >> 6 == 3
+    df = image_palette(_img_ds([solid]), concurrency=1).to_pandas()
+    assert df.top_bucket[0] == (3 << 4) | (3 << 2) | 3
+    assert df.top_share6[0] == 1.0
+    assert df.n_colors[0] == 1
+
+
+def test_ssim_identity_roundtrip(ray_session):
+    """Pixels that already sit on the qnt5 lattice survive the round
+    trip bit-exactly, so SSIM must be exactly 1."""
+    from go_osm_ray.pipelines.images import image_ssim
+    ys, xs = np.mgrid[0:16, 0:16]
+    px = np.stack([(xs * 8) % 256] * 3, -1).astype(np.uint8)
+    on_lattice = codecs.decode(codecs.encode(px, "qnt5"), "qnt5")
+    df = image_ssim(_img_ds([on_lattice]), concurrency=1).to_pandas()
+    assert df.ssim6[0] == 1.0
+
+
+def test_border_ratio_one_on_uniform(ray_session):
+    """A uniform fill has border mean == interior mean -> ratio 1;
+    a bright 2-px frame pushes the ratio far above 1."""
+    from go_osm_ray.pipelines.images import image_border_contrast
+    uni = np.full((16, 16, 3), 77, np.uint8)
+    framed = np.full((16, 16, 3), 10, np.uint8)
+    framed[:2] = framed[-2:] = 250
+    framed[:, :2] = framed[:, -2:] = 250
+    df = image_border_contrast(_img_ds([uni, framed]),
+                               concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "ratio6"] == 1.0
+    assert df.loc["t001", "ratio6"] > 5.0
+
+
+def test_rfm_scores_monotone(ray_session):
+    """Planted stream: user k makes k+1 purchases of value 10*(k+1),
+    all at distinct recencies (user 0 oldest) -> r/f/m scores must be
+    non-decreasing in k and span the full 1..5 range."""
+    from go_osm_ray.pipelines.relq import user_rfm
+    n = 10
+    rows = []
+    us_day = 86_400_000_000
+    for k in range(n):
+        for j in range(k + 1):
+            rows.append((k, (k * 30 + j) * us_day, "purchase",
+                         10.0 * (k + 1)))
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64())}))
+    df = user_rfm(ev).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert len(df) == n
+    for col in ("r_score", "f_score", "m_score"):
+        s = df[col].to_numpy()
+        assert (np.diff(s) >= 0).all(), (col, s)
+        assert s.min() == 1 and s.max() == 5, (col, s)
+    # user 0: 1 purchase of 10.00 -> 1000 cents
+    assert df.monetary_cents[0] == 1000
+    assert df.frequency[9] == 10
+
+
+def test_adamic_adar_discounts_hubs(ray_session):
+    """AA weights common neighbors by 1/ln(center degree): a degree-2
+    bridge way contributes 1/ln 2 to its pair, while inside a 5-clique
+    every common neighbor has degree 4 and contributes only 1/ln 4 —
+    exact closed-form values both."""
+    from go_osm_ray.pipelines.osm import way_adamic_adar
+    # X (id 50) shares n1 with A(1), n2 with B(2) -> deg(X)=2;
+    # node 10 makes {3,4,5,6,60} a 5-clique -> every member deg 4
+    way_refs = {
+        1: [201, 1], 2: [202, 2], 50: [1, 2],
+        3: [10, 203], 4: [10, 204], 5: [10, 205], 6: [10, 206],
+        60: [10, 207],
+    }
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array(sorted(way_refs), pa.int64()),
+        "refs": pa.array([way_refs[w] for w in sorted(way_refs)],
+                         pa.list_(pa.int64()))}))
+    df = way_adamic_adar(ways, num_parts=4).to_pandas()
+    pairs = {(int(r.a), int(r.b)): float(r.aa6) for r in df.itertuples()}
+    tight = pairs[(1, 2)]                  # via X, deg 2
+    assert abs(tight - 1.0 / np.log(2)) < 1e-6
+    # C..F and Y form a 5-clique through node 10: pair (3,4) has
+    # common neighbors {5, 6, 60} each of degree 4 -> 3/ln(4)
+    hub = pairs[(3, 4)]
+    assert abs(hub - 3.0 / np.log(4)) < 1e-6
