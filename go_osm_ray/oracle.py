@@ -1915,6 +1915,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('CAST(g.n AS DOUBLE) / t.tot', 6)} AS share6
         FROM g JOIN t USING (l_returnflag)"""
 
+    # char-unigram entropy: exact integer counts, ordered (ascending
+    # char) sum so both sides accumulate the same double sequence
+    q["doc_char_entropy"] = f"""
+        WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents),
+        cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+               FROM ch GROUP BY 1, 2),
+        n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS distinct_ch,
+                     sum(cnt * ln(cnt) ORDER BY c) AS s
+              FROM cc GROUP BY doc_id)
+        SELECT doc_id, n AS n_ch, distinct_ch,
+               {sql_round('ln(n) - s / n', 6)} AS ent6
+        FROM n"""
+
     # full-outer purchase/order reconciliation
     q["purchase_reconciliation"] = """
         WITH e AS (SELECT user_id AS id, count(*) AS n_p FROM events
@@ -1960,6 +1975,26 @@ def build(sf: float = 0.01) -> dict[str, str]:
                     AS z(v) WHERE z.v < CAST(monetary_cents AS DOUBLE))
                AS BIGINT) AS m_score
         FROM u"""
+
+    # inter-arrival regularity (bot screen): exact int64 second gaps,
+    # cv from one sqrt + one division of exact integer moments
+    q["user_gap_cv"] = f"""
+        WITH s AS (SELECT user_id,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                       // 1000000 AS gap_s
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                     CAST(sum(gap_s) AS BIGINT) AS total_s,
+                     CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+              FROM s WHERE gap_s IS NOT NULL
+              GROUP BY user_id HAVING count(*) >= 2)
+        SELECT user_id, n_gaps, total_s,
+               CASE WHEN total_s = 0 THEN 0.0 ELSE
+                 {sql_round('sqrt(n_gaps * s2 - total_s * total_s) / total_s', 6)}
+               END AS cv6
+        FROM g"""
 
     # fulfillment lag histogram: integer day arithmetic both sides
     q["order_fulfillment_lag"] = """
@@ -2507,6 +2542,9 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_palette"] = f"SELECT image_id, ok, top_bucket, top_share6, n_colors FROM read_parquet('{exp['image_palette']}')"
     q["image_ssim"] = f"SELECT image_id, fmt, ssim6 FROM read_parquet('{exp['image_ssim']}')"
     q["image_border_contrast"] = f"SELECT image_id, ok, border_mean6, ratio6 FROM read_parquet('{exp['image_border_contrast']}')"
+    q["way_resample"] = f"SELECT way_id, pt_idx, lon6, lat6 FROM read_parquet('{exp['way_resample']}')"
+    q["image_orientation"] = f"SELECT image_id, ok, n_grad, dom_oct, dom_share6 FROM read_parquet('{exp['image_orientation']}')"
+    q["raster_viewshed"] = f"SELECT tile_x, tile_y, px, py, n, visible FROM read_parquet('{exp['raster_viewshed']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
     q["events_markov_stationary"] = f"SELECT event_type, pi6 FROM read_parquet('{exp['events_markov_stationary']}')"
     q["doc_compression_ratio"] = f"SELECT doc_id, raw_len, comp_len, ratio6 FROM read_parquet('{exp['doc_compression_ratio']}')"

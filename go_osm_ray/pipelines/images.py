@@ -1192,3 +1192,76 @@ def image_border_contrast(images: ray.data.Dataset, concurrency=None,
                               batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def _octant_bins(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """Exact-integer gradient octant (0..7, counter-clockwise from
+    east, pi/4 each) — the shared numeric definition for the
+    orientation histogram (both gate sides call this; boundaries are
+    fixed by the strict/non-strict choices below, no atan2)."""
+    a, b = np.abs(dx), np.abs(dy)
+    # quadrant by signs (dy >= 0 owns the upper half, dx >= 0 the
+    # right half), then the |dy| > |dx| diagonal splits each quadrant
+    q = np.where(dy >= 0, np.where(dx > 0, 0, 1),
+                 np.where(dx < 0, 2, 3))
+    steep = b > a
+    oct0 = np.where(steep, 1, 0)   # 0: E..NE, 1: NE..N
+    oct1 = np.where(steep, 2, 3)   # 2: N..NW, 3: NW..W
+    oct2 = np.where(steep, 5, 4)   # 4: W..SW, 5: SW..S
+    oct3 = np.where(steep, 6, 7)   # 6: S..SE, 7: SE..E
+    return np.choose(q, [oct0, oct1, oct2, oct3])
+
+
+class ImageOrientation:
+    """Actor-pool stage: decode -> integer central-difference gradients
+    on the summed-channel luma -> exact octant histogram (HOG-lite) ->
+    dominant octant + share — the texture-direction screen (scan lines,
+    rotated documents, synthetic gratings all show a spiked histogram).
+    Zero gradients are excluded; ties break to the smallest octant."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, ng, dom, share = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                lum = px.astype(np.int64).sum(axis=2)
+                dx = lum[1:-1, 2:] - lum[1:-1, :-2]
+                dy = lum[2:, 1:-1] - lum[:-2, 1:-1]
+                nz = (dx != 0) | (dy != 0)
+                bins = _octant_bins(dx[nz], dy[nz])
+                cnt = np.bincount(bins, minlength=8)
+                n = int(cnt.sum())
+                t = int(np.argmax(cnt)) if n else -1
+                ok.append(True)
+                ng.append(n)
+                dom.append(t)
+                share.append(float(round_half_away(
+                    np.float64(cnt[t] / n), 6)) if n else 0.0)
+            except Exception:
+                ok.append(False)
+                ng.append(0)
+                dom.append(-1)
+                share.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_grad": pa.array(ng, pa.int64()),
+            "dom_oct": pa.array(dom, pa.int64()),
+            "dom_share6": pa.array(share, pa.float64())})
+
+
+def image_orientation(images: ray.data.Dataset, concurrency=None,
+                      batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_grad, dom_oct, dom_share6): dominant gradient
+    octant per image — see ImageOrientation."""
+    from ..util import default_pool
+    return images.map_batches(ImageOrientation, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

@@ -2868,3 +2868,94 @@ def way_adamic_adar(ways: ray.data.Dataset,
                     batch_format="pyarrow") \
         .groupby("part") \
         .map_groups(score, batch_format="pyarrow")
+
+
+RESAMPLE_K = 8
+
+
+def way_resample(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                 k: int = RESAMPLE_K) -> ray.data.Dataset:
+    """(way_id, pt_idx, lon6, lat6): each way's polyline resampled to
+    ``k`` points equally spaced by cumulative arc length — the
+    fixed-size shape signature a geometry-embedding model trains on
+    (and the classic pre-step for trajectory similarity).
+
+    Determinism contract (the way_frechet trick): every segment
+    haversine is rounded to 3 dp (millimetres) BEFORE the cumulative
+    sum, so both gate sides accumulate the identical double sequence;
+    target offsets are t_j = j * L / (k-1); the carrying segment is
+    the last i with cum[i] <= t_j (bisect-right), linear lon/lat
+    interpolation, 6 dp output rounding.  Ways keep the sinuosity
+    boundary contract: >= 2 fully-resolved points and 3 dp length > 0.
+
+    Scale plan: same one-pass broadcast-nodes shape as way_length_m —
+    zero exchanges past the node-table broadcast; per-way work is
+    linear in points and k."""
+    from ..relational import broadcast_table
+    from ..util import round_half_away as _rnd
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+    d2r = np.pi / 180.0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+
+        refs = batch["refs"].combine_chunks()
+        offsets = np.asarray(refs.offsets, np.int64)
+        flat = refs.flatten().to_numpy()
+        wids = batch["id"].combine_chunks().to_numpy()
+        n = np.diff(offsets)
+
+        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+        found = nid_s[jj] == flat if len(nid_s) \
+            else np.zeros(len(flat), bool)
+        x = np.where(found, nlon[jj], 0.0)
+        y = np.where(found, nlat[jj], 0.0)
+
+        # 3dp-rounded per-segment haversine (shared scalar-exact grid)
+        if len(flat) >= 2:
+            p1, p2 = y[:-1] * d2r, y[1:] * d2r
+            sdp = np.sin((p2 - p1) / 2.0)
+            sdl = np.sin((x[1:] - x[:-1]) * d2r / 2.0)
+            a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2)
+                           * sdl * sdl, 1.0)
+            seg = _rnd(2.0 * EARTH_R_M * np.arcsin(np.sqrt(a)), 3)
+        else:
+            seg = np.zeros(0, np.float64)
+
+        out = {"way_id": [], "pt_idx": [], "lon6": [], "lat6": []}
+        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+            if len(flat) else np.zeros(0, np.int64)
+        for w in range(len(wids)):
+            lo, hi = offsets[w], offsets[w + 1]
+            m = hi - lo
+            if m < 2 or nf[w] != m:
+                continue
+            s = seg[lo:hi - 1]
+            cum = np.concatenate([[0.0], np.cumsum(s)])
+            L = cum[-1]
+            if _rnd(np.float64(L), 3) <= 0.0:
+                continue
+            wx, wy = x[lo:hi], y[lo:hi]
+            for j in range(k):
+                t = j * L / (k - 1)
+                i = int(np.searchsorted(cum, t, side="right")) - 1
+                i = min(max(i, 0), m - 2)
+                f = (t - cum[i]) / s[i] if s[i] > 0.0 else 0.0
+                out["way_id"].append(int(wids[w]))
+                out["pt_idx"].append(j)
+                out["lon6"].append(float(_rnd(
+                    np.float64(wx[i] + f * (wx[i + 1] - wx[i])), 6)))
+                out["lat6"].append(float(_rnd(
+                    np.float64(wy[i] + f * (wy[i + 1] - wy[i])), 6)))
+        return pa.table({
+            "way_id": pa.array(out["way_id"], pa.int64()),
+            "pt_idx": pa.array(out["pt_idx"], pa.int64()),
+            "lon6": pa.array(out["lon6"], pa.float64()),
+            "lat6": pa.array(out["lat6"], pa.float64())})
+
+    return ways.map_batches(fn, batch_format="pyarrow")

@@ -915,3 +915,103 @@ def zonal_majority(raster: ray.data.Dataset, index_ref,
             .groupby("part")
             .map_groups(lambda t: argmax(t.drop_columns(["part"])),
                         batch_format="pyarrow"))
+
+
+VIEWSHED_OBS_H = 1
+
+
+def _los_blocked(H: np.ndarray, cx: int, cy: int, tx: np.ndarray,
+                 ty: np.ndarray, h_obs: int) -> np.ndarray:
+    """Shared line-of-sight definition (both gate sides call this for
+    one tile): target (tx, ty) is blocked iff some intermediate sample
+    k in 1..d-1 along the centre ray (Chebyshev steps d, nearest-pixel
+    rounding xi = cx + (2k*dx + d) // (2d), floor semantics) satisfies
+    (H[yi, xi] - h_obs) * d >= (H[ty, tx] - h_obs) * k — grazing
+    equality OCCLUDES. All-integer; no atan, no floats."""
+    dx = tx - cx
+    dy = ty - cy
+    d = np.maximum(np.abs(dx), np.abs(dy)).astype(np.int64)
+    ht = H[ty, tx].astype(np.int64)
+    blocked = np.zeros(len(tx), bool)
+    kmax = int(d.max()) if len(d) else 0
+    for k in range(1, kmax):
+        m = k < d
+        if not m.any():
+            break
+        dd = d[m]
+        xi = cx + (2 * k * dx[m] + dd) // (2 * dd)
+        yi = cy + (2 * k * dy[m] + dd) // (2 * dd)
+        hi = H[yi, xi].astype(np.int64)
+        blocked[m] |= (hi - h_obs) * dd >= (ht[m] - h_obs) * k
+    return blocked
+
+
+def raster_viewshed(raster: ray.data.Dataset, z: int, grid: int,
+                    obs_h: int = VIEWSHED_OBS_H,
+                    num_parts: int = NUM_PARTS) -> ray.data.Dataset:
+    """(tile_x, tile_y, px, py, n, visible): TILE-LOCAL viewshed over
+    the sparse density raster — each occupied pixel tested for line of
+    sight from the tile's centre pixel (observer height = centre
+    density + ``obs_h``), empty pixels counting as ground level 0.
+    The raster-GIS visibility stencil, scoped to the tile by design
+    (cross-tile occlusion is out of contract — documented, like the
+    other tile-stencil ops' edge behavior).
+
+    Scale plan: ONE bounded hash(tile) exchange co-locates each tile's
+    sparse pixels; the kernel densifies grid x grid ONCE per tile and
+    runs the all-integer LOS sweep vectorized over that tile's occupied
+    pixels (work = occupied x grid steps, not grid^3)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        key = (t["tile_x"].combine_chunks().to_numpy() << np.int64(32)) \
+            | t["tile_y"].combine_chunks().to_numpy()
+        return t.append_column("part",
+                               pa.array(hash_part(key, num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        txl = t["tile_x"].combine_chunks().to_numpy()
+        tyl = t["tile_y"].combine_chunks().to_numpy()
+        px = t["px"].combine_chunks().to_numpy()
+        py = t["py"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        key = (txl << np.int64(32)) | tyl
+        order = np.argsort(key, kind="stable")
+        cx = cy = grid // 2
+        out_idx, out_vis = [], []
+        starts = np.flatnonzero(np.r_[True, key[order][1:]
+                                      != key[order][:-1]]) \
+            if len(key) else np.empty(0, np.int64)
+        bounds = np.r_[starts, len(key)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            idx = order[s:e]
+            H = np.zeros((grid, grid), np.int64)
+            H[py[idx], px[idx]] = n[idx]
+            h_obs = int(H[cy, cx]) + obs_h
+            tgt = idx[(px[idx] != cx) | (py[idx] != cy)]
+            blocked = _los_blocked(H, cx, cy, px[tgt], py[tgt], h_obs)
+            out_idx.append(tgt)
+            out_vis.append(~blocked)
+            centre = idx[(px[idx] == cx) & (py[idx] == cy)]
+            if len(centre):        # observer pixel: visible by fiat
+                out_idx.append(centre)
+                out_vis.append(np.ones(len(centre), bool))
+        if not out_idx:
+            return pa.table({
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "px": pa.array([], pa.int64()),
+                "py": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "visible": pa.array([], pa.bool_())})
+        oi = np.concatenate(out_idx)
+        ov = np.concatenate(out_vis)
+        return pa.table({
+            "tile_x": pa.array(txl[oi]), "tile_y": pa.array(tyl[oi]),
+            "px": pa.array(px[oi]), "py": pa.array(py[oi]),
+            "n": pa.array(n[oi]),
+            "visible": pa.array(ov)})
+
+    return raster.map_batches(part, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

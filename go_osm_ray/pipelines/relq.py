@@ -4902,3 +4902,64 @@ def user_rfm(events: ray.data.Dataset,
             .append_column("m_score", pa.array(m_s.astype(np.int64)))
 
     return m.map_batches(score, batch_format="pyarrow")
+
+
+def user_gap_cv(events: ray.data.Dataset,
+                num_parts: int = 32) -> ray.data.Dataset:
+    """(user_id, n_gaps, total_s, cv6): coefficient of variation of a
+    user's inter-event gaps (whole seconds, (ts, event_id) stream
+    order) — the classic bot/automation screen (cv near 0 = metronome
+    scheduling; humans are bursty, cv >~ 1).  Users need >= 2 gaps.
+
+    Determinism: gaps are exact int64 seconds, so cv = sqrt(n*S2 -
+    S1^2) / S1 is one sqrt and one division of exact integers — no
+    accumulation-order drift.  cv6 = 0 when the gaps sum to zero.
+
+    Scale plan: ONE bounded hash(user) exchange; the per-partition
+    kernel lexsorts its users' events once and diffs in place."""
+    from ..relational import hash_part
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pa.array(t["ts"].combine_chunks().cast(pa.int64())
+                           .to_numpy()),
+            "event_id": t["event_id"],
+            "part": pa.array(hash_part(u, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        u = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1]) // 1_000_000
+        gu, gap = u[1:][same], gap[same]
+        if not len(gu):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "total_s": pa.array([], pa.int64()),
+                             "cv6": pa.array([], pa.float64())})
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        n = np.diff(np.r_[starts, len(gu)])
+        s1 = np.add.reduceat(gap, starts)
+        s2 = np.add.reduceat(gap * gap, starts)
+        keep = n >= 2
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cv = np.where(s1 > 0,
+                          np.sqrt((n * s2 - s1 * s1).astype(np.float64))
+                          / s1, 0.0)
+        return pa.table({
+            "user_id": pa.array(gu[starts][keep]),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "total_s": pa.array(s1.astype(np.int64)),
+            "cv6": pa.array(round_half_away(cv, 6))})
+
+    return events.select_columns(["user_id", "ts", "event_id"]) \
+        .map_batches(part, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

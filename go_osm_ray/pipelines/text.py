@@ -1934,3 +1934,58 @@ def doc_compression_ratio(docs: ray.data.Dataset, level: int = 6,
 
     return docs.map_batches(kernel, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+def doc_char_entropy(docs: ray.data.Dataset, nd: int = 6,
+                     batch_size: int = 8192) -> ray.data.Dataset:
+    """(doc_id, n_ch, distinct_ch, ent6): character-unigram Shannon
+    entropy (nats) per document — the cheapest gibberish / low-diversity
+    screen in a text-curation funnel (base64 blobs and repeated fills
+    sit far from prose's ~3 nats).
+
+    Determinism contract: ent = ln(n) - sum(c*ln(c))/n with the inner
+    sum accumulated in ASCENDING character order on both sides (exact
+    integer counts; the SQL mirror uses an ordered aggregate), so the
+    double sequence is identical.  Documents are ASCII by generator
+    contract, making byte order == character order.
+
+    Scale plan: embarrassingly parallel; per batch ONE np.bincount over
+    (row_index * 256 + byte) and two reduceats — no python per-row
+    loop, nothing leaves the task but the stat row."""
+    from ..util import round_half_away
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        txt = t["text"].combine_chunks()
+        # zero-copy-ish: concatenated utf-8 buffer + offsets
+        joined = "".join(txt.to_pylist()).encode("utf-8")
+        lens = np.array([len(s.encode("utf-8"))
+                         for s in txt.to_pylist()], np.int64)
+        b = np.frombuffer(joined, np.uint8).astype(np.int64)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        cnt = np.bincount(row * 256 + b,
+                          minlength=len(lens) * 256) \
+            .reshape(len(lens), 256)
+        n = cnt.sum(axis=1)
+        nz = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(cnt > 0, nz * np.log(np.maximum(nz, 1.0)),
+                            0.0)
+        # ascending byte order == ascending char order (ASCII docs);
+        # reduceat is SEQUENTIAL left-to-right (numpy's pairwise
+        # row-sum would drift from the oracle's ordered aggregate)
+        s = np.add.reduceat(term.ravel(),
+                            np.arange(0, len(lens) * 256, 256))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.where(n > 0, np.log(np.maximum(n, 1))
+                           - s / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": ids,
+            "n_ch": pa.array(n.astype(np.int64)),
+            "distinct_ch": pa.array((cnt > 0).sum(axis=1)
+                                    .astype(np.int64)),
+            "ent6": pa.array(round_half_away(ent, nd), pa.float64())})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(kernel, batch_format="pyarrow",
+                     batch_size=batch_size)

@@ -2252,6 +2252,178 @@ def _image_border_table(sf: float) -> pa.Table:
         "ratio6": pa.array(out["ratio6"], pa.float64())})
 
 
+
+
+def _way_resample_table(sf: float) -> pa.Table:
+    """Scalar reference for way_resample: python dict/bisect per-way
+    loop with math.* haversine on the shared 3 dp segment grid —
+    shares only EARTH_R_M, RESAMPLE_K and the rounding convention."""
+    import bisect
+
+    from .pipelines.osm import EARTH_R_M, RESAMPLE_K
+    from .util import round_half_away
+
+    d = datagen.scale_dir(sf)
+    nt = pq.read_table(str(d / "osm_nodes.parquet"),
+                       columns=["id", "lon", "lat"])
+    coord = {i: (lo, la) for i, lo, la in
+             zip(nt["id"].to_pylist(), nt["lon"].to_pylist(),
+                 nt["lat"].to_pylist())}
+    wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
+    d2r = math.pi / 180.0
+    k = RESAMPLE_K
+    out = {"way_id": [], "pt_idx": [], "lon6": [], "lat6": []}
+    for wid, refs in zip(wt["id"].to_pylist(), wt["refs"].to_pylist()):
+        if len(refs) < 2 or any(r not in coord for r in refs):
+            continue
+        pts = [coord[r] for r in refs]
+        seg = []
+        for (lo1, la1), (lo2, la2) in zip(pts, pts[1:]):
+            p1, p2 = la1 * d2r, la2 * d2r
+            sdp = math.sin((p2 - p1) / 2.0)
+            sdl = math.sin((lo2 - lo1) * d2r / 2.0)
+            aa = min(sdp * sdp + math.cos(p1) * math.cos(p2) * sdl * sdl,
+                     1.0)
+            seg.append(float(round_half_away(np.float64(
+                2.0 * EARTH_R_M * math.asin(math.sqrt(aa))), 3)))
+        cum = [0.0]
+        for s in seg:
+            cum.append(cum[-1] + s)
+        L = cum[-1]
+        if float(round_half_away(np.float64(L), 3)) <= 0.0:
+            continue
+        for j in range(k):
+            t = j * L / (k - 1)
+            i = bisect.bisect_right(cum, t) - 1
+            i = min(max(i, 0), len(seg) - 1)
+            f = (t - cum[i]) / seg[i] if seg[i] > 0.0 else 0.0
+            out["way_id"].append(wid)
+            out["pt_idx"].append(j)
+            out["lon6"].append(float(round_half_away(np.float64(
+                pts[i][0] + f * (pts[i + 1][0] - pts[i][0])), 6)))
+            out["lat6"].append(float(round_half_away(np.float64(
+                pts[i][1] + f * (pts[i + 1][1] - pts[i][1])), 6)))
+    return pa.table({
+        "way_id": pa.array(out["way_id"], pa.int64()),
+        "pt_idx": pa.array(out["pt_idx"], pa.int64()),
+        "lon6": pa.array(out["lon6"], pa.float64()),
+        "lat6": pa.array(out["lat6"], pa.float64())})
+
+
+
+
+def _image_orientation_table(sf: float) -> pa.Table:
+    """Scalar reference for image_orientation: per-row decode, gradients
+    via explicit python index loops, histogram via Counter — shares only
+    codecs.decode and the _octant_bins boundary definition."""
+    from collections import Counter
+
+    from . import codecs
+    from .pipelines.images import _octant_bins
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_grad": [], "dom_oct": [],
+           "dom_share6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f)
+            lum = px.astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            dxs, dys = [], []
+            for i in range(1, h - 1):
+                for j in range(1, w - 1):
+                    dx = int(lum[i, j + 1] - lum[i, j - 1])
+                    dy = int(lum[i + 1, j] - lum[i - 1, j])
+                    if dx or dy:
+                        dxs.append(dx)
+                        dys.append(dy)
+            c = Counter(_octant_bins(np.array(dxs, np.int64),
+                                     np.array(dys, np.int64)).tolist()) \
+                if dxs else Counter()
+            n = sum(c.values())
+            if n:
+                best = max(c.values())
+                dom = min(k for k, v in c.items() if v == best)
+            else:
+                dom = -1
+            out["ok"].append(True)
+            out["n_grad"].append(n)
+            out["dom_oct"].append(dom)
+            out["dom_share6"].append(float(round_half_away(
+                np.float64(c[dom] / n), 6)) if n else 0.0)
+        except Exception:
+            out["ok"].append(False)
+            out["n_grad"].append(0)
+            out["dom_oct"].append(-1)
+            out["dom_share6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_grad": pa.array(out["n_grad"], pa.int64()),
+        "dom_oct": pa.array(out["dom_oct"], pa.int64()),
+        "dom_share6": pa.array(out["dom_share6"], pa.float64())})
+
+
+
+
+def _raster_viewshed_table(sf: float, z: int = 10,
+                           grid: int = 64) -> pa.Table:
+    """Scalar reference for raster_viewshed: per-row scalar pixel math
+    (morton decode + math.* slippy at z + log2(grid)), python-dict
+    per-tile densification, then the SHARED all-integer line-of-sight
+    definition (_los_blocked) applied one tile at a time."""
+    from .pipelines.raster import VIEWSHED_OBS_H, _los_blocked
+
+    t = _images_rows(sf, ["phash"])
+    kbits = int(math.log2(grid))
+    n_glob = 1 << (z + kbits)
+    tiles: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    for ph in t["phash"].to_pylist():
+        lon, lat = _scalar_morton_decode(ph)
+        r = math.radians(lat)
+        gx = math.floor((lon + 180.0) / 360.0 * n_glob)
+        gy = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                         / math.pi) / 2.0 * n_glob)
+        gx = min(max(int(gx), 0), n_glob - 1)
+        gy = min(max(int(gy), 0), n_glob - 1)
+        tk = (gx >> kbits, gy >> kbits)
+        pk = (gx & (grid - 1), gy & (grid - 1))
+        tiles.setdefault(tk, {}).setdefault(pk, 0)
+        tiles[tk][pk] += 1
+    cx = cy = grid // 2
+    rows = {"tile_x": [], "tile_y": [], "px": [], "py": [], "n": [],
+            "visible": []}
+    for (tx, ty) in sorted(tiles):
+        pix = tiles[(tx, ty)]
+        H = np.zeros((grid, grid), np.int64)
+        for (x, y), cnt in pix.items():
+            H[y, x] = cnt
+        h_obs = int(H[cy, cx]) + VIEWSHED_OBS_H
+        for (x, y) in sorted(pix):
+            if x == cx and y == cy:
+                vis = True
+            else:
+                vis = not bool(_los_blocked(
+                    H, cx, cy, np.array([x], np.int64),
+                    np.array([y], np.int64), h_obs)[0])
+            rows["tile_x"].append(tx)
+            rows["tile_y"].append(ty)
+            rows["px"].append(x)
+            rows["py"].append(y)
+            rows["n"].append(pix[(x, y)])
+            rows["visible"].append(vis)
+    return pa.table({
+        "tile_x": pa.array(rows["tile_x"], pa.int64()),
+        "tile_y": pa.array(rows["tile_y"], pa.int64()),
+        "px": pa.array(rows["px"], pa.int64()),
+        "py": pa.array(rows["py"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "visible": pa.array(rows["visible"], pa.bool_())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2305,6 +2477,9 @@ _BUILDERS = {
     "image_palette": _image_palette_table,
     "image_ssim": _image_ssim_table,
     "image_border_contrast": _image_border_table,
+    "way_resample": _way_resample_table,
+    "image_orientation": _image_orientation_table,
+    "raster_viewshed": _raster_viewshed_table,
 }
 
 

@@ -129,3 +129,83 @@ def test_adamic_adar_discounts_hubs(ray_session):
     # common neighbors {5, 6, 60} each of degree 4 -> 3/ln(4)
     hub = pairs[(3, 4)]
     assert abs(hub - 3.0 / np.log(4)) < 1e-6
+
+
+def test_way_resample_straight_segment(ray_session):
+    """A 2-point way resamples to k collinear equally spaced points
+    with exact endpoints."""
+    from go_osm_ray.pipelines.osm import RESAMPLE_K, way_resample
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "lon": pa.array([10.0, 10.7], pa.float64()),
+        "lat": pa.array([0.0, 0.0], pa.float64())}))
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array([5], pa.int64()),
+        "refs": pa.array([[1, 2]], pa.list_(pa.int64()))}))
+    df = way_resample(nodes, ways).to_pandas().sort_values("pt_idx")
+    assert len(df) == RESAMPLE_K
+    assert df.lon6.iloc[0] == 10.0 and df.lon6.iloc[-1] == 10.7
+    assert (df.lat6 == 0.0).all()
+    steps = np.diff(df.lon6.to_numpy())
+    assert np.allclose(steps, 0.7 / (RESAMPLE_K - 1), atol=2e-6)
+
+
+def test_gap_cv_metronome_vs_bursty(ray_session):
+    """Equal gaps -> cv exactly 0; a bursty schedule -> cv > 0.5."""
+    from go_osm_ray.pipelines.relq import user_gap_cv
+    us = 1_000_000
+    rows = [(1, i * 60 * us) for i in range(10)]           # metronome
+    rows += [(2, t * us) for t in (0, 1, 2, 3, 1000, 1001, 2000)]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64())}))
+    df = user_gap_cv(ev).to_pandas().set_index("user_id")
+    assert df.loc[1, "cv6"] == 0.0
+    assert df.loc[2, "cv6"] > 0.5
+    assert df.loc[1, "n_gaps"] == 9
+
+
+def test_char_entropy_limits(ray_session):
+    """Single-char doc -> entropy 0; uniform 4-char doc -> ln 4."""
+    from go_osm_ray.pipelines.text import doc_char_entropy
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaaaaaaa", "abcdabcd"], pa.string())}))
+    df = doc_char_entropy(docs).to_pandas().set_index("doc_id")
+    assert df.loc[1, "ent6"] == 0.0
+    assert abs(df.loc[2, "ent6"] - np.log(4)) < 1e-6
+    assert df.loc[2, "distinct_ch"] == 4
+
+
+def test_orientation_ramp_is_pure_east(ray_session):
+    """A monotone x-ramp has dx > 0, dy == 0 everywhere -> every
+    gradient lands in octant 0 with share 1.0."""
+    from go_osm_ray.pipelines.images import image_orientation
+    ys, xs = np.mgrid[0:16, 0:16]
+    ramp = np.stack([4 * xs + 1] * 3, -1).astype(np.uint8)
+    df = image_orientation(_img_ds([ramp]), concurrency=1).to_pandas()
+    assert df.dom_oct[0] == 0
+    assert df.dom_share6[0] == 1.0
+    assert df.n_grad[0] == 14 * 14
+
+
+def test_viewshed_wall_occludes(ray_session):
+    """Observer at the tile centre: a tall wall pixel hides a lower
+    pixel directly behind it, while the wall itself stays visible."""
+    from go_osm_ray.pipelines.raster import raster_viewshed
+    grid = 64
+    c = grid // 2
+    # wall height 50 at (c+4, c); target height 1 at (c+8, c)
+    r = ray.data.from_arrow(pa.table({
+        "tile_x": pa.array([7, 7, 7], pa.int64()),
+        "tile_y": pa.array([9, 9, 9], pa.int64()),
+        "px": pa.array([c, c + 4, c + 8], pa.int64()),
+        "py": pa.array([c, c, c], pa.int64()),
+        "n": pa.array([2, 50, 1], pa.int64())}))
+    df = raster_viewshed(r, z=10, grid=grid).to_pandas() \
+        .set_index("px")
+    assert bool(df.loc[c, "visible"])          # observer pixel
+    assert bool(df.loc[c + 4, "visible"])      # the wall sees the sky
+    assert not bool(df.loc[c + 8, "visible"])  # shadowed behind it
