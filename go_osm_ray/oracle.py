@@ -1290,6 +1290,16 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(sum(CASE WHEN {_f3} THEN 1 ELSE 0 END) AS BIGINT) AS n_caption
         FROM {images} GROUP BY fmt"""
 
+    # duplicate caption-template groups (n >= 2): shared-RE2 digit
+    # collapse + two-level distinct mirror
+    q["caption_dupes"] = f"""
+        WITH tpl AS (SELECT regexp_replace(caption, '[0-9]+', '#', 'g')
+                       AS template, fmt, image_id FROM {images})
+        SELECT template, CAST(count(*) AS BIGINT) AS n_images,
+               CAST(count(DISTINCT fmt) AS BIGINT) AS n_fmts,
+               min(image_id) AS keeper
+        FROM tpl GROUP BY template HAVING count(*) >= 2"""
+
     # caption/pixel Pearson correlation: corr() mirror of the 6-moment
     # combiner (sample corr == population-moment formula algebraically;
     # both sides round at 6dp — the embed_covariance precedent)
@@ -2545,6 +2555,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_resample"] = f"SELECT way_id, pt_idx, lon6, lat6 FROM read_parquet('{exp['way_resample']}')"
     q["image_orientation"] = f"SELECT image_id, ok, n_grad, dom_oct, dom_share6 FROM read_parquet('{exp['image_orientation']}')"
     q["raster_viewshed"] = f"SELECT tile_x, tile_y, px, py, n, visible FROM read_parquet('{exp['raster_viewshed']}')"
+    q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
+    q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
     q["events_markov_stationary"] = f"SELECT event_type, pi6 FROM read_parquet('{exp['events_markov_stationary']}')"
     q["doc_compression_ratio"] = f"SELECT doc_id, raw_len, comp_len, ratio6 FROM read_parquet('{exp['doc_compression_ratio']}')"

@@ -1265,3 +1265,56 @@ def image_orientation(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageOrientation, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def caption_dupes(images: ray.data.Dataset,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """(template, n_images, n_fmts, keeper): duplicate caption-TEMPLATE
+    groups across the image corpus (digit runs collapsed to '#', every
+    group with n >= 2) — the boilerplate/alt-text-template screen of an
+    image+caption training set (crawled captions differ only in ids or
+    counters far more often than verbatim); keeper = the smallest
+    image_id, n_fmts = distinct encodings carrying the template.
+
+    Scale plan: per-block Arrow regex normalize + Acero (template, fmt)
+    partials, ONE bounded hash(template) exchange (payload = one row
+    per distinct pair per block), two-level Acero merge per partition.
+    RE2 is shared with the DuckDB mirror (the pii_redact precedent)."""
+    from ..relational import _col_hash, hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("caption"), "caption",
+            pc.replace_substring_regex(t["caption"].combine_chunks(),
+                                       "[0-9]+", "#"))
+        g = t.group_by(["caption", "fmt"]).aggregate(
+            [("image_id", "count"), ("image_id", "min")])
+        h = _col_hash(g["caption"]).astype(np.int64)
+        return pa.table({
+            "caption": g["caption"],
+            "fmt": g["fmt"],
+            "n": pc.cast(g["image_id_count"], pa.int64()),
+            "keeper": g["image_id_min"],
+            "part": pa.array(hash_part(h, num_parts))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["caption", "fmt"]) \
+            .aggregate([("n", "sum"), ("keeper", "min")])
+        g2 = g.group_by("caption").aggregate(
+            [("n_sum", "sum"), ([], "count_all"), ("keeper_min", "min")])
+        n = g2["n_sum_sum"].combine_chunks().to_numpy()
+        keep = n >= 2
+        return pa.table({
+            "template": g2["caption"].combine_chunks().filter(
+                pa.array(keep)),
+            "n_images": pa.array(n[keep].astype(np.int64)),
+            "n_fmts": pc.cast(g2["count_all"], pa.int64())
+            .combine_chunks().filter(pa.array(keep)),
+            "keeper": g2["keeper_min_min"].combine_chunks().filter(
+                pa.array(keep))})
+
+    return images.select_columns(["image_id", "caption", "fmt"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=65536) \
+        .groupby("part") \
+        .map_groups(merge, batch_format="pyarrow")

@@ -4963,3 +4963,84 @@ def user_gap_cv(events: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+SURVIVAL_CHURN_DAYS = 1
+
+
+def user_survival(events: ray.data.Dataset,
+                  churn_days: int = SURVIVAL_CHURN_DAYS,
+                  num_parts: int = 32) -> ray.data.Dataset:
+    """(day, n_risk, n_events, km6): Kaplan-Meier survival curve of
+    user LIFETIME (whole days between a user's first and last event);
+    a user whose last event predates the stream horizon by more than
+    ``churn_days`` is an observed churn event, anyone still active is
+    censored — the retention curve a growth team actually reads.
+    Rows are the KM event times (days with >= 1 churn).
+
+    Determinism: all counts are exact integers; S(d) is the sequential
+    product of (1 - d_i/n_i) over ASCENDING day on both sides — the
+    final fold runs once in a bounded single merge (distinct lifetime
+    days), never per-partition.
+
+    Scale plan: one bounded per-user combiner exchange (min/max ts),
+    a day-histogram combiner over the bounded per-user table, then the
+    single bounded KM fold."""
+    from ..relational import partial_groupby_agg, single_merge
+
+    US_DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table({"user_id": t["user_id"], "ts": pa.array(ts)})
+
+    per_user = partial_groupby_agg(
+        events.select_columns(["user_id", "ts"])
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], [("ts", "min"), ("ts", "max")],
+        num_parts=num_parts).materialize()
+
+    horizon = int(per_user.max("ts_max"))
+    cut = horizon - churn_days * US_DAY
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        first = t["ts_min"].combine_chunks().to_numpy()
+        last = t["ts_max"].combine_chunks().to_numpy()
+        day = (last - first) // US_DAY
+        evt = (last < cut).astype(np.int64)
+        g = pa.table({"day": pa.array(day),
+                      "tot": pa.array(np.ones(len(day), np.int64)),
+                      "evt": pa.array(evt)}) \
+            .group_by("day").aggregate([("tot", "sum"), ("evt", "sum")])
+        return g.rename_columns(["day", "tot", "evt"])
+
+    hist = partial_groupby_agg(
+        per_user.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=65536),
+        ["day"], [("tot", "sum"), ("evt", "sum")], num_parts=8)
+
+    def km(t: pa.Table) -> pa.Table:
+        day = t["day"].combine_chunks().to_numpy()
+        tot = t["tot_sum"].combine_chunks().to_numpy()
+        evt = t["evt_sum"].combine_chunks().to_numpy()
+        order = np.argsort(day)
+        day, tot, evt = day[order], tot[order], evt[order]
+        n_users = int(tot.sum())
+        risk = n_users - np.concatenate([[0], np.cumsum(tot)[:-1]])
+        out = {"day": [], "n_risk": [], "n_events": [], "km6": []}
+        s = 1.0
+        for d, r, e in zip(day.tolist(), risk.tolist(), evt.tolist()):
+            if e == 0:
+                continue
+            s = s * (1.0 - e / r)
+            out["day"].append(d)
+            out["n_risk"].append(r)
+            out["n_events"].append(e)
+            out["km6"].append(float(round_half_away(np.float64(s), 6)))
+        return pa.table({
+            "day": pa.array(out["day"], pa.int64()),
+            "n_risk": pa.array(out["n_risk"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "km6": pa.array(out["km6"], pa.float64())})
+
+    return single_merge(hist, km)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -573,3 +574,60 @@ def embed_hard_negatives(embeddings: ray.data.Dataset,
                                    batch_size=batch_size)
             .groupby("query_id")
             .map_groups(finish, batch_format="pyarrow"))
+
+
+def cluster_cohesion(ds: ray.data.Dataset, n_clusters: int = 8,
+                     col: str = "embedding",
+                     id_col: str = "vec_id") -> ray.data.Dataset:
+    """(cluster, n, mean_cos6, min_cos6): per-kmeans-cluster cohesion —
+    the cosine of every member to its (normalized) assigned centroid,
+    reduced to mean and min per cluster.  The cluster-quality audit a
+    curation pipeline reads before trusting per-cluster sampling quotas
+    (a low-cohesion cluster is a junk drawer, not a topic).
+
+    Determinism: each member cosine lands on the exact 1e-9 integer
+    grid (round-half-away) BEFORE summation, so the per-cluster mean is
+    a ratio of exact int64s — block order cannot drift it; min is
+    order-free on the 6 dp grid.  ONE bounded combiner exchange."""
+    from ..relational import partial_groupby_agg
+    from .spatial import ivf_centroids
+
+    sub = ds.select_columns([id_col, col])
+    if (id_col, col) != ("vec_id", "embedding"):
+        sub = sub.rename_columns({id_col: "vec_id", col: "embedding"})
+    cent = ivf_centroids(sub, n_clusters)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_ref = ray.put((cent, cent_n))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c, cn = ray.get(cent_ref)
+        x = _stack(t, col)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cl = np.argmax(x @ c.T, axis=1)
+        cos = np.einsum("ij,ij->i", x, cn[cl])
+        q = round_half_away(cos * 1e9, 0).astype(np.int64)
+        c6 = round_half_away(cos, 6)
+        g = pa.table({"cluster": pa.array(cl.astype(np.int64)),
+                      "one": pa.array(np.ones(len(cl), np.int64)),
+                      "q": pa.array(q), "c6": pa.array(c6)}) \
+            .group_by("cluster").aggregate(
+                [("one", "sum"), ("q", "sum"), ("c6", "min")])
+        return g.rename_columns(["cluster", "one", "q", "c6"])
+
+    g = partial_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["cluster"], [("one", "sum"), ("q", "sum"), ("c6", "min")],
+        num_parts=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["one_sum"].combine_chunks().to_numpy()
+        q = t["q_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "cluster": t["cluster"],
+            "n": pa.array(n.astype(np.int64)),
+            "mean_cos6": pa.array(round_half_away(
+                q / (n * 1e9), 6), pa.float64()),
+            "min_cos6": pc.cast(t["c6_min"], pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

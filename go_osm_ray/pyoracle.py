@@ -2424,6 +2424,96 @@ def _raster_viewshed_table(sf: float, z: int = 10,
         "visible": pa.array(rows["visible"], pa.bool_())})
 
 
+
+
+def _cluster_cohesion_table(sf: float, n_clusters: int = 8) -> pa.Table:
+    """Whole-matrix reference for vectors.cluster_cohesion: one argmax
+    + one einsum over the full table off the shared _lloyd_centroids
+    quantizer; per-member cosines land on the same 1e-9 integer grid,
+    summed per cluster with python ints."""
+    from .util import round_half_away
+
+    t = pq.read_table(_testdata(sf, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy()
+    emb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cent = _lloyd_centroids(vid, emb, n_clusters, 3, 4096)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cl = np.argmax(emb @ cent.T, axis=1)
+    cos = np.einsum("ij,ij->i", emb, cent_n[cl])
+    q = round_half_away(cos * 1e9, 0).astype(np.int64)
+    c6 = round_half_away(cos, 6)
+    rows = {"cluster": [], "n": [], "mean_cos6": [], "min_cos6": []}
+    for c in sorted(set(cl.tolist())):
+        m = cl == c
+        n = int(m.sum())
+        qsum = sum(int(x) for x in q[m])
+        rows["cluster"].append(c)
+        rows["n"].append(n)
+        rows["mean_cos6"].append(float(round_half_away(
+            np.float64(qsum / (n * 1e9)), 6)))
+        rows["min_cos6"].append(float(c6[m].min()))
+    return pa.table({
+        "cluster": pa.array(rows["cluster"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "mean_cos6": pa.array(rows["mean_cos6"], pa.float64()),
+        "min_cos6": pa.array(rows["min_cos6"], pa.float64())})
+
+
+
+
+def _user_survival_table(sf: float, churn_days: int = 1) -> pa.Table:
+    """Scalar reference for relq.user_survival: python-dict per-user
+    first/last, the same churn-horizon rule, and the ascending-day
+    sequential KM fold — shares only the day/churn constants and the
+    rounding convention."""
+    from .util import round_half_away
+
+    t = pq.read_table(_testdata(sf, "events"), columns=["user_id", "ts"])
+    us_day = 86_400_000_000
+    span: dict[int, list[int]] = {}
+    for uid, ts in zip(t["user_id"].to_pylist(),
+                       [int(x.value) for x in t["ts"]]):
+        if uid in span:
+            if ts < span[uid][0]:
+                span[uid][0] = ts
+            if ts > span[uid][1]:
+                span[uid][1] = ts
+        else:
+            span[uid] = [ts, ts]
+    horizon = max(v[1] for v in span.values())
+    cut = horizon - churn_days * us_day
+    hist: dict[int, list[int]] = {}
+    for lo, hi in span.values():
+        d = (hi - lo) // us_day
+        h = hist.setdefault(d, [0, 0])
+        h[0] += 1
+        if hi < cut:
+            h[1] += 1
+    n_users = len(span)
+    rows = {"day": [], "n_risk": [], "n_events": [], "km6": []}
+    s = 1.0
+    passed = 0
+    for d in sorted(hist):
+        tot, evt = hist[d]
+        r = n_users - passed
+        passed += tot
+        if evt == 0:
+            continue
+        s = s * (1.0 - evt / r)
+        rows["day"].append(d)
+        rows["n_risk"].append(r)
+        rows["n_events"].append(evt)
+        rows["km6"].append(float(round_half_away(np.float64(s), 6)))
+    return pa.table({
+        "day": pa.array(rows["day"], pa.int64()),
+        "n_risk": pa.array(rows["n_risk"], pa.int64()),
+        "n_events": pa.array(rows["n_events"], pa.int64()),
+        "km6": pa.array(rows["km6"], pa.float64())})
+
+
 _BUILDERS = {
     "minhash_pairs": _minhash_pairs_table,
     "simhash_pairs": _simhash_pairs_table,
@@ -2480,6 +2570,8 @@ _BUILDERS = {
     "way_resample": _way_resample_table,
     "image_orientation": _image_orientation_table,
     "raster_viewshed": _raster_viewshed_table,
+    "cluster_cohesion": _cluster_cohesion_table,
+    "user_survival": _user_survival_table,
 }
 
 

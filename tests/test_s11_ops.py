@@ -209,3 +209,61 @@ def test_viewshed_wall_occludes(ray_session):
     assert bool(df.loc[c, "visible"])          # observer pixel
     assert bool(df.loc[c + 4, "visible"])      # the wall sees the sky
     assert not bool(df.loc[c + 8, "visible"])  # shadowed behind it
+
+
+def test_caption_template_dupes(ray_session):
+    """Captions differing only in digit runs collapse to one template;
+    distinct fmt count and min keeper are exact."""
+    from go_osm_ray.pipelines.images import caption_dupes
+    imgs = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "caption": pa.array(["cat 1", "cat 22", "dog 3", "lone"],
+                            pa.string()),
+        "fmt": pa.array(["bmp", "png", "bmp", "bmp"], pa.string())}))
+    df = caption_dupes(imgs, num_parts=2).to_pandas()
+    assert len(df) == 1
+    assert df.template[0] == "cat #"
+    assert df.n_images[0] == 2 and df.n_fmts[0] == 2
+    assert df.keeper[0] == "a"
+
+
+def test_cluster_cohesion_perfect_clusters(ray_session):
+    """Two axis-aligned point groups under k=2: every member coincides
+    with its centroid direction -> mean_cos6 == min_cos6 == 1.0."""
+    from go_osm_ray.pipelines.vectors import cluster_cohesion
+    v0 = [1.0] + [0.0] * 7
+    v1 = [0.0] * 7 + [1.0]
+    emb = [v0] * 10 + [v1] * 10
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(20)), pa.int64()),
+        "embedding": pa.array(emb, pa.list_(pa.float64()))}))
+    df = cluster_cohesion(ds, n_clusters=2).to_pandas()
+    assert len(df) == 2
+    assert (df.mean_cos6 == 1.0).all()
+    assert (df.min_cos6 == 1.0).all()
+    assert sorted(df.n.tolist()) == [10, 10]
+
+
+def test_km_survival_planted_curve(ray_session):
+    """4 churners at lifetimes 1..4 days among 10 users -> the KM curve
+    steps through the exact closed-form products 0.9/0.8/0.7/0.6."""
+    from go_osm_ray.pipelines.relq import user_survival
+    us_day = 86_400_000_000
+    rows = []
+    horizon = 100 * us_day
+    for u in range(1, 5):        # churners: lifetime u days, long gone
+        rows.append((u, 0))
+        rows.append((u, u * us_day))
+    for u in range(5, 11):       # censored: active at the horizon
+        rows.append((u, 50 * us_day))
+        rows.append((u, horizon))
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64)
+                       .astype("datetime64[us]"), pa.timestamp("us"))}))
+    df = user_survival(ev).to_pandas().sort_values("day") \
+        .reset_index(drop=True)
+    assert df.day.tolist() == [1, 2, 3, 4]
+    assert df.n_risk.tolist() == [10, 9, 8, 7]
+    assert np.allclose(df.km6.to_numpy(), [0.9, 0.8, 0.7, 0.6],
+                       atol=1e-6)
