@@ -483,6 +483,34 @@ def build(sf: float = 0.01) -> dict[str, str]:
         WHERE CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common)
               >= 0.2"""
 
+    # ring/validity audit: list_unique gives the distinct-ref count;
+    # has_repeat discounts the closing duplicate of a ring
+    q["osm_way_closure"] = f"""
+        SELECT id AS way_id, CAST(len(refs) AS BIGINT) AS n_refs,
+               CAST(list_unique(refs) AS BIGINT) AS n_unique,
+               (len(refs) >= 2 AND refs[1] = refs[len(refs)])
+                   AS is_closed,
+               (CAST(list_unique(refs) AS BIGINT) <
+                CAST(len(refs) AS BIGINT)
+                - CASE WHEN len(refs) >= 2 AND refs[1] = refs[len(refs)]
+                       THEN 1 ELSE 0 END) AS has_repeat
+        FROM {ways}"""
+
+    # shared-SEGMENT census per way pair: consecutive ref pairs
+    # normalized lo<hi, per-way DISTINCT, self-loops dropped
+    q["way_shared_segments"] = f"""
+        WITH seg AS (
+          SELECT DISTINCT id AS way_id,
+                 LEAST(refs[u.i], refs[u.i + 1]) AS lo,
+                 GREATEST(refs[u.i], refs[u.i + 1]) AS hi
+          FROM {ways}, unnest(range(1, len(refs))) AS u(i)
+          WHERE refs[u.i] <> refs[u.i + 1])
+        SELECT s1.way_id AS a, s2.way_id AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM seg s1 JOIN seg s2
+          ON s1.lo = s2.lo AND s1.hi = s2.hi AND s1.way_id < s2.way_id
+        GROUP BY 1, 2"""
+
     # Adamic-Adar: degree-bucketed common-neighbor counts, then an
     # ORDERED (ascending d) sum so both sides accumulate the same
     # sequence of doubles
@@ -991,6 +1019,24 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS n_points,
                {sql_round('(2.0 * sx / (n * tot)) - (n + 1.0) / n', 6)}
                    AS gini
+        FROM s"""
+
+    # Morisita dispersion index over occupied cells: every aggregate an
+    # exact integer; the single float division mirrors the engine's
+    # float(q*sxx)/float(nn*(nn-1)) (int multiply BEFORE the cast on
+    # both sides)
+    q["cell_morisita"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS q,
+                     CAST(sum(x) AS BIGINT) AS nn,
+                     CAST(sum(x * (x - 1)) AS BIGINT) AS sxx FROM c)
+        SELECT q AS n_cells, nn AS n_points,
+               {sql_round('CAST(q * sxx AS DOUBLE) '
+                          '/ CAST(nn * (nn - 1) AS DOUBLE)', 6)}
+                   AS morisita6
         FROM s"""
 
     # per-cell storage footprint: exact integer byte sums
@@ -1700,6 +1746,22 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(hour(ts) AS BIGINT) AS hour,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # weekday-uniformity chi-square per type: with e = N/7 the statistic
+    # telescopes to (7*sum(o^2) - N^2)/N — all-integer numerator (zero
+    # weekdays drop out of sum(o^2) but the closed form covers them),
+    # one float division on both sides
+    q["events_weekday_chi2"] = f"""
+        WITH c AS (SELECT event_type, isodow(ts) AS dow,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+                     CAST(sum(o * o) AS BIGINT) AS so2
+              FROM c GROUP BY 1)
+        SELECT event_type, n,
+               {sql_round('CAST(7 * so2 - n * n AS DOUBLE) '
+                          '/ CAST(n AS DOUBLE)', 6)} AS chi2_6
+        FROM s"""
 
     # inter-event gap histogram: lag-window mirror; exact integer log2
     # via binary-string length (no float log on either side)
@@ -2555,6 +2617,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["way_resample"] = f"SELECT way_id, pt_idx, lon6, lat6 FROM read_parquet('{exp['way_resample']}')"
     q["image_orientation"] = f"SELECT image_id, ok, n_grad, dom_oct, dom_share6 FROM read_parquet('{exp['image_orientation']}')"
     q["raster_viewshed"] = f"SELECT tile_x, tile_y, px, py, n, visible FROM read_parquet('{exp['raster_viewshed']}')"
+    q["image_flip_asym"] = f"SELECT image_id, ok, n_px, asym6, max_d FROM read_parquet('{exp['image_flip_asym']}')"
+    q["image_blob_count"] = f"SELECT image_id, ok, n_px, n_fg, n_blobs, max_blob FROM read_parquet('{exp['image_blob_count']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"
@@ -3197,6 +3261,28 @@ def build(sf: float = 0.01) -> dict[str, str]:
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         GROUP BY 1, 2"""
+
+    # Herfindahl-Hirschman supplier-concentration index per nation:
+    # per-supplier quantity sums are exact BIGINTs (integral
+    # quantities); sum(q*q) stays exact (DuckDB sums BIGINT into
+    # HUGEINT); exactly one float division, rounded half-away at 6 dp
+    q["supplier_hhi"] = f"""
+        WITH ps AS (SELECT l_suppkey,
+                           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                               AS q
+                    FROM lineitem GROUP BY 1),
+        j AS (SELECT n.n_name, ps.q
+              FROM ps
+              JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey),
+        a AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                     CAST(sum(q) AS BIGINT) AS tot,
+                     CAST(sum(q * q) AS BIGINT) AS sq
+              FROM j GROUP BY 1)
+        SELECT n_name, n_suppliers, tot AS total_qty,
+               {sql_round('CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE)',
+                          6)} AS hhi6
+        FROM a"""
 
     # TPC-H Q11 shape: parts whose revenue exceeds mult x the mean
     # per-part revenue (scale-free cut; exact int64 sums, float64

@@ -1318,3 +1318,139 @@ def caption_dupes(images: ray.data.Dataset,
                      batch_size=65536) \
         .groupby("part") \
         .map_groups(merge, batch_format="pyarrow")
+
+
+class ImageFlipAsym:
+    """Actor-pool stage: decode -> exact integer horizontal-flip
+    asymmetry of the summed-channel luma — mean |L(x,y) - L(w-1-x,y)|
+    over all pixels plus the max deviation. A cheap augmentation probe:
+    near-zero asym means horizontal flips are free; large asym flags
+    orientation-sensitive content (text, gradients)."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, asym, mx = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                d = np.abs(lum - lum[:, ::-1])
+                n = int(d.size)
+                s = int(d.sum())
+                ok.append(True)
+                npx.append(n)
+                asym.append(float(round_half_away(np.float64(s / n), 6)))
+                mx.append(int(d.max()))
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                asym.append(0.0)
+                mx.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "asym6": pa.array(asym, pa.float64()),
+            "max_d": pa.array(mx, pa.int64())})
+
+
+def image_flip_asym(images: ray.data.Dataset, concurrency=None,
+                    batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, asym6, max_d): horizontal-flip asymmetry
+    per image — see ImageFlipAsym."""
+    from ..util import default_pool
+    return images.map_batches(ImageFlipAsym, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImageBlobCount:
+    """Actor-pool stage: decode -> threshold the summed-channel luma
+    STRICTLY above its exact per-image mean (integer cross-multiply
+    lum * n_px > sum, no float mean) -> count 4-connected foreground
+    components + the largest blob, via union-find with path compression
+    over the adjacent-pixel edge list (the pyoracle mirror uses BFS
+    flood fill — an independent labeling algorithm). The
+    segmentation-complexity screen of an image-curation funnel: 1 blob
+    = flat/gradient content, many = texture."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    @staticmethod
+    def _label(mask: np.ndarray) -> tuple[int, int]:
+        """(n_blobs, max_blob) of a 2-D bool mask, 4-connectivity."""
+        idx = np.full(mask.shape, -1, np.int64)
+        fg = np.flatnonzero(mask)
+        if fg.size == 0:
+            return 0, 0
+        idx.ravel()[fg] = np.arange(fg.size)
+        right = mask[:, :-1] & mask[:, 1:]
+        down = mask[:-1, :] & mask[1:, :]
+        ea = np.concatenate([idx[:, :-1][right], idx[:-1, :][down]])
+        eb = np.concatenate([idx[:, 1:][right], idx[1:, :][down]])
+        parent = list(range(fg.size))
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ea.tolist(), eb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.fromiter((find(i) for i in range(fg.size)),
+                            np.int64, fg.size)
+        sizes = np.bincount(roots)
+        sizes = sizes[sizes > 0]
+        return int(len(sizes)), int(sizes.max())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, nfg, nb, mb = [], [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                n = int(lum.size)
+                s = int(lum.sum())
+                mask = lum * n > s
+                k, m = self._label(mask)
+                ok.append(True)
+                npx.append(n)
+                nfg.append(int(mask.sum()))
+                nb.append(k)
+                mb.append(m)
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                nfg.append(0)
+                nb.append(0)
+                mb.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "n_fg": pa.array(nfg, pa.int64()),
+            "n_blobs": pa.array(nb, pa.int64()),
+            "max_blob": pa.array(mb, pa.int64())})
+
+
+def image_blob_count(images: ray.data.Dataset, concurrency=None,
+                     batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, n_fg, n_blobs, max_blob): 4-connected
+    above-mean-luma component census per image — see ImageBlobCount."""
+    from ..util import default_pool
+    return images.map_batches(ImageBlobCount, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

@@ -2959,3 +2959,121 @@ def way_resample(nodes: ray.data.Dataset, ways: ray.data.Dataset,
             "lat6": pa.array(out["lat6"], pa.float64())})
 
     return ways.map_batches(fn, batch_format="pyarrow")
+
+
+def osm_way_closure(ways: ray.data.Dataset) -> ray.data.Dataset:
+    """(way_id, n_refs, n_unique, is_closed, has_repeat): per-way ring/
+    validity audit — is_closed = first ref == last ref (the polygon
+    precondition osm_way_area assumes, reference semantics
+    osm/Way.go:15-30), n_unique counts distinct refs, has_repeat flags
+    interior node reuse beyond the closing duplicate (a degenerate
+    geometry screen). Pure per-row block pass, zero exchanges; each
+    way's refs live in one list cell so in-block stats are global."""
+    def fn(t: pa.Table) -> pa.Table:
+        refs = t["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        n = np.diff(off)
+        first = flat[off[:-1]]
+        last = flat[off[1:] - 1]
+        closed = (n >= 2) & (first == last)
+        # distinct count per way: sort values within each way, count
+        # boundaries (vectorized over the whole block)
+        way_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        order = np.lexsort((flat, way_idx))
+        wi, fv = way_idx[order], flat[order]
+        new = np.r_[True, (wi[1:] != wi[:-1]) | (fv[1:] != fv[:-1])] \
+            if len(fv) else np.empty(0, bool)
+        nuniq = np.bincount(wi[new], minlength=len(n)).astype(np.int64) \
+            if len(fv) else np.zeros(len(n), np.int64)
+        has_repeat = nuniq < (n - closed.astype(np.int64))
+        return pa.table({
+            "way_id": t["id"],
+            "n_refs": pa.array(n),
+            "n_unique": pa.array(nuniq),
+            "is_closed": pa.array(closed),
+            "has_repeat": pa.array(has_repeat)})
+
+    return ways.select_columns(["id", "refs"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+def way_shared_segments(ways: ray.data.Dataset,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(a, b, n_shared): number of undirected node-id SEGMENTS
+    (consecutive ref pairs) shared by each way pair — the
+    duplicate-geometry audit conflation pipelines read (two ways
+    sharing whole segment runs are digitized duplicates; sharing one
+    node is just an intersection, which way_jaccard already grades).
+
+    Physical plan: per-block segment explode (vectorized consecutive
+    pairs, normalized lo<hi, self-loops dropped, per-way dedup IN
+    KERNEL — each way's refs sit in one list cell so block-local dedup
+    is global) -> ONE hash(lo) exchange co-locating every (lo, hi)
+    group -> per-partition clique pairs over each segment's owner list
+    (ways sorted ascending, so a < b with no post-sort) -> combiner
+    count per (a, b) via the bounded partial_groupby_agg exchange.
+    Per-segment pair emission is quadratic in owners-per-segment; the
+    same documented cap consideration as way_triangles applies (hot
+    segments are motorway trunks at planet scale)."""
+    from ..relational import hash_part, partial_groupby_agg
+
+    def segs(t: pa.Table) -> pa.Table:
+        refs = t["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        ids = t["id"].combine_chunks().to_numpy()
+        n = np.diff(off)
+        a = flat[:-1]
+        b = flat[1:]
+        # positions p where p+1 starts a new way are not segments
+        keep = np.ones(max(len(flat) - 1, 0), bool)
+        keep[off[1:-1] - 1] = False
+        way = np.repeat(ids, np.maximum(n - 1, 0))
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        m = lo != hi
+        way, lo, hi = way[m], lo[m], hi[m]
+        order = np.lexsort((hi, lo, way))
+        way, lo, hi = way[order], lo[order], hi[order]
+        uniq = np.r_[True, (way[1:] != way[:-1]) | (lo[1:] != lo[:-1])
+                     | (hi[1:] != hi[:-1])] if len(way) else \
+            np.empty(0, bool)
+        way, lo, hi = way[uniq], lo[uniq], hi[uniq]
+        return pa.table({"way": pa.array(way), "lo": pa.array(lo),
+                         "hi": pa.array(hi),
+                         "part": pa.array(hash_part(lo, num_parts))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lo = t["lo"].combine_chunks().to_numpy()
+        hi = t["hi"].combine_chunks().to_numpy()
+        way = t["way"].combine_chunks().to_numpy()
+        order = np.lexsort((way, hi, lo))
+        lo, hi, way = lo[order], hi[order], way[order]
+        newg = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])] \
+            if len(lo) else np.empty(0, bool)
+        starts = np.flatnonzero(newg)
+        counts = np.diff(np.r_[starts, len(lo)])
+        pos = np.arange(len(lo), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        tot = int(rep.sum())
+        first = np.repeat(pos, rep)
+        offs = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.cumsum(rep) - rep, rep)
+        second = first + 1 + offs
+        g = pa.table({"a": pa.array(way[first]),
+                      "b": pa.array(way[second])}) \
+            .group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "c"])
+
+    seg = ways.select_columns(["id", "refs"]) \
+        .map_batches(segs, batch_format="pyarrow", batch_size=65536)
+    pair_partials = seg.groupby("part").map_groups(
+        pairs, batch_format="pyarrow")
+    out = partial_groupby_agg(pair_partials, ["a", "b"], [("c", "sum")])
+    return out.map_batches(
+        lambda t: t.rename_columns(["a", "b", "n_shared"]),
+        batch_format="pyarrow")

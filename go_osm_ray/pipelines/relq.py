@@ -5044,3 +5044,118 @@ def user_survival(events: ray.data.Dataset,
             "km6": pa.array(out["km6"], pa.float64())})
 
     return single_merge(hist, km)
+
+
+def supplier_hhi(lineitem: ray.data.Dataset, supplier: ray.data.Dataset,
+                 nation: ray.data.Dataset) -> ray.data.Dataset:
+    """(n_name, n_suppliers, total_qty, hhi6): Herfindahl-Hirschman
+    concentration index of supplied quantity per nation — the
+    supply-chain-risk summary (1/n = perfectly even, ->1 = one supplier
+    carries the nation). A data-mix sibling: the same statistic audits
+    source concentration in a training-data corpus.
+
+    Scale plan: lineitem collapses to ONE int64 quantity sum per
+    supplier via the combiner exchange (output bounded by |supplier|);
+    supplier->nation (bounded dims) broadcast once; the final merge is
+    ONE task over the bounded per-supplier table computing per-nation
+    sum(s), sum(s^2) with PYTHON ints (unbounded, so the squared sums
+    stay exact at any scale) and exactly one float division. Exactness:
+    quantities are integral, so every aggregate is an exact integer;
+    hhi6 = round_half_away(sum_sq / (tot * tot), 6) matches the SQL
+    mirror bit-for-bit. Reference parity: generalizes go-osm's
+    summarize per-key counters (osm/Summary.go) to a concentration
+    grade."""
+    from ..relational import partial_groupby_agg
+
+    def to_int(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"], "q": pa.array(q)})
+
+    per_supp = partial_groupby_agg(
+        lineitem.select_columns(["l_suppkey", "l_quantity"])
+        .map_batches(to_int, batch_format="pyarrow"),
+        ["l_suppkey"], [("q", "sum")])
+
+    supp_ref = broadcast_table(supplier, ["s_suppkey", "s_nationkey"])
+    nat_ref = broadcast_table(nation, ["n_nationkey", "n_name"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = ray.get(supp_ref)
+        sk = st["s_suppkey"].to_numpy()
+        order = np.argsort(sk)
+        snat = st["s_nationkey"].to_numpy().astype(np.int64)[order]
+        nt = ray.get(nat_ref)
+        nk = nt["n_nationkey"].to_numpy().astype(np.int64)
+        nname = {int(k): v for k, v in zip(nk, nt["n_name"].to_pylist())}
+        idx = np.searchsorted(sk[order],
+                              t["l_suppkey"].combine_chunks().to_numpy())
+        natkey = snat[idx]
+        q = t["q_sum"].combine_chunks().to_numpy()
+        acc: dict[int, list] = {}
+        for k, s in zip(natkey.tolist(), q.tolist()):
+            a = acc.setdefault(k, [0, 0, 0])
+            a[0] += 1
+            a[1] += s          # python ints: exact at any scale
+            a[2] += s * s
+        out = {"n_name": [], "n_suppliers": [], "total_qty": [], "hhi6": []}
+        for k in sorted(acc):
+            n, tot, sq = acc[k]
+            h = sq / (tot * tot) if tot else 0.0
+            out["n_name"].append(nname[k])
+            out["n_suppliers"].append(n)
+            out["total_qty"].append(tot)
+            out["hhi6"].append(float(round_half_away(np.float64(h), 6)))
+        return pa.table({
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "n_suppliers": pa.array(out["n_suppliers"], pa.int64()),
+            "total_qty": pa.array(out["total_qty"], pa.int64()),
+            "hhi6": pa.array(out["hhi6"], pa.float64())})
+
+    return single_merge(per_supp, finish)
+
+
+def events_weekday_chi2(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, n, chi2_6): chi-square statistic of each event
+    type's weekday distribution against uniform (df = 6) — the
+    seasonality-flatness test behind events_heatmap (large chi2 =
+    weekday-locked behavior, bots or batch jobs).
+
+    Scale shape: bounded (type x 7) combiner + ONE merge. Exactness:
+    with e = N/7, sum((o-e)^2/e) telescopes to (7*sum(o^2) - N^2)/N —
+    every term an exact int64 (zero-count weekdays drop out of sum(o^2)
+    but are covered by the closed form), one float division mirrored by
+    the SQL's CAST(7*so2 - n*n AS DOUBLE)/CAST(n AS DOUBLE)."""
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]")
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        dow = ((days + 3) % 7) + 1   # 1970-01-01 is a Thursday
+        g = pa.table({"event_type": t["event_type"],
+                      "dow": pa.array(dow)}) \
+            .group_by(["event_type", "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "pn"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by(["event_type", "dow"]).aggregate([("pn", "sum")])
+        et = g["event_type"].to_pylist()
+        o = g["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        acc: dict[str, list] = {}
+        for e, c in zip(et, o.tolist()):
+            a = acc.setdefault(e, [0, 0])
+            a[0] += c
+            a[1] += c * c
+        out = {"event_type": [], "n": [], "chi2_6": []}
+        for e in sorted(acc):
+            n, so2 = acc[e]
+            chi2 = float(7 * so2 - n * n) / float(n) if n else 0.0
+            out["event_type"].append(e)
+            out["n"].append(n)
+            out["chi2_6"].append(float(round_half_away(np.float64(chi2), 6)))
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "chi2_6": pa.array(out["chi2_6"], pa.float64())})
+
+    return single_merge(events.select_columns(["ts", "event_type"])
+                        .map_batches(partial, batch_format="pyarrow",
+                                     batch_size=65536), merge)

@@ -2809,6 +2809,54 @@ def cell_gini(images: ray.data.Dataset, res: int = 7,
                            batch_size=65536), merge)
 
 
+def cell_morisita(images: ray.data.Dataset, res: int = 7,
+                  nd: int = 6) -> ray.data.Dataset:
+    """(n_cells, n_points, morisita6): Morisita dispersion index of the
+    image points over OCCUPIED res-``res`` cells — I = Q * sum(x(x-1))
+    / (N(N-1)); 1 = Poisson-random, >1 = clustered (the hot-box recipe
+    makes it strongly clustered), <1 = over-dispersed. Q counts
+    occupied quadrats (the globe's empty-cell universe is unbounded, a
+    documented departure from fixed-frame Morisita).
+
+    Scale shape: cell_histogram partials + ONE bounded merge (rows =
+    occupied cells). Exactness: every aggregate is an exact int64
+    (x(x-1) summed per cell, order-free); the single float division
+    float(Q*sxx)/float(N*(N-1)) mirrors the SQL's
+    CAST(q*sxx AS DOUBLE)/CAST(nn*(nn-1) AS DOUBLE) bit-for-bit."""
+    from ..geo import tiles
+    from ..relational import single_merge
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate([("pn", "sum")])
+        x = g["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        q = int(len(x))
+        nn = int(x.sum())
+        sxx = int((x * (x - 1)).sum())
+        mor = float(q * sxx) / float(nn * (nn - 1)) \
+            if nn > 1 and q else 0.0
+        return pa.table({
+            "n_cells": pa.array([q], pa.int64()),
+            "n_points": pa.array([nn], pa.int64()),
+            "morisita6": pa.array(
+                [float(round_half_away(np.float64(mor), nd))]),
+        })
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536), merge)
+
+
 def cell_diameter(pts: ray.data.Dataset, res: int = 7,
                   num_parts: int = 32,
                   batch_size: int = 65536) -> ray.data.Dataset:

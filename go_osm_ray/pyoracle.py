@@ -2588,3 +2588,106 @@ def ensure_expected(sf: float) -> dict[str, str]:
             os.replace(tmp, path)
         out[name] = str(path)
     return out
+
+
+def _image_flip_asym_table(sf: float) -> pa.Table:
+    """Scalar reference for image_flip_asym: per-row decode, the
+    mirror comparison done COLUMN BY COLUMN (j vs w-1-j) accumulating
+    python ints — independent of the engine's whole-array slice."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "asym6": [], "max_d": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            s = 0
+            mx = 0
+            for j in range(w):
+                col = np.abs(lum[:, j] - lum[:, w - 1 - j])
+                s += int(col.sum())
+                mx = max(mx, int(col.max()))
+            n = h * w
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["asym6"].append(float(round_half_away(np.float64(s / n), 6)))
+            out["max_d"].append(mx)
+        except Exception:
+            out["ok"].append(False)
+            out["n_px"].append(0)
+            out["asym6"].append(0.0)
+            out["max_d"].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "asym6": pa.array(out["asym6"], pa.float64()),
+        "max_d": pa.array(out["max_d"], pa.int64())})
+
+
+def _image_blob_count_table(sf: float) -> pa.Table:
+    """Scalar reference for image_blob_count: the same strict
+    integer-cross-multiply threshold, but components labeled by BFS
+    FLOOD FILL from each unvisited foreground pixel — an independent
+    algorithm from the engine's union-find over the edge list."""
+    from collections import deque
+
+    from . import codecs
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "n_fg": [],
+           "n_blobs": [], "max_blob": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            n = h * w
+            s = int(lum.sum())
+            mask = (lum * n > s)
+            seen = np.zeros((h, w), bool)
+            blobs = []
+            for y in range(h):
+                for x in range(w):
+                    if not mask[y, x] or seen[y, x]:
+                        continue
+                    sz = 0
+                    dq = deque([(y, x)])
+                    seen[y, x] = True
+                    while dq:
+                        cy, cx = dq.popleft()
+                        sz += 1
+                        for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                                       (cy, cx - 1), (cy, cx + 1)):
+                            if 0 <= ny < h and 0 <= nx < w \
+                                    and mask[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                dq.append((ny, nx))
+                    blobs.append(sz)
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["n_fg"].append(int(mask.sum()))
+            out["n_blobs"].append(len(blobs))
+            out["max_blob"].append(max(blobs) if blobs else 0)
+        except Exception:
+            out["ok"].append(False)
+            out["n_px"].append(0)
+            out["n_fg"].append(0)
+            out["n_blobs"].append(0)
+            out["max_blob"].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "n_fg": pa.array(out["n_fg"], pa.int64()),
+        "n_blobs": pa.array(out["n_blobs"], pa.int64()),
+        "max_blob": pa.array(out["max_blob"], pa.int64())})
+
+
+_BUILDERS["image_flip_asym"] = _image_flip_asym_table
+_BUILDERS["image_blob_count"] = _image_blob_count_table

@@ -1,0 +1,170 @@
+"""Session-12 ops: planted properties the parity gates cannot see —
+flip-asymmetry zero on mirror-symmetric images, exact blob censuses on
+constructed masks, Morisita index closed forms (1.0 one-cell, 0.0
+uniform singletons), HHI closed forms (monopoly 1.0, duopoly 0.5)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from go_osm_ray import codecs
+
+
+def _img_ds(pixel_arrays, fmt="bmp"):
+    blobs = [codecs.encode(px, fmt) for px in pixel_arrays]
+    return ray.data.from_arrow(pa.table({
+        "image_id": pa.array([f"t{i:03d}" for i in range(len(blobs))],
+                             pa.string()),
+        "fmt": pa.array([fmt] * len(blobs), pa.string()),
+        "bytes": pa.array(blobs, pa.binary())}))
+
+
+def test_flip_asym_zero_on_symmetric(ray_session):
+    """A left-right mirror-symmetric image has asym6 == 0 exactly; a
+    half-black/half-white split has asym == 765 at every pixel."""
+    from go_osm_ray.pipelines.images import image_flip_asym
+    ys, xs = np.mgrid[0:16, 0:16]
+    sym = np.stack([np.minimum(xs, 15 - xs) * 10] * 3, -1).astype(np.uint8)
+    split = np.zeros((16, 16, 3), np.uint8)
+    split[:, 8:] = 255
+    df = image_flip_asym(_img_ds([sym, split]),
+                         concurrency=1).to_pandas().set_index("image_id")
+    assert df.loc["t000", "asym6"] == 0.0
+    assert df.loc["t000", "max_d"] == 0
+    assert df.loc["t001", "asym6"] == 765.0
+    assert df.loc["t001", "max_d"] == 765
+    assert bool(df["ok"].all())
+
+
+def test_blob_count_planted_masks(ray_session):
+    """Two separated bright squares on black -> exactly 2 blobs of 9 px;
+    one bright row -> 1 blob; a diagonal of isolated bright pixels
+    (4-connectivity!) -> one blob PER pixel."""
+    from go_osm_ray.pipelines.images import image_blob_count
+    two = np.zeros((16, 16, 3), np.uint8)
+    two[2:5, 2:5] = 255
+    two[10:13, 10:13] = 255
+    row = np.zeros((16, 16, 3), np.uint8)
+    row[8, :] = 255
+    diag = np.zeros((16, 16, 3), np.uint8)
+    for i in range(0, 16, 2):
+        diag[i, i] = 255
+    df = image_blob_count(_img_ds([two, row, diag]),
+                          concurrency=1).to_pandas().set_index("image_id")
+    assert df.loc["t000", "n_blobs"] == 2
+    assert df.loc["t000", "max_blob"] == 9
+    assert df.loc["t000", "n_fg"] == 18
+    assert df.loc["t001", "n_blobs"] == 1
+    assert df.loc["t001", "max_blob"] == 16
+    assert df.loc["t002", "n_blobs"] == 8
+    assert df.loc["t002", "max_blob"] == 1
+    assert bool(df["ok"].all())
+
+
+def _pts_ds(lon, lat):
+    from go_osm_ray.geo import morton
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    ph = morton.encode_phash(lon, lat, np.arange(len(lon)) % 4096)
+    return ray.data.from_arrow(pa.table({"phash": pa.array(ph)}))
+
+
+def test_morisita_closed_forms(ray_session):
+    """All points in ONE cell -> I = 1 exactly (Q=1 cancels); one point
+    per far-apart cell -> I = 0; two cells x two points -> 2*4/12."""
+    from go_osm_ray.pipelines.spatial import cell_morisita
+    one = cell_morisita(_pts_ds([10.0] * 5, [20.0] * 5)).to_pandas()
+    assert one.loc[0, "n_cells"] == 1
+    assert one.loc[0, "morisita6"] == 1.0
+    lone = cell_morisita(
+        _pts_ds([-120.0, -60.0, 0.0, 60.0, 120.0],
+                [10.0, -30.0, 50.0, -10.0, 30.0])).to_pandas()
+    assert lone.loc[0, "n_cells"] == 5
+    assert lone.loc[0, "morisita6"] == 0.0
+    duo = cell_morisita(
+        _pts_ds([10.0, 10.0, -70.0, -70.0],
+                [20.0, 20.0, -40.0, -40.0])).to_pandas()
+    assert duo.loc[0, "n_cells"] == 2
+    assert duo.loc[0, "n_points"] == 4
+    assert abs(duo.loc[0, "morisita6"] - round(8.0 / 12.0, 6)) < 2e-6
+
+
+def test_supplier_hhi_closed_forms(ray_session):
+    """Nation A: one supplier -> HHI 1.0; nation B: two equal suppliers
+    -> 0.5; nation C: 90/10 split -> 0.82."""
+    from go_osm_ray.pipelines.relq import supplier_hhi
+    li = ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_quantity": pa.array([7.0, 5.0, 5.0, 90.0, 10.0])}))
+    supp = ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "s_nationkey": pa.array([0, 1, 1, 2, 2], pa.int32())}))
+    nat = ray.data.from_arrow(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["A", "B", "C"], pa.string())}))
+    df = supplier_hhi(li, supp, nat).to_pandas().set_index("n_name")
+    assert df.loc["A", "hhi6"] == 1.0
+    assert df.loc["B", "hhi6"] == 0.5
+    assert df.loc["C", "hhi6"] == 0.82
+    assert df.loc["C", "total_qty"] == 100
+    assert int(df["n_suppliers"].sum()) == 5
+
+
+def test_weekday_chi2_closed_forms(ray_session):
+    """All events of a type on ONE weekday -> chi2 = 6N exactly;
+    perfectly uniform over 7 days -> 0."""
+    from go_osm_ray.pipelines.relq import events_weekday_chi2
+    day = np.int64(86400_000_000)
+    # 2024-01-01 is a Monday (epoch day 19723)
+    mon = np.int64(19723) * day
+    spike = [mon] * 14                      # one weekday only
+    flat = [mon + i * day for i in range(7)] * 3   # 3 per weekday
+    ts = np.array(spike + flat, np.int64).astype("datetime64[us]")
+    et = ["spike"] * 14 + ["flat"] * 21
+    ev = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(et, pa.string())}))
+    df = events_weekday_chi2(ev).to_pandas().set_index("event_type")
+    assert df.loc["spike", "chi2_6"] == 6.0 * 14
+    assert df.loc["flat", "chi2_6"] == 0.0
+
+
+def _ways_ds(rows):
+    ids = pa.array([r[0] for r in rows], pa.int64())
+    refs = pa.array([r[1] for r in rows], pa.list_(pa.int64()))
+    return ray.data.from_arrow(pa.table({"id": ids, "refs": refs}))
+
+
+def test_way_closure_planted(ray_session):
+    """Closed ring, open path, and an interior-repeat zig-zag."""
+    from go_osm_ray.pipelines.osm import osm_way_closure
+    ds = _ways_ds([
+        (1, [10, 11, 12, 10]),        # ring: closed, no interior repeat
+        (2, [20, 21, 22]),            # open simple path
+        (3, [30, 31, 30, 32]),        # open but revisits node 30
+    ])
+    df = osm_way_closure(ds).to_pandas().set_index("way_id")
+    assert bool(df.loc[1, "is_closed"]) and not bool(df.loc[1, "has_repeat"])
+    assert df.loc[1, "n_unique"] == 3 and df.loc[1, "n_refs"] == 4
+    assert not bool(df.loc[2, "is_closed"])
+    assert not bool(df.loc[2, "has_repeat"])
+    assert not bool(df.loc[3, "is_closed"]) and bool(df.loc[3, "has_repeat"])
+
+
+def test_way_shared_segments_planted(ray_session):
+    """Two ways sharing a 3-node run share 2 segments; direction must
+    not matter (way 3 runs the shared span REVERSED); sharing a single
+    node (way 4) contributes nothing."""
+    from go_osm_ray.pipelines.osm import way_shared_segments
+    ds = _ways_ds([
+        (1, [100, 101, 102, 103]),
+        (2, [101, 102, 103, 104]),    # shares (101,102),(102,103) with 1
+        (3, [103, 102, 200]),         # reversed (102,103) hits 1 and 2
+        (4, [103, 300]),              # only node 103 in common
+    ])
+    df = way_shared_segments(ds).to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.n_shared) for r in df.itertuples()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 1
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
