@@ -511,6 +511,34 @@ def build(sf: float = 0.01) -> dict[str, str]:
           ON s1.lo = s2.lo AND s1.hi = s2.hi AND s1.way_id < s2.way_id
         GROUP BY 1, 2"""
 
+    # block-partition modularity: the order-dependent per-community sum
+    # is reduced to the algebraically equal all-integer form
+    # Q = W/m - D2/(4 m^2) (two float divisions, same order both sides)
+    q["way_modularity"] = f"""
+        WITH comm AS (SELECT id AS way_id,
+                             CAST((refs[1] - 1) // 16 AS BIGINT) AS c
+                      FROM {ways}),
+        exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b
+                 ON a.ref = b.ref AND a.way_id < b.way_id),
+        e2 AS (SELECT ca.c AS ca, cb.c AS cb
+               FROM ed JOIN comm ca ON ca.way_id = ed.a
+                       JOIN comm cb ON cb.way_id = ed.b),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS w
+              FROM e2),
+        dg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
+               FROM (SELECT ca AS c FROM e2
+                     UNION ALL SELECT cb FROM e2) GROUP BY c),
+        d2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS v FROM dg)
+        SELECT s.m AS n_edges, s.w AS n_within, d2.v AS d2_sum,
+               {sql_round('CAST(s.w AS DOUBLE) / CAST(s.m AS DOUBLE) '
+                          '- CAST(d2.v AS DOUBLE) '
+                          '/ CAST(4 * s.m * s.m AS DOUBLE)', 6)} AS q6
+        FROM s, d2"""
+
     # Adamic-Adar: degree-bucketed common-neighbor counts, then an
     # ORDERED (ascending d) sum so both sides accumulate the same
     # sequence of doubles
@@ -2427,6 +2455,18 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS novelty6
         FROM tot t LEFT JOIN nov USING (doc_id)"""
 
+    # Church-Gale burstiness: exact integer cf/df, one float division
+    q["term_burstiness"] = f"""
+        WITH toks AS (SELECT doc_id, {split_toks} AS tk FROM documents),
+        t AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+        s AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS cf,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM t GROUP BY 1)
+        SELECT token, cf, df,
+               {sql_round('CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)', 6)}
+                   AS burst6
+        FROM s WHERE cf >= 5"""
+
     q["collocations"] = f"""
         WITH toks AS (SELECT {split_toks} AS tk FROM documents),
         bg AS (SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
@@ -2618,6 +2658,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_orientation"] = f"SELECT image_id, ok, n_grad, dom_oct, dom_share6 FROM read_parquet('{exp['image_orientation']}')"
     q["raster_viewshed"] = f"SELECT tile_x, tile_y, px, py, n, visible FROM read_parquet('{exp['raster_viewshed']}')"
     q["image_flip_asym"] = f"SELECT image_id, ok, n_px, asym6, max_d FROM read_parquet('{exp['image_flip_asym']}')"
+    q["image_crop_retention"] = f"SELECT image_id, ok, crop_side, ret6 FROM read_parquet('{exp['image_crop_retention']}')"
     q["image_blob_count"] = f"SELECT image_id, ok, n_px, n_fg, n_blobs, max_blob FROM read_parquet('{exp['image_blob_count']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"

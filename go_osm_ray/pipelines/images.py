@@ -1454,3 +1454,53 @@ def image_blob_count(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageBlobCount, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+class ImageCropRetention:
+    """Actor-pool stage: decode -> exact fraction of total luma mass
+    retained by the max centered square crop (side = min(w, h), offset
+    (dim - side) // 2) — the aspect-ratio-normalization safety probe a
+    curation funnel reads before center-cropping to square (low
+    retention = the signal lives in the trimmed margins)."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, side, ret = [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                h, w = lum.shape
+                s = min(h, w)
+                y0 = (h - s) // 2
+                x0 = (w - s) // 2
+                tot = int(lum.sum())
+                inside = int(lum[y0:y0 + s, x0:x0 + s].sum())
+                r = inside / tot if tot else 1.0
+                ok.append(True)
+                side.append(s)
+                ret.append(float(round_half_away(np.float64(r), 6)))
+            except Exception:
+                ok.append(False)
+                side.append(0)
+                ret.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "crop_side": pa.array(side, pa.int64()),
+            "ret6": pa.array(ret, pa.float64())})
+
+
+def image_crop_retention(images: ray.data.Dataset, concurrency=None,
+                         batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, crop_side, ret6): center-square-crop luma
+    retention per image — see ImageCropRetention."""
+    from ..util import default_pool
+    return images.map_batches(ImageCropRetention, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

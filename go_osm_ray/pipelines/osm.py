@@ -3077,3 +3077,82 @@ def way_shared_segments(ways: ray.data.Dataset,
     return out.map_batches(
         lambda t: t.rename_columns(["a", "b", "n_shared"]),
         batch_format="pyarrow")
+
+
+def way_modularity(ways: ray.data.Dataset,
+                   block: int = 16,
+                   num_parts: int = 16) -> ray.data.Dataset:
+    """(n_edges, n_within, d2_sum, q6): Newman modularity of the
+    spatial-BLOCK partition over the deduped shared-node way graph —
+    community c(w) = (first_ref(w) - 1) // ``block`` (the datagen
+    spatial block every way's refs live in), Q = W/m - D2/(4 m^2)
+    where W counts within-community edges, m all edges and D2 the sum
+    of squared community degree totals. The partition-quality metric a
+    graph-aware sharding layer reads (high Q = cell-partitioning the
+    way graph cuts few edges).
+
+    Exactness: the per-community float sum in the textbook form is
+    order-dependent, so both sides use the algebraically equal
+    all-integer reduction (W, m, D2 exact int64) with exactly two
+    float divisions and one subtraction in the same order. Scale
+    shape: reuses full_shared_node_edges (one exchange, already
+    deduped); the way->community map is two int columns broadcast once
+    (past the repo's broadcast threshold this flips to the union-tag
+    hash co-partition, the dedup_keep pattern); the final merge is ONE
+    bounded task over per-block (community, degree, within) partials."""
+    from ..relational import single_merge
+
+    def comm_map(t: pa.Table) -> pa.Table:
+        refs = t["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        first = flat[off[:-1]]
+        return pa.table({"way_id": t["id"],
+                         "c": pa.array((first - 1) // block)})
+
+    cm = ways.select_columns(["id", "refs"]) \
+        .map_batches(comm_map, batch_format="pyarrow")
+    cm_ref = broadcast_table(cm, ["way_id", "c"])
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mt = ray.get(cm_ref)
+        wid = mt["way_id"].to_numpy()
+        order = np.argsort(wid, kind="stable")
+        wid_s = wid[order]
+        comm = mt["c"].to_numpy()[order]
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        ca = comm[np.searchsorted(wid_s, a)]
+        cb = comm[np.searchsorted(wid_s, b)]
+        within = ca == cb
+        cc = np.concatenate([ca, cb])
+        u, d = np.unique(cc, return_counts=True)
+        wu, wn = np.unique(ca[within], return_counts=True)
+        wcnt = np.zeros(len(u), np.int64)
+        wcnt[np.searchsorted(u, wu)] = wn
+        return pa.table({"c": pa.array(u),
+                         "d": pa.array(d.astype(np.int64)),
+                         "w": pa.array(wcnt)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by("c").aggregate([("d", "sum"), ("w", "sum")])
+        d = g["d_sum"].combine_chunks().to_numpy().astype(np.int64)
+        w = g["w_sum"].combine_chunks().to_numpy().astype(np.int64)
+        m = int(d.sum()) // 2
+        W = int(w.sum())
+        d2 = int((d * d).sum())
+        q = float(W) / float(m) - float(d2) / float(4 * m * m) \
+            if m else 0.0
+        return pa.table({
+            "n_edges": pa.array([m], pa.int64()),
+            "n_within": pa.array([W], pa.int64()),
+            "d2_sum": pa.array([d2], pa.int64()),
+            "q6": pa.array([float(round_half_away(np.float64(q), 6))])})
+
+    return single_merge(
+        edges.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536), merge)

@@ -1989,3 +1989,59 @@ def doc_char_entropy(docs: ray.data.Dataset, nd: int = 6,
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(kernel, batch_format="pyarrow",
                      batch_size=batch_size)
+
+
+def term_burstiness(docs: ray.data.Dataset, min_cf: int = 5,
+                    num_parts: int = 32) -> ray.data.Dataset:
+    """(token, cf, df, burst6): Church-Gale term burstiness — total
+    occurrences over containing-document count (1.0 = the token never
+    repeats within a doc; content words burst, function words don't).
+    The feature behind burstiness-aware TF-IDF damping and stopword
+    discovery.
+
+    Scale plan: each block collapses to per-token (cf, df) partials —
+    the (doc, token) dedup for df is block-LOCAL yet globally correct
+    because every document's text sits in one row — then ONE token-hash
+    exchange sums the partials and filters cf >= ``min_cf`` (bounding
+    the output to the repeated-vocabulary tail). Exact integer counts,
+    one float division, half-away 6 dp on both sides."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(), counts)
+        g1 = pa.table({"token": pa.array(toks.astype(str), pa.string()),
+                       "doc": pa.array(doc)}) \
+            .group_by(["token", "doc"]).aggregate([([], "count_all")])
+        g1 = g1.rename_columns(["token", "doc", "c"])
+        g2 = g1.group_by("token").aggregate([("c", "sum"),
+                                             ([], "count_all")])
+        g2 = g2.rename_columns(["token", "cf", "df"])
+        th = _crc32_map(g2["token"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "token": g2["token"],
+            "cf": pc.cast(g2["cf"], pa.int64()),
+            "df": pc.cast(g2["df"], pa.int64()),
+            "part": pa.array(hash_part(th.astype(np.int64), num_parts))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("token") \
+            .aggregate([("cf", "sum"), ("df", "sum")])
+        cf = g["cf_sum"].combine_chunks().to_numpy()
+        df = g["df_sum"].combine_chunks().to_numpy()
+        keep = cf >= min_cf
+        cf, df = cf[keep], df[keep]
+        b6 = round_half_away(cf.astype(np.float64) / df.astype(np.float64),
+                             6)
+        return pa.table({
+            "token": g["token"].combine_chunks().filter(pa.array(keep)),
+            "cf": pa.array(cf.astype(np.int64)),
+            "df": pa.array(df.astype(np.int64)),
+            "burst6": pa.array(b6)})
+
+    partials = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("part").map_groups(merge,
+                                               batch_format="pyarrow")

@@ -2691,3 +2691,50 @@ def _image_blob_count_table(sf: float) -> pa.Table:
 
 _BUILDERS["image_flip_asym"] = _image_flip_asym_table
 _BUILDERS["image_blob_count"] = _image_blob_count_table
+
+
+def _image_crop_retention_table(sf: float) -> pa.Table:
+    """Scalar reference for image_crop_retention: the complement sum —
+    total minus the four margin strips accumulated ROW BY ROW with
+    python ints — an independent construction from the engine's single
+    crop-slice sum."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "crop_side": [], "ret6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            s = min(h, w)
+            y0 = (h - s) // 2
+            x0 = (w - s) // 2
+            tot = 0
+            margin = 0
+            for y in range(h):
+                row = lum[y]
+                tot += int(row.sum())
+                if y < y0 or y >= y0 + s:
+                    margin += int(row.sum())
+                else:
+                    margin += int(row[:x0].sum()) + int(row[x0 + s:].sum())
+            inside = tot - margin
+            r = inside / tot if tot else 1.0
+            out["ok"].append(True)
+            out["crop_side"].append(s)
+            out["ret6"].append(float(round_half_away(np.float64(r), 6)))
+        except Exception:
+            out["ok"].append(False)
+            out["crop_side"].append(0)
+            out["ret6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "crop_side": pa.array(out["crop_side"], pa.int64()),
+        "ret6": pa.array(out["ret6"], pa.float64())})
+
+
+_BUILDERS["image_crop_retention"] = _image_crop_retention_table

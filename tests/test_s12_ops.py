@@ -168,3 +168,54 @@ def test_way_shared_segments_planted(ray_session):
     assert got[(1, 3)] == 1
     assert got[(2, 3)] == 1
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_term_burstiness_closed_forms(ray_session):
+    """'aa' occurs 3x in each of 2 docs -> cf 6, df 2, burst 3.0;
+    'bb' once per doc in 5 docs -> burst 1.0; rare terms filtered."""
+    from go_osm_ray.pipelines.text import term_burstiness
+    docs = ["aa aa aa bb", "aa aa aa bb", "bb rare", "bb", "bb zz"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    df = term_burstiness(ds, min_cf=5).to_pandas().set_index("token")
+    assert df.loc["aa", "cf"] == 6 and df.loc["aa", "df"] == 2
+    assert df.loc["aa", "burst6"] == 3.0
+    assert df.loc["bb", "burst6"] == 1.0
+    assert "rare" not in df.index and "zz" not in df.index
+
+
+def test_way_modularity_closed_forms(ray_session):
+    """Two disjoint 3-cliques in separate blocks -> perfect partition:
+    W = m = 6, degrees 2 everywhere, D2 = 2*36, Q = 1 - 1/2 = 0.5."""
+    from go_osm_ray.pipelines.osm import way_modularity
+    # block = (first_ref - 1)//16: refs 1..16 -> block 0, 17..32 -> 1;
+    # each trio shares node 1 (resp. 17) so each block is a 3-clique
+    ds = _ways_ds([
+        (101, [1, 2]), (102, [1, 3]), (103, [1, 4]),
+        (201, [17, 18]), (202, [17, 19]), (203, [17, 20]),
+    ])
+    df = way_modularity(ds).to_pandas()
+    assert df.loc[0, "n_edges"] == 6
+    assert df.loc[0, "n_within"] == 6
+    assert df.loc[0, "d2_sum"] == 72
+    assert df.loc[0, "q6"] == 0.5
+
+
+def test_crop_retention_planted(ray_session):
+    """Mass only inside the center square -> ret 1.0; mass only in the
+    trimmed margin -> 0.0; square image -> trivially 1.0."""
+    from go_osm_ray.pipelines.images import image_crop_retention
+    inside = np.zeros((16, 32, 3), np.uint8)   # crop = cols 8..23
+    inside[:, 8:24] = 50
+    margin = np.zeros((16, 32, 3), np.uint8)
+    margin[:, :8] = 50
+    square = np.full((16, 16, 3), 7, np.uint8)
+    df = image_crop_retention(_img_ds([inside, margin, square]),
+                              concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "ret6"] == 1.0
+    assert df.loc["t001", "ret6"] == 0.0
+    assert df.loc["t002", "ret6"] == 1.0
+    assert df.loc["t000", "crop_side"] == 16
+    assert bool(df["ok"].all())
