@@ -229,6 +229,64 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('ln', 3)} AS len_m3
         FROM agg WHERE resolved = np"""
 
+    # per-tag-key length rollup: len_m3 from the SAME expression tree as
+    # osm_way_length; the cross-way per-key sum is the ORDERED
+    # (ascending way_id) aggregate so both sides run the identical
+    # sequential left fold
+    q["way_tag_length_stats"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq,
+                            len(refs) AS np,
+                            (len(refs) >= 4
+                             AND refs[1] = refs[len(refs)]) AS closed
+                     FROM {ways} WHERE len(refs) >= 2),
+        pts AS (SELECT e.way_id, e.seq, e.np, n.lon AS x, n.lat AS y
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, np, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        agg AS (SELECT way_id, max(np) AS np, count(*) AS resolved,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE 2.0 * {EARTH_R_M!r}
+                                     * ASIN(SQRT({_hava})) END) AS ln
+                FROM seg GROUP BY way_id),
+        wl AS (SELECT way_id, {sql_round('ln', 3)} AS len_m3
+               FROM agg WHERE resolved = np),
+        tk AS (SELECT id AS way_id, u.tg.key AS key
+               FROM {ways}, unnest(tags) AS u(tg)),
+        j AS (SELECT tk.key, tk.way_id, wl.len_m3
+              FROM tk JOIN wl USING (way_id))
+        SELECT key, CAST(count(*) AS BIGINT) AS n_ways,
+               {sql_round('sum(len_m3 ORDER BY way_id)', 3)} AS total_len3
+        FROM j GROUP BY key"""
+
+    # relation-membership census; DISTINCT relation count per
+    # (member type, role)
+    q["relation_member_roles"] = f"""
+        WITH m AS (SELECT id, u.mb.type AS member_type,
+                          u.mb.role AS role
+                   FROM {rels}, unnest(members) AS u(mb))
+        SELECT member_type, role,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT id) AS BIGINT) AS n_relations
+        FROM m GROUP BY 1, 2"""
+
+    # per-user contribution census across the three element classes
+    q["osm_user_activity"] = f"""
+        WITH a AS (
+          SELECT uid, "user", 1 AS is_n, 0 AS is_w, 0 AS is_r,
+                 CAST(version AS BIGINT) AS v FROM {nodes}
+          UNION ALL SELECT uid, "user", 0, 1, 0,
+                 CAST(version AS BIGINT) FROM {ways}
+          UNION ALL SELECT uid, "user", 0, 0, 1,
+                 CAST(version AS BIGINT) FROM {rels})
+        SELECT uid, min("user") AS "user",
+               CAST(sum(is_n) AS BIGINT) AS n_nodes,
+               CAST(sum(is_w) AS BIGINT) AS n_ways,
+               CAST(sum(is_r) AS BIGINT) AS n_relations,
+               CAST(max(v) AS BIGINT) AS max_version
+        FROM a GROUP BY uid"""
+
     # per-way proper self-intersections: segment self-join mirror of
     # the clique-pair orientation kernel (identical ccw expression tree)
     q["way_self_intersect"] = f"""

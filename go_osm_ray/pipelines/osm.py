@@ -3156,3 +3156,185 @@ def way_modularity(ways: ray.data.Dataset,
     return single_merge(
         edges.map_batches(partial, batch_format="pyarrow",
                           batch_size=65536), merge)
+
+
+def way_tag_length_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                         num_parts: int = 16) -> ray.data.Dataset:
+    """(key, n_ways, total_len3): total geodesic way length per tag
+    key — the per-theme length rollup (how much highway vs waterway vs
+    building outline) that generalizes the reference's per-key COUNT
+    summary (osm/Summary.go, README's summarize table) to a measure.
+
+    Float-sum determinism: per-way len_m3 comes from the SHARED
+    way_length_m kernel (millimeter-rounded); the cross-way sum per key
+    is a SEQUENTIAL ascending-way_id fold (np.add.reduceat) mirrored by
+    the SQL's sum(len_m3 ORDER BY way_id) ordered aggregate —
+    bit-identical left folds. Scale shape: tag-key explode and length
+    rows co-partition by hash(way_id) (union-tag, no Dataset.join),
+    then ONE hash(key) exchange for the per-key ordered fold."""
+    from ..relational import hash_part
+    from ..util import round_half_away
+
+    wl = way_length_m(nodes, ways).select_columns(["way_id", "len_m3"])
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        row_idx, ks, _ = tagops.explode_keys(t["tags"].combine_chunks())
+        wid = t["id"].combine_chunks().to_numpy()[row_idx]
+        return pa.table({
+            "way_id": pa.array(wid),
+            "key": ks,
+            "len_m3": pa.array(np.zeros(len(wid), np.float64)),
+            "is_len": pa.array(np.zeros(len(wid), bool)),
+            "part": pa.array(hash_part(wid, num_parts))})
+
+    def len_rows(t: pa.Table) -> pa.Table:
+        wid = t["way_id"].combine_chunks().to_numpy()
+        return pa.table({
+            "way_id": t["way_id"],
+            "key": pa.array([""] * len(t), pa.string()),
+            "len_m3": t["len_m3"],
+            "is_len": pa.array(np.ones(len(t), bool)),
+            "part": pa.array(hash_part(wid, num_parts))})
+
+    tagged = ways.select_columns(["id", "tags"]) \
+        .map_batches(key_rows, batch_format="pyarrow", batch_size=65536) \
+        .union(wl.map_batches(len_rows, batch_format="pyarrow",
+                              batch_size=65536))
+
+    def attach(t: pa.Table) -> pa.Table:
+        is_len = t["is_len"].combine_chunks().to_numpy(zero_copy_only=False)
+        wid = t["way_id"].combine_chunks().to_numpy()
+        ln = t["len_m3"].combine_chunks().to_numpy()
+        lw, lv = wid[is_len], ln[is_len]
+        order = np.argsort(lw, kind="stable")
+        lw, lv = lw[order], lv[order]
+        kw = wid[~is_len]
+        keys = t["key"].combine_chunks().filter(
+            pa.array(~is_len)).to_pylist()
+        idx = np.searchsorted(lw, kw)
+        # ways filtered out by way_length_m (unresolved refs) drop here
+        ok = (idx < len(lw))
+        idx = np.minimum(idx, max(len(lw) - 1, 0))
+        ok &= (lw[idx] == kw) if len(lw) else False
+        kh = _crc32_str(np.asarray(keys, object))
+        return pa.table({
+            "key": pa.array(np.asarray(keys, object)[ok].astype(str),
+                            pa.string()),
+            "way_id": pa.array(kw[ok]),
+            "len_m3": pa.array(lv[idx[ok]] if len(lw) else
+                               np.empty(0, np.float64)),
+            "kpart": pa.array(hash_part(kh[ok].astype(np.int64),
+                                        num_parts))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["key"].combine_chunks().to_pylist(), object)
+        wid = t["way_id"].combine_chunks().to_numpy()
+        ln = t["len_m3"].combine_chunks().to_numpy()
+        order = np.lexsort((wid, keys))
+        keys, ln = keys[order], ln[order]
+        new = np.r_[True, keys[1:] != keys[:-1]] if len(keys) \
+            else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(ln, starts) if len(keys) else \
+            np.empty(0, np.float64)
+        cnt = np.diff(np.r_[starts, len(keys)])
+        return pa.table({
+            "key": pa.array(keys[new].astype(str), pa.string()),
+            "n_ways": pa.array(cnt.astype(np.int64)),
+            "total_len3": pa.array(round_half_away(tot, 3))})
+
+    joined = tagged.groupby("part").map_groups(attach,
+                                               batch_format="pyarrow")
+    return joined.groupby("kpart").map_groups(finish,
+                                              batch_format="pyarrow")
+
+
+def _crc32_str(vals: np.ndarray) -> np.ndarray:
+    """crc32 per string value (vectorized over uniques)."""
+    import zlib
+    if not len(vals):
+        return np.empty(0, np.uint64)
+    codes, uniq = pd.factorize(vals)
+    uh = np.fromiter((zlib.crc32(str(u).encode()) for u in uniq),
+                     np.uint64, len(uniq))
+    return uh[codes]
+
+
+def relation_member_roles(relations: ray.data.Dataset) -> ray.data.Dataset:
+    """(member_type, role, n_members, n_relations): census of relation
+    membership by member type and role — the structure audit behind
+    multipolygon assembly (reference parses exactly these fields,
+    osm/Relation.go:13-16, but never aggregates them). Bounded
+    (type x role) combiner + ONE merge; the per-block distinct-relation
+    count is globally correct because each relation's member list sits
+    in one row."""
+    def partial(t: pa.Table) -> pa.Table:
+        mem = t["members"].combine_chunks()
+        off = np.asarray(mem.offsets, np.int64)
+        off = off - off[0]
+        flat = mem.flatten()
+        rid = np.repeat(t["id"].combine_chunks().to_numpy(), np.diff(off))
+        mtype = np.asarray(flat.field("type").to_pylist(), object)
+        role = np.asarray(flat.field("role").to_pylist(), object)
+        g1 = pa.table({"member_type": pa.array(mtype.astype(str)),
+                       "role": pa.array(role.astype(str)),
+                       "rid": pa.array(rid)}) \
+            .group_by(["member_type", "role", "rid"]) \
+            .aggregate([([], "count_all")])
+        g1 = g1.rename_columns(["member_type", "role", "rid", "nm"])
+        g2 = g1.group_by(["member_type", "role"]) \
+            .aggregate([("nm", "sum"), ([], "count_all")])
+        return g2.rename_columns(["member_type", "role", "pn", "pr"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["member_type", "role"]) \
+            .aggregate([("pn", "sum"), ("pr", "sum")])
+        return pa.table({
+            "member_type": g["member_type"],
+            "role": g["role"],
+            "n_members": pc.cast(g["pn_sum"], pa.int64()),
+            "n_relations": pc.cast(g["pr_sum"], pa.int64())})
+
+    from ..relational import single_merge
+    return single_merge(
+        relations.select_columns(["id", "members"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+def osm_user_activity(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      relations: ray.data.Dataset) -> ray.data.Dataset:
+    """(uid, user, n_nodes, n_ways, n_relations, max_version): per-user
+    contribution census across all three element classes — the
+    user-dictionary rollup (reference tracks usernames per element,
+    osm/Planet.go UserNames; this grades them). One union of three
+    pruned streams through the bounded combiner exchange."""
+    from ..relational import partial_groupby_agg
+
+    def tag(is_n: int, is_w: int, is_r: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table({
+                "uid": t["uid"],
+                "user": t["user"],
+                "version": pc.cast(t["version"], pa.int64()),
+                "is_n": pa.array(np.full(n, is_n, np.int64)),
+                "is_w": pa.array(np.full(n, is_w, np.int64)),
+                "is_r": pa.array(np.full(n, is_r, np.int64))})
+        return fn
+
+    cols = ["uid", "user", "version"]
+    u = nodes.select_columns(cols) \
+        .map_batches(tag(1, 0, 0), batch_format="pyarrow") \
+        .union(ways.select_columns(cols)
+               .map_batches(tag(0, 1, 0), batch_format="pyarrow"),
+               relations.select_columns(cols)
+               .map_batches(tag(0, 0, 1), batch_format="pyarrow"))
+    g = partial_groupby_agg(u, ["uid"],
+                            [("is_n", "sum"), ("is_w", "sum"),
+                             ("is_r", "sum"), ("version", "max"),
+                             ("user", "min")])
+    return g.map_batches(
+        lambda t: t.rename_columns(["uid", "n_nodes", "n_ways",
+                                    "n_relations", "max_version", "user"]),
+        batch_format="pyarrow")

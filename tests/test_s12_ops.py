@@ -219,3 +219,68 @@ def test_crop_retention_planted(ray_session):
     assert df.loc["t002", "ret6"] == 1.0
     assert df.loc["t000", "crop_side"] == 16
     assert bool(df["ok"].all())
+
+
+def test_relation_member_roles_planted(ray_session):
+    """Counts and distinct-relation counts on a hand-built member set."""
+    from go_osm_ray.pipelines.osm import relation_member_roles
+    mtype = pa.struct([("type", pa.string()), ("ref", pa.int64()),
+                      ("role", pa.string())])
+    rows = [
+        (1, [{"type": "way", "ref": 10, "role": "outer"},
+             {"type": "way", "ref": 11, "role": "outer"},
+             {"type": "way", "ref": 12, "role": "inner"}]),
+        (2, [{"type": "way", "ref": 13, "role": "outer"},
+             {"type": "node", "ref": 99, "role": "admin_centre"}]),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "members": pa.array([r[1] for r in rows], pa.list_(mtype))}))
+    df = relation_member_roles(ds).to_pandas() \
+        .set_index(["member_type", "role"])
+    assert df.loc[("way", "outer"), "n_members"] == 3
+    assert df.loc[("way", "outer"), "n_relations"] == 2
+    assert df.loc[("way", "inner"), "n_relations"] == 1
+    assert df.loc[("node", "admin_centre"), "n_members"] == 1
+
+
+def test_osm_user_activity_planted(ray_session):
+    """Per-uid counts across classes + max version + username."""
+    from go_osm_ray.pipelines.osm import osm_user_activity
+
+    def els(uids, users, versions):
+        return ray.data.from_arrow(pa.table({
+            "uid": pa.array(uids, pa.int64()),
+            "user": pa.array(users, pa.string()),
+            "version": pa.array(versions, pa.int32())}))
+
+    nodes = els([1, 1, 2], ["alice", "alice", "bob"], [1, 5, 2])
+    ways = els([1], ["alice"], [3])
+    rels = els([2, 2], ["bob", "bob"], [7, 1])
+    df = osm_user_activity(nodes, ways, rels).to_pandas().set_index("uid")
+    assert df.loc[1, "n_nodes"] == 2 and df.loc[1, "n_ways"] == 1
+    assert df.loc[1, "n_relations"] == 0 and df.loc[1, "max_version"] == 5
+    assert df.loc[2, "n_relations"] == 2 and df.loc[2, "max_version"] == 7
+    assert df.loc[1, "user"] == "alice" and df.loc[2, "user"] == "bob"
+
+
+def test_way_tag_length_stats_ordered_sum(ray_session):
+    """Two tagged ways on a meridian: per-key totals are the exact sum
+    of the shared way_length_m outputs (1 degree of latitude)."""
+    from go_osm_ray.pipelines.osm import way_length_m, way_tag_length_stats
+    tagt = pa.list_(pa.struct([("key", pa.string()),
+                               ("value", pa.string())]))
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([0.0, 0.0, 0.0]),
+        "lat": pa.array([0.0, 1.0, 2.0])}))
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array([10, 11], pa.int64()),
+        "refs": pa.array([[1, 2], [2, 3]], pa.list_(pa.int64())),
+        "tags": pa.array([[{"key": "highway", "value": "a"}],
+                          [{"key": "highway", "value": "b"}]], tagt)}))
+    wl = way_length_m(nodes, ways).to_pandas().set_index("way_id")
+    df = way_tag_length_stats(nodes, ways).to_pandas().set_index("key")
+    expect = round(wl.loc[10, "len_m3"] + wl.loc[11, "len_m3"], 3)
+    assert df.loc["highway", "n_ways"] == 2
+    assert abs(df.loc["highway", "total_len3"] - expect) < 2e-3
