@@ -1125,6 +1125,39 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS morisita6
         FROM s"""
 
+    # partition-skew audit: all-integer stats, one float division,
+    # argmax ties to the smallest cell id
+    q["partition_skew_stats"] = f"""
+        WITH {_pts_cte(images)},
+        c AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM pts GROUP BY 1),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS q,
+                     CAST(sum(x) AS BIGINT) AS nn,
+                     CAST(max(x) AS BIGINT) AS mx FROM c),
+        t AS (SELECT cell AS top_cell FROM c
+              ORDER BY x DESC, cell ASC LIMIT 1)
+        SELECT s.q AS n_cells, s.nn AS n_points, s.mx AS max_n,
+               t.top_cell,
+               {sql_round('CAST(s.mx * s.q AS DOUBLE) '
+                          '/ CAST(s.nn AS DOUBLE)', 6)} AS skew6
+        FROM s, t"""
+
+    # per-format dataset card: exact integer sums, three float means
+    q["image_corpus_card"] = f"""
+        SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+               CAST(sum(CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS BIGINT)
+                   AS total_px,
+               {sql_round('CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)} AS mean_w6,
+               {sql_round('CAST(sum(CAST(h AS BIGINT)) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)} AS mean_h6,
+               {sql_round('CAST(sum(length(caption)) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)}
+                   AS mean_caption_len6
+        FROM {images} GROUP BY fmt"""
+
     # per-cell storage footprint: exact integer byte sums
     _lon_s, _lat_s = morton.sql_decode_exprs("phash")
     q["cell_storage"] = f"""
@@ -2717,6 +2750,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["raster_viewshed"] = f"SELECT tile_x, tile_y, px, py, n, visible FROM read_parquet('{exp['raster_viewshed']}')"
     q["image_flip_asym"] = f"SELECT image_id, ok, n_px, asym6, max_d FROM read_parquet('{exp['image_flip_asym']}')"
     q["image_crop_retention"] = f"SELECT image_id, ok, crop_side, ret6 FROM read_parquet('{exp['image_crop_retention']}')"
+    q["cell_luma_morans"] = f"SELECT n_cells, w_pairs, morans_i6 FROM read_parquet('{exp['cell_luma_morans']}')"
     q["image_blob_count"] = f"SELECT image_id, ok, n_px, n_fg, n_blobs, max_blob FROM read_parquet('{exp['image_blob_count']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"

@@ -1504,3 +1504,149 @@ def image_crop_retention(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageCropRetention, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def image_corpus_card(images: ray.data.Dataset) -> ray.data.Dataset:
+    """(fmt, n, total_bytes, total_px, mean_w6, mean_h6,
+    mean_caption_len6): the per-format dataset-card rollup (corpus
+    composition, storage and shape profile) a curation run publishes
+    next to its output — all from metadata columns, no decode.
+    Bounded per-fmt combiner + ONE merge; exact integer sums, three
+    final float divisions mirrored in SQL."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        nb = pc.binary_length(t["bytes"]).cast(pa.int64())
+        w = pc.cast(t["w"], pa.int64())
+        h = pc.cast(t["h"], pa.int64())
+        g = pa.table({
+            "fmt": t["fmt"],
+            "nb": nb,
+            "px": pc.multiply(w, h),
+            "w": w,
+            "h": h,
+            "cl": pc.utf8_length(t["caption"]).cast(pa.int64()),
+        }).group_by("fmt").aggregate(
+            [("nb", "sum"), ("px", "sum"), ("w", "sum"), ("h", "sum"),
+             ("cl", "sum"), ([], "count_all")])
+        return g.rename_columns(["fmt", "nb", "px", "w", "h", "cl", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("fmt").aggregate(
+            [("nb", "sum"), ("px", "sum"), ("w", "sum"), ("h", "sum"),
+             ("cl", "sum"), ("n", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy().astype(np.int64)
+        fl = n.astype(np.float64)
+        out = {"mean_w6": g["w_sum"], "mean_h6": g["h_sum"],
+               "mean_caption_len6": g["cl_sum"]}
+        cols = {
+            "fmt": g["fmt"],
+            "n": pa.array(n),
+            "total_bytes": pc.cast(g["nb_sum"], pa.int64()),
+            "total_px": pc.cast(g["px_sum"], pa.int64()),
+        }
+        for name, col in out.items():
+            v = col.combine_chunks().to_numpy().astype(np.float64)
+            cols[name] = pa.array(round_half_away(v / fl, 6))
+        return pa.table(cols)
+
+    return single_merge(
+        images.select_columns(["fmt", "bytes", "w", "h", "caption"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)
+
+
+class _CellLumaPartial:
+    """Actor-pool stage for cell_luma_morans: decode -> per-image exact
+    integer luma sum + pixel count -> per-cell (key, lum, px) partials
+    (geotag from phash, slippy tile key at the chosen res)."""
+
+    def __init__(self, res: int = 7):
+        self.res = res
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = decode_geotag(batch)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        x, y = tiles.tile_xy(lon, lat, self.res)
+        key = (x.astype(np.int64) << 32) | y.astype(np.int64)
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        lum = np.empty(len(key), np.int64)
+        npx = np.empty(len(key), np.int64)
+        for i, (f, b) in enumerate(zip(fmts, blobs)):
+            px = codecs.decode(b, f).astype(np.int64)
+            lum[i] = int(px.sum())
+            npx[i] = px.shape[0] * px.shape[1]
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]]) \
+            if len(key) else np.empty(0, np.int64)
+        return pa.table({
+            "key": pa.array(key[starts]),
+            "lum": pa.array(np.add.reduceat(lum[order], starts)
+                            if len(key) else np.empty(0, np.int64)),
+            "px": pa.array(np.add.reduceat(npx[order], starts)
+                           if len(key) else np.empty(0, np.int64))})
+
+
+def cell_luma_morans(images: ray.data.Dataset, res: int = 7,
+                     nd: int = 6, concurrency=None,
+                     batch_size: int = 1024) -> ray.data.Dataset:
+    """(n_cells, w_pairs, morans_i6): global Moran's I spatial
+    autocorrelation of the per-cell MEAN IMAGE LUMA over occupied
+    res-``res`` slippy cells with rook binary weights — the
+    image x geospatial fusion audit ("do bright images cluster
+    geographically?") a multimodal curation run reads next to the
+    density Moran's I.
+
+    Determinism contract: per-cell luma/pixel totals are exact int64;
+    cell value v = lum/px is one exact division; every cross-cell fold
+    (mean, z^2 sum, rook pair-product sum) runs through math.fsum —
+    EXACTLY-rounded and therefore order-independent — so the engine's
+    vectorized searchsorted neighbours and the pyoracle's scalar dict
+    walk produce bit-identical statistics. Scale shape: decode actor
+    pool -> bounded per-cell partials -> ONE merge over the bounded
+    cell space."""
+    import math
+
+    from ..relational import single_merge
+    from ..util import default_pool, round_half_away
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("lum", "sum"), ("px", "sum")])
+        key = g["key"].combine_chunks().to_numpy()
+        order = np.argsort(key)
+        key = key[order]
+        lum = g["lum_sum"].combine_chunks().to_numpy()[order]
+        px = g["px_sum"].combine_chunks().to_numpy()[order]
+        q = len(key)
+        v = np.array([int(a) / int(b) for a, b in zip(lum, px)],
+                     np.float64)
+        mean = math.fsum(v) / q if q else 0.0
+        z = v - mean
+        x, yy = key >> 32, key & np.int64(0xFFFFFFFF)
+        prods = []
+        w = 0
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nk = ((x + dx) << 32) | (yy + dy)
+            idx = np.searchsorted(key, nk).clip(max=max(q - 1, 0))
+            hit = key[idx] == nk if q else np.empty(0, bool)
+            prods.append(z[hit] * z[idx[hit]])
+            w += int(hit.sum())
+        num = math.fsum(np.concatenate(prods)) if q else 0.0
+        den = math.fsum(z * z)
+        i_val = num * q / w / den if w > 0 and den > 0.0 else 0.0
+        return pa.table({
+            "n_cells": pa.array([q], pa.int64()),
+            "w_pairs": pa.array([w], pa.int64()),
+            "morans_i6": pa.array(
+                [float(round_half_away(np.float64(i_val), nd))])})
+
+    partials = images.map_batches(
+        _CellLumaPartial, fn_constructor_kwargs={"res": res},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency or default_pool(24))
+    return single_merge(partials, merge)

@@ -3933,3 +3933,53 @@ def ann_recall(embeddings: ray.data.Dataset, queries_ref: ray.ObjectRef,
         .union(approx.map_batches(tag(False), batch_format="pyarrow")
                .materialize())
     return single_merge(both, merge)
+
+
+def partition_skew_stats(images: ray.data.Dataset, res: int = 7,
+                         nd: int = 6) -> ray.data.Dataset:
+    """(n_cells, n_points, max_n, top_cell, skew6): partition-skew
+    audit of the cell key space — skew = max cell count over the mean
+    (1 = balanced; the hot-box recipe makes it large). The
+    observability probe the salted-shuffle path is sized from (the
+    north rule's skew handling, quantified).
+
+    Scale shape: cell_histogram partials + ONE bounded merge.
+    Exactness: all counts int64; skew6 = float(max*Q)/float(N) — one
+    float division mirrored by CAST(mx*q AS DOUBLE)/CAST(nn AS DOUBLE);
+    top_cell ties break to the smallest cell id on both sides."""
+    from ..geo import tiles
+    from ..relational import single_merge
+    from ..stages.assign import decode_geotag
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "pn": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate([("pn", "sum")])
+        cell = g["cell"].combine_chunks().to_numpy()
+        x = g["pn_sum"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.argsort(cell)          # min-id tiebreak for argmax
+        cell, x = cell[order], x[order]
+        q = int(len(x))
+        nn = int(x.sum())
+        mx = int(x.max()) if q else 0
+        top = int(cell[np.argmax(x)]) if q else -1
+        skew = float(mx * q) / float(nn) if nn else 0.0
+        return pa.table({
+            "n_cells": pa.array([q], pa.int64()),
+            "n_points": pa.array([nn], pa.int64()),
+            "max_n": pa.array([mx], pa.int64()),
+            "top_cell": pa.array([top], pa.int64()),
+            "skew6": pa.array([float(round_half_away(np.float64(skew),
+                                                     nd))])})
+
+    return single_merge(
+        images.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536), merge)

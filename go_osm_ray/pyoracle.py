@@ -2738,3 +2738,54 @@ def _image_crop_retention_table(sf: float) -> pa.Table:
 
 
 _BUILDERS["image_crop_retention"] = _image_crop_retention_table
+
+
+def _cell_luma_morans_table(sf: float, res: int = 7) -> pa.Table:
+    """Scalar reference for cell_luma_morans: per-row decode + scalar
+    slippy cell into a python dict of integer (lum, px) totals; rook
+    neighbours via DICT LOOKUP (vs the engine's sorted searchsorted);
+    all cross-cell folds through math.fsum (exactly rounded, so fold
+    order cannot differ between the plans)."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["phash", "fmt", "bytes"])
+    n = 1 << res
+    acc: dict[tuple[int, int], list] = {}
+    for ph, f, b in zip(t["phash"].to_pylist(), t["fmt"].to_pylist(),
+                        t["bytes"].to_pylist()):
+        lon, lat = _scalar_morton_decode(ph)
+        r = math.radians(lat)
+        x = math.floor((lon + 180.0) / 360.0 * n)
+        y = math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r))
+                        / math.pi) / 2.0 * n)
+        x = min(max(int(x), 0), n - 1)
+        y = min(max(int(y), 0), n - 1)
+        px = codecs.decode(b, f).astype(np.int64)
+        a = acc.setdefault((x, y), [0, 0])
+        a[0] += int(px.sum())
+        a[1] += px.shape[0] * px.shape[1]
+    cells = sorted(acc)
+    q = len(cells)
+    v = {c: acc[c][0] / acc[c][1] for c in cells}
+    mean = math.fsum(v[c] for c in cells) / q if q else 0.0
+    z = {c: v[c] - mean for c in cells}
+    prods = []
+    w = 0
+    for (x, y) in cells:
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (x + dx, y + dy)
+            if nb in z:
+                prods.append(z[(x, y)] * z[nb])
+                w += 1
+    num = math.fsum(prods)
+    den = math.fsum(z[c] * z[c] for c in cells)
+    i_val = num * q / w / den if w > 0 and den > 0.0 else 0.0
+    return pa.table({
+        "n_cells": pa.array([q], pa.int64()),
+        "w_pairs": pa.array([w], pa.int64()),
+        "morans_i6": pa.array(
+            [float(round_half_away(np.float64(i_val), 6))])})
+
+
+_BUILDERS["cell_luma_morans"] = _cell_luma_morans_table

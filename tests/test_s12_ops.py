@@ -284,3 +284,77 @@ def test_way_tag_length_stats_ordered_sum(ray_session):
     expect = round(wl.loc[10, "len_m3"] + wl.loc[11, "len_m3"], 3)
     assert df.loc["highway", "n_ways"] == 2
     assert abs(df.loc["highway", "total_len3"] - expect) < 2e-3
+
+
+def test_partition_skew_stats_planted(ray_session):
+    """3 points in one cell + 1 in another -> Q=2, N=4, max 3,
+    skew = 3*2/4 = 1.5; uniform singletons -> skew 1.0."""
+    from go_osm_ray.pipelines.spatial import partition_skew_stats
+    hot = partition_skew_stats(
+        _pts_ds([10.0, 10.0, 10.0, -70.0],
+                [20.0, 20.0, 20.0, -40.0])).to_pandas()
+    assert hot.loc[0, "n_cells"] == 2 and hot.loc[0, "max_n"] == 3
+    assert hot.loc[0, "skew6"] == 1.5
+    flat = partition_skew_stats(
+        _pts_ds([-120.0, 0.0, 120.0], [10.0, 50.0, -30.0])).to_pandas()
+    assert flat.loc[0, "skew6"] == 1.0
+
+
+def test_image_corpus_card_planted(ray_session):
+    """Exact metadata rollup on two formats, no decode involved."""
+    from go_osm_ray.pipelines.images import image_corpus_card
+    from go_osm_ray import codecs as cd
+    px16 = np.zeros((16, 16, 3), np.uint8)
+    px24 = np.zeros((24, 16, 3), np.uint8)   # h=24, w=16
+    rows = [("bmp", px16, "four words here ok"),
+            ("bmp", px24, "xy"),
+            ("raw", px16, "z")]
+    blobs = [cd.encode(p, f) for f, p, _ in rows]
+    ds = ray.data.from_arrow(pa.table({
+        "fmt": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array([16, 16, 16], pa.int32()),
+        "h": pa.array([16, 24, 16], pa.int32()),
+        "caption": pa.array([r[2] for r in rows], pa.string())}))
+    df = image_corpus_card(ds).to_pandas().set_index("fmt")
+    assert df.loc["bmp", "n"] == 2
+    assert df.loc["bmp", "total_px"] == 16 * 16 + 16 * 24
+    assert df.loc["bmp", "mean_h6"] == 20.0
+    assert df.loc["bmp", "mean_caption_len6"] == 10.0
+    assert df.loc["raw", "total_bytes"] == len(blobs[2])
+
+
+def test_cell_luma_morans_planted(ray_session):
+    """Four images in four rook-adjacent cells with a bright/dark
+    checker layout -> strong NEGATIVE autocorrelation; a matching
+    bright/bright dark/dark split along x -> positive."""
+    from go_osm_ray.geo import morton
+    from go_osm_ray.pipelines.images import cell_luma_morans
+    from go_osm_ray import codecs as cd
+    # res 7 -> 128x128 grid; pick lon/lat at four adjacent cell centers
+    n = 128
+    def lonlat(x, y):
+        lon = (x + 0.5) / n * 360.0 - 180.0
+        import math as m
+        lat = m.degrees(m.atan(m.sinh(m.pi * (1.0 - 2.0 * (y + 0.5) / n))))
+        return lon, lat
+    cells = [(60, 60), (61, 60), (60, 61), (61, 61)]
+    # checker: bright at (60,60),(61,61); dark at the other two
+    vals = {(60, 60): 200, (61, 61): 200, (61, 60): 10, (60, 61): 10}
+    lons, lats, blobs = [], [], []
+    for (x, y) in cells:
+        lon, lat = lonlat(x, y)
+        lons.append(lon)
+        lats.append(lat)
+        blobs.append(cd.encode(
+            np.full((8, 8, 3), vals[(x, y)], np.uint8), "bmp"))
+    ph = morton.encode_phash(np.array(lons), np.array(lats),
+                             np.arange(4))
+    ds = ray.data.from_arrow(pa.table({
+        "phash": pa.array(ph),
+        "fmt": pa.array(["bmp"] * 4, pa.string()),
+        "bytes": pa.array(blobs, pa.binary())}))
+    df = cell_luma_morans(ds, res=7).to_pandas()
+    assert df.loc[0, "n_cells"] == 4
+    assert df.loc[0, "w_pairs"] == 8
+    assert df.loc[0, "morans_i6"] == -1.0   # perfect checker
