@@ -1125,6 +1125,64 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS morisita6
         FROM s"""
 
+    # deterministic A/B split + conversion lift: exact per-user max,
+    # integer counts, the same three float divisions in the same order
+    q["ab_conversion_lift"] = f"""
+        WITH pu AS (SELECT user_id,
+                           CAST(max(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                               AS conv
+                    FROM events GROUP BY 1),
+        v AS (SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+                     CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(conv) AS BIGINT) AS n_converted
+              FROM pu GROUP BY 1),
+        r AS (SELECT variant, n_users, n_converted,
+                     CAST(n_converted AS DOUBLE)
+                     / CAST(n_users AS DOUBLE) AS rate
+              FROM v),
+        l AS (SELECT CASE WHEN (SELECT rate FROM r WHERE variant = 0)
+                               > 0.0
+                          THEN (SELECT rate FROM r WHERE variant = 1)
+                               / (SELECT rate FROM r WHERE variant = 0)
+                          ELSE 0.0 END AS lift)
+        SELECT variant, n_users, n_converted,
+               {sql_round('rate', 6)} AS rate6,
+               {sql_round('lift', 6)} AS lift6
+        FROM r, l"""
+
+    # cross-layer density OLS: all-integer moments; slope/intercept are
+    # the only float expressions, same term order both sides (intercept
+    # uses the UNROUNDED slope)
+    q["cell_node_way_ols"] = f"""
+        WITH nc AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM {nodes} GROUP BY 1),
+        exp AS (SELECT unnest(refs) AS ref FROM {ways}),
+        wc AS (SELECT {tiles.sql_cell_id('n.lon', 'n.lat', 7)} AS cell,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM exp e JOIN {nodes} n ON n.id = e.ref GROUP BY 1),
+        u AS (SELECT COALESCE(nc.cell, wc.cell) AS cell,
+                     COALESCE(nc.x, 0) AS x, COALESCE(wc.y, 0) AS y
+              FROM nc FULL OUTER JOIN wc ON nc.cell = wc.cell),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM u),
+        k AS (SELECT n, sx, sy, sxy, sxx,
+                     CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                          ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                     END AS slope
+              FROM s)
+        SELECT n AS n_cells, sx, sy, sxy, sxx,
+               {sql_round('slope', 6)} AS slope6,
+               {sql_round('(CAST(sy AS DOUBLE) '
+                          '- slope * CAST(sx AS DOUBLE)) '
+                          '/ CAST(n AS DOUBLE)', 6)} AS intercept6
+        FROM k"""
+
     # partition-skew audit: all-integer stats, one float division,
     # argmax ties to the smallest cell id
     q["partition_skew_stats"] = f"""

@@ -5159,3 +5159,56 @@ def events_weekday_chi2(events: ray.data.Dataset) -> ray.data.Dataset:
     return single_merge(events.select_columns(["ts", "event_type"])
                         .map_batches(partial, batch_format="pyarrow",
                                      batch_size=65536), merge)
+
+
+def ab_conversion_lift(events: ray.data.Dataset,
+                       goal: str = "purchase") -> ray.data.Dataset:
+    """(variant, n_users, n_converted, rate6, lift6): deterministic
+    A/B split (variant = user_id % 2) and conversion to the ``goal``
+    event type — the experimentation-analysis primitive (exact per-user
+    dedup, exact integer counts, two float divisions; lift is B's rate
+    over A's, emitted on both rows so the schema stays rectangular).
+
+    Scale shape: per-block (user, variant, converted-flag) partials —
+    per-user OR across blocks via a max combiner — one bounded
+    user-hash exchange, then ONE tiny merge over per-partition counts.
+    Here the partial collapses users in-block and the exchange is the
+    repo's partial_groupby_agg on user_id."""
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        conv = pc.equal(t["event_type"], pa.scalar(goal)) \
+            .combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": pa.array(uid),
+                         "conv": pa.array(conv)})
+
+    per_user = partial_groupby_agg(
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"], [("conv", "max")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        conv = t["conv_max"].combine_chunks().to_numpy()
+        out = {"variant": [], "n_users": [], "n_converted": []}
+        for v in (0, 1):
+            m = (uid % 2) == v
+            out["variant"].append(v)
+            out["n_users"].append(int(m.sum()))
+            out["n_converted"].append(int(conv[m].sum()))
+        r = [c / u if u else 0.0
+             for c, u in zip(out["n_converted"], out["n_users"])]
+        lift = r[1] / r[0] if r[0] > 0.0 else 0.0
+        return pa.table({
+            "variant": pa.array(out["variant"], pa.int64()),
+            "n_users": pa.array(out["n_users"], pa.int64()),
+            "n_converted": pa.array(out["n_converted"], pa.int64()),
+            "rate6": pa.array([float(round_half_away(np.float64(x), 6))
+                               for x in r]),
+            "lift6": pa.array([float(round_half_away(np.float64(lift),
+                                                     6))] * 2)})
+
+    return single_merge(per_user, finish)

@@ -3983,3 +3983,84 @@ def partition_skew_stats(images: ray.data.Dataset, res: int = 7,
     return single_merge(
         images.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536), merge)
+
+
+def cell_node_way_ols(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      res: int = 7, nd: int = 6) -> ray.data.Dataset:
+    """(n_cells, sx, sy, sxy, sxx, slope6, intercept6): exact
+    integer-moment OLS of way-vertex density against node density over
+    occupied res-``res`` cells — the cross-layer regression ("does way
+    coverage track node coverage?") a map-completeness audit reads.
+    Every moment is an exact int64 sum; slope and intercept are the
+    only float expressions, mirrored term-for-term in SQL.
+
+    Scale shape: two tagged per-cell count partials (nodes direct; way
+    vertices resolve refs against the broadcast node table — the same
+    small side every way-geometry pass ships once) -> ONE bounded merge
+    over the occupied-cell space."""
+    from ..geo import tiles
+    from ..relational import broadcast_table, single_merge
+    from ..util import round_half_away
+
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        c = tiles.cell_id(lon, lat, res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "x": pa.array(n.astype(np.int64)),
+                         "y": pa.array(np.zeros(len(u), np.int64))})
+
+    def way_partial(t: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+        refs = t["refs"].combine_chunks()
+        flat = refs.flatten().to_numpy()
+        idx = np.searchsorted(nid_s, flat)
+        idx = np.minimum(idx, max(len(nid_s) - 1, 0))
+        ok = (nid_s[idx] == flat) if len(nid_s) else \
+            np.zeros(len(flat), bool)
+        c = tiles.cell_id(nlon[idx[ok]], nlat[idx[ok]], res)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "x": pa.array(np.zeros(len(u), np.int64)),
+                         "y": pa.array(n.astype(np.int64))})
+
+    both = nodes.select_columns(["lon", "lat"]) \
+        .map_batches(node_partial, batch_format="pyarrow",
+                     batch_size=65536) \
+        .union(ways.select_columns(["refs"])
+               .map_batches(way_partial, batch_format="pyarrow",
+                            batch_size=65536))
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cell").aggregate([("x", "sum"), ("y", "sum")])
+        x = g["x_sum"].combine_chunks().to_numpy().astype(np.int64)
+        y = g["y_sum"].combine_chunks().to_numpy().astype(np.int64)
+        n = int(len(x))
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+        intercept = (float(sy) - slope * float(sx)) / float(n) \
+            if n else 0.0
+        return pa.table({
+            "n_cells": pa.array([n], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "slope6": pa.array(
+                [float(round_half_away(np.float64(slope), nd))]),
+            "intercept6": pa.array(
+                [float(round_half_away(np.float64(intercept), nd))])})
+
+    return single_merge(both, merge)

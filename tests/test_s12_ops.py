@@ -358,3 +358,39 @@ def test_cell_luma_morans_planted(ray_session):
     assert df.loc[0, "n_cells"] == 4
     assert df.loc[0, "w_pairs"] == 8
     assert df.loc[0, "morans_i6"] == -1.0   # perfect checker
+
+
+def test_ab_conversion_lift_planted(ray_session):
+    """Even users 1/2 converted, odd users 2/2 -> lift exactly 2.0."""
+    from go_osm_ray.pipelines.relq import ab_conversion_lift
+    rows = [(2, "view"), (2, "purchase"), (4, "view"),
+            (1, "purchase"), (3, "purchase"), (1, "click")]
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string())}))
+    df = ab_conversion_lift(ev).to_pandas().set_index("variant")
+    assert df.loc[0, "n_users"] == 2 and df.loc[0, "n_converted"] == 1
+    assert df.loc[1, "n_users"] == 2 and df.loc[1, "n_converted"] == 2
+    assert df.loc[0, "rate6"] == 0.5 and df.loc[1, "rate6"] == 1.0
+    assert (df["lift6"] == 2.0).all()
+
+
+def test_cell_node_way_ols_exact_line(ray_session):
+    """Two far-apart cells with (x, y) = (1, 2) and (2, 4) -> the OLS
+    line is exactly y = 2x (slope 2, intercept 0)."""
+    from go_osm_ray.pipelines.spatial import cell_node_way_ols
+    # cell A: node 1; cell B: nodes 2,3. way vertices: A gets [1,1]
+    # (a 2-vertex way on node 1 twice), B gets [2,3,2,3]
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([10.0, -70.0, -70.0]),
+        "lat": pa.array([20.0, -40.0, -40.0])}))
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array([100, 101, 102], pa.int64()),
+        "refs": pa.array([[1, 1], [2, 3], [2, 3]],
+                         pa.list_(pa.int64()))}))
+    df = cell_node_way_ols(nodes, ways).to_pandas()
+    assert df.loc[0, "n_cells"] == 2
+    assert df.loc[0, "sx"] == 3 and df.loc[0, "sy"] == 6
+    assert df.loc[0, "slope6"] == 2.0
+    assert df.loc[0, "intercept6"] == 0.0
