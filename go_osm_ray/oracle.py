@@ -2784,6 +2784,50 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round('covar_samp(a.x, b.x)', 6)} AS cov6
         FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i"""
 
+    # local clustering coefficient: per-vertex triangle counts by the
+    # declarative triple join (the engine runs oriented wedge closure);
+    # identical (2.0 * t) / (d * (d - 1)) term order before the round
+    q["way_clustering_coef"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b
+                 ON a.ref = b.ref AND a.way_id < b.way_id),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+                GROUP BY v),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+                           JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tc AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+               FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri) GROUP BY v)
+        SELECT deg.v AS way_id, deg.d AS deg,
+               COALESCE(tc.t, 0) AS n_tri,
+               CASE WHEN deg.d < 2 THEN 0.0 ELSE
+                 {sql_round('2.0 * COALESCE(tc.t, 0) '
+                            '/ (CAST(deg.d AS DOUBLE) * (deg.d - 1))', 6)}
+               END AS lcc6
+        FROM deg LEFT JOIN tc ON tc.v = deg.v"""
+
+    # dyadic-exact EWMA (alpha = 1/2, K = 24): integer s_scaled
+    # accumulated both sides, ONE float division by the exact 2^24
+    q["events_ewma"] = f"""
+        WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+        mx AS (SELECT max(day) AS dmax FROM c),
+        w AS (SELECT event_type, c.c,
+                     CAST(datediff('day', dmax, day) + 23 AS BIGINT) AS i
+              FROM c, mx WHERE datediff('day', dmax, day) > -24),
+        s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(c * (CAST(1 AS BIGINT) << i)) AS BIGINT)
+                         AS s_scaled
+              FROM w GROUP BY 1)
+        SELECT event_type, n_days, s_scaled,
+               {sql_round(f'CAST(s_scaled AS DOUBLE) / {float(2 ** 24)!r}', 6)}
+                   AS ewma6
+        FROM s"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.
@@ -2810,6 +2854,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_crop_retention"] = f"SELECT image_id, ok, crop_side, ret6 FROM read_parquet('{exp['image_crop_retention']}')"
     q["cell_luma_morans"] = f"SELECT n_cells, w_pairs, morans_i6 FROM read_parquet('{exp['cell_luma_morans']}')"
     q["image_blob_count"] = f"SELECT image_id, ok, n_px, n_fg, n_blobs, max_blob FROM read_parquet('{exp['image_blob_count']}')"
+    q["image_rle_ratio"] = f"SELECT image_id, ok, n_px, n_runs, rle6 FROM read_parquet('{exp['image_rle_ratio']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"

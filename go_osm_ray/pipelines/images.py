@@ -1650,3 +1650,56 @@ def cell_luma_morans(images: ray.data.Dataset, res: int = 7,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency or default_pool(24))
     return single_merge(partials, merge)
+
+
+class ImageRleRatio:
+    """Actor-pool stage: decode -> quantize the summed-channel luma to
+    8 levels (lum // 96, range 0..765) -> count horizontal RUNS (one
+    per row plus every adjacent within-row level change), the
+    run-length-encoding compressibility screen of an image-curation
+    funnel: a run ratio near 0 means flat/synthetic content (screenshots,
+    solid fills — cheap to store, low training value), near 1 means
+    per-pixel noise. Whole-array vectorized diff; the pyoracle mirror
+    counts transitions ROW BY ROW in python."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, nruns, rle = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                q = lum // 96
+                h, w = q.shape
+                runs = h + int((q[:, 1:] != q[:, :-1]).sum())
+                n = h * w
+                ok.append(True)
+                npx.append(n)
+                nruns.append(runs)
+                rle.append(float(round_half_away(np.float64(runs / n), 6)))
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                nruns.append(0)
+                rle.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "n_runs": pa.array(nruns, pa.int64()),
+            "rle6": pa.array(rle, pa.float64())})
+
+
+def image_rle_ratio(images: ray.data.Dataset, concurrency=None,
+                    batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, n_runs, rle6): horizontal run-length
+    compressibility per image — see ImageRleRatio."""
+    from ..util import default_pool
+    return images.map_batches(ImageRleRatio, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

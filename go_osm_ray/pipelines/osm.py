@@ -3338,3 +3338,209 @@ def osm_user_activity(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         lambda t: t.rename_columns(["uid", "n_nodes", "n_ways",
                                     "n_relations", "max_version", "user"]),
         batch_format="pyarrow")
+
+
+def way_clustering_coef(ways: ray.data.Dataset,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, deg, n_tri, lcc6): LOCAL clustering coefficient per way
+    over the TRUE shared-node way graph — lcc = 2*tri(v)/(deg(v)*(deg(v)-1)),
+    the per-vertex companion of way_triangles' global census (which
+    ways sit in tightly meshed grids vs tree-like suburbs). Vertices
+    with deg < 2 report lcc6 = 0.0.
+
+    Physical plan — fully partitioned, NO broadcast side (unlike
+    way_triangles' toy-scale fast path, this shape is the 100-TB one):
+      1. full pairwise deduped edges (full_shared_node_edges,
+         materialized: read by degrees, orientation and closure);
+      2. endpoint partials -> ONE v-hash exchange -> (v, deg);
+      3. two union-tag co-partition passes attach (da, db); each edge
+         orients low (deg, id) rank -> high rank, bounding
+         out-degrees by ~sqrt(m);
+      4. ONE u-hash exchange groups oriented out-neighbourhoods; each
+         u emits its rank-ordered wedge pairs (x, y) CARRYING u;
+      5. wedges and oriented edges co-partition by hash(x); a sorted
+         merge finds closed wedges and attributes each triangle to all
+         THREE vertices (u, x, y) as per-vertex count partials;
+      6. ONE v-hash exchange sums triangle counts and joins them to
+         degrees in the same kernel (deg rows carry tc=0, count rows
+         deg=0; a single Acero sum-groupby is the left join).
+    Per-node clique emission inside full_shared_node_edges carries
+    way_triangles' documented hot-node cap consideration."""
+    from ..relational import hash_part
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    # ---- 2. degrees ----------------------------------------------------
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].combine_chunks().to_numpy(),
+                            t["b"].combine_chunks().to_numpy()])
+        u, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pd": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("v").aggregate([("pd", "sum")])
+        return g.rename_columns(["v", "d"])
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(deg_merge, batch_format="pyarrow") \
+        .materialize()
+
+    # ---- 3. attach degrees to both endpoints (union-tag co-partition) --
+    def _attach(ds: ray.data.Dataset, cols_in: list, key: str,
+                out_col: str) -> ray.data.Dataset:
+        def tag_edge(t: pa.Table) -> pa.Table:
+            k = t[key].combine_chunks().to_numpy()
+            cols = {c: t[c].combine_chunks() for c in t.column_names
+                    if c != "part"}
+            cols["_d"] = pa.array(np.zeros(len(k), np.int64))
+            cols["_is_deg"] = pa.array(np.zeros(len(k), bool))
+            cols["part"] = pa.array(hash_part(k, num_parts))
+            return pa.table(cols)
+
+        def tag_deg(t: pa.Table) -> pa.Table:
+            v = t["v"].combine_chunks().to_numpy()
+            cols = {c: (pa.array(v) if c == key
+                        else pa.nulls(len(v), pa.int64()))
+                    for c in cols_in}
+            cols["_d"] = t["d"].combine_chunks()
+            cols["_is_deg"] = pa.array(np.ones(len(v), bool))
+            cols["part"] = pa.array(hash_part(v, num_parts))
+            return pa.table(cols)
+
+        def kernel(t: pa.Table) -> pa.Table:
+            is_deg = t["_is_deg"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            k = t[key].combine_chunks().to_numpy()
+            d = t["_d"].combine_chunks().to_numpy()
+            dv, dd = k[is_deg], d[is_deg]
+            order = np.argsort(dv)
+            dv, dd = dv[order], dd[order]
+            e = t.filter(pa.array(~is_deg)).drop_columns(["_d", "_is_deg"])
+            ek = e[key].combine_chunks().to_numpy()
+            idx = np.searchsorted(dv, ek)
+            return e.append_column(out_col, pa.array(dd[idx]))
+
+        both = ds.map_batches(tag_edge, batch_format="pyarrow") \
+            .union(deg.map_batches(tag_deg, batch_format="pyarrow"))
+        return both.groupby("part") \
+            .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                        batch_format="pyarrow")
+
+    j = _attach(_attach(edges, ["a", "b"], "a", "da"),
+                ["a", "b", "da"], "b", "db")
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        da = t["da"].combine_chunks().to_numpy()
+        db = t["db"].combine_chunks().to_numpy()
+        fwd = (da < db) | ((da == db) & (a < b))
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
+        dv = np.where(fwd, db, da)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "dv": pa.array(dv),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # ---- 4. wedges per u-partition, carrying u -------------------------
+    def wedges(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy()
+        v = t["v"].combine_chunks().to_numpy()
+        dv = t["dv"].combine_chunks().to_numpy()
+        order = np.lexsort((v, dv, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(u)]) if len(u) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(v), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        x, y, wu = v[first_idx], v[second_idx], u[first_idx]
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "wu": pa.array(wu),
+                         "e": pa.array(np.zeros(len(x), bool)),
+                         "part": pa.array(hash_part(x, num_parts))})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy()
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"x": pa.array(u), "y": pa.array(v),
+                         "wu": pa.array(np.full(len(u), -1, np.int64)),
+                         "e": pa.array(np.ones(len(u), bool)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    # ---- 5. co-partitioned closure with 3-vertex attribution -----------
+    def close(t: pa.Table) -> pa.Table:
+        x = t["x"].combine_chunks().to_numpy()
+        y = t["y"].combine_chunks().to_numpy()
+        wu = t["wu"].combine_chunks().to_numpy()
+        e = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(x):
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "tc": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        order = np.lexsort((e, y, x))
+        x, y, wu, e = x[order], y[order], wu[order], e[order]
+        starts = np.flatnonzero(np.r_[True, (x[1:] != x[:-1])
+                                      | (y[1:] != y[:-1])])
+        ends = np.r_[starts[1:], len(x)]
+        has_edge = e[ends - 1]
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        closed = has_edge[grp] & ~e
+        v = np.concatenate([wu[closed], x[closed], y[closed]])
+        uv, tc = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "tc": pa.array(tc.astype(np.int64)),
+                         "part": pa.array(hash_part(uv, num_parts))})
+
+    tri_partials = oriented.groupby("part") \
+        .map_groups(lambda t: wedges(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .union(oriented.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: close(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    # ---- 6. one v-hash exchange: sum counts + left-join degrees --------
+    def deg_side(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(v),
+                         "d": t["d"].combine_chunks(),
+                         "tc": pa.array(np.zeros(len(v), np.int64)),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def tc_side(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(v),
+                         "d": pa.array(np.zeros(len(v), np.int64)),
+                         "tc": t["tc"].combine_chunks(),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def final(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.drop_columns(["part"]).group_by("v") \
+            .aggregate([("d", "sum"), ("tc", "sum")])
+        v = g["v"].to_numpy()
+        d = g["d_sum"].to_numpy()
+        tc = g["tc_sum"].to_numpy()
+        dd = d.astype(np.float64) * (d - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = (2.0 * tc) / dd
+        lcc = np.where(d < 2, 0.0, round_half_away(raw, 6))
+        return pa.table({"way_id": pa.array(v, pa.int64()),
+                         "deg": pa.array(d, pa.int64()),
+                         "n_tri": pa.array(tc, pa.int64()),
+                         "lcc6": pa.array(lcc, pa.float64())})
+
+    return deg.map_batches(deg_side, batch_format="pyarrow") \
+        .union(tri_partials.map_batches(tc_side, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(final, batch_format="pyarrow")

@@ -5212,3 +5212,68 @@ def ab_conversion_lift(events: ray.data.Dataset,
                                                      6))] * 2)})
 
     return single_merge(per_user, finish)
+
+
+def events_ewma(events: ray.data.Dataset, window_days: int = 24
+                ) -> ray.data.Dataset:
+    """(event_type, n_days, s_scaled, ewma6): dyadic-exact EWMA
+    (alpha = 1/2) of DAILY event counts over the trailing
+    ``window_days``-day window ending at the global max event day —
+    the trend-smoothing readout of a streaming volume monitor
+    (go-osm's -summarize counts graded to a decayed rate).
+
+    Determinism contract: with alpha = 1/2 the K-day EWMA is
+    sum(c_i * 2^i) / 2^K for day index i in [0, K-1] (i = K-1 the most
+    recent day), so BOTH sides accumulate the integer s_scaled first
+    and perform ONE float division by the exact power of two —
+    no order-dependent float summation crosses the oracle boundary.
+    K = 24 bounds the shift at 23 bits: s_scaled fits int64 while any
+    per-day count stays below 2^39.
+
+    Scale plan: per-block Acero partials collapse events to
+    (event_type, day) counts (the combiner bounds the exchange by
+    types x days, not events); the merged count table is tiny by
+    construction (bounded key space), so ONE merge task computes the
+    global max day, window weights, and per-type folds."""
+    def pre(t: pa.Table) -> pa.Table:
+        day = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"event_type": t["event_type"].combine_chunks(),
+                         "day": pa.array(day),
+                         "c": pa.array(np.ones(len(day), np.int64))})
+
+    from ..relational import partial_groupby_agg
+    counts = partial_groupby_agg(
+        events.select_columns(["ts", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "day"], [("c", "sum")])
+
+    k = int(window_days)
+
+    def finish(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        day = t["day"].combine_chunks().to_numpy()
+        c = t["c_sum"].combine_chunks().to_numpy()
+        dmax = int(day.max()) if len(day) else 0
+        keep = day > dmax - k
+        et, day, c = et[keep], day[keep], c[keep]
+        i = (day - dmax + k - 1).astype(np.int64)
+        w = c.astype(np.int64) << i
+        out = {"event_type": [], "n_days": [], "s_scaled": [], "ewma6": []}
+        denom = float(2 ** k)
+        for ty in sorted(set(et.tolist())):
+            m = et == ty
+            s = int(w[m].sum())
+            out["event_type"].append(ty)
+            out["n_days"].append(int(m.sum()))
+            out["s_scaled"].append(s)
+            out["ewma6"].append(float(round_half_away(
+                np.float64(s / denom), 6)))
+        return pa.table({
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n_days": pa.array(out["n_days"], pa.int64()),
+            "s_scaled": pa.array(out["s_scaled"], pa.int64()),
+            "ewma6": pa.array(out["ewma6"], pa.float64())})
+
+    return single_merge(counts, finish)

@@ -2789,3 +2789,49 @@ def _cell_luma_morans_table(sf: float, res: int = 7) -> pa.Table:
 
 
 _BUILDERS["cell_luma_morans"] = _cell_luma_morans_table
+
+
+def _image_rle_ratio_table(sf: float) -> pa.Table:
+    """Scalar reference for image_rle_ratio: same 8-level quantization
+    (summed-channel luma // 96) but runs counted ROW BY ROW with a
+    python scan — an independent construction from the engine's single
+    whole-array column diff."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "n_runs": [], "rle6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            q = lum // 96
+            h, w = q.shape
+            runs = 0
+            for y in range(h):
+                row = q[y].tolist()
+                runs += 1
+                for j in range(1, w):
+                    if row[j] != row[j - 1]:
+                        runs += 1
+            n = h * w
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["n_runs"].append(runs)
+            out["rle6"].append(float(round_half_away(np.float64(runs / n),
+                                                     6)))
+        except Exception:
+            out["ok"].append(False)
+            out["n_px"].append(0)
+            out["n_runs"].append(0)
+            out["rle6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "n_runs": pa.array(out["n_runs"], pa.int64()),
+        "rle6": pa.array(out["rle6"], pa.float64())})
+
+
+_BUILDERS["image_rle_ratio"] = _image_rle_ratio_table

@@ -1,0 +1,140 @@
+"""Session-13 ops: planted closed forms the parity gates cannot see —
+local clustering coefficient on a constructed triangle + pendant graph,
+dyadic EWMA exactness and window exclusion, RLE run counts on planted
+flat / striped / checker images."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from go_osm_ray import codecs
+
+
+def _ways_ds(rows):
+    ids = pa.array([r[0] for r in rows], pa.int64())
+    refs = pa.array([r[1] for r in rows], pa.list_(pa.int64()))
+    return ray.data.from_arrow(pa.table({"id": ids, "refs": refs}))
+
+
+def _img_ds(pixel_arrays, fmt="bmp"):
+    blobs = [codecs.encode(px, fmt) for px in pixel_arrays]
+    return ray.data.from_arrow(pa.table({
+        "image_id": pa.array([f"t{i:03d}" for i in range(len(blobs))],
+                             pa.string()),
+        "fmt": pa.array([fmt] * len(blobs), pa.string()),
+        "bytes": pa.array(blobs, pa.binary())}))
+
+
+def test_way_clustering_coef_triangle_plus_pendant(ray_session):
+    """Ways 1-2-3 pairwise share nodes (a triangle); way 4 hangs off
+    way 1 only.  Triangle members with no other neighbours have
+    lcc = 1; way 1 (deg 3, its neighbours 2-3 connected, 4 isolated
+    from them) has lcc = 2*1/(3*2) = 1/3; the pendant way 4 (deg 1)
+    reports 0 by the deg<2 convention."""
+    from go_osm_ray.pipelines.osm import way_clustering_coef
+    ds = _ways_ds([
+        (1, [10, 11, 14]),   # shares 10 w/2, 11 w/3, 14 w/4
+        (2, [10, 12]),       # shares 12 w/3
+        (3, [11, 12]),
+        (4, [14, 15]),
+    ])
+    df = way_clustering_coef(ds).to_pandas().set_index("way_id")
+    assert df.loc[1, "deg"] == 3 and df.loc[1, "n_tri"] == 1
+    assert df.loc[1, "lcc6"] == round(1 / 3, 6)
+    for w in (2, 3):
+        assert df.loc[w, "deg"] == 2
+        assert df.loc[w, "n_tri"] == 1
+        assert df.loc[w, "lcc6"] == 1.0
+    assert df.loc[4, "deg"] == 1 and df.loc[4, "n_tri"] == 0
+    assert df.loc[4, "lcc6"] == 0.0
+
+
+def test_way_clustering_coef_matches_triangle_census(ray_session):
+    """Sum of per-vertex triangle counts == 3 * way_triangles' global
+    count on a denser planted mesh (each triangle attributed thrice)."""
+    from go_osm_ray.pipelines.osm import way_clustering_coef, way_triangles
+    rows = []
+    # K4 on ways 1..4 via six shared nodes + a chain 5-6-7
+    shared = {(1, 2): 100, (1, 3): 101, (1, 4): 102,
+              (2, 3): 103, (2, 4): 104, (3, 4): 105}
+    refs = {w: [] for w in range(1, 8)}
+    for (a, b), n in shared.items():
+        refs[a].append(n)
+        refs[b].append(n)
+    refs[5] = [102, 200]   # 5 joins 1 and 4's shared node -> K5 on {1,4,5}? no:
+    # node 102 is shared by ways 1, 4 AND 5 -> edges (1,4),(1,5),(4,5)
+    refs[6] = [200, 201]
+    refs[7] = [201]
+    for w, r in refs.items():
+        rows.append((w, r + [w * 1000]))  # unique tail node, no new edges
+    ds = _ways_ds(rows)
+    lcc = way_clustering_coef(ds).to_pandas()
+    tri = way_triangles(_ways_ds(rows), num_parts=4).take_all()[0]
+    assert lcc["n_tri"].sum() == 3 * int(tri["n_triangles"])
+    # every K4 member touches C(3,2)=3 triangles of the K4 plus the
+    # {1,4,5} triangle for ways 1 and 4
+    byid = lcc.set_index("way_id")
+    assert byid.loc[2, "n_tri"] == 3 and byid.loc[3, "n_tri"] == 3
+    assert byid.loc[1, "n_tri"] == 4 and byid.loc[4, "n_tri"] == 4
+    assert byid.loc[5, "n_tri"] == 1
+    assert byid.loc[7, "deg"] == 1 and byid.loc[7, "lcc6"] == 0.0
+
+
+def _events_ds(day_counts):
+    """day_counts: list of (day_str, event_type, n)."""
+    ts, et = [], []
+    for day, typ, n in day_counts:
+        for _ in range(n):
+            ts.append(np.datetime64(day + "T12:00:00", "us"))
+            et.append(typ)
+    return ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(et, pa.string())}))
+
+
+def test_events_ewma_dyadic_closed_form(ray_session):
+    """Counts 1/2/4 on the last three days: s = 2^21 + 2^23 + 2^25,
+    ewma = s/2^24 = 0.125 + 0.5 + 2 = 2.625 EXACTLY (dyadic rationals,
+    no float rounding)."""
+    from go_osm_ray.pipelines.relq import events_ewma
+    ds = _events_ds([("1995-03-01", "click", 1),
+                     ("1995-03-02", "click", 2),
+                     ("1995-03-03", "click", 4)])
+    df = events_ewma(ds).to_pandas().set_index("event_type")
+    assert df.loc["click", "n_days"] == 3
+    assert df.loc["click", "s_scaled"] == (1 << 21) + (2 << 22) + (4 << 23)
+    assert df.loc["click", "ewma6"] == 2.625
+
+
+def test_events_ewma_window_exclusion(ray_session):
+    """An event 24+ days before the global max day contributes nothing;
+    a type with ALL its events outside the window reports no in-window
+    days (n_days 0 rows are absent from the per-type fold)."""
+    from go_osm_ray.pipelines.relq import events_ewma
+    ds = _events_ds([("1995-03-30", "new", 1),
+                     ("1995-03-07", "new", 8),     # i = 0 (oldest in-window)
+                     ("1995-03-06", "new", 999),   # dmax-24: excluded
+                     ("1995-01-01", "old", 7)])    # far outside
+    df = events_ewma(ds).to_pandas().set_index("event_type")
+    assert df.loc["new", "n_days"] == 2
+    assert df.loc["new", "s_scaled"] == (1 << 23) + 8
+    assert "old" not in df.index
+
+
+def test_image_rle_ratio_planted(ray_session):
+    """Flat image -> one run per row (rle = 1/w); vertical stripes of
+    width 1 alternating quantization levels -> w runs per row (rle = 1);
+    HORIZONTAL stripes stay one run per row (row-wise runs only)."""
+    from go_osm_ray.pipelines.images import image_rle_ratio
+    flat = np.full((8, 8, 3), 40, np.uint8)
+    vstripe = np.zeros((8, 8, 3), np.uint8)
+    vstripe[:, 1::2] = 200   # levels 0 and 600//96=6 alternate
+    hstripe = np.zeros((8, 8, 3), np.uint8)
+    hstripe[1::2, :] = 200
+    df = image_rle_ratio(_img_ds([flat, vstripe, hstripe]),
+                         concurrency=1).to_pandas().set_index("image_id")
+    assert df.loc["t000", "n_runs"] == 8 and df.loc["t000", "rle6"] == 0.125
+    assert df.loc["t001", "n_runs"] == 64 and df.loc["t001", "rle6"] == 1.0
+    assert df.loc["t002", "n_runs"] == 8
+    assert bool(df["ok"].all())
