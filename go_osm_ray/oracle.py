@@ -48,6 +48,11 @@ CLIP_THRESHOLD = 0.25
 # the deterministic id cap bounding the O(n^2) brute-force oracle
 PHASH_MAX_HAMMING = 10
 PHASH_PAIR_CAP = 4000
+# caption_edit_pairs: edit-distance radius + the same id-cap rationale
+CAPTION_MAX_LEV = 2
+CAPTION_PAIR_CAP = 4000
+# amenity_colocation cell resolution (zoom)
+COLOC_RES = 9
 # zonal_stats raster resolution: zoom-10 tiles x 256px grid = zoom-18 pixels
 ZONAL_Z, ZONAL_GRID = 10, 256
 # radius_join: keep pairs whose ROUNDED (3-digit) haversine meters <= this
@@ -2827,6 +2832,70 @@ def build(sf: float = 0.01) -> dict[str, str]:
                {sql_round(f'CAST(s_scaled AS DOUBLE) / {float(2 ** 24)!r}', 6)}
                    AS ewma6
         FROM s"""
+
+    # spatial colocation PMI over distinct (cell, amenity-value) presence
+    # sets; identical integer products and ONE double division before ln
+    q["amenity_colocation"] = f"""
+        WITH tv AS (SELECT {tiles.sql_cell_id('lon', 'lat', COLOC_RES)}
+                        AS cell,
+                        (list_filter(tags, _t -> _t.key = 'amenity')[1])
+                            .value AS val
+                    FROM {nodes}
+                    WHERE len(list_filter(tags,
+                              _t -> _t.key = 'amenity')) > 0),
+        cv AS (SELECT DISTINCT cell, val FROM tv),
+        qq AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS q FROM cv),
+        pres AS (SELECT val, CAST(count(*) AS BIGINT) AS n
+                 FROM cv GROUP BY 1),
+        pr AS (SELECT x.val AS a, y.val AS b, CAST(count(*) AS BIGINT)
+                   AS n_ab
+               FROM cv x JOIN cv y ON x.cell = y.cell AND x.val < y.val
+               GROUP BY 1, 2)
+        SELECT pr.a, pr.b, pr.n_ab,
+               {sql_round('ln(CAST(pr.n_ab * qq.q AS DOUBLE) '
+                          '/ CAST(na.n * nb.n AS DOUBLE))', 6)} AS pmi6
+        FROM pr, qq
+        JOIN pres na ON na.val = pr.a
+        JOIN pres nb ON nb.val = pr.b"""
+
+    # linear-interpolation as-of: the window-lead mirror of the engine's
+    # sorted-searchsorted bracket; identical lerp op order before round
+    q["events_interp"] = f"""
+        WITH e AS (SELECT event_type, ts, value,
+                          lead(ts) OVER w AS nts,
+                          lead(value) OVER w AS nval
+                   FROM events
+                   WINDOW w AS (PARTITION BY event_type
+                                ORDER BY ts, event_id)),
+        r AS (SELECT event_type, min(ts) AS t0, max(ts) AS t1
+              FROM events GROUP BY 1),
+        g AS (SELECT event_type,
+                     unnest(generate_series(
+                         date_trunc('day', t0) + INTERVAL 1 DAY,
+                         date_trunc('day', t1), INTERVAL 1 DAY)) AS day
+              FROM r)
+        SELECT g.event_type, g.day,
+               {sql_round('CAST(e.value AS DOUBLE) '
+                          '+ CAST(epoch_us(g.day) - epoch_us(e.ts) AS DOUBLE) '
+                          '/ CAST(epoch_us(e.nts) - epoch_us(e.ts) AS DOUBLE) '
+                          '* (e.nval - e.value)', 6)} AS interp6
+        FROM g JOIN e ON e.event_type = g.event_type
+                     AND e.ts < g.day AND e.nts >= g.day"""
+
+    # caption edit-distance near-dup pairs within digit-collapsed
+    # template groups; DuckDB's levenshtein is the independent scalar
+    # reference for the engine's banded vectorized DP
+    q["caption_edit_pairs"] = f"""
+        WITH c AS (SELECT image_id, caption,
+                          regexp_replace(caption, '[0-9]+', '#', 'g')
+                              AS tpl
+                   FROM {images}
+                   WHERE CAST(substr(image_id, 4) AS BIGINT)
+                         < {CAPTION_PAIR_CAP})
+        SELECT x.image_id AS a, y.image_id AS b,
+               CAST(levenshtein(x.caption, y.caption) AS BIGINT) AS lev
+        FROM c x JOIN c y ON x.tpl = y.tpl AND x.image_id < y.image_id
+        WHERE levenshtein(x.caption, y.caption) <= {CAPTION_MAX_LEV}"""
 
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar

@@ -1703,3 +1703,125 @@ def image_rle_ratio(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageRleRatio, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def _lev_banded(sa: list, sb: list, t: int = 2) -> np.ndarray:
+    """Exact Levenshtein distance for every (sa[i], sb[i]) pair whose
+    true distance is <= ``t`` (band half-width t; values above t are
+    over-estimates, by construction never under — callers filter
+    ``<= t`` so the kept set and values are exact). Vectorized across
+    pairs: buckets by (len_a, len_b) and runs the banded DP with
+    len_a * (2t+1) small vector ops per bucket, never per pair."""
+    big = np.int16(10_000)
+    la = np.array([len(s) for s in sa], np.int64)
+    lb = np.array([len(s) for s in sb], np.int64)
+    out = np.full(len(sa), big, np.int16)
+    feasible = np.abs(la - lb) <= t
+    w = 2 * t + 1
+    for key in set(zip(la[feasible].tolist(), lb[feasible].tolist())):
+        na, nb = key
+        sel = np.flatnonzero((la == na) & (lb == nb))
+        A = np.frombuffer("".join(sa[i] for i in sel).encode("utf-32-le"),
+                          np.uint32).reshape(len(sel), na) if na else \
+            np.empty((len(sel), 0), np.uint32)
+        B = np.frombuffer("".join(sb[i] for i in sel).encode("utf-32-le"),
+                          np.uint32).reshape(len(sel), nb) if nb else \
+            np.empty((len(sel), 0), np.uint32)
+        band = np.full((len(sel), w), big, np.int16)
+        for k in range(w):
+            j = k - t
+            if 0 <= j <= nb:
+                band[:, k] = j
+        for i in range(1, na + 1):
+            new = np.full((len(sel), w), big, np.int16)
+            ai = A[:, i - 1]
+            for k in range(w):
+                j = i - t + k
+                if j < 0 or j > nb:
+                    continue
+                if j == 0:
+                    new[:, k] = i
+                    continue
+                best = np.full(len(sel), big, np.int16)
+                if k + 1 < w:                      # d[i-1][j] + 1
+                    best = np.minimum(best, band[:, k + 1] + 1)
+                diag = band[:, k] \
+                    + (ai != B[:, j - 1]).astype(np.int16)
+                best = np.minimum(best, diag)      # d[i-1][j-1] + cost
+                if k >= 1:                         # d[i][j-1] + 1
+                    best = np.minimum(best, new[:, k - 1] + 1)
+                new[:, k] = best
+            band = new
+        kk = nb - na + t
+        out[sel] = np.minimum(band[:, kk], big)
+    return out.astype(np.int64)
+
+
+def caption_edit_pairs(images: ray.data.Dataset, max_lev: int = 2,
+                       id_cap: int = 4000,
+                       num_parts: int = 32) -> ray.data.Dataset:
+    """(a, b, lev): near-duplicate CAPTION pairs by exact edit distance
+    — pairs sharing a digit-collapsed template (caption_dupes' groups)
+    whose full captions sit within Levenshtein distance ``max_lev``,
+    the character-level near-dup screen that catches counter/id-only
+    caption variants MinHash shingles are too coarse for.
+
+    ``id_cap`` bounds the O(n^2)-per-group pair census (the
+    PHASH_PAIR_CAP precedent: the oracle is brute force, and at scale
+    the screen runs on a deterministic id prefix as a corpus-health
+    sample, not the full table).
+
+    Scale plan: per-block regex template + ONE hash(template) exchange
+    (each template group wholly in one partition) -> per-group pair
+    enumeration (groups bounded by the id cap) -> exact banded
+    Levenshtein vectorized ACROSS pairs (len-bucketed band DP,
+    la x (2t+1) vector ops per bucket — no per-pair python DP)."""
+    from ..relational import _col_hash, hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].combine_chunks()
+        num = pc.cast(pc.utf8_slice_codeunits(ids, 3, 99), pa.int64())
+        keep = pc.less(num, pa.scalar(id_cap, pa.int64()))
+        t = pa.table({"image_id": ids, "caption":
+                      t["caption"].combine_chunks()}).filter(keep)
+        tpl = pc.replace_substring_regex(t["caption"].combine_chunks(),
+                                         "[0-9]+", "#")
+        h = _col_hash(tpl).astype(np.int64)
+        return pa.table({"image_id": t["image_id"].combine_chunks(),
+                         "caption": t["caption"].combine_chunks(),
+                         "tpl": tpl,
+                         "part": pa.array(hash_part(h, num_parts))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["image_id"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        cap = np.asarray(t["caption"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        tpl = np.asarray(t["tpl"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, tpl))
+        ids, cap, tpl = ids[order], cap[order], tpl[order]
+        starts = np.flatnonzero(np.r_[True, tpl[1:] != tpl[:-1]]) \
+            if len(tpl) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(tpl)]) if len(tpl) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(ids), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        sa = cap[first_idx].tolist()
+        sb = cap[second_idx].tolist()
+        lev = _lev_banded(sa, sb, max_lev)
+        keep = lev <= max_lev
+        return pa.table({
+            "a": pa.array(ids[first_idx][keep], pa.string()),
+            "b": pa.array(ids[second_idx][keep], pa.string()),
+            "lev": pa.array(lev[keep], pa.int64())})
+
+    return images.select_columns(["image_id", "caption"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: pairs(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

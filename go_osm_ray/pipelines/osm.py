@@ -3544,3 +3544,105 @@ def way_clustering_coef(ways: ray.data.Dataset,
         .union(tri_partials.map_batches(tc_side, batch_format="pyarrow")) \
         .groupby("part") \
         .map_groups(final, batch_format="pyarrow")
+
+
+def amenity_colocation(nodes: ray.data.Dataset, res: int = 9,
+                       key: str = "amenity",
+                       num_parts: int = 16) -> ray.data.Dataset:
+    """(a, b, n_ab, pmi6): spatial COLOCATION mining — pointwise mutual
+    information between pairs of ``key`` tag VALUES that land in the
+    same quadtree cell (res = zoom). PMI = ln(n_ab * Q / (n_a * n_b))
+    over cell presence sets (n_a = cells containing value a, n_ab =
+    cells containing both, Q = cells containing any tagged node) — the
+    classic co-location pattern score (which amenities cluster:
+    cafe+bench vs fuel+parking). osm_tag_cooccurrence grades per-WAY
+    key pairs; this grades per-CELL value pairs.
+
+    Scale plan: per-block distinct (cell, value) partials (vectorized
+    tag extraction + cell assign) -> ONE hash(cell) exchange (each cell
+    wholly in one partition, so partition-local dedup is global) ->
+    per-partition clique pairs + presence partials; the merged
+    (kind, a, b) table is bounded by the tag-value vocabulary squared,
+    so ONE merge task computes the PMI joins. Per-cell pair emission is
+    quadratic in distinct values per cell — bounded by the vocabulary,
+    not the data."""
+    from ..geo import tiles
+    from ..relational import _col_hash, hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = tagops.value_of(t["tags"].combine_chunks(), key)
+        keep = pc.is_valid(val)
+        val = val.filter(keep)
+        lon = t["lon"].combine_chunks().filter(keep).to_numpy()
+        lat = t["lat"].combine_chunks().filter(keep).to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        g = pa.table({"cell": pa.array(cell), "val": val}) \
+            .group_by(["cell", "val"]).aggregate([])
+        return g.append_column(
+            "part", pa.array(hash_part(g["cell"].combine_chunks()
+                                       .to_numpy(), num_parts)))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["cell", "val"]).aggregate([])
+        cell = g["cell"].combine_chunks().to_numpy()
+        val = np.asarray(g["val"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        order = np.lexsort((val, cell))
+        cell, val = cell[order], val[order]
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]]) \
+            if len(cell) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(cell)]) if len(cell) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(val), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        rows = {
+            "kind": ["pair"] * len(first_idx) + ["amen"] * len(val)
+            + ["q"],
+            "a": np.r_[val[first_idx], val, ["__cells__"]].tolist(),
+            "b": np.r_[val[second_idx], ["" for _ in val], [""]].tolist(),
+            "n": np.r_[np.ones(len(first_idx), np.int64),
+                       np.ones(len(val), np.int64),
+                       [len(starts)]].tolist(),
+        }
+        return pa.table({"kind": pa.array(rows["kind"], pa.string()),
+                         "a": pa.array(rows["a"], pa.string()),
+                         "b": pa.array(rows["b"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        import math
+        g = t.group_by(["kind", "a", "b"]).aggregate([("n", "sum")])
+        kind = np.asarray(g["kind"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        a = np.asarray(g["a"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+        b = np.asarray(g["b"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+        n = g["n_sum"].combine_chunks().to_numpy()
+        q_tot = int(n[kind == "q"].sum())
+        pres = {x: int(c) for x, c in zip(a[kind == "amen"],
+                                          n[kind == "amen"])}
+        m = kind == "pair"
+        out = {"a": [], "b": [], "n_ab": [], "pmi6": []}
+        for va, vb, nab in zip(a[m], b[m], n[m]):
+            nab = int(nab)
+            pmi = math.log((nab * q_tot) / (pres[va] * pres[vb]))
+            out["a"].append(va)
+            out["b"].append(vb)
+            out["n_ab"].append(nab)
+            out["pmi6"].append(float(round_half_away(np.float64(pmi), 6)))
+        return pa.table({
+            "a": pa.array(out["a"], pa.string()),
+            "b": pa.array(out["b"], pa.string()),
+            "n_ab": pa.array(out["n_ab"], pa.int64()),
+            "pmi6": pa.array(out["pmi6"], pa.float64())})
+
+    partials = nodes.select_columns(["lon", "lat", "tags"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(pairs, batch_format="pyarrow")
+    return single_merge(partials, final)

@@ -5277,3 +5277,76 @@ def events_ewma(events: ray.data.Dataset, window_days: int = 24
             "ewma6": pa.array(out["ewma6"], pa.float64())})
 
     return single_merge(counts, finish)
+
+
+def events_interp(events: ray.data.Dataset,
+                  num_parts: int = 8) -> ray.data.Dataset:
+    """(event_type, day, interp6): LINEAR-INTERPOLATION as-of join —
+    the value each type's signal takes at every midnight strictly
+    inside its event range, interpolated between the bracketing events
+    (events_asof's nearest-neighbour semantics upgraded to the lerp a
+    time-series resampler needs).
+
+    Bracketing contract (shared with the SQL window mirror): events
+    order by (ts, event_id); the bracket for grid point g is the LAST
+    event with ts < g and its successor (whose ts >= g by
+    construction); interp = v0 + (g-t0)/(t1-t0) * (v1-v0) with the
+    identical op order both sides before the 6dp round.
+
+    Scale plan: ONE hash(event_type) exchange co-locates each type
+    (types are a bounded vocabulary; the per-type grid is bounded by
+    calendar days); the kernel sorts its types once and answers every
+    grid point by vectorized searchsorted — no per-day scan."""
+    def part(t: pa.Table) -> pa.Table:
+        from ..relational import _col_hash
+        et = t["event_type"].combine_chunks()
+        h = _col_hash(et).astype(np.int64)
+        return pa.table({"event_type": et,
+                         "ts": t["ts"].combine_chunks(),
+                         "event_id": t["event_id"].combine_chunks(),
+                         "value": t["value"].combine_chunks(),
+                         "part": pa.array(hash_part(h, num_parts))})
+
+    DAY = 86_400_000_000  # us
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        ts = t["ts"].combine_chunks().to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = t["event_id"].combine_chunks().to_numpy()
+        val = t["value"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, et))
+        et, ts, eid, val = et[order], ts[order], eid[order], val[order]
+        out_t, out_d, out_v = [], [], []
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]]) \
+            if len(et) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(et)] if len(et) else starts
+        for s, e in zip(starts, ends):
+            tts, tval = ts[s:e], val[s:e]
+            g0 = (tts[0] // DAY + 1) * DAY
+            g1 = (tts[-1] // DAY) * DAY
+            if g1 < g0:
+                continue
+            g = np.arange(g0, g1 + 1, DAY, dtype=np.int64)
+            idx = np.searchsorted(tts, g, side="left")
+            i0 = idx - 1
+            t0, t1 = tts[i0], tts[i0 + 1]
+            v0, v1 = tval[i0], tval[i0 + 1]
+            w = (g - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
+            vi = v0 + w * (v1 - v0)
+            out_t.extend([et[s]] * len(g))
+            out_d.append(g)
+            out_v.append(round_half_away(vi, 6))
+        d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        v = np.concatenate(out_v) if out_v else np.empty(0, np.float64)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "day": pa.array(d.astype("datetime64[us]")),
+            "interp6": pa.array(v, pa.float64())})
+
+    return events.select_columns(["event_type", "ts", "event_id", "value"]) \
+        .map_batches(part, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

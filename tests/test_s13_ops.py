@@ -138,3 +138,103 @@ def test_image_rle_ratio_planted(ray_session):
     assert df.loc["t001", "n_runs"] == 64 and df.loc["t001", "rle6"] == 1.0
     assert df.loc["t002", "n_runs"] == 8
     assert bool(df["ok"].all())
+
+
+TAGS_TYPE = pa.list_(pa.struct([("key", pa.string()),
+                                ("value", pa.string())]))
+
+
+def test_lev_banded_matches_scalar_dp(ray_session):
+    """The vectorized banded DP agrees with a scalar full-matrix
+    Levenshtein on every pair with true distance <= 2, including
+    length-differing pairs and band-edge cases; distance-3+ pairs
+    report a value > 2 (never an under-estimate)."""
+    from go_osm_ray.pipelines.images import _lev_banded
+
+    def scalar_lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[len(b)]
+
+    pairs = [("caption 7 red", "caption 7 red"),      # 0
+             ("caption 7 red", "caption 9 red"),      # 1 sub
+             ("caption 7 red", "caption 71 red"),     # 1 ins
+             ("caption 7 red", "caption 712 red"),    # 2 ins
+             ("caption 12 red", "caption 21 red"),    # 2 subs
+             ("caption 7 red", "caption 7 blu"),      # 3: excluded
+             ("abc", "xyz"),                          # 3: excluded
+             ("a", "abc"), ("abcd", "ab")]            # len edges
+    got = _lev_banded([p[0] for p in pairs], [p[1] for p in pairs], 2)
+    for (a, b), g in zip(pairs, got):
+        true = scalar_lev(a, b)
+        if true <= 2:
+            assert g == true, (a, b, g, true)
+        else:
+            assert g > 2, (a, b, g, true)
+
+
+def test_events_interp_midpoint(ray_session):
+    """Events at day-1 noon (v=0) and day-3 noon (v=10): the day-2 and
+    day-3 midnights interpolate to 2.5 and 7.5 exactly; a grid point
+    needs events on BOTH sides (single-event types emit nothing)."""
+    from go_osm_ray.pipelines.relq import events_interp
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "lone"], pa.string()),
+        "ts": pa.array([np.datetime64("1995-03-01T12:00:00", "us"),
+                        np.datetime64("1995-03-03T12:00:00", "us"),
+                        np.datetime64("1995-03-05T00:00:00", "us")],
+                       pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "value": pa.array([0.0, 10.0, 9.0], pa.float64())}))
+    df = events_interp(ds).to_pandas()
+    a = df[df.event_type == "a"].set_index("day")["interp6"]
+    assert a.loc[np.datetime64("1995-03-02")] == 2.5
+    assert a.loc[np.datetime64("1995-03-03")] == 7.5
+    assert len(a) == 2
+    assert (df.event_type == "lone").sum() == 0
+
+
+def test_events_interp_duplicate_ts_bracketing(ray_session):
+    """Two events at the same timestamp: the bracket uses the LAST in
+    (ts, event_id) order — v0 comes from event_id 2, not 1."""
+    from go_osm_ray.pipelines.relq import events_interp
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 3, pa.string()),
+        "ts": pa.array([np.datetime64("1995-03-01T12:00:00", "us"),
+                        np.datetime64("1995-03-01T12:00:00", "us"),
+                        np.datetime64("1995-03-02T12:00:00", "us")],
+                       pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "value": pa.array([100.0, 0.0, 24.0], pa.float64())}))
+    df = events_interp(ds).to_pandas().set_index("day")
+    # midnight of 03-02: w = 12h/24h = 0.5 from v0=0 (event 2) to 24
+    assert df.loc[np.datetime64("1995-03-02"), "interp6"] == 12.0
+
+
+def test_amenity_colocation_closed_form(ray_session):
+    """cell1 {cafe, bench}, cell2 {cafe}, cell3 {fuel}: Q=3 cells,
+    n_cafe=2, n_bench=1 -> PMI(bench, cafe) = ln(1*3/(1*2)) = ln 1.5;
+    duplicate nodes of the same value in one cell do not inflate
+    presence counts."""
+    import math
+
+    from go_osm_ray.pipelines.osm import amenity_colocation
+
+    def tag(v):
+        return [{"key": "amenity", "value": v}]
+
+    # res 9 cells: use far-apart lons (one cell is ~0.7 deg wide)
+    ds = ray.data.from_arrow(pa.table({
+        "lon": pa.array([10.0, 10.0, 10.0, 50.0, 90.0], pa.float64()),
+        "lat": pa.array([20.0, 20.0, 20.0, 20.0, 20.0], pa.float64()),
+        "tags": pa.array([tag("cafe"), tag("bench"), tag("cafe"),
+                          tag("cafe"), tag("fuel")], TAGS_TYPE)}))
+    df = amenity_colocation(ds, res=9).to_pandas()
+    assert len(df) == 1
+    assert df.loc[0, "a"] == "bench" and df.loc[0, "b"] == "cafe"
+    assert df.loc[0, "n_ab"] == 1
+    assert df.loc[0, "pmi6"] == round(math.log(1.5), 6)
