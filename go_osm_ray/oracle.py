@@ -53,6 +53,11 @@ CAPTION_MAX_LEV = 2
 CAPTION_PAIR_CAP = 4000
 # amenity_colocation cell resolution (zoom)
 COLOC_RES = 9
+# cell_tag_entropy cell resolution (finer than COLOC_RES: diversity
+# needs enough occupied cells to be a histogram, not two rows)
+ENTROPY_RES = 13
+# embed_angular_hist deterministic sample cap (brute-force oracle bound)
+ANGULAR_CAP = 256
 # zonal_stats raster resolution: zoom-10 tiles x 256px grid = zoom-18 pixels
 ZONAL_Z, ZONAL_GRID = 10, 256
 # radius_join: keep pairs whose ROUNDED (3-digit) haversine meters <= this
@@ -2896,6 +2901,74 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(levenshtein(x.caption, y.caption) AS BIGINT) AS lev
         FROM c x JOIN c y ON x.tpl = y.tpl AND x.image_id < y.image_id
         WHERE levenshtein(x.caption, y.caption) <= {CAPTION_MAX_LEV}"""
+
+    # per-cell tag-value diversity: doc_char_entropy's ordered-aggregate
+    # determinism contract (ascending value order both sides)
+    q["cell_tag_entropy"] = f"""
+        WITH tv AS (SELECT {tiles.sql_cell_id('lon', 'lat', ENTROPY_RES)}
+                        AS cell,
+                        (list_filter(tags, _t -> _t.key = 'amenity')[1])
+                            .value AS val
+                    FROM {nodes}
+                    WHERE len(list_filter(tags,
+                              _t -> _t.key = 'amenity')) > 0),
+        cc AS (SELECT cell, val, CAST(count(*) AS BIGINT) AS cnt
+               FROM tv GROUP BY 1, 2),
+        n AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_values,
+                     sum(cnt * ln(cnt) ORDER BY val) AS s
+              FROM cc GROUP BY cell)
+        SELECT cell, n AS n_nodes, n_values,
+               {sql_round('ln(n) - s / n', 6)} AS ent6
+        FROM n"""
+
+    # friend-of-friend reach: distinct 2-hop candidates minus direct
+    # neighbours via NOT EXISTS (the engine runs a co-partitioned
+    # sorted-merge anti join)
+    q["way_two_hop"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b
+                 ON a.ref = b.ref AND a.way_id < b.way_id),
+        ed2 AS (SELECT a AS u, b AS v FROM ed
+                UNION ALL SELECT b, a FROM ed),
+        deg AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS d
+                FROM ed2 GROUP BY 1),
+        p AS (SELECT DISTINCT x.v AS x, y.v AS y
+              FROM ed2 x JOIN ed2 y ON x.u = y.u AND x.v <> y.v),
+        two AS (SELECT p.x, p.y FROM p
+                WHERE NOT EXISTS (SELECT 1 FROM ed2 e
+                                  WHERE e.u = p.x AND e.v = p.y)),
+        n2 AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n2
+               FROM two GROUP BY 1)
+        SELECT deg.v AS way_id, deg.d AS deg,
+               COALESCE(n2.n2, 0) AS n_two_hop
+        FROM deg LEFT JOIN n2 ON n2.v = deg.v"""
+
+    # corpus isotropy probe: integer-lattice quantization makes dots and
+    # norms exact int64; one sqrt + one division + one floor both sides
+    q["embed_angular_hist"] = f"""
+        WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS i
+                   FROM embeddings WHERE vec_id < {ANGULAR_CAP}),
+        qv AS (SELECT vec_id, i,
+                      CAST({sql_round('CAST(x AS DOUBLE) * 512.0', 0)}
+                           AS BIGINT) AS q
+               FROM e),
+        d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(sum(a.q * b.q) AS BIGINT) AS dot
+              FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < b.vec_id
+              GROUP BY 1, 2),
+        nn AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n
+               FROM qv GROUP BY 1),
+        c AS (SELECT CAST(d.dot AS DOUBLE)
+                     / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cos
+              FROM d JOIN nn na ON na.vec_id = d.a
+                     JOIN nn nb ON nb.vec_id = d.b),
+        h AS (SELECT CAST(LEAST(GREATEST(FLOOR((cos + 1.0) * 10.0), 0),
+                                19) AS BIGINT) AS bucket FROM c)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM h GROUP BY 1"""
 
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar

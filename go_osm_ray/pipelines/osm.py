@@ -3646,3 +3646,217 @@ def amenity_colocation(nodes: ray.data.Dataset, res: int = 9,
         .groupby("part") \
         .map_groups(pairs, batch_format="pyarrow")
     return single_merge(partials, final)
+
+
+def cell_tag_entropy(nodes: ray.data.Dataset, res: int = 9,
+                     key: str = "amenity",
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(cell, n_nodes, n_values, ent6): Shannon entropy (nats) of the
+    ``key`` tag-value mix per quadtree cell — the neighbourhood
+    DIVERSITY index (monoculture strip mall vs mixed-use block) that
+    complements amenity_colocation's pair view.
+
+    Determinism contract (the doc_char_entropy precedent): ent =
+    ln(n) - sum(c*ln(c))/n with the inner sum accumulated in ASCENDING
+    value order on both sides (exact integer counts; the SQL mirror
+    uses an ordered aggregate), so the double sequence is identical.
+
+    Scale plan: per-block Acero (cell, val) count partials -> ONE
+    hash(cell) exchange (each cell wholly in one partition) -> one
+    Acero merge + a sorted sequential reduceat fold per partition —
+    exchange payload bounded by cells x values per block."""
+    from ..geo import tiles
+    from ..relational import hash_part
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = tagops.value_of(t["tags"].combine_chunks(), key)
+        keep = pc.is_valid(val)
+        val = val.filter(keep)
+        lon = t["lon"].combine_chunks().filter(keep).to_numpy()
+        lat = t["lat"].combine_chunks().filter(keep).to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        g = pa.table({"cell": pa.array(cell), "val": val,
+                      "n": pa.array(np.ones(len(cell), np.int64))}) \
+            .group_by(["cell", "val"]).aggregate([("n", "sum")])
+        return g.rename_columns(["cell", "val", "n"]).append_column(
+            "part", pa.array(hash_part(g["cell"].combine_chunks()
+                                       .to_numpy(), num_parts)))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["cell", "val"]) \
+            .aggregate([("n", "sum")]) \
+            .sort_by([("cell", "ascending"), ("val", "ascending")])
+        cell = g["cell"].combine_chunks().to_numpy()
+        cnt = g["n_sum"].combine_chunks().to_numpy()
+        if not len(cell):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n_nodes": pa.array([], pa.int64()),
+                             "n_values": pa.array([], pa.int64()),
+                             "ent6": pa.array([], pa.float64())})
+        starts = np.flatnonzero(np.r_[True, cell[1:] != cell[:-1]])
+        c = cnt.astype(np.float64)
+        term = c * np.log(c)          # cnt=1 -> exactly 0.0, like ln(1)
+        # reduceat is SEQUENTIAL left-to-right: matches the oracle's
+        # sum(... ORDER BY val) ordered aggregate
+        s = np.add.reduceat(term, starts)
+        n = np.add.reduceat(cnt, starts)
+        nv = np.diff(np.r_[starts, len(cell)])
+        ent = np.log(n.astype(np.float64)) - s / n
+        return pa.table({
+            "cell": pa.array(cell[starts], pa.int64()),
+            "n_nodes": pa.array(n, pa.int64()),
+            "n_values": pa.array(nv.astype(np.int64)),
+            "ent6": pa.array(round_half_away(ent, 6), pa.float64())})
+
+    return nodes.select_columns(["lon", "lat", "tags"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def way_two_hop(ways: ray.data.Dataset,
+                num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, deg, n_two_hop): FRIEND-OF-FRIEND reach — for each way,
+    the number of ways at shared-node-graph distance EXACTLY 2 (2-hop
+    candidates minus direct neighbours), the neighbourhood-growth probe
+    behind "how fast does a BFS frontier expand here".
+
+    Physical plan: full deduped pairwise edges (full_shared_node_edges)
+    -> both directions exchanged by hash(center) -> per-center ordered
+    neighbour pairs (k(k-1) per center: the way_triangles hot-node cap
+    consideration applies) with partition dedup -> ONE hash(x) exchange
+    joint with both-direction edge rows -> per-partition global dedup +
+    sorted-merge ANTI join drops distance-1 pairs -> per-x counts ->
+    final v-hash co-partition joins counts to degrees (deg rows carry
+    n2=0, the single-Acero-sum left join)."""
+    from ..relational import hash_part
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].combine_chunks().to_numpy(),
+                            t["b"].combine_chunks().to_numpy()])
+        u, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pd": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("v").aggregate([("pd", "sum")])
+        return g.rename_columns(["v", "d"])
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(deg_merge, batch_format="pyarrow") \
+        .materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    def cand_pairs(t: pa.Table) -> pa.Table:
+        """All ordered neighbour pairs (x != y) per center u."""
+        u = t["u"].combine_chunks().to_numpy()
+        v = t["v"].combine_chunks().to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) \
+            if len(u) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(u)]) if len(u) \
+            else np.empty(0, np.int64)
+        # ordered pairs: for each center, each member vs every other
+        k = np.repeat(counts, counts)
+        pos = np.arange(len(v), dtype=np.int64)
+        grp_start = np.repeat(starts, counts)
+        x = np.repeat(v, k - 1)
+        # offsets of the "other" elements, skipping self
+        tot = int((k * (k - 1) - 0).sum()) if len(k) else 0
+        if tot:
+            rep = k - 1
+            first = np.repeat(pos, rep)
+            base = np.repeat(np.cumsum(rep) - rep, rep)
+            off = np.arange(int(rep.sum()), dtype=np.int64) - base
+            other = np.repeat(grp_start, rep) + off
+            # skip the self slot: positions >= own index shift by one
+            own = np.repeat(pos - grp_start, rep)
+            other = other + (off >= own)
+            y = v[other]
+        else:
+            x = np.empty(0, np.int64)
+            y = np.empty(0, np.int64)
+        if len(x):
+            o2 = np.lexsort((y, x))
+            x, y = x[o2], y[o2]
+            keep = np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1])]
+            x, y = x[keep], y[keep]
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "e": pa.array(np.zeros(len(x), bool)),
+                         "part": pa.array(hash_part(x, num_parts))})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy()
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"x": pa.array(u), "y": pa.array(v),
+                         "e": pa.array(np.ones(len(u), bool)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    both = edges.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+
+    def anti_count(t: pa.Table) -> pa.Table:
+        x = t["x"].combine_chunks().to_numpy()
+        y = t["y"].combine_chunks().to_numpy()
+        e = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(x):
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        order = np.lexsort((e, y, x))
+        x, y, e = x[order], y[order], e[order]
+        starts = np.flatnonzero(np.r_[True, (x[1:] != x[:-1])
+                                      | (y[1:] != y[:-1])])
+        ends = np.r_[starts[1:], len(x)]
+        has_edge = e[ends - 1]
+        has_cand = ~e[starts]
+        keep = has_cand & ~has_edge          # candidate pair, not an edge
+        xs = x[starts[keep]]
+        u, n2 = np.unique(xs, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "n2": pa.array(n2.astype(np.int64)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    n2 = both.groupby("part") \
+        .map_groups(lambda t: cand_pairs(t.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .union(both.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("part") \
+        .map_groups(lambda t: anti_count(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    def deg_side(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(v), "d": t["d"].combine_chunks(),
+                         "n2": pa.array(np.zeros(len(v), np.int64)),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def n2_side(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(v),
+                         "d": pa.array(np.zeros(len(v), np.int64)),
+                         "n2": t["n2"].combine_chunks(),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("v") \
+            .aggregate([("d", "sum"), ("n2", "sum")])
+        return pa.table({
+            "way_id": pc.cast(g["v"], pa.int64()),
+            "deg": pc.cast(g["d_sum"], pa.int64()),
+            "n_two_hop": pc.cast(g["n2_sum"], pa.int64())})
+
+    return deg.map_batches(deg_side, batch_format="pyarrow") \
+        .union(n2.map_batches(n2_side, batch_format="pyarrow")) \
+        .groupby("part").map_groups(final, batch_format="pyarrow")

@@ -631,3 +631,56 @@ def cluster_cohesion(ds: ray.data.Dataset, n_clusters: int = 8,
             "min_cos6": pc.cast(t["c6_min"], pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def embed_angular_hist(ds: ray.data.Dataset, id_cap: int = 256,
+                       bins: int = 20, grid: float = 512.0,
+                       num_parts: int = 8) -> ray.data.Dataset:
+    """(bucket, n_pairs): the corpus ISOTROPY probe — histogram of
+    pairwise cosine similarities over the deterministic vec_id < cap
+    sample (the phash_pairs cap rationale: the oracle is O(n^2) brute
+    force, and at web scale the probe runs on an id-prefix sample, not
+    the full table). A cosine mass piled near 1.0 flags anisotropic /
+    collapsed embedding spaces before they poison ANN recall.
+
+    Determinism contract (the cluster_cohesion integer-grid precedent):
+    components land on the exact ``grid`` integer lattice (round-half-
+    away) FIRST, so dots and norms are exact int64 and the only float
+    ops are one sqrt + one division + one floor, identical both sides.
+
+    Scale plan: the read prunes to vec_id < cap (columns + filter);
+    per-block quantized partials collapse to at most ``cap`` rows, and
+    ONE tiny merge task runs the exact int64 gram matmul (cap^2 at 256
+    = 65 K cells) — nothing rowwise ever reaches the driver."""
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["vec_id"], pa.scalar(id_cap))
+        t = t.filter(keep)
+        if not len(t):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64()))})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"].combine_chunks(), pa.int64()),
+            "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].combine_chunks().to_numpy()
+        order = np.argsort(vid)
+        q = np.stack(t["q"].combine_chunks()
+                     .to_numpy(zero_copy_only=False))[order].astype(np.int64)
+        gram = q @ q.T                      # exact int64
+        nn = np.diag(gram).astype(np.float64)
+        iu = np.triu_indices(len(vid), k=1)
+        dot = gram[iu].astype(np.float64)
+        cos = dot / np.sqrt(nn[iu[0]] * nn[iu[1]])
+        b = np.clip(np.floor((cos + 1.0) * (bins / 2.0)), 0,
+                    bins - 1).astype(np.int64)
+        u, n = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n_pairs": pa.array(n.astype(np.int64))})
+
+    return single_merge(
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        merge)

@@ -238,3 +238,62 @@ def test_amenity_colocation_closed_form(ray_session):
     assert df.loc[0, "a"] == "bench" and df.loc[0, "b"] == "cafe"
     assert df.loc[0, "n_ab"] == 1
     assert df.loc[0, "pmi6"] == round(math.log(1.5), 6)
+
+
+def test_cell_tag_entropy_closed_forms(ray_session):
+    """Monoculture cell (3x cafe) -> ent 0; a 2+2 cell -> ln 2; counts
+    and value censuses exact."""
+    import math
+
+    from go_osm_ray.pipelines.osm import cell_tag_entropy
+
+    def tag(v):
+        return [{"key": "amenity", "value": v}]
+
+    ds = ray.data.from_arrow(pa.table({
+        "lon": pa.array([10.0] * 3 + [90.0] * 4, pa.float64()),
+        "lat": pa.array([20.0] * 3 + [40.0] * 4, pa.float64()),
+        "tags": pa.array([tag("cafe")] * 3
+                         + [tag("fuel"), tag("fuel"),
+                            tag("bank"), tag("bank")], TAGS_TYPE)}))
+    df = cell_tag_entropy(ds, res=9).to_pandas().sort_values("n_nodes")
+    assert list(df["n_nodes"]) == [3, 4]
+    assert list(df["n_values"]) == [1, 2]
+    assert df.iloc[0]["ent6"] == 0.0
+    assert df.iloc[1]["ent6"] == round(math.log(2), 6)
+
+
+def test_way_two_hop_path_and_star(ray_session):
+    """Path 1-2-3-4-5: middle way 3 reaches {1, 5} at distance 2; a
+    star center reaches nothing new while its leaves reach each other."""
+    from go_osm_ray.pipelines.osm import way_two_hop
+    path = _ways_ds([
+        (1, [10, 11]), (2, [11, 12]), (3, [12, 13]),
+        (4, [13, 14]), (5, [14, 15]),
+    ])
+    df = way_two_hop(path).to_pandas().set_index("way_id")
+    assert df.loc[3, "deg"] == 2 and df.loc[3, "n_two_hop"] == 2
+    assert df.loc[1, "deg"] == 1 and df.loc[1, "n_two_hop"] == 1
+    assert df.loc[2, "n_two_hop"] == 1   # reaches 4 (1 is direct, 3 direct)
+
+    # star: ways 11..14 all share node 100 -> a 4-clique, NO 2-hop pairs
+    star = _ways_ds([(i, [100, i]) for i in range(11, 15)])
+    sf = way_two_hop(star).to_pandas()
+    assert (sf["deg"] == 3).all() and (sf["n_two_hop"] == 0).all()
+
+
+def test_embed_angular_hist_planted(ray_session):
+    """Three orthogonal axes + one duplicate: 3 orthogonal pairs land in
+    the cos=0 bucket (10), the duplicate pair in the top bucket (19),
+    and the two mixed pairs with the duplicate's twin also at 0."""
+    from go_osm_ray.pipelines.vectors import embed_angular_hist
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    df = embed_angular_hist(ds, id_cap=10).to_pandas() \
+        .set_index("bucket")["n_pairs"]
+    assert df.loc[10] == 5    # all orthogonal pairs: cos 0 -> floor(10)
+    assert df.loc[19] == 1    # the exact duplicate: cos 1 -> clipped 19
+    assert df.sum() == 6
