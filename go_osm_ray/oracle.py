@@ -2970,6 +2970,73 @@ def build(sf: float = 0.01) -> dict[str, str]:
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
         FROM h GROUP BY 1"""
 
+    # open-order backlog ledger: declarative window cumsum mirror of the
+    # engine's one-task ordered integer fold
+    q["orders_backlog"] = """
+        WITH opens AS (SELECT date_trunc('day', o_orderdate) AS day,
+                              CAST(count(*) AS BIGINT) AS n_opened
+                       FROM orders GROUP BY 1),
+        cl AS (SELECT date_trunc('day', max(l_shipdate)) AS day
+               FROM lineitem GROUP BY l_orderkey),
+        closes AS (SELECT day, CAST(count(*) AS BIGINT) AS n_closed
+                   FROM cl GROUP BY 1),
+        u AS (SELECT COALESCE(o.day, c.day) AS day,
+                     COALESCE(n_opened, 0) AS n_opened,
+                     COALESCE(n_closed, 0) AS n_closed
+              FROM opens o FULL OUTER JOIN closes c ON o.day = c.day)
+        SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+               CAST(n_closed AS BIGINT) AS n_closed,
+               CAST(sum(n_opened - n_closed) OVER (ORDER BY day)
+                    AS BIGINT) AS backlog
+        FROM u"""
+
+    # co-engagement Jaccard between event types over user sets
+    q["event_type_affinity"] = f"""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1),
+        p AS (SELECT x.event_type AS a, y.event_type AS b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM ut x JOIN ut y ON x.user_id = y.user_id
+                                 AND x.event_type < y.event_type
+              GROUP BY 1, 2)
+        SELECT p.a, p.b, p.n_ab,
+               {sql_round('CAST(p.n_ab AS DOUBLE) '
+                          '/ CAST(na.n + nb.n - p.n_ab AS DOUBLE)', 6)}
+                   AS jac6
+        FROM p JOIN n na ON na.event_type = p.a
+               JOIN n nb ON nb.event_type = p.b"""
+
+    # Pearson quantity-price correlation per flag: HUGEINT exact moments
+    # (the engine accumulates python ints), identical cast-then-multiply
+    # float sequence both sides
+    q["price_qty_corr"] = f"""
+        WITH l AS (SELECT l_returnflag AS flag,
+                          CAST(l_quantity AS BIGINT) AS q,
+                          CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS c
+                   FROM lineitem),
+        s AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sq,
+                     CAST(sum(c) AS BIGINT) AS sp,
+                     sum(CAST(q AS HUGEINT) * q) AS sqq,
+                     sum(CAST(c AS HUGEINT) * c) AS spp,
+                     sum(CAST(q AS HUGEINT) * c) AS sqp
+              FROM l GROUP BY 1),
+        k AS (SELECT flag, n, sq, sp,
+                     CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) AS num,
+                     sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                         AS den
+              FROM s)
+        SELECT flag AS l_returnflag, n, sq AS sum_qty, sp AS sum_cents,
+               CASE WHEN den > 0.0 THEN {sql_round('num / den', 6)}
+                    ELSE 0.0 END AS corr6
+        FROM k"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

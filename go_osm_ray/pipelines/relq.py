@@ -5350,3 +5350,226 @@ def events_interp(events: ray.data.Dataset,
         .groupby("part") \
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def orders_backlog(orders: ray.data.Dataset, lineitem: ray.data.Dataset,
+                   num_parts: int = 16) -> ray.data.Dataset:
+    """(day, n_opened, n_closed, backlog): the OPEN-ORDER BACKLOG time
+    series — orders open at end of each active day (cumulative opens
+    minus cumulative closes, close = the order's LAST ship date), the
+    event-sourcing ledger readout of a fulfilment dashboard. Days with
+    no activity are omitted (the running balance carries across gaps).
+
+    Scale plan: closes collapse lineitem to one max-shipdate row per
+    order via the combiner exchange (bounded by orders-per-block);
+    opens collapse to per-day counts in one Acero pass; both partial
+    streams union into ONE day-hash exchange (bounded by calendar
+    days) and a single ordered integer cumsum task emits the series."""
+    from ..relational import partial_groupby_agg
+
+    def ship_int(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(),
+                         "d": pa.array(d)})
+
+    per_order = partial_groupby_agg(
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(ship_int, batch_format="pyarrow"),
+        ["l_orderkey"], [("d", "max")])
+
+    def close_partial(t: pa.Table) -> pa.Table:
+        d = t["d_max"].combine_chunks().to_numpy()
+        u, n = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n_opened": pa.array(np.zeros(len(u), np.int64)),
+                         "n_closed": pa.array(n.astype(np.int64))})
+
+    def open_partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        u, n = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n_opened": pa.array(n.astype(np.int64)),
+                         "n_closed": pa.array(np.zeros(len(u), np.int64))})
+
+    daily = partial_groupby_agg(
+        per_order.map_batches(close_partial, batch_format="pyarrow")
+        .union(orders.select_columns(["o_orderdate"])
+               .map_batches(open_partial, batch_format="pyarrow")),
+        ["day"], [("n_opened", "sum"), ("n_closed", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        day = t["day"].combine_chunks().to_numpy()
+        no = t["n_opened_sum"].combine_chunks().to_numpy()
+        nc = t["n_closed_sum"].combine_chunks().to_numpy()
+        order = np.argsort(day)
+        day, no, nc = day[order], no[order], nc[order]
+        backlog = np.cumsum(no - nc)
+        return pa.table({
+            "day": pa.array(day.astype("datetime64[D]")
+                            .astype("datetime64[us]")),
+            "n_opened": pa.array(no.astype(np.int64)),
+            "n_closed": pa.array(nc.astype(np.int64)),
+            "backlog": pa.array(backlog.astype(np.int64))})
+
+    return single_merge(daily, finish)
+
+
+def event_type_affinity(events: ray.data.Dataset,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(a, b, n_ab, jac6): CO-ENGAGEMENT affinity matrix — Jaccard
+    similarity between event types over their user sets (users who do
+    a also do b), the cross-sell / feature-affinity readout; the user-
+    set analogue of amenity_colocation's cell-presence PMI.
+
+    Scale plan: per-block distinct (user, type) partials -> ONE
+    hash(user) exchange (each user wholly in one partition; per-user
+    type sets are bounded by the type vocabulary) -> per-partition
+    global dedup + per-user pair emission + per-type user-count
+    partials -> ONE tiny merge over the vocab^2-bounded count table."""
+    from ..relational import single_merge as _sm
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        uid = g["user_id"].combine_chunks().to_numpy()
+        return pa.table({"user_id": pa.array(uid),
+                         "event_type": g["event_type"].combine_chunks(),
+                         "part": pa.array(hash_part(uid, num_parts))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]) \
+            .group_by(["user_id", "event_type"]).aggregate([])
+        uid = g["user_id"].combine_chunks().to_numpy()
+        et = np.asarray(g["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) \
+            if len(uid) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(uid)]) if len(uid) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(et), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        ka = ["p"] * len(first_idx) + ["n"] * len(et)
+        a = np.r_[et[first_idx], et].tolist()
+        b = np.r_[et[second_idx], ["" for _ in range(len(et))]].tolist()
+        return pa.table({"kind": pa.array(ka, pa.string()),
+                         "a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(len(ka), np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["kind", "a", "b"]).aggregate([("n", "sum")])
+        kind = np.asarray(g["kind"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        a = np.asarray(g["a"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+        b = np.asarray(g["b"].combine_chunks()
+                       .to_numpy(zero_copy_only=False))
+        n = g["n_sum"].combine_chunks().to_numpy()
+        users = {x: int(c) for x, c in zip(a[kind == "n"], n[kind == "n"])}
+        m = kind == "p"
+        out = {"a": [], "b": [], "n_ab": [], "jac6": []}
+        for va, vb, nab in zip(a[m], b[m], n[m]):
+            nab = int(nab)
+            jac = nab / (users[va] + users[vb] - nab)
+            out["a"].append(va)
+            out["b"].append(vb)
+            out["n_ab"].append(nab)
+            out["jac6"].append(float(round_half_away(np.float64(jac), 6)))
+        return pa.table({
+            "a": pa.array(out["a"], pa.string()),
+            "b": pa.array(out["b"], pa.string()),
+            "n_ab": pa.array(out["n_ab"], pa.int64()),
+            "jac6": pa.array(out["jac6"], pa.float64())})
+
+    partials = events.select_columns(["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part").map_groups(pairs, batch_format="pyarrow")
+    return _sm(partials, finish)
+
+
+def price_qty_corr(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """(l_returnflag, n, sum_qty, sum_cents, corr6): Pearson correlation
+    between line quantity and extended price (integer cents) per return
+    flag — the pricing-model sanity probe (price should track quantity;
+    a flag whose correlation collapses signals mix drift).
+
+    Exactness: quantities are integral and prices convert to integer
+    cents per row (the orders_cumsum precedent), so all five moments
+    are EXACT integers — squared-cents partials accumulate in PYTHON
+    ints (the supplier_hhi precedent: int64 would overflow at scale)
+    and ship as decimal strings; the merge re-sums exactly and the only
+    floats are the correlation's casts/sqrt/divide, in the identical
+    order as the SQL mirror.
+
+    Scale plan: embarrassingly parallel per-block moment partials (one
+    bounded row per flag per block) -> ONE tiny merge task."""
+    from ..relational import single_merge as _sm
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t["l_returnflag"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        q = t["l_quantity"].combine_chunks().to_numpy().astype(np.int64)
+        c = round_half_away(
+            t["l_extendedprice"].combine_chunks().to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        out = {"flag": [], "n": [], "sq": [], "sp": [], "sqq": [],
+               "spp": [], "sqp": []}
+        for f in sorted(set(flag.tolist())):
+            m = flag == f
+            qi = q[m].tolist()
+            ci = c[m].tolist()
+            out["flag"].append(f)
+            out["n"].append(len(qi))
+            out["sq"].append(str(sum(qi)))
+            out["sp"].append(str(sum(ci)))
+            out["sqq"].append(str(sum(x * x for x in qi)))
+            out["spp"].append(str(sum(x * x for x in ci)))
+            out["sqp"].append(str(sum(x * y for x, y in zip(qi, ci))))
+        return pa.table({
+            "flag": pa.array(out["flag"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            **{k: pa.array(out[k], pa.string())
+               for k in ("sq", "sp", "sqq", "spp", "sqp")}})
+
+    def finish(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t["flag"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        nn = t["n"].combine_chunks().to_numpy()
+        cols = {k: [int(x) for x in t[k].to_pylist()]
+                for k in ("sq", "sp", "sqq", "spp", "sqp")}
+        out = {"l_returnflag": [], "n": [], "sum_qty": [],
+               "sum_cents": [], "corr6": []}
+        for f in sorted(set(flag.tolist())):
+            m = flag == f
+            n = int(nn[m].sum())
+            sq, sp, sqq, spp, sqp = (
+                sum(v for v, keep in zip(cols[k], m) if keep)
+                for k in ("sq", "sp", "sqq", "spp", "sqp"))
+            num = float(n) * float(sqp) - float(sq) * float(sp)
+            den = (np.sqrt(float(n) * float(sqq) - float(sq) * float(sq))
+                   * np.sqrt(float(n) * float(spp) - float(sp) * float(sp)))
+            corr = num / den if den > 0.0 else 0.0
+            out["l_returnflag"].append(f)
+            out["n"].append(n)
+            out["sum_qty"].append(sq)
+            out["sum_cents"].append(sp)
+            out["corr6"].append(float(round_half_away(np.float64(corr), 6)))
+        return pa.table({
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_qty": pa.array(out["sum_qty"], pa.int64()),
+            "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+            "corr6": pa.array(out["corr6"], pa.float64())})
+
+    return _sm(
+        lineitem.select_columns(["l_returnflag", "l_quantity",
+                                 "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        finish)

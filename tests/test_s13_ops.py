@@ -297,3 +297,56 @@ def test_embed_angular_hist_planted(ray_session):
     assert df.loc[10] == 5    # all orthogonal pairs: cos 0 -> floor(10)
     assert df.loc[19] == 1    # the exact duplicate: cos 1 -> clipped 19
     assert df.sum() == 6
+
+
+def test_orders_backlog_ledger(ray_session):
+    """Two orders open day 1, one ships fully day 2 (its later line is
+    the close), the other never ships -> backlog 2, 1; a day-3 order
+    closing same-day nets zero."""
+    from go_osm_ray.pipelines.relq import orders_backlog
+    d = lambda s: np.datetime64(s + "T09:30:00", "us")  # noqa: E731
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderdate": pa.array([d("1995-01-01"), d("1995-01-01"),
+                                 d("1995-01-03")], pa.timestamp("us"))}))
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 3], pa.int64()),
+        "l_shipdate": pa.array([d("1995-01-01"), d("1995-01-02"),
+                                d("1995-01-03")], pa.timestamp("us"))}))
+    df = orders_backlog(orders, lineitem).to_pandas().set_index("day")
+    assert df.loc[np.datetime64("1995-01-01"), "backlog"] == 2
+    assert df.loc[np.datetime64("1995-01-02"), "backlog"] == 1
+    assert df.loc[np.datetime64("1995-01-03"), "backlog"] == 1
+    assert df.loc[np.datetime64("1995-01-03"), "n_closed"] == 1
+
+
+def test_event_type_affinity_closed_form(ray_session):
+    """users {1,2} do a; {2,3} do b; {9} does c: J(a,b) = 1/3, c pairs
+    absent; repeat events do not inflate the user sets."""
+    from go_osm_ray.pipelines.relq import event_type_affinity
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 2, 2, 2, 3, 9], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "b", "c"],
+                               pa.string())}))
+    df = event_type_affinity(ds).to_pandas()
+    assert len(df) == 1
+    assert df.loc[0, "a"] == "a" and df.loc[0, "b"] == "b"
+    assert df.loc[0, "n_ab"] == 1
+    assert df.loc[0, "jac6"] == round(1 / 3, 6)
+
+
+def test_price_qty_corr_exact_lines(ray_session):
+    """Perfectly linear price = qty * $1 -> corr 1; anti-linear ->
+    -1; constant price -> 0 by the zero-variance convention."""
+    from go_osm_ray.pipelines.relq import price_qty_corr
+    ds = ray.data.from_arrow(pa.table({
+        "l_returnflag": pa.array(["L"] * 3 + ["A"] * 3 + ["C"] * 3,
+                                 pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0] * 3, pa.float64()),
+        "l_extendedprice": pa.array([1.0, 2.0, 3.0,
+                                     3.0, 2.0, 1.0,
+                                     5.0, 5.0, 5.0], pa.float64())}))
+    df = price_qty_corr(ds).to_pandas().set_index("l_returnflag")
+    assert df.loc["L", "corr6"] == 1.0
+    assert df.loc["A", "corr6"] == -1.0
+    assert df.loc["C", "corr6"] == 0.0
+    assert df.loc["L", "sum_cents"] == 600
