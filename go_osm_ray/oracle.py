@@ -3037,6 +3037,19 @@ def build(sf: float = 0.01) -> dict[str, str]:
                     ELSE 0.0 END AS corr6
         FROM k"""
 
+    # phash per-bit balance: arithmetic >> on BIGINT preserves low bits
+    # of the two's-complement word, so it matches the engine's uint64 view
+    q["phash_bit_balance"] = f"""
+        WITH b AS (SELECT u.i AS bit,
+                          (phash >> u.i) & 1 AS v
+                   FROM {images}, unnest(range(0, 64)) AS u(i))
+        SELECT CAST(bit AS BIGINT) AS bit,
+               CAST(sum(v) AS BIGINT) AS n_ones,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_round('CAST(sum(v) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)} AS share6
+        FROM b GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.
@@ -3064,6 +3077,9 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["cell_luma_morans"] = f"SELECT n_cells, w_pairs, morans_i6 FROM read_parquet('{exp['cell_luma_morans']}')"
     q["image_blob_count"] = f"SELECT image_id, ok, n_px, n_fg, n_blobs, max_blob FROM read_parquet('{exp['image_blob_count']}')"
     q["image_rle_ratio"] = f"SELECT image_id, ok, n_px, n_runs, rle6 FROM read_parquet('{exp['image_rle_ratio']}')"
+    q["image_exposure_clip"] = f"SELECT image_id, ok, n_px, n_black, n_white, black6, white6 FROM read_parquet('{exp['image_exposure_clip']}')"
+    q["image_channel_balance"] = f"SELECT image_id, ok, sum_r, sum_g, sum_b, share_r6, share_g6, share_b6, skew_channel FROM read_parquet('{exp['image_channel_balance']}')"
+    q["image_noise_mad"] = f"SELECT image_id, ok, n_interior, mad_lap FROM read_parquet('{exp['image_noise_mad']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"

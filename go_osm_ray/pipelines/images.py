@@ -1825,3 +1825,169 @@ def caption_edit_pairs(images: ray.data.Dataset, max_lev: int = 2,
         .groupby("part") \
         .map_groups(lambda t: pairs(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+class ImageExposureClip:
+    """Actor-pool stage: decode -> fraction of pixels clipped at the
+    sensor extremes per channel-summed luma (0 = crushed black, 765 =
+    blown white) plus per-CHANNEL clip counts — the over/under-exposure
+    screen of an image-curation funnel (clipped histograms carry no
+    gradient signal). All counts exact integers; two float divisions."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, nlo, nhi, lo6, hi6 = [], [], [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f)
+                n = px.shape[0] * px.shape[1]
+                lum = px.astype(np.int64).sum(axis=2)
+                lo = int((lum == 0).sum())
+                hi = int((lum == 765).sum())
+                ok.append(True)
+                npx.append(n)
+                nlo.append(lo)
+                nhi.append(hi)
+                lo6.append(float(round_half_away(np.float64(lo / n), 6)))
+                hi6.append(float(round_half_away(np.float64(hi / n), 6)))
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                nlo.append(0)
+                nhi.append(0)
+                lo6.append(0.0)
+                hi6.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "n_black": pa.array(nlo, pa.int64()),
+            "n_white": pa.array(nhi, pa.int64()),
+            "black6": pa.array(lo6, pa.float64()),
+            "white6": pa.array(hi6, pa.float64())})
+
+
+def image_exposure_clip(images: ray.data.Dataset, concurrency=None,
+                        batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, n_black, n_white, black6, white6): clipped
+    black/white pixel shares — see ImageExposureClip."""
+    from ..util import default_pool
+    return images.map_batches(ImageExposureClip, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImageChannelBalance:
+    """Actor-pool stage: decode -> exact integer per-channel sums ->
+    gray-world white-balance deviation: each channel's share of the
+    total energy (exact thirds for neutral content). One float division
+    per channel; the max-deviation channel name breaks ties R<G<B."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        names = ("r", "g", "b")
+        ok, sr, sg, sb, r6, g6, b6, dom = ([] for _ in range(8))
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f).astype(np.int64)
+                s = [int(px[:, :, c].sum()) for c in range(3)]
+                tot = sum(s)
+                sh = [x / tot if tot else 0.0 for x in s]
+                dev = [abs(x - 1.0 / 3.0) for x in sh]
+                ok.append(True)
+                sr.append(s[0])
+                sg.append(s[1])
+                sb.append(s[2])
+                r6.append(float(round_half_away(np.float64(sh[0]), 6)))
+                g6.append(float(round_half_away(np.float64(sh[1]), 6)))
+                b6.append(float(round_half_away(np.float64(sh[2]), 6)))
+                dom.append(names[int(np.argmax(dev))])
+            except Exception:
+                ok.append(False)
+                sr.append(0)
+                sg.append(0)
+                sb.append(0)
+                r6.append(0.0)
+                g6.append(0.0)
+                b6.append(0.0)
+                dom.append("")
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64()),
+            "share_r6": pa.array(r6, pa.float64()),
+            "share_g6": pa.array(g6, pa.float64()),
+            "share_b6": pa.array(b6, pa.float64()),
+            "skew_channel": pa.array(dom, pa.string())})
+
+
+def image_channel_balance(images: ray.data.Dataset, concurrency=None,
+                          batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, sum_r, sum_g, sum_b, share_*6, skew_channel):
+    gray-world channel balance — see ImageChannelBalance."""
+    from ..util import default_pool
+    return images.map_batches(ImageChannelBalance, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImageNoiseMad:
+    """Actor-pool stage: decode -> 4-neighbour integer Laplacian of the
+    summed-channel luma on the interior -> MAD (median of absolute
+    values, LOWER median on even counts) — the classic noise-sigma
+    estimator, complementing image_sharpness's Laplacian VARIANCE
+    (variance reads texture+noise; the median is robust to edges, so
+    high MAD with ordinary variance flags sensor noise). All integer."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, nin, mad = [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                lap = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1]
+                       - lum[2:, 1:-1] - lum[1:-1, :-2] - lum[1:-1, 2:])
+                a = np.abs(lap).ravel()
+                a.sort()
+                n = len(a)
+                ok.append(True)
+                nin.append(n)
+                mad.append(int(a[(n - 1) // 2]) if n else 0)
+            except Exception:
+                ok.append(False)
+                nin.append(0)
+                mad.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_interior": pa.array(nin, pa.int64()),
+            "mad_lap": pa.array(mad, pa.int64())})
+
+
+def image_noise_mad(images: ray.data.Dataset, concurrency=None,
+                    batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_interior, mad_lap): integer Laplacian MAD noise
+    estimate — see ImageNoiseMad."""
+    from ..util import default_pool
+    return images.map_batches(ImageNoiseMad, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

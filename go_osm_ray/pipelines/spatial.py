@@ -4064,3 +4064,46 @@ def cell_node_way_ols(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                 [float(round_half_away(np.float64(intercept), nd))])})
 
     return single_merge(both, merge)
+
+
+def phash_bit_balance(images: ray.data.Dataset) -> ray.data.Dataset:
+    """(bit, n_ones, n_rows, share6): per-bit 0/1 balance of the phash
+    column across the corpus — the HASH-QUALITY audit every
+    LSH/banding consumer should run first (a stuck bit halves band
+    selectivity; phash here encodes the geotag morton code, so skewed
+    bits ALSO reveal spatial clustering, linking the image and geo
+    views of the same column).
+
+    Scale plan: embarrassingly parallel — each block collapses to 64
+    (bit, ones) partial rows via vectorized shifts; ONE tiny merge
+    task sums and divides. Nothing but 64-row partials move."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        ph = t["phash"].combine_chunks().to_numpy().astype(np.uint64)
+        ones = np.array([int(((ph >> np.uint64(i)) & np.uint64(1)).sum())
+                         for i in range(64)], np.int64)
+        return pa.table({"bit": pa.array(np.arange(64, dtype=np.int64)),
+                         "n_ones": pa.array(ones),
+                         "n_rows": pa.array(np.full(64, len(ph),
+                                                    np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("bit").aggregate([("n_ones", "sum"),
+                                         ("n_rows", "sum")])
+        bit = g["bit"].combine_chunks().to_numpy()
+        order = np.argsort(bit)
+        ones = g["n_ones_sum"].combine_chunks().to_numpy()[order]
+        rows = g["n_rows_sum"].combine_chunks().to_numpy()[order]
+        share = ones.astype(np.float64) / rows.astype(np.float64)
+        return pa.table({
+            "bit": pa.array(bit[order], pa.int64()),
+            "n_ones": pa.array(ones.astype(np.int64)),
+            "n_rows": pa.array(rows.astype(np.int64)),
+            "share6": pa.array(round_half_away(share, 6), pa.float64())})
+
+    return single_merge(
+        images.select_columns(["phash"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)

@@ -2835,3 +2835,151 @@ def _image_rle_ratio_table(sf: float) -> pa.Table:
 
 
 _BUILDERS["image_rle_ratio"] = _image_rle_ratio_table
+
+
+def _image_exposure_clip_table(sf: float) -> pa.Table:
+    """Scalar reference for image_exposure_clip: row-by-row python
+    scans counting exact-0 / exact-765 luma rows — independent of the
+    engine's whole-array boolean sums."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "n_black": [],
+           "n_white": [], "black6": [], "white6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            lo = hi = 0
+            for y in range(h):
+                row = lum[y].tolist()
+                lo += sum(1 for v in row if v == 0)
+                hi += sum(1 for v in row if v == 765)
+            n = h * w
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["n_black"].append(lo)
+            out["n_white"].append(hi)
+            out["black6"].append(float(round_half_away(np.float64(lo / n),
+                                                       6)))
+            out["white6"].append(float(round_half_away(np.float64(hi / n),
+                                                       6)))
+        except Exception:
+            out["ok"].append(False)
+            for k in ("n_px", "n_black", "n_white"):
+                out[k].append(0)
+            out["black6"].append(0.0)
+            out["white6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "n_black": pa.array(out["n_black"], pa.int64()),
+        "n_white": pa.array(out["n_white"], pa.int64()),
+        "black6": pa.array(out["black6"], pa.float64()),
+        "white6": pa.array(out["white6"], pa.float64())})
+
+
+def _image_channel_balance_table(sf: float) -> pa.Table:
+    """Scalar reference for image_channel_balance: per-channel sums
+    accumulated ROW BY ROW in python ints; deviation argmax re-derived
+    with an explicit comparison chain (R then G then B)."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "sum_r": [], "sum_g": [],
+           "sum_b": [], "share_r6": [], "share_g6": [], "share_b6": [],
+           "skew_channel": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f).astype(np.int64)
+            s = [0, 0, 0]
+            for y in range(px.shape[0]):
+                for c in range(3):
+                    s[c] += int(px[y, :, c].sum())
+            tot = sum(s)
+            sh = [x / tot if tot else 0.0 for x in s]
+            dev = [abs(x - 1.0 / 3.0) for x in sh]
+            best, name = dev[0], "r"
+            if dev[1] > best:
+                best, name = dev[1], "g"
+            if dev[2] > best:
+                best, name = dev[2], "b"
+            out["ok"].append(True)
+            out["sum_r"].append(s[0])
+            out["sum_g"].append(s[1])
+            out["sum_b"].append(s[2])
+            out["share_r6"].append(float(round_half_away(
+                np.float64(sh[0]), 6)))
+            out["share_g6"].append(float(round_half_away(
+                np.float64(sh[1]), 6)))
+            out["share_b6"].append(float(round_half_away(
+                np.float64(sh[2]), 6)))
+            out["skew_channel"].append(name)
+        except Exception:
+            out["ok"].append(False)
+            for k in ("sum_r", "sum_g", "sum_b"):
+                out[k].append(0)
+            for k in ("share_r6", "share_g6", "share_b6"):
+                out[k].append(0.0)
+            out["skew_channel"].append("")
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "sum_r": pa.array(out["sum_r"], pa.int64()),
+        "sum_g": pa.array(out["sum_g"], pa.int64()),
+        "sum_b": pa.array(out["sum_b"], pa.int64()),
+        "share_r6": pa.array(out["share_r6"], pa.float64()),
+        "share_g6": pa.array(out["share_g6"], pa.float64()),
+        "share_b6": pa.array(out["share_b6"], pa.float64()),
+        "skew_channel": pa.array(out["skew_channel"], pa.string())})
+
+
+def _image_noise_mad_table(sf: float) -> pa.Table:
+    """Scalar reference for image_noise_mad: the 4-neighbour Laplacian
+    evaluated PIXEL BY PIXEL in python, absolute values collected into
+    a list, lower median by explicit index — independent of the
+    engine's sliced-array construction and in-place sort."""
+    from . import codecs
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_interior": [], "mad_lap": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            vals = []
+            for y in range(1, h - 1):
+                row = lum[y]
+                up, dn = lum[y - 1], lum[y + 1]
+                for x in range(1, w - 1):
+                    lap = (4 * int(row[x]) - int(up[x]) - int(dn[x])
+                           - int(row[x - 1]) - int(row[x + 1]))
+                    vals.append(abs(lap))
+            vals.sort()
+            n = len(vals)
+            out["ok"].append(True)
+            out["n_interior"].append(n)
+            out["mad_lap"].append(vals[(n - 1) // 2] if n else 0)
+        except Exception:
+            out["ok"].append(False)
+            out["n_interior"].append(0)
+            out["mad_lap"].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_interior": pa.array(out["n_interior"], pa.int64()),
+        "mad_lap": pa.array(out["mad_lap"], pa.int64())})
+
+
+_BUILDERS["image_exposure_clip"] = _image_exposure_clip_table
+_BUILDERS["image_channel_balance"] = _image_channel_balance_table
+_BUILDERS["image_noise_mad"] = _image_noise_mad_table

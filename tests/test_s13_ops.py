@@ -350,3 +350,69 @@ def test_price_qty_corr_exact_lines(ray_session):
     assert df.loc["A", "corr6"] == -1.0
     assert df.loc["C", "corr6"] == 0.0
     assert df.loc["L", "sum_cents"] == 600
+
+
+def test_image_exposure_clip_planted(ray_session):
+    """Half-black/half-white split: 32 crushed + 32 blown of 64; a
+    mid-gray image clips nothing."""
+    from go_osm_ray.pipelines.images import image_exposure_clip
+    split = np.zeros((8, 8, 3), np.uint8)
+    split[:, 4:] = 255
+    gray = np.full((8, 8, 3), 128, np.uint8)
+    df = image_exposure_clip(_img_ds([split, gray]),
+                             concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "n_black"] == 32
+    assert df.loc["t000", "n_white"] == 32
+    assert df.loc["t000", "black6"] == 0.5
+    assert df.loc["t001", "n_black"] == 0 and df.loc["t001", "n_white"] == 0
+
+
+def test_image_channel_balance_planted(ray_session):
+    """A pure-red image puts ALL energy in R (share 1.0, skew r); a
+    neutral gray image splits exactly 1/3 each and ties break to r."""
+    from go_osm_ray.pipelines.images import image_channel_balance
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 200
+    gray = np.full((8, 8, 3), 77, np.uint8)
+    df = image_channel_balance(_img_ds([red, gray]),
+                               concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "share_r6"] == 1.0
+    assert df.loc["t000", "skew_channel"] == "r"
+    assert df.loc["t001", "share_r6"] == round(1 / 3, 6)
+    assert df.loc["t001", "skew_channel"] == "r"
+
+
+def test_image_noise_mad_planted(ray_session):
+    """Flat image -> Laplacian 0 everywhere (mad 0); a single bright
+    interior pixel perturbs only 5 interior Laplacians, so the median
+    stays 0; a checkerboard maximizes |lap| = 8*765... per-pixel 8*lum
+    swing -> mad > 0."""
+    from go_osm_ray.pipelines.images import image_noise_mad
+    flat = np.full((8, 8, 3), 50, np.uint8)
+    spot = np.full((8, 8, 3), 50, np.uint8)
+    spot[4, 4] = 250
+    checker = np.zeros((8, 8, 3), np.uint8)
+    checker[(np.add.outer(np.arange(8), np.arange(8)) % 2) == 1] = 255
+    df = image_noise_mad(_img_ds([flat, spot, checker]),
+                         concurrency=1).to_pandas().set_index("image_id")
+    assert df.loc["t000", "mad_lap"] == 0
+    assert df.loc["t000", "n_interior"] == 36
+    assert df.loc["t001", "mad_lap"] == 0
+    assert df.loc["t002", "mad_lap"] > 0
+    assert bool(df["ok"].all())
+
+
+def test_phash_bit_balance_planted(ray_session):
+    """Hand-built phash words: bit 0 set in 3/4 rows, bit 63 in 1/4,
+    bit 7 in none — exact shares."""
+    from go_osm_ray.pipelines.spatial import phash_bit_balance
+    words = np.array([1, 1, 1, np.int64(-2**63)], np.int64)  # bit63 = sign
+    ds = ray.data.from_arrow(pa.table({"phash": pa.array(words,
+                                                         pa.int64())}))
+    df = phash_bit_balance(ds).to_pandas().set_index("bit")
+    assert df.loc[0, "n_ones"] == 3 and df.loc[0, "share6"] == 0.75
+    assert df.loc[63, "n_ones"] == 1 and df.loc[63, "share6"] == 0.25
+    assert df.loc[7, "n_ones"] == 0
+    assert len(df) == 64 and (df["n_rows"] == 4).all()
