@@ -3050,6 +3050,65 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           '/ CAST(count(*) AS DOUBLE)', 6)} AS share6
         FROM b GROUP BY 1"""
 
+    # Heaps'-law growth curve: min-owner distinct fold (doc_novelty's
+    # convention), cross-join checkpoint sums — all integers
+    q["vocab_growth"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
+                      FROM documents),
+        td AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+               FROM toks GROUP BY 1),
+        own AS (SELECT w, min(doc_id) AS own FROM toks GROUP BY 1),
+        cp AS (SELECT unnest([16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576]) AS c),
+        tt AS (SELECT cp.c,
+                      CAST(COALESCE(sum(CASE WHEN td.doc_id < cp.c
+                                             THEN td.nt END), 0)
+                           AS BIGINT) AS n_tokens
+               FROM cp CROSS JOIN td GROUP BY 1),
+        dv AS (SELECT cp.c,
+                      CAST(COALESCE(sum(CASE WHEN own.own < cp.c
+                                             THEN 1 END), 0)
+                           AS BIGINT) AS n_distinct
+               FROM cp CROSS JOIN own GROUP BY 1)
+        SELECT CAST(tt.c AS BIGINT) AS checkpoint, tt.n_tokens,
+               dv.n_distinct
+        FROM tt JOIN dv ON dv.c = tt.c"""
+
+    # per-changeset census across the three element classes
+    q["osm_changeset_stats"] = f"""
+        WITH u AS (SELECT changeset, uid, 'node' AS cls FROM {nodes}
+                   UNION ALL
+                   SELECT changeset, uid, 'way' FROM {ways}
+                   UNION ALL
+                   SELECT changeset, uid, 'relation' FROM {rels})
+        SELECT changeset,
+               CAST(sum(CASE WHEN cls = 'node' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nodes,
+               CAST(sum(CASE WHEN cls = 'way' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ways,
+               CAST(sum(CASE WHEN cls = 'relation' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relations,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+        FROM u GROUP BY 1"""
+
+    # per-cell aspect-ratio mix of the image corpus (geo x image fusion)
+    q["cell_aspect_mix"] = f"""
+        WITH {_pts_cte(images)},
+        wh AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell, w, h
+               FROM pts JOIN (SELECT image_id, w, h FROM {images}) i
+                 USING (image_id))
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(CASE WHEN h > w THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_portrait,
+               CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_landscape,
+               CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_square,
+               {sql_round('CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) '
+                          'AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)}
+                   AS landscape6
+        FROM wh GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -3860,3 +3860,87 @@ def way_two_hop(ways: ray.data.Dataset,
     return deg.map_batches(deg_side, batch_format="pyarrow") \
         .union(n2.map_batches(n2_side, batch_format="pyarrow")) \
         .groupby("part").map_groups(final, batch_format="pyarrow")
+
+
+def osm_changeset_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                        relations: ray.data.Dataset) -> ray.data.Dataset:
+    """(changeset, n_nodes, n_ways, n_relations, n_total, n_users):
+    per-changeset contribution census across all three element classes
+    — the edit-session rollup (how big are upload batches, do bots
+    shotgun single-element changesets) that extends osm_user_activity's
+    per-user view to the reference's changeset attribute
+    (/root/reference/osm/Node.go element attrs).
+
+    Scale plan: each class collapses per block to (changeset, count,
+    distinct-uid partial rows); ONE bounded changeset-hash combiner
+    exchange merges them (distinct uids re-deduped per partition —
+    each changeset wholly in one partition)."""
+    from ..relational import hash_part
+
+    def cls_partial(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cs = t["changeset"].combine_chunks().to_numpy()
+            uid = t["uid"].combine_chunks().to_numpy()
+            order = np.lexsort((uid, cs))
+            cs, uid = cs[order], uid[order]
+            keep = np.r_[True, (cs[1:] != cs[:-1]) | (uid[1:] != uid[:-1])] \
+                if len(cs) else np.empty(0, bool)
+            g = pa.table({"changeset": pa.array(cs),
+                          "cls": pa.array([name] * len(cs), pa.string()),
+                          "n": pa.array(np.ones(len(cs), np.int64))}) \
+                .group_by(["changeset", "cls"]).aggregate([("n", "sum")]) \
+                .rename_columns(["changeset", "cls", "n"])
+            u = pa.table({"changeset": pa.array(cs[keep]),
+                          "uid": pa.array(uid[keep])})
+            full = pa.table({
+                "changeset": pa.concat_arrays(
+                    [g["changeset"].combine_chunks(),
+                     u["changeset"].combine_chunks()]),
+                "cls": pa.array(g["cls"].to_pylist()
+                                + ["uid"] * len(u), pa.string()),
+                "val": pa.concat_arrays(
+                    [g["n"].combine_chunks(),
+                     u["uid"].combine_chunks()])})
+            key = full["changeset"].combine_chunks().to_numpy()
+            return full.append_column("part",
+                                      pa.array(hash_part(key, 16)))
+        return fn
+
+    def merge(t: pa.Table) -> pa.Table:
+        cs = t["changeset"].combine_chunks().to_numpy()
+        cls = np.asarray(t["cls"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        val = t["val"].combine_chunks().to_numpy()
+        out = {}
+        for c, k, v in zip(cs.tolist(), cls.tolist(), val.tolist()):
+            a = out.setdefault(c, {"node": 0, "way": 0, "relation": 0,
+                                   "uids": set()})
+            if k == "uid":
+                a["uids"].add(v)
+            else:
+                a[k] += v
+        keys = sorted(out)
+        return pa.table({
+            "changeset": pa.array(keys, pa.int64()),
+            "n_nodes": pa.array([out[k]["node"] for k in keys], pa.int64()),
+            "n_ways": pa.array([out[k]["way"] for k in keys], pa.int64()),
+            "n_relations": pa.array([out[k]["relation"] for k in keys],
+                                    pa.int64()),
+            "n_total": pa.array([out[k]["node"] + out[k]["way"]
+                                 + out[k]["relation"] for k in keys],
+                                pa.int64()),
+            "n_users": pa.array([len(out[k]["uids"]) for k in keys],
+                                pa.int64())})
+
+    parts = nodes.select_columns(["changeset", "uid"]) \
+        .map_batches(cls_partial("node"), batch_format="pyarrow",
+                     batch_size=65536) \
+        .union(ways.select_columns(["changeset", "uid"])
+               .map_batches(cls_partial("way"), batch_format="pyarrow",
+                            batch_size=65536),
+               relations.select_columns(["changeset", "uid"])
+               .map_batches(cls_partial("relation"),
+                            batch_format="pyarrow", batch_size=65536))
+    return parts.groupby("part") \
+        .map_groups(lambda t: merge(t.drop_columns(["part"])),
+                    batch_format="pyarrow")

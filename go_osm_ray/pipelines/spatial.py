@@ -4107,3 +4107,54 @@ def phash_bit_balance(images: ray.data.Dataset) -> ray.data.Dataset:
         images.select_columns(["phash"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+def cell_aspect_mix(images: ray.data.Dataset, res: int = 7
+                    ) -> ray.data.Dataset:
+    """(cell, n_images, n_portrait, n_landscape, n_square, landscape6):
+    per-cell ASPECT-RATIO mix of the image corpus — the image x geo
+    fusion audit an aspect-bucketing trainer reads per region
+    (screenshot-heavy cells are portrait-skewed, landscape photography
+    cells the reverse; aspect_bucket_pack sizes its buckets globally,
+    this shows where the mix is regional).
+
+    Scale plan: embarrassingly parallel — per-block Acero partials
+    over (cell, class counts), ONE bounded combiner exchange by hash of
+    cell (partial_groupby_agg), integer-exact with one float division."""
+    from ..geo import tiles
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = decode_geotag(t)
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        cell = tiles.cell_id(lon, lat, res)
+        w = t["w"].combine_chunks().to_numpy().astype(np.int64)
+        h = t["h"].combine_chunks().to_numpy().astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cell),
+            "n": pa.array(np.ones(len(cell), np.int64)),
+            "p": pa.array((h > w).astype(np.int64)),
+            "l": pa.array((w > h).astype(np.int64)),
+            "s": pa.array((w == h).astype(np.int64))})
+
+    g = partial_groupby_agg(
+        images.select_columns(["phash", "w", "h"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["cell"], [("n", "sum"), ("p", "sum"), ("l", "sum"), ("s", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].combine_chunks().to_numpy()
+        lan = t["l_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "cell": pc.cast(t["cell"], pa.int64()),
+            "n_images": pa.array(n.astype(np.int64)),
+            "n_portrait": pc.cast(t["p_sum"], pa.int64()),
+            "n_landscape": pa.array(lan.astype(np.int64)),
+            "n_square": pc.cast(t["s_sum"], pa.int64()),
+            "landscape6": pa.array(round_half_away(
+                lan.astype(np.float64) / n.astype(np.float64), 6),
+                pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -2045,3 +2045,85 @@ def term_burstiness(docs: ray.data.Dataset, min_cf: int = 5,
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby("part").map_groups(merge,
                                                batch_format="pyarrow")
+
+
+def vocab_growth(docs: ray.data.Dataset,
+                 checkpoints: tuple = tuple(1 << k for k in range(4, 21)),
+                 num_parts: int = 32) -> ray.data.Dataset:
+    """(checkpoint, n_tokens, n_distinct): HEAPS'-LAW vocabulary growth
+    curve — running token total and distinct-vocabulary size after the
+    docs with doc_id < each power-of-two checkpoint. The curve's
+    log-log slope is the corpus-health scaling exponent (natural text
+    ~0.5; a flattening curve means duplication, a linear one means
+    noise/ids); saturated tail checkpoints repeat the full-corpus
+    totals by construction.
+
+    Exactness: "first occurrence" is the min-owner fold (doc_novelty's
+    convention) — a token counts as distinct at checkpoint c iff its
+    MINIMUM containing doc_id < c; all counts integers.
+
+    Scale plan: token totals are embarrassingly parallel per-block
+    17-row partials; owners collapse per block to (token, min doc)
+    and take ONE token-hash exchange (bounded by vocabulary) whose
+    per-partition merge emits 17-row partials too; one tiny final
+    merge sums both streams."""
+    from ..relational import hash_part, single_merge
+
+    cps = np.array(sorted(checkpoints), np.int64)
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        counts, _ = _tokens_flat(t["text"].combine_chunks())
+        doc = t["doc_id"].combine_chunks().to_numpy()
+        vals = [int(counts[doc < c].sum()) for c in cps]
+        return pa.table({"c": pa.array(cps),
+                         "kind": pa.array(["t"] * len(cps), pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    def own_partial(t: pa.Table) -> pa.Table:
+        counts, toks = _tokens_flat(t["text"].combine_chunks())
+        doc = np.repeat(t["doc_id"].combine_chunks().to_numpy(), counts)
+        g = pa.table({"token": pa.array(toks.astype(str), pa.string()),
+                      "own": pa.array(doc)}) \
+            .group_by("token").aggregate([("own", "min")])
+        th = _crc32_map(g["token"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        return pa.table({"token": g["token"],
+                         "own": pc.cast(g["own_min"], pa.int64()),
+                         "part": pa.array(hash_part(th.astype(np.int64),
+                                                    num_parts))})
+
+    def own_merge(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("token") \
+            .aggregate([("own", "min")])
+        own = g["own_min"].combine_chunks().to_numpy()
+        vals = [int((own < c).sum()) for c in cps]
+        return pa.table({"c": pa.array(cps),
+                         "kind": pa.array(["d"] * len(cps), pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    owners = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(own_partial, batch_format="pyarrow",
+                     batch_size=8192) \
+        .groupby("part").map_groups(own_merge, batch_format="pyarrow")
+    totals = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(tot_partial, batch_format="pyarrow",
+                     batch_size=8192)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c", "kind"]).aggregate([("n", "sum")])
+        c = g["c"].combine_chunks().to_numpy()
+        kind = np.asarray(g["kind"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        n = g["n_sum"].combine_chunks().to_numpy()
+        out_c = np.sort(np.unique(c))
+        tot = {int(ci): 0 for ci in out_c}
+        dis = {int(ci): 0 for ci in out_c}
+        for ci, ki, ni in zip(c.tolist(), kind.tolist(), n.tolist()):
+            (tot if ki == "t" else dis)[ci] += ni
+        return pa.table({
+            "checkpoint": pa.array(out_c, pa.int64()),
+            "n_tokens": pa.array([tot[int(x)] for x in out_c], pa.int64()),
+            "n_distinct": pa.array([dis[int(x)] for x in out_c],
+                                   pa.int64())})
+
+    return single_merge(totals.union(owners), finish)

@@ -416,3 +416,39 @@ def test_phash_bit_balance_planted(ray_session):
     assert df.loc[63, "n_ones"] == 1 and df.loc[63, "share6"] == 0.25
     assert df.loc[7, "n_ones"] == 0
     assert len(df) == 64 and (df["n_rows"] == 4).all()
+
+
+def test_vocab_growth_planted(ray_session):
+    """Three docs: doc 0 "a b a", doc 20 "a c", doc 40 "d d".
+    Checkpoint 16 sees only doc 0 (3 tokens, 2 distinct); 32 adds doc
+    20 (5 tokens, 3 distinct); 64+ saturates at (7, 4)."""
+    from go_osm_ray.pipelines.text import vocab_growth
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 20, 40], pa.int64()),
+        "text": pa.array(["a b a", "a c", "d d"], pa.string())}))
+    df = vocab_growth(ds).to_pandas().set_index("checkpoint")
+    assert df.loc[16, "n_tokens"] == 3 and df.loc[16, "n_distinct"] == 2
+    assert df.loc[32, "n_tokens"] == 5 and df.loc[32, "n_distinct"] == 3
+    assert df.loc[64, "n_tokens"] == 7 and df.loc[64, "n_distinct"] == 4
+    assert df.loc[1 << 20, "n_tokens"] == 7
+    assert len(df) == 17
+
+
+def test_osm_changeset_stats_planted(ray_session):
+    """Changeset 5 spans two classes and two users; changeset 9 is a
+    single-node edit."""
+    from go_osm_ray.pipelines.osm import osm_changeset_stats
+
+    def tbl(rows):
+        return ray.data.from_arrow(pa.table({
+            "changeset": pa.array([r[0] for r in rows], pa.int64()),
+            "uid": pa.array([r[1] for r in rows], pa.int64())}))
+
+    nodes = tbl([(5, 1), (5, 1), (9, 7)])
+    ways = tbl([(5, 2)])
+    rels = tbl([])
+    df = osm_changeset_stats(nodes, ways, rels).to_pandas() \
+        .set_index("changeset")
+    assert df.loc[5, "n_nodes"] == 2 and df.loc[5, "n_ways"] == 1
+    assert df.loc[5, "n_total"] == 3 and df.loc[5, "n_users"] == 2
+    assert df.loc[9, "n_total"] == 1 and df.loc[9, "n_users"] == 1
