@@ -3109,6 +3109,54 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS landscape6
         FROM wh GROUP BY 1"""
 
+    # way-graph degree histogram (isolated ways at degree 0)
+    q["way_degree_hist"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b
+                 ON a.ref = b.ref AND a.way_id < b.way_id),
+        ed2 AS (SELECT a AS u FROM ed UNION ALL SELECT b FROM ed),
+        dd AS (SELECT u AS v, CAST(count(*) AS BIGINT) AS n
+               FROM ed2 GROUP BY 1),
+        deg AS (SELECT w.id AS v, CAST(COALESCE(dd.n, 0) AS BIGINT) AS d
+                FROM {ways} w LEFT JOIN dd ON dd.v = w.id),
+        h AS (SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_ways
+              FROM deg GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_ways) AS BIGINT) AS t FROM h)
+        SELECT CAST(degree AS BIGINT) AS degree, n_ways,
+               {sql_round('CAST(n_ways AS DOUBLE) / CAST(tot.t AS DOUBLE)',
+                          6)} AS share6
+        FROM h, tot"""
+
+    # token-length histogram (pre-tokenizer fertility probe)
+    q["doc_token_len_hist"] = f"""
+        WITH toks AS (SELECT unnest({split_toks}) AS w FROM documents),
+        h AS (SELECT CAST(length(w) AS BIGINT) AS token_len,
+                     CAST(count(*) AS BIGINT) AS n_tokens
+              FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM h)
+        SELECT token_len, n_tokens,
+               {sql_round('CAST(n_tokens AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
+    # time-to-convert histogram over first-view -> first-purchase lags
+    q["funnel_latency_hist"] = f"""
+        WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        f2 AS (SELECT user_id, min(ts) AS t2 FROM events
+               WHERE event_type = 'purchase' GROUP BY 1),
+        l AS (SELECT (epoch_us(t2) - epoch_us(t1)) // 86400000000
+                  AS lag_days
+              FROM f1 JOIN f2 USING (user_id) WHERE t2 > t1),
+        h AS (SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
+              FROM l GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM h)
+        SELECT CAST(lag_days AS BIGINT) AS lag_days, n_users,
+               {sql_round('CAST(n_users AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

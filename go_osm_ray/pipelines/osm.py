@@ -3944,3 +3944,61 @@ def osm_changeset_stats(nodes: ray.data.Dataset, ways: ray.data.Dataset,
     return parts.groupby("part") \
         .map_groups(lambda t: merge(t.drop_columns(["part"])),
                     batch_format="pyarrow")
+
+
+def way_degree_hist(ways: ray.data.Dataset,
+                    num_parts: int = 16) -> ray.data.Dataset:
+    """(degree, n_ways, share6): degree distribution of the shared-node
+    way graph — the power-law fingerprint every graph-algorithm cost
+    model starts from (hot-node caps, orientation bounds, BSP round
+    counts all key off this tail). Isolated ways (degree 0) included.
+
+    Scale plan: full deduped edges -> endpoint partials -> ONE v-hash
+    exchange -> per-vertex degrees; isolated ways counted by a second
+    tiny partial stream (way ids minus edge endpoints, co-partitioned);
+    the bounded (degree, n) table merges in one task."""
+    from ..relational import hash_part, single_merge
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].combine_chunks().to_numpy(),
+                            t["b"].combine_chunks().to_numpy()])
+        u, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "pd": pa.array(n.astype(np.int64)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        v = t["id"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(v),
+                         "pd": pa.array(np.zeros(len(v), np.int64)),
+                         "part": pa.array(hash_part(v, num_parts))})
+
+    def deg_hist(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("v") \
+            .aggregate([("pd", "sum")])
+        d = g["pd_sum"].combine_chunks().to_numpy()
+        u, n = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(u.astype(np.int64)),
+                         "n_ways": pa.array(n.astype(np.int64))})
+
+    partials = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .union(ways.select_columns(["id"])
+               .map_batches(id_partial, batch_format="pyarrow")) \
+        .groupby("part").map_groups(deg_hist, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        g = t.group_by("degree").aggregate([("n_ways", "sum")])
+        d = g["degree"].combine_chunks().to_numpy()
+        order = np.argsort(d)
+        n = g["n_ways_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "degree": pa.array(d[order], pa.int64()),
+            "n_ways": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    return single_merge(partials, finish)

@@ -5573,3 +5573,76 @@ def price_qty_corr(lineitem: ray.data.Dataset) -> ray.data.Dataset:
                                  "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         finish)
+
+
+def funnel_latency_hist(events: ray.data.Dataset,
+                        first: str = "view", second: str = "purchase",
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(lag_days, n_users, share6): TIME-TO-CONVERT histogram — for
+    every user whose first ``second`` event strictly follows their
+    first ``first`` event, the whole-day lag between the two firsts
+    (events_funnel counts who converts; this reads how fast).
+
+    Exactness: all integer — epoch-microsecond mins, one floor
+    division by 86.4e9; users whose first purchase precedes their
+    first view never convert by the firsts-only definition.
+
+    Scale plan: per-block Acero (user, type) min-partials -> ONE
+    user-hash combiner exchange (each user wholly in one partition)
+    -> per-partition lag + bounded (lag, n) partials -> one tiny
+    merge."""
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    def pre(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        keep = (et == first) | (et == second)
+        ts = t["ts"].combine_chunks().to_numpy()[keep] \
+            .astype("datetime64[us]").astype(np.int64)
+        uid = t["user_id"].combine_chunks().to_numpy()[keep]
+        return pa.table({"user_id": pa.array(uid),
+                         "is_first": pa.array(et[keep] == first),
+                         "ts": pa.array(ts)})
+
+    mins = partial_groupby_agg(
+        events.select_columns(["user_id", "event_type", "ts"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "is_first"], [("ts", "min")])
+
+    DAY = 86_400_000_000
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        isf = t["is_first"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts_min"].combine_chunks().to_numpy()
+        order = np.lexsort((~isf, uid))       # first-event row leads
+        uid, isf, ts = uid[order], isf[order], ts[order]
+        both = np.flatnonzero((uid[:-1] == uid[1:])
+                              & isf[:-1] & ~isf[1:]) \
+            if len(uid) > 1 else np.empty(0, np.int64)
+        t1, t2 = ts[both], ts[both + 1]
+        lag = (t2 - t1) // DAY
+        lag = lag[t2 > t1]
+        u, n = np.unique(lag, return_counts=True)
+        return pa.table({"lag_days": pa.array(u.astype(np.int64)),
+                         "n_users": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("lag_days").aggregate([("n_users", "sum")])
+        lag = g["lag_days"].combine_chunks().to_numpy()
+        order = np.argsort(lag)
+        n = g["n_users_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "lag_days": pa.array(lag[order], pa.int64()),
+            "n_users": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    # batch_size=None: whole blocks — partial_groupby_agg emits one
+    # block per user-hash partition, so each user's two min-rows stay
+    # inside a single lag_partial invocation
+    return single_merge(mins.map_batches(lag_partial, batch_size=None,
+                                         batch_format="pyarrow"),
+                        merge)

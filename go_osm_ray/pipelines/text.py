@@ -2127,3 +2127,45 @@ def vocab_growth(docs: ray.data.Dataset,
                                    pa.int64())})
 
     return single_merge(totals.union(owners), finish)
+
+
+def doc_token_len_hist(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(token_len, n_tokens, share6): token-LENGTH histogram over the
+    corpus (character counts of whitespace tokens) — the pre-tokenizer
+    fertility probe (a heavy 15+ tail means ids/urls/agglutination
+    that will fragment under BPE; mass at 1-2 means over-splitting).
+
+    Scale plan: embarrassingly parallel — one Arrow utf8_length pass
+    per block collapses to a bounded (len, n) partial; ONE tiny merge
+    sums and divides."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(
+            pc.utf8_lower(t["text"].combine_chunks()))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        ln = np.asarray(pc.utf8_length(flat)).astype(np.int64)
+        ln = ln[ln > 0]              # drop ''-artifacts (str.split parity)
+        u, n = np.unique(ln, return_counts=True)
+        return pa.table({"token_len": pa.array(u),
+                         "n_tokens": pa.array(n.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("token_len").aggregate([("n_tokens", "sum")])
+        ln = g["token_len"].combine_chunks().to_numpy()
+        order = np.argsort(ln)
+        n = g["n_tokens_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "token_len": pa.array(ln[order], pa.int64()),
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    return single_merge(
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        merge)

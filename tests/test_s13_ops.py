@@ -452,3 +452,53 @@ def test_osm_changeset_stats_planted(ray_session):
     assert df.loc[5, "n_nodes"] == 2 and df.loc[5, "n_ways"] == 1
     assert df.loc[5, "n_total"] == 3 and df.loc[5, "n_users"] == 2
     assert df.loc[9, "n_total"] == 1 and df.loc[9, "n_users"] == 1
+
+
+def test_way_degree_hist_planted(ray_session):
+    """Star of 4 ways (3-clique degrees) + isolated way -> degrees
+    {0: 1, 3: 4}; shares sum to 1."""
+    from go_osm_ray.pipelines.osm import way_degree_hist
+    ds = _ways_ds([(i, [100, i]) for i in range(1, 5)] + [(9, [999])])
+    df = way_degree_hist(ds).to_pandas().set_index("degree")
+    assert df.loc[0, "n_ways"] == 1
+    assert df.loc[3, "n_ways"] == 4
+    assert df.loc[3, "share6"] == 0.8
+    assert abs(df["share6"].sum() - 1.0) < 1e-9
+
+
+def test_doc_token_len_hist_planted(ray_session):
+    """Tokens of lengths 1,1,2,4 across two docs; multi-space splits
+    produce no empty tokens."""
+    from go_osm_ray.pipelines.text import doc_token_len_hist
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a  b zz", "zzzz"], pa.string())}))
+    df = doc_token_len_hist(ds).to_pandas().set_index("token_len")
+    assert df.loc[1, "n_tokens"] == 2
+    assert df.loc[2, "n_tokens"] == 1
+    assert df.loc[4, "n_tokens"] == 1
+    assert df.loc[1, "share6"] == 0.5
+
+
+def test_funnel_latency_hist_planted(ray_session):
+    """User 1 converts in 1.5 days (floor 1); user 2's purchase
+    precedes the view (excluded); user 3 converts same-day (lag 0);
+    repeat purchases don't matter (firsts only)."""
+    from go_osm_ray.pipelines.relq import funnel_latency_hist
+    d = lambda s: np.datetime64(s, "us")  # noqa: E731
+    rows = [
+        (1, "view", d("1995-01-01T00:00:00")),
+        (1, "purchase", d("1995-01-02T12:00:00")),
+        (1, "purchase", d("1995-01-09T00:00:00")),
+        (2, "purchase", d("1995-01-01T00:00:00")),
+        (2, "view", d("1995-01-02T00:00:00")),
+        (3, "view", d("1995-01-05T06:00:00")),
+        (3, "purchase", d("1995-01-05T07:00:00")),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))}))
+    df = funnel_latency_hist(ds).to_pandas().set_index("lag_days")
+    assert df.loc[0, "n_users"] == 1
+    assert df.loc[1, "n_users"] == 1
+    assert df["n_users"].sum() == 2
