@@ -3157,6 +3157,71 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
         FROM h, tot"""
 
+    # referential-integrity audit (dangling way refs / relation members)
+    q["osm_ref_integrity"] = f"""
+        WITH wr AS (SELECT 'way->node' AS kind, unnest(refs) AS id
+                    FROM {ways}),
+        rn AS (SELECT 'rel->node' AS kind, _m.ref AS id
+               FROM (SELECT unnest(members) AS _m FROM {rels})
+               WHERE _m.type = 'node'),
+        rw AS (SELECT 'rel->way' AS kind, _m.ref AS id
+               FROM (SELECT unnest(members) AS _m FROM {rels})
+               WHERE _m.type = 'way'),
+        refs AS (SELECT * FROM wr UNION ALL SELECT * FROM rn
+                 UNION ALL SELECT * FROM rw),
+        defs AS (SELECT 'way->node' AS kind, id FROM {nodes}
+                 UNION ALL SELECT 'rel->node', id FROM {nodes}
+                 UNION ALL SELECT 'rel->way', id FROM {ways})
+        SELECT refs.kind AS ref_kind,
+               CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(count(DISTINCT refs.id) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN defs.id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dangling
+        FROM refs LEFT JOIN defs
+          ON defs.kind = refs.kind AND defs.id = refs.id
+        GROUP BY 1"""
+
+    # 1-NN reciprocity over the integer-lattice capped sample
+    q["knn_mutuality"] = f"""
+        WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS i
+                   FROM embeddings WHERE vec_id < {ANGULAR_CAP}),
+        qv AS (SELECT vec_id, i,
+                      CAST({sql_round('CAST(x AS DOUBLE) * 512.0', 0)}
+                           AS BIGINT) AS q
+               FROM e),
+        d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(sum(a.q * b.q) AS BIGINT) AS dot
+              FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2),
+        nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n
+                FROM qv GROUP BY 1),
+        c AS (SELECT d.a, d.b, CAST(d.dot AS DOUBLE)
+                     / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cos
+              FROM d JOIN nrm na ON na.vec_id = d.a
+                     JOIN nrm nb ON nb.vec_id = d.b),
+        r AS (SELECT a AS vec_id, b AS nn_id, row_number() OVER (
+                  PARTITION BY a ORDER BY cos DESC, b ASC) AS rk
+              FROM c),
+        nn AS (SELECT vec_id, nn_id FROM r WHERE rk = 1)
+        SELECT x.vec_id, x.nn_id, (y.nn_id = x.vec_id) AS mutual
+        FROM nn x JOIN nn y ON y.vec_id = x.nn_id"""
+
+    # per-user consecutive-run census: the gaps-and-islands mirror
+    q["events_runlength"] = """
+        WITH e AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+                          row_number() OVER (PARTITION BY user_id,
+                              event_type ORDER BY ts, event_id) AS rt
+                   FROM events),
+        runs AS (SELECT user_id, event_type, rn - rt AS grp,
+                        CAST(count(*) AS BIGINT) AS run_len
+                 FROM e GROUP BY 1, 2, 3)
+        SELECT event_type, run_len,
+               CAST(count(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1, 2"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -4002,3 +4002,116 @@ def way_degree_hist(ways: ray.data.Dataset,
                 n.astype(np.float64) / float(tot), 6), pa.float64())})
 
     return single_merge(partials, finish)
+
+
+def osm_ref_integrity(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                      relations: ray.data.Dataset,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(ref_kind, n_refs, n_distinct, n_dangling): referential-
+    integrity audit across the OSM model — way->node refs and relation
+    members against the actual id sets (the planet-file consistency
+    check behind the reference's ways_to_nodes join, which silently
+    drops dangling refs: /root/reference/osm/Planet.go:214-225 guards
+    with a map lookup).
+
+    Scale plan: each ref stream collapses per block to distinct ids
+    with occurrence counts; id streams tag presence; ONE id-hash
+    co-partition per kind resolves existence with a sorted merge (the
+    union-tag anti-join shape), and per-kind partials sum in one tiny
+    task."""
+    from ..relational import hash_part, single_merge
+
+    def ref_stream(kind: str, explode_members: str | None):
+        def fn(t: pa.Table) -> pa.Table:
+            if explode_members is None:
+                refs = t["refs"].combine_chunks()
+                flat = refs.flatten().to_numpy()
+            else:
+                m = t["members"].combine_chunks()
+                flat_m = m.flatten()
+                typ = np.asarray(flat_m.field("type")
+                                 .to_numpy(zero_copy_only=False))
+                ref = flat_m.field("ref").to_numpy()
+                flat = ref[typ == explode_members]
+            u, n = np.unique(flat, return_counts=True)
+            return pa.table({
+                "kind": pa.array([kind] * len(u), pa.string()),
+                "id": pa.array(u.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "is_def": pa.array(np.zeros(len(u), bool)),
+                "part": pa.array(hash_part(u.astype(np.int64),
+                                           num_parts))})
+        return fn
+
+    def def_stream(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t["id"].combine_chunks().to_numpy()
+            return pa.table({
+                "kind": pa.array([kind] * len(v), pa.string()),
+                "id": pa.array(v),
+                "n": pa.array(np.zeros(len(v), np.int64)),
+                "is_def": pa.array(np.ones(len(v), bool)),
+                "part": pa.array(hash_part(v, num_parts))})
+        return fn
+
+    streams = [
+        ways.select_columns(["refs"]).map_batches(
+            ref_stream("way->node", None),
+            batch_format="pyarrow", batch_size=65536),
+        relations.select_columns(["members"]).map_batches(
+            ref_stream("rel->node", "node"),
+            batch_format="pyarrow", batch_size=65536),
+        relations.select_columns(["members"]).map_batches(
+            ref_stream("rel->way", "way"),
+            batch_format="pyarrow", batch_size=65536),
+        nodes.select_columns(["id"]).map_batches(
+            def_stream("way->node"), batch_format="pyarrow",
+            batch_size=65536),
+        nodes.select_columns(["id"]).map_batches(
+            def_stream("rel->node"), batch_format="pyarrow",
+            batch_size=65536),
+        ways.select_columns(["id"]).map_batches(
+            def_stream("rel->way"), batch_format="pyarrow",
+            batch_size=65536),
+    ]
+    allp = streams[0].union(*streams[1:])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        kind = np.asarray(t["kind"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        ids = t["id"].combine_chunks().to_numpy()
+        n = t["n"].combine_chunks().to_numpy()
+        isd = t["is_def"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = {"kind": [], "n_refs": [], "n_distinct": [],
+               "n_dangling": []}
+        for k in sorted(set(kind.tolist())):
+            m = kind == k
+            ki, kn, kd = ids[m], n[m], isd[m]
+            ref_m = ~kd
+            defined = np.unique(ki[kd])
+            ru, idx = np.unique(ki[ref_m], return_inverse=True)
+            rn = np.bincount(idx, weights=kn[ref_m]).astype(np.int64) \
+                if len(ru) else np.empty(0, np.int64)
+            miss = ~np.isin(ru, defined)
+            out["kind"].append(k)
+            out["n_refs"].append(int(rn.sum()))
+            out["n_distinct"].append(len(ru))
+            out["n_dangling"].append(int(rn[miss].sum()))
+        return pa.table({
+            "kind": pa.array(out["kind"], pa.string()),
+            "n_refs": pa.array(out["n_refs"], pa.int64()),
+            "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+            "n_dangling": pa.array(out["n_dangling"], pa.int64())})
+
+    partials = allp.groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("kind").aggregate([("n_refs", "sum"),
+                                          ("n_distinct", "sum"),
+                                          ("n_dangling", "sum")])
+        return g.rename_columns(["ref_kind", "n_refs", "n_distinct",
+                                 "n_dangling"])
+
+    return single_merge(partials, finish)

@@ -5646,3 +5646,61 @@ def funnel_latency_hist(events: ray.data.Dataset,
     return single_merge(mins.map_batches(lag_partial, batch_size=None,
                                          batch_format="pyarrow"),
                         merge)
+
+
+def events_runlength(events: ray.data.Dataset,
+                     num_parts: int = 16) -> ray.data.Dataset:
+    """(event_type, run_len, n_runs): distribution of CONSECUTIVE
+    same-type run lengths within each user's (ts, event_id)-ordered
+    stream — the behavioural-autocorrelation census (bots produce long
+    single-type runs; organic sessions alternate). The distributed
+    gaps-and-islands exercise: the SQL mirror is the classic
+    double-row_number difference grouping.
+
+    Scale plan: ONE user-hash exchange (each user wholly in one
+    partition), vectorized boundary detection per partition, bounded
+    (type, len) partials, one tiny merge."""
+    from ..relational import single_merge
+
+    def part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        return pa.table({"user_id": pa.array(uid),
+                         "event_type": t["event_type"].combine_chunks(),
+                         "event_id": t["event_id"].combine_chunks(),
+                         "ts": t["ts"].combine_chunks(),
+                         "part": pa.array(hash_part(uid, num_parts))})
+
+    def runs(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        if not len(uid):
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "run_len": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64())})
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.r_[starts, len(uid)])
+        g = pa.table({"event_type": pa.array(et[starts].tolist(),
+                                             pa.string()),
+                      "run_len": pa.array(lens.astype(np.int64)),
+                      "n": pa.array(np.ones(len(starts), np.int64))}) \
+            .group_by(["event_type", "run_len"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "run_len", "n_runs"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "run_len"]) \
+            .aggregate([("n_runs", "sum")])
+        return g.rename_columns(["event_type", "run_len", "n_runs"])
+
+    partials = events.select_columns(["user_id", "event_type",
+                                      "event_id", "ts"]) \
+        .map_batches(part, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: runs(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return single_merge(partials, merge)

@@ -684,3 +684,53 @@ def embed_angular_hist(ds: ray.data.Dataset, id_cap: int = 256,
         ds.select_columns(["vec_id", "embedding"])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192),
         merge)
+
+
+def knn_mutuality(ds: ray.data.Dataset, id_cap: int = 256,
+                  grid: float = 512.0) -> ray.data.Dataset:
+    """(vec_id, nn_id, mutual): 1-NN RECIPROCITY over the deterministic
+    vec_id < cap sample — whether each vector's cosine nearest
+    neighbour points back (the kNN-graph symmetry diagnostic: hubness
+    in high dimensions shows up as low mutuality, and ANN recall
+    targets are easier to hit on mutual graphs). embed_angular_hist's
+    integer-lattice determinism contract; ties break to the smaller
+    candidate id on both sides.
+
+    Scale plan: read pruned to the cap; per-block quantized partials;
+    ONE tiny merge runs the exact int64 gram and the argmax — a
+    corpus-health probe, not a full-table kNN (that is ann_* /
+    knn_classify's job)."""
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["vec_id"], pa.scalar(id_cap))
+        t = t.filter(keep)
+        if not len(t):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64()))})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"].combine_chunks(), pa.int64()),
+            "q": pa.array(list(q), pa.list_(pa.int64()))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].combine_chunks().to_numpy()
+        order = np.argsort(vid)
+        vid = vid[order]
+        q = np.stack(t["q"].combine_chunks()
+                     .to_numpy(zero_copy_only=False))[order].astype(np.int64)
+        gram = q @ q.T
+        nn_ = np.diag(gram).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            cos = gram.astype(np.float64) / np.sqrt(np.outer(nn_, nn_))
+        np.fill_diagonal(cos, -np.inf)
+        nn_idx = np.argmax(cos, axis=1)   # first max = smallest id (sorted)
+        nn_id = vid[nn_idx]
+        mutual = nn_id[nn_idx] == vid     # nn(nn(i)) == i
+        return pa.table({"vec_id": pa.array(vid, pa.int64()),
+                         "nn_id": pa.array(nn_id, pa.int64()),
+                         "mutual": pa.array(mutual, pa.bool_())})
+
+    return single_merge(
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        merge)

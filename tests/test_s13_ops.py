@@ -502,3 +502,70 @@ def test_funnel_latency_hist_planted(ray_session):
     assert df.loc[0, "n_users"] == 1
     assert df.loc[1, "n_users"] == 1
     assert df["n_users"].sum() == 2
+
+
+def test_osm_ref_integrity_planted(ray_session):
+    """Way references node 99 which does not exist (dangling, counted
+    per occurrence); relation members split by type and checked against
+    the right id set."""
+    from go_osm_ray.pipelines.osm import osm_ref_integrity
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64())}))
+    ways = ray.data.from_arrow(pa.table({
+        "id": pa.array([10], pa.int64()),
+        "refs": pa.array([[1, 2, 99, 99]], pa.list_(pa.int64()))}))
+    mt = pa.list_(pa.struct([("type", pa.string()), ("ref", pa.int64()),
+                             ("role", pa.string())]))
+    rels = ray.data.from_arrow(pa.table({
+        "members": pa.array([[{"type": "node", "ref": 1, "role": ""},
+                              {"type": "node", "ref": 77, "role": ""},
+                              {"type": "way", "ref": 10, "role": ""},
+                              {"type": "way", "ref": 20, "role": ""}]],
+                            mt)}))
+    df = osm_ref_integrity(nodes, ways, rels).to_pandas() \
+        .set_index("ref_kind")
+    assert df.loc["way->node", "n_refs"] == 4
+    assert df.loc["way->node", "n_distinct"] == 3
+    assert df.loc["way->node", "n_dangling"] == 2
+    assert df.loc["rel->node", "n_dangling"] == 1
+    assert df.loc["rel->way", "n_dangling"] == 1
+
+
+def test_knn_mutuality_planted(ray_session):
+    """Two tight pairs: (0,1) nearly parallel and (2,3) nearly parallel
+    -> every vector's NN is its twin, all mutual; adding a hub vector 4
+    equidistant keeps the pairs mutual while 4 points at the smallest-id
+    winner without reciprocation."""
+    from go_osm_ray.pipelines.vectors import knn_mutuality
+    vecs = [[1.0, 0.01, 0.0], [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.01], [0.0, 1.0, 0.0],
+            [1.0, 1.0, 0.0]]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(5)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    df = knn_mutuality(ds, id_cap=16).to_pandas().set_index("vec_id")
+    assert df.loc[0, "nn_id"] == 1 and bool(df.loc[0, "mutual"])
+    assert df.loc[1, "nn_id"] == 0 and bool(df.loc[1, "mutual"])
+    assert df.loc[2, "nn_id"] == 3 and bool(df.loc[2, "mutual"])
+    assert not bool(df.loc[4, "mutual"])
+
+
+def test_events_runlength_planted(ray_session):
+    """User 1: a a b a -> runs a:2, b:1, a:1; user 2: b b b -> one run
+    of 3; cross-user runs never merge."""
+    from go_osm_ray.pipelines.relq import events_runlength
+    d0 = np.datetime64("1995-01-01T00:00:00", "us")
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "a"),
+            (2, "b"), (2, "b"), (2, "b")]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([d0 + np.timedelta64(i, "s")
+                        for i in range(len(rows))], pa.timestamp("us"))}))
+    df = events_runlength(ds).to_pandas() \
+        .set_index(["event_type", "run_len"])["n_runs"]
+    assert df.loc[("a", 2)] == 1
+    assert df.loc[("a", 1)] == 1
+    assert df.loc[("b", 1)] == 1
+    assert df.loc[("b", 3)] == 1
