@@ -3222,6 +3222,53 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_runs
         FROM runs GROUP BY 1, 2"""
 
+    # bytes-per-pixel compression profile per encoding (metadata-only)
+    q["format_bpp_stats"] = f"""
+        WITH b AS (SELECT fmt,
+                          CAST(octet_length(bytes) AS BIGINT) AS bl,
+                          CAST(w AS BIGINT) * h AS px
+                   FROM {images})
+        SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(bl) AS BIGINT) AS total_bytes,
+               CAST(sum(px) AS BIGINT) AS total_px,
+               {sql_round('CAST(sum(bl) AS DOUBLE) '
+                          '/ CAST(sum(px) AS DOUBLE)', 6)} AS bpp6,
+               {sql_round('min(CAST(bl AS DOUBLE) / CAST(px AS DOUBLE))',
+                          6)} AS min_bpp6,
+               {sql_round('max(CAST(bl AS DOUBLE) / CAST(px AS DOUBLE))',
+                          6)} AS max_bpp6
+        FROM b GROUP BY 1"""
+
+    # tag value-vocabulary audit per key (top value ties lexically)
+    q["tag_value_cardinality"] = f"""
+        WITH kv AS (SELECT _t.key AS key, _t.value AS value
+                    FROM (SELECT unnest(tags) AS _t FROM {ways})),
+        c AS (SELECT key, value, CAST(count(*) AS BIGINT) AS n
+              FROM kv GROUP BY 1, 2),
+        r AS (SELECT key, value, n, row_number() OVER (
+                  PARTITION BY key ORDER BY n DESC, value ASC) AS rk
+              FROM c),
+        agg AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_uses,
+                       CAST(count(*) AS BIGINT) AS n_values
+                FROM c GROUP BY 1)
+        SELECT agg.key, agg.n_uses, agg.n_values,
+               r.value AS top_value, r.n AS top_n
+        FROM agg JOIN r ON r.key = agg.key AND r.rk = 1"""
+
+    # per-cell way-vertex vs POI node split (cross-layer semi-join)
+    q["cell_node_usage"] = f"""
+        WITH refs AS (SELECT DISTINCT unnest(refs) AS id FROM {ways}),
+        n AS (SELECT {tiles.sql_cell_id('lon', 'lat', ENTROPY_RES)} AS cell,
+                     (refs.id IS NOT NULL) AS used
+              FROM {nodes} nd LEFT JOIN refs ON refs.id = nd.id)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_way_nodes,
+               {sql_round('CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) '
+                          'AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)}
+                   AS share6
+        FROM n GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -1991,3 +1991,71 @@ def image_noise_mad(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageNoiseMad, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def format_bpp_stats(images: ray.data.Dataset) -> ray.data.Dataset:
+    """(fmt, n_images, total_bytes, total_px, bpp6, min_bpp6, max_bpp6):
+    BYTES-PER-PIXEL profile per encoding — the compression-sanity
+    screen (a format whose min collapses toward 0 hides truncated
+    blobs; a max far above the codec norm hides corrupt or adversarial
+    payloads). Pure metadata pass: byte lengths and declared w*h, NO
+    decode — the cheap first gate before decode-tier screens.
+
+    Exactness: integer byte/pixel sums; ratios are single double
+    divisions; min/max over per-image ratios compare identical doubles
+    on both sides.
+
+    Scale plan: embarrassingly parallel bounded partials per block,
+    one tiny merge."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        fmt = np.asarray(t["fmt"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        blen = np.asarray(pc.binary_length(t["bytes"].combine_chunks())) \
+            .astype(np.int64)
+        px = (t["w"].combine_chunks().to_numpy().astype(np.int64)
+              * t["h"].combine_chunks().to_numpy().astype(np.int64))
+        bpp = blen.astype(np.float64) / px.astype(np.float64)
+        out = {"fmt": [], "n": [], "tb": [], "tp": [], "mn": [], "mx": []}
+        for f in sorted(set(fmt.tolist())):
+            m = fmt == f
+            out["fmt"].append(f)
+            out["n"].append(int(m.sum()))
+            out["tb"].append(int(blen[m].sum()))
+            out["tp"].append(int(px[m].sum()))
+            out["mn"].append(float(bpp[m].min()))
+            out["mx"].append(float(bpp[m].max()))
+        return pa.table({
+            "fmt": pa.array(out["fmt"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "tb": pa.array(out["tb"], pa.int64()),
+            "tp": pa.array(out["tp"], pa.int64()),
+            "mn": pa.array(out["mn"], pa.float64()),
+            "mx": pa.array(out["mx"], pa.float64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("fmt").aggregate([("n", "sum"), ("tb", "sum"),
+                                         ("tp", "sum"), ("mn", "min"),
+                                         ("mx", "max")])
+        tb = g["tb_sum"].combine_chunks().to_numpy()
+        tp = g["tp_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "fmt": g["fmt"],
+            "n_images": pc.cast(g["n_sum"], pa.int64()),
+            "total_bytes": pa.array(tb.astype(np.int64)),
+            "total_px": pa.array(tp.astype(np.int64)),
+            "bpp6": pa.array(round_half_away(
+                tb.astype(np.float64) / tp.astype(np.float64), 6),
+                pa.float64()),
+            "min_bpp6": pa.array(round_half_away(
+                g["mn_min"].combine_chunks().to_numpy(), 6), pa.float64()),
+            "max_bpp6": pa.array(round_half_away(
+                g["mx_max"].combine_chunks().to_numpy(), 6),
+                pa.float64())})
+
+    return single_merge(
+        images.select_columns(["fmt", "bytes", "w", "h"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)

@@ -4115,3 +4115,57 @@ def osm_ref_integrity(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                                  "n_dangling"])
 
     return single_merge(partials, finish)
+
+
+def tag_value_cardinality(ways: ray.data.Dataset,
+                          num_parts: int = 16) -> ray.data.Dataset:
+    """(key, n_uses, n_values, top_value, top_n): tag VALUE vocabulary
+    audit per key over ways — cardinality (free-text keys explode, enum
+    keys stay small) and the dominant value (ties to the lexically
+    smallest), the schema-inference readout a tag-projection pipeline
+    reads before deciding keep-lists.
+
+    Scale plan: per-block Acero (key, value) count partials -> ONE
+    key-hash exchange (each key wholly in one partition) -> per-key
+    vectorized rollup."""
+    from ..relational import _col_hash, hash_part
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, keys, vals = tagops.explode_keys(t["tags"].combine_chunks())
+        g = pa.table({"key": keys, "value": vals,
+                      "n": pa.array(np.ones(len(keys), np.int64))}) \
+            .group_by(["key", "value"]).aggregate([("n", "sum")])
+        h = _col_hash(g["key"]).astype(np.int64)
+        return pa.table({"key": g["key"], "value": g["value"],
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "part": pa.array(hash_part(h, num_parts))})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["key", "value"]) \
+            .aggregate([("n", "sum")]) \
+            .sort_by([("key", "ascending"), ("n_sum", "descending"),
+                      ("value", "ascending")])
+        key = np.asarray(g["key"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        val = np.asarray(g["value"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        n = g["n_sum"].combine_chunks().to_numpy()
+        if not len(key):
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n_uses": pa.array([], pa.int64()),
+                             "n_values": pa.array([], pa.int64()),
+                             "top_value": pa.array([], pa.string()),
+                             "top_n": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ends = np.r_[starts[1:], len(key)]
+        return pa.table({
+            "key": pa.array(key[starts].tolist(), pa.string()),
+            "n_uses": pa.array(np.add.reduceat(n, starts)
+                               .astype(np.int64)),
+            "n_values": pa.array((ends - starts).astype(np.int64)),
+            "top_value": pa.array(val[starts].tolist(), pa.string()),
+            "top_n": pa.array(n[starts].astype(np.int64))})
+
+    return ways.select_columns(["tags"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part").map_groups(rollup, batch_format="pyarrow")

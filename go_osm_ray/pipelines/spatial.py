@@ -4158,3 +4158,74 @@ def cell_aspect_mix(images: ray.data.Dataset, res: int = 7
                 pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_node_usage(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                    res: int = 9,
+                    num_parts: int = 16) -> ray.data.Dataset:
+    """(cell, n_nodes, n_way_nodes, share6): per-cell split of nodes
+    into way VERTICES vs standalone POIs — the cross-layer density
+    audit (a cell whose share collapses is POI spam or an unmapped
+    road grid; conflation pipelines weight the two populations
+    differently).
+
+    Scale plan: way refs collapse per block to distinct ids; node rows
+    carry their cell; ONE id-hash co-partition marks membership with a
+    sorted merge (the semi-join shape), then the bounded (cell,
+    counts) combiner exchange rolls up."""
+    from ..geo import tiles
+    from ..relational import hash_part, partial_groupby_agg
+    from ..util import round_half_away
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        lon = t["lon"].combine_chunks().to_numpy()
+        lat = t["lat"].combine_chunks().to_numpy()
+        nid = t["id"].combine_chunks().to_numpy()
+        return pa.table({"id": pa.array(nid),
+                         "cell": pa.array(tiles.cell_id(lon, lat, res)),
+                         "is_ref": pa.array(np.zeros(len(nid), bool)),
+                         "part": pa.array(hash_part(nid, num_parts))})
+
+    def ref_rows(t: pa.Table) -> pa.Table:
+        refs = np.unique(t["refs"].combine_chunks().flatten().to_numpy())
+        return pa.table({"id": pa.array(refs),
+                         "cell": pa.array(np.zeros(len(refs), np.int64)),
+                         "is_ref": pa.array(np.ones(len(refs), bool)),
+                         "part": pa.array(hash_part(refs, num_parts))})
+
+    def mark(t: pa.Table) -> pa.Table:
+        nid = t["id"].combine_chunks().to_numpy()
+        cell = t["cell"].combine_chunks().to_numpy()
+        isr = t["is_ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        ref_ids = np.unique(nid[isr])
+        m = ~isr
+        used = np.isin(nid[m], ref_ids)
+        return pa.table({
+            "cell": pa.array(cell[m]),
+            "n": pa.array(np.ones(int(m.sum()), np.int64)),
+            "u": pa.array(used.astype(np.int64))})
+
+    marked = nodes.select_columns(["id", "lon", "lat"]) \
+        .map_batches(node_rows, batch_format="pyarrow",
+                     batch_size=65536) \
+        .union(ways.select_columns(["refs"])
+               .map_batches(ref_rows, batch_format="pyarrow",
+                            batch_size=65536)) \
+        .groupby("part") \
+        .map_groups(lambda t: mark(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    g = partial_groupby_agg(marked, ["cell"], [("n", "sum"), ("u", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].combine_chunks().to_numpy()
+        u = t["u_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "cell": pc.cast(t["cell"], pa.int64()),
+            "n_nodes": pa.array(n.astype(np.int64)),
+            "n_way_nodes": pa.array(u.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                u.astype(np.float64) / n.astype(np.float64), 6),
+                pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -569,3 +569,53 @@ def test_events_runlength_planted(ray_session):
     assert df.loc[("a", 1)] == 1
     assert df.loc[("b", 1)] == 1
     assert df.loc[("b", 3)] == 1
+
+
+def test_format_bpp_stats_planted(ray_session):
+    """Known byte lengths over declared dims: exact totals and ratios;
+    min/max track the per-image extremes."""
+    from go_osm_ray.pipelines.images import format_bpp_stats
+    ds = ray.data.from_arrow(pa.table({
+        "fmt": pa.array(["x", "x", "y"], pa.string()),
+        "bytes": pa.array([bytes(64), bytes(16), bytes(10)],
+                          pa.binary()),
+        "w": pa.array([4, 4, 5], pa.int32()),
+        "h": pa.array([4, 4, 2], pa.int32())}))
+    df = format_bpp_stats(ds).to_pandas().set_index("fmt")
+    assert df.loc["x", "total_bytes"] == 80
+    assert df.loc["x", "total_px"] == 32
+    assert df.loc["x", "bpp6"] == 2.5
+    assert df.loc["x", "min_bpp6"] == 1.0 and df.loc["x", "max_bpp6"] == 4.0
+    assert df.loc["y", "bpp6"] == 1.0
+
+
+def test_tag_value_cardinality_planted(ray_session):
+    """Key 'a' has values x(2), y(1) -> top x; ties break lexically."""
+    from go_osm_ray.pipelines.osm import tag_value_cardinality
+    ds = ray.data.from_arrow(pa.table({
+        "tags": pa.array([
+            [{"key": "a", "value": "x"}, {"key": "b", "value": "m"}],
+            [{"key": "a", "value": "x"}],
+            [{"key": "a", "value": "y"}, {"key": "b", "value": "n"}],
+        ], TAGS_TYPE)}))
+    df = tag_value_cardinality(ds).to_pandas().set_index("key")
+    assert df.loc["a", "n_uses"] == 3 and df.loc["a", "n_values"] == 2
+    assert df.loc["a", "top_value"] == "x" and df.loc["a", "top_n"] == 2
+    assert df.loc["b", "top_value"] == "m"   # 1-1 tie -> lexically first
+
+
+def test_cell_node_usage_planted(ray_session):
+    """Cell A: nodes 1,2 with node 1 referenced -> share 0.5; cell B:
+    unreferenced node -> share 0; refs to unknown ids change nothing."""
+    from go_osm_ray.pipelines.spatial import cell_node_usage
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([10.0, 10.0, 90.0], pa.float64()),
+        "lat": pa.array([20.0, 20.0, 40.0], pa.float64())}))
+    ways = ray.data.from_arrow(pa.table({
+        "refs": pa.array([[1, 999]], pa.list_(pa.int64()))}))
+    df = cell_node_usage(nodes, ways, res=9).to_pandas() \
+        .sort_values("n_nodes", ascending=False)
+    assert list(df["n_nodes"]) == [2, 1]
+    assert list(df["n_way_nodes"]) == [1, 0]
+    assert df.iloc[0]["share6"] == 0.5 and df.iloc[1]["share6"] == 0.0
