@@ -619,3 +619,16 @@ def test_cell_node_usage_planted(ray_session):
     assert list(df["n_nodes"]) == [2, 1]
     assert list(df["n_way_nodes"]) == [1, 0]
     assert df.iloc[0]["share6"] == 0.5 and df.iloc[1]["share6"] == 0.0
+
+
+def test_way_clustering_coef_partitioned_path(ray_session):
+    """broadcast_threshold=0 forces the fully partitioned plan; results
+    must match the broadcast plan exactly on the planted mesh."""
+    from go_osm_ray.pipelines.osm import way_clustering_coef
+    rows = [(1, [10, 11, 14]), (2, [10, 12]), (3, [11, 12]),
+            (4, [14, 15])]
+    a = way_clustering_coef(_ways_ds(rows)).to_pandas() \
+        .sort_values("way_id").reset_index(drop=True)
+    b = way_clustering_coef(_ways_ds(rows), broadcast_threshold=0) \
+        .to_pandas().sort_values("way_id").reset_index(drop=True)
+    assert a.equals(b)
