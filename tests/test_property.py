@@ -211,3 +211,68 @@ def test_simhash_batch_matches_scalar(texts):
     got = simhash64_batch(texts)
     for i, t in enumerate(texts):
         assert int(got[i]) == int(simhash64(t)), (i, t)
+
+
+# ------------------------------------------- session-13 kernel properties
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="ab1 #", max_size=12),
+                          st.text(alphabet="ab1 #", max_size=12)),
+                min_size=1, max_size=12))
+def test_lev_banded_property(pairs):
+    """Banded DP == scalar full-matrix Levenshtein whenever the true
+    distance is <= 2; never an under-estimate otherwise."""
+    from go_osm_ray.pipelines.images import _lev_banded
+
+    def scalar_lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[len(b)]
+
+    got = _lev_banded([p[0] for p in pairs], [p[1] for p in pairs], 2)
+    for (a, b), g in zip(pairs, got):
+        true = scalar_lev(a, b)
+        if true <= 2:
+            assert g == true, (a, b, g, true)
+        else:
+            assert g > 2, (a, b, g, true)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 25), min_size=1, max_size=5),
+                min_size=2, max_size=14))
+def test_way_two_hop_matches_bfs(ray_session, refs_lists):
+    """way_two_hop == brute-force 2-hop BFS count over the same
+    shared-node graph on random small inputs."""
+    import itertools
+
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.osm import way_two_hop
+
+    rows = list(enumerate(refs_lists))
+    adj = {i: set() for i, _ in rows}
+    for (i, ra), (j, rb) in itertools.combinations(rows, 2):
+        if set(ra) & set(rb):
+            adj[i].add(j)
+            adj[j].add(i)
+    expect = {}
+    for i, _ in rows:
+        if not adj[i]:
+            continue          # isolated: engine reports nothing
+        two = set()
+        for mid in adj[i]:
+            two |= adj[mid]
+        two -= adj[i]
+        two.discard(i)
+        expect[i] = (len(adj[i]), len(two))
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([i for i, _ in rows], pa.int64()),
+        "refs": pa.array([r for _, r in rows], pa.list_(pa.int64()))}))
+    got = {int(r["way_id"]): (int(r["deg"]), int(r["n_two_hop"]))
+           for r in way_two_hop(ds, num_parts=4).take_all()}
+    assert got == expect
