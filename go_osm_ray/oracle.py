@@ -3269,6 +3269,21 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS share6
         FROM n GROUP BY 1"""
 
+    # per-supplier order-to-ship latency (big x big orderkey join)
+    q["supplier_ship_lag"] = f"""
+        WITH j AS (SELECT l.l_suppkey,
+                          datediff('day',
+                                   date_trunc('day', o.o_orderdate),
+                                   date_trunc('day', l.l_shipdate))
+                              AS lag
+                   FROM lineitem l JOIN orders o
+                     ON o.o_orderkey = l.l_orderkey)
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(lag) AS BIGINT) AS total_lag_days,
+               {sql_round('CAST(sum(lag) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)} AS mean_lag6
+        FROM j GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.
@@ -3299,6 +3314,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_exposure_clip"] = f"SELECT image_id, ok, n_px, n_black, n_white, black6, white6 FROM read_parquet('{exp['image_exposure_clip']}')"
     q["image_channel_balance"] = f"SELECT image_id, ok, sum_r, sum_g, sum_b, share_r6, share_g6, share_b6, skew_channel FROM read_parquet('{exp['image_channel_balance']}')"
     q["image_noise_mad"] = f"SELECT image_id, ok, n_interior, mad_lap FROM read_parquet('{exp['image_noise_mad']}')"
+    q["image_luma_percentiles"] = f"SELECT image_id, ok, p5, p50, p95, spread FROM read_parquet('{exp['image_luma_percentiles']}')"
+    q["image_quadrant_luma"] = f"SELECT image_id, ok, sum_tl, sum_tr, sum_bl, sum_br, bright_quad, imbalance6 FROM read_parquet('{exp['image_quadrant_luma']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"

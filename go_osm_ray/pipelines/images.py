@@ -2059,3 +2059,118 @@ def format_bpp_stats(images: ray.data.Dataset) -> ray.data.Dataset:
         images.select_columns(["fmt", "bytes", "w", "h"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+class ImageLumaPercentiles:
+    """Actor-pool stage: decode -> exact order statistics of the
+    summed-channel luma (p5/p50/p95 by the LOWER index convention
+    idx = (n-1)*q // 100) — the tonal-range screen (p95-p5 collapse =
+    flat content; p50 pinned at an extreme = exposure bias). All
+    integer; the pyoracle mirror selects via a 766-bin counting
+    histogram instead of a sort."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, p5, p50, p95, spread = [], [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2) \
+                    .ravel()
+                lum.sort()
+                n = len(lum)
+                vals = [int(lum[(n - 1) * q // 100]) for q in (5, 50, 95)]
+                ok.append(True)
+                p5.append(vals[0])
+                p50.append(vals[1])
+                p95.append(vals[2])
+                spread.append(vals[2] - vals[0])
+            except Exception:
+                ok.append(False)
+                p5.append(0)
+                p50.append(0)
+                p95.append(0)
+                spread.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "p5": pa.array(p5, pa.int64()),
+            "p50": pa.array(p50, pa.int64()),
+            "p95": pa.array(p95, pa.int64()),
+            "spread": pa.array(spread, pa.int64())})
+
+
+def image_luma_percentiles(images: ray.data.Dataset, concurrency=None,
+                           batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, p5, p50, p95, spread): exact luma order
+    statistics — see ImageLumaPercentiles."""
+    from ..util import default_pool
+    return images.map_batches(ImageLumaPercentiles,
+                              batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))
+
+
+class ImageQuadrantLuma:
+    """Actor-pool stage: decode -> exact integer luma sums of the four
+    h//2 x w//2 quadrants (odd center row/column excluded so quadrants
+    are congruent) -> brightest quadrant (ties TL<TR<BL<BR) and the
+    imbalance ratio max/min — the lighting-composition probe
+    (vignettes, split lighting, watermark corners)."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        names = ("tl", "tr", "bl", "br")
+        ok, s_tl, s_tr, s_bl, s_br, dom, imb = ([] for _ in range(7))
+        for f, b in zip(fmts, blobs):
+            try:
+                lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+                h, w = lum.shape
+                hh, hw = h // 2, w // 2
+                qs = [int(lum[:hh, :hw].sum()), int(lum[:hh, w - hw:].sum()),
+                      int(lum[h - hh:, :hw].sum()),
+                      int(lum[h - hh:, w - hw:].sum())]
+                mx, mn = max(qs), min(qs)
+                ok.append(True)
+                s_tl.append(qs[0])
+                s_tr.append(qs[1])
+                s_bl.append(qs[2])
+                s_br.append(qs[3])
+                dom.append(names[qs.index(mx)])
+                imb.append(float(round_half_away(
+                    np.float64(mx / mn if mn else 0.0), 6)))
+            except Exception:
+                ok.append(False)
+                for lst in (s_tl, s_tr, s_bl, s_br):
+                    lst.append(0)
+                dom.append("")
+                imb.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "sum_tl": pa.array(s_tl, pa.int64()),
+            "sum_tr": pa.array(s_tr, pa.int64()),
+            "sum_bl": pa.array(s_bl, pa.int64()),
+            "sum_br": pa.array(s_br, pa.int64()),
+            "bright_quad": pa.array(dom, pa.string()),
+            "imbalance6": pa.array(imb, pa.float64())})
+
+
+def image_quadrant_luma(images: ray.data.Dataset, concurrency=None,
+                        batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, sum_tl/tr/bl/br, bright_quad, imbalance6):
+    quadrant lighting composition — see ImageQuadrantLuma."""
+    from ..util import default_pool
+    return images.map_batches(ImageQuadrantLuma, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

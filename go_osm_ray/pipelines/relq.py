@@ -5704,3 +5704,81 @@ def events_runlength(events: ray.data.Dataset,
         .map_groups(lambda t: runs(t.drop_columns(["part"])),
                     batch_format="pyarrow")
     return single_merge(partials, merge)
+
+
+def supplier_ship_lag(lineitem: ray.data.Dataset,
+                      orders: ray.data.Dataset,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(l_suppkey, n_lines, total_lag_days, mean_lag6): per-supplier
+    order-to-ship latency — mean whole-day lag between o_orderdate and
+    each of the supplier's l_shipdates, the fulfilment-speed league
+    table (and a BIG x BIG join: every lineitem needs its order's
+    date).
+
+    Scale plan: ONE orderkey-hash co-partition exchange joins the two
+    fact tables (union-tag kernel: order rows ship the date, lineitem
+    rows the supplier; no broadcast — orders is not a dimension), then
+    the bounded supplier-key combiner exchange sums integer day lags."""
+    from ..relational import hash_part, partial_groupby_agg
+    from ..util import round_half_away
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        d = t["l_shipdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"orderkey": pa.array(ok),
+                         "suppkey": t["l_suppkey"].combine_chunks(),
+                         "day": pa.array(d),
+                         "is_order": pa.array(np.zeros(len(ok), bool)),
+                         "part": pa.array(hash_part(ok, num_parts))})
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy()
+        d = t["o_orderdate"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"orderkey": pa.array(ok),
+                         "suppkey": pa.array(np.zeros(len(ok), np.int64)),
+                         "day": pa.array(d),
+                         "is_order": pa.array(np.ones(len(ok), bool)),
+                         "part": pa.array(hash_part(ok, num_parts))})
+
+    def join_kernel(t: pa.Table) -> pa.Table:
+        ok = t["orderkey"].combine_chunks().to_numpy()
+        sk = t["suppkey"].combine_chunks().to_numpy()
+        day = t["day"].combine_chunks().to_numpy()
+        iso = t["is_order"].combine_chunks().to_numpy(zero_copy_only=False)
+        o_k, o_d = ok[iso], day[iso]
+        order = np.argsort(o_k)
+        o_k, o_d = o_k[order], o_d[order]
+        m = ~iso
+        idx = np.searchsorted(o_k, ok[m])
+        lag = day[m] - o_d[idx]
+        return pa.table({"suppkey": pa.array(sk[m]),
+                         "n": pa.array(np.ones(int(m.sum()), np.int64)),
+                         "lag": pa.array(lag.astype(np.int64))})
+
+    joined = lineitem.select_columns(["l_orderkey", "l_suppkey",
+                                      "l_shipdate"]) \
+        .map_batches(tag_line, batch_format="pyarrow", batch_size=65536) \
+        .union(orders.select_columns(["o_orderkey", "o_orderdate"])
+               .map_batches(tag_order, batch_format="pyarrow",
+                            batch_size=65536)) \
+        .groupby("part") \
+        .map_groups(lambda t: join_kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    g = partial_groupby_agg(joined, ["suppkey"],
+                            [("n", "sum"), ("lag", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].combine_chunks().to_numpy()
+        lag = t["lag_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "l_suppkey": pc.cast(t["suppkey"], pa.int64()),
+            "n_lines": pa.array(n.astype(np.int64)),
+            "total_lag_days": pa.array(lag.astype(np.int64)),
+            "mean_lag6": pa.array(round_half_away(
+                lag.astype(np.float64) / n.astype(np.float64), 6),
+                pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -2983,3 +2983,115 @@ def _image_noise_mad_table(sf: float) -> pa.Table:
 _BUILDERS["image_exposure_clip"] = _image_exposure_clip_table
 _BUILDERS["image_channel_balance"] = _image_channel_balance_table
 _BUILDERS["image_noise_mad"] = _image_noise_mad_table
+
+
+def _image_luma_percentiles_table(sf: float) -> pa.Table:
+    """Scalar reference for image_luma_percentiles: order statistics
+    selected from a 766-bin COUNTING histogram (no sort) — independent
+    of the engine's in-place sort + index."""
+    from . import codecs
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "p5": [], "p50": [], "p95": [],
+           "spread": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            n = h * w
+            hist = [0] * 766
+            for y in range(h):
+                for v in lum[y].tolist():
+                    hist[v] += 1
+            vals = []
+            for q in (5, 50, 95):
+                target = (n - 1) * q // 100
+                seen = 0
+                for v in range(766):
+                    seen += hist[v]
+                    if seen > target:
+                        vals.append(v)
+                        break
+            out["ok"].append(True)
+            out["p5"].append(vals[0])
+            out["p50"].append(vals[1])
+            out["p95"].append(vals[2])
+            out["spread"].append(vals[2] - vals[0])
+        except Exception:
+            out["ok"].append(False)
+            for k in ("p5", "p50", "p95", "spread"):
+                out[k].append(0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "p5": pa.array(out["p5"], pa.int64()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p95": pa.array(out["p95"], pa.int64()),
+        "spread": pa.array(out["spread"], pa.int64())})
+
+
+def _image_quadrant_luma_table(sf: float) -> pa.Table:
+    """Scalar reference for image_quadrant_luma: quadrant sums
+    accumulated pixel ROW BY ROW with explicit per-row slicing, argmax
+    re-derived with a comparison chain."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    names = ("tl", "tr", "bl", "br")
+    out = {"image_id": [], "ok": [], "sum_tl": [], "sum_tr": [],
+           "sum_bl": [], "sum_br": [], "bright_quad": [],
+           "imbalance6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            lum = codecs.decode(b, f).astype(np.int64).sum(axis=2)
+            h, w = lum.shape
+            hh, hw = h // 2, w // 2
+            qs = [0, 0, 0, 0]
+            for y in range(h):
+                row = lum[y]
+                top = y < hh
+                bot = y >= h - hh
+                if top:
+                    qs[0] += int(row[:hw].sum())
+                    qs[1] += int(row[w - hw:].sum())
+                if bot:
+                    qs[2] += int(row[:hw].sum())
+                    qs[3] += int(row[w - hw:].sum())
+            mx = max(qs)
+            mn = min(qs)
+            best = 0
+            for i in range(1, 4):
+                if qs[i] > qs[best]:
+                    best = i
+            out["ok"].append(True)
+            out["sum_tl"].append(qs[0])
+            out["sum_tr"].append(qs[1])
+            out["sum_bl"].append(qs[2])
+            out["sum_br"].append(qs[3])
+            out["bright_quad"].append(names[best])
+            out["imbalance6"].append(float(round_half_away(
+                np.float64(mx / mn if mn else 0.0), 6)))
+        except Exception:
+            out["ok"].append(False)
+            for k in ("sum_tl", "sum_tr", "sum_bl", "sum_br"):
+                out[k].append(0)
+            out["bright_quad"].append("")
+            out["imbalance6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "sum_tl": pa.array(out["sum_tl"], pa.int64()),
+        "sum_tr": pa.array(out["sum_tr"], pa.int64()),
+        "sum_bl": pa.array(out["sum_bl"], pa.int64()),
+        "sum_br": pa.array(out["sum_br"], pa.int64()),
+        "bright_quad": pa.array(out["bright_quad"], pa.string()),
+        "imbalance6": pa.array(out["imbalance6"], pa.float64())})
+
+
+_BUILDERS["image_luma_percentiles"] = _image_luma_percentiles_table
+_BUILDERS["image_quadrant_luma"] = _image_quadrant_luma_table

@@ -632,3 +632,58 @@ def test_way_clustering_coef_partitioned_path(ray_session):
     b = way_clustering_coef(_ways_ds(rows), broadcast_threshold=0) \
         .to_pandas().sort_values("way_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_image_luma_percentiles_planted(ray_session):
+    """Flat image -> all percentiles equal, spread 0; a left-dark /
+    right-bright half split (64 px) -> p5 = 0, p95 = 765, p50 at the
+    lower-index convention (idx 31 -> dark half)."""
+    from go_osm_ray.pipelines.images import image_luma_percentiles
+    flat = np.full((8, 8, 3), 100, np.uint8)
+    split = np.zeros((8, 8, 3), np.uint8)
+    split[:, 4:] = 255
+    df = image_luma_percentiles(_img_ds([flat, split]),
+                                concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "spread"] == 0
+    assert df.loc["t000", "p50"] == 300
+    assert df.loc["t001", "p5"] == 0 and df.loc["t001", "p95"] == 765
+    assert df.loc["t001", "p50"] == 0       # idx (64-1)*50//100 = 31
+    assert df.loc["t001", "spread"] == 765
+
+
+def test_image_quadrant_luma_planted(ray_session):
+    """A bright top-left quadrant dominates; the odd center row/column
+    of a 9x9 image is excluded so the quadrant sums stay congruent."""
+    from go_osm_ray.pipelines.images import image_quadrant_luma
+    img = np.zeros((9, 9, 3), np.uint8)
+    img[:4, :4] = 200
+    img[4, :] = 255   # center row: excluded from all quadrants
+    df = image_quadrant_luma(_img_ds([img]),
+                             concurrency=1).to_pandas().iloc[0]
+    assert df["sum_tl"] == 600 * 16
+    assert df["sum_tr"] == 0 and df["sum_bl"] == 0 and df["sum_br"] == 0
+    assert df["bright_quad"] == "tl"
+    assert df["imbalance6"] == 0.0          # min = 0 convention
+
+
+def test_supplier_ship_lag_planted(ray_session):
+    """Supplier 7's two lines lag 1 and 3 days (mean 2); supplier 8's
+    line ships same-day (lag 0)."""
+    from go_osm_ray.pipelines.relq import supplier_ship_lag
+    d = lambda s: np.datetime64(s + "T10:00:00", "us")  # noqa: E731
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([d("1995-01-01"), d("1995-02-01")],
+                                pa.timestamp("us"))}))
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8], pa.int64()),
+        "l_shipdate": pa.array([d("1995-01-02"), d("1995-01-04"),
+                                d("1995-02-01")], pa.timestamp("us"))}))
+    df = supplier_ship_lag(lineitem, orders).to_pandas() \
+        .set_index("l_suppkey")
+    assert df.loc[7, "n_lines"] == 2
+    assert df.loc[7, "total_lag_days"] == 4
+    assert df.loc[7, "mean_lag6"] == 2.0
+    assert df.loc[8, "total_lag_days"] == 0
