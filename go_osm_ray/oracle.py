@@ -3284,6 +3284,71 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           '/ CAST(count(*) AS DOUBLE)', 6)} AS mean_lag6
         FROM j GROUP BY 1"""
 
+    # bot-net screen: users co-active in the same minute buckets
+    q["user_sync_pairs"] = f"""
+        WITH ut AS (SELECT DISTINCT date_trunc('minute', ts) AS ts,
+                           user_id
+                    FROM events),
+        p AS (SELECT x.user_id AS a, y.user_id AS b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM ut x JOIN ut y
+                ON x.ts = y.ts AND x.user_id < y.user_id
+              GROUP BY 1, 2)
+        SELECT a, b, n_shared FROM p WHERE n_shared >= 1"""
+
+    # per-label cohesion via the n-cancellation centroid trick:
+    # integer-lattice sums S, cos(x, S) exact-int dot/norms, member
+    # cosines land on the 1e-9 grid before the integer mean
+    q["label_cohesion"] = f"""
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS i
+                   FROM embeddings),
+        qv AS (SELECT vec_id, label, i,
+                      CAST({sql_round('CAST(x AS DOUBLE) * 512.0', 0)}
+                           AS BIGINT) AS q
+               FROM e),
+        s AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sv
+              FROM qv GROUP BY 1, 2),
+        dots AS (SELECT qv.vec_id, qv.label,
+                        CAST(sum(qv.q * s.sv) AS BIGINT) AS dot,
+                        CAST(sum(qv.q * qv.q) AS BIGINT) AS nx
+                 FROM qv JOIN s ON s.label = qv.label AND s.i = qv.i
+                 GROUP BY 1, 2),
+        ns AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS nsum
+               FROM s GROUP BY 1),
+        c AS (SELECT d.label,
+                     CAST(d.dot AS DOUBLE)
+                     / sqrt(CAST(d.nx AS DOUBLE) * CAST(ns.nsum AS DOUBLE))
+                         AS cos
+              FROM dots d JOIN ns ON ns.label = d.label),
+        g AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST({sql_round('cos * 1000000000.0', 0)}
+                                   AS BIGINT)) AS BIGINT) AS q9,
+                     min({sql_round('cos', 6)}) AS mn
+              FROM c GROUP BY 1)
+        SELECT label, n,
+               {sql_round('CAST(q9 AS DOUBLE) '
+                          '/ (CAST(n AS DOUBLE) * 1000000000.0)', 6)}
+                   AS mean_cos6,
+               mn AS min_cos6
+        FROM g"""
+
+    # cross-modal referential audit: caption's first number vs id suffix
+    q["caption_id_consistency"] = f"""
+        WITH c AS (SELECT CAST(substr(image_id, 4) AS BIGINT) AS idn,
+                          CAST(regexp_extract(caption, '[0-9]+')
+                               AS BIGINT) AS capn
+                   FROM {images}),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN idn = capn THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nm
+              FROM c)
+        SELECT n AS n_images, nm AS n_match, n - nm AS n_mismatch,
+               {sql_round('CAST(nm AS DOUBLE) / CAST(n AS DOUBLE)', 6)}
+                   AS match6
+        FROM s"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

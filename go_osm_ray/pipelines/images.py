@@ -2174,3 +2174,44 @@ def image_quadrant_luma(images: ray.data.Dataset, concurrency=None,
     return images.map_batches(ImageQuadrantLuma, batch_format="pyarrow",
                               batch_size=batch_size,
                               concurrency=concurrency or default_pool(24))
+
+
+def caption_id_consistency(images: ray.data.Dataset) -> ray.data.Dataset:
+    """(n_images, n_match, n_mismatch, match6): cross-modal consistency
+    audit — does the FIRST number in each caption equal the image_id's
+    numeric suffix (the datagen contract: captions embed the image
+    index)? The cheap referential check between the text and image
+    sides of a paired corpus; mismatches flag mis-joined shards after
+    a bad repartition. RE2 regex shared with the DuckDB mirror.
+
+    Scale plan: embarrassingly parallel per-block counting, one tiny
+    merge."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].combine_chunks()
+        num = pc.cast(pc.utf8_slice_codeunits(ids, 3, 99), pa.int64())
+        ext = pc.extract_regex(t["caption"].combine_chunks(),
+                               r"(?P<n>[0-9]+)")
+        cap_num = pc.cast(pc.struct_field(ext, "n"), pa.int64())
+        match = pc.equal(num, cap_num)
+        n = len(ids)
+        nm = int(pc.sum(pc.cast(match, pa.int64())).as_py() or 0)
+        return pa.table({"n_images": pa.array([n], pa.int64()),
+                         "n_match": pa.array([nm], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = int(t["n_images"].combine_chunks().to_numpy().sum())
+        nm = int(t["n_match"].combine_chunks().to_numpy().sum())
+        return pa.table({
+            "n_images": pa.array([n], pa.int64()),
+            "n_match": pa.array([nm], pa.int64()),
+            "n_mismatch": pa.array([n - nm], pa.int64()),
+            "match6": pa.array([float(round_half_away(
+                np.float64(nm / n if n else 0.0), 6))], pa.float64())})
+
+    return single_merge(
+        images.select_columns(["image_id", "caption"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)

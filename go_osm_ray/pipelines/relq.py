@@ -5782,3 +5782,70 @@ def supplier_ship_lag(lineitem: ray.data.Dataset,
                 pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def user_sync_pairs(events: ray.data.Dataset, min_shared: int = 1,
+                    num_parts: int = 16) -> ray.data.Dataset:
+    """(a, b, n_shared): pairs of users active in the same MINUTE at
+    least ``min_shared`` distinct minutes — the bot-net / replay
+    screen (scripted account fleets fired from one scheduler collide
+    repeatedly on the same minute buckets; organic co-activity is
+    sparse).
+
+    Scale plan: per-block distinct (minute, user) partials -> ONE
+    minute-hash exchange (each bucket wholly in one partition) ->
+    per-bucket clique pairs (quadratic in users-per-minute — a
+    planet-scale guard would cap the per-bucket group like the LSH
+    MAX_BUCKET) -> bounded pair-count combiner exchange -> threshold
+    filter."""
+    from ..relational import hash_part, partial_groupby_agg
+
+    MIN = 60_000_000  # us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // MIN
+        g = pa.table({"ts": pa.array(ts),
+                      "user_id": t["user_id"].combine_chunks()}) \
+            .group_by(["ts", "user_id"]).aggregate([])
+        ts2 = g["ts"].combine_chunks().to_numpy()
+        return pa.table({"ts": pa.array(ts2),
+                         "user_id": g["user_id"].combine_chunks(),
+                         "part": pa.array(hash_part(ts2, num_parts))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by(["ts", "user_id"]) \
+            .aggregate([])
+        ts = g["ts"].combine_chunks().to_numpy()
+        uid = g["user_id"].combine_chunks().to_numpy()
+        order = np.lexsort((uid, ts))
+        ts, uid = ts[order], uid[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]]) \
+            if len(ts) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(ts)]) if len(ts) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(uid), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts, counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(), dtype=np.int64)
+                                      - base)
+        return pa.table({"a": pa.array(uid[first_idx]),
+                         "b": pa.array(uid[second_idx]),
+                         "n": pa.array(np.ones(len(first_idx), np.int64))})
+
+    cand = events.select_columns(["ts", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part").map_groups(pairs, batch_format="pyarrow")
+
+    g = partial_groupby_agg(cand, ["a", "b"], [("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].combine_chunks().to_numpy()
+        keep = pa.array(n >= min_shared)
+        return pa.table({
+            "a": pc.cast(t["a"].combine_chunks().filter(keep), pa.int64()),
+            "b": pc.cast(t["b"].combine_chunks().filter(keep), pa.int64()),
+            "n_shared": pa.array(n[n >= min_shared].astype(np.int64))})
+
+    return g.map_batches(finish, batch_format="pyarrow")

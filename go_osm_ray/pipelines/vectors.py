@@ -734,3 +734,109 @@ def knn_mutuality(ds: ray.data.Dataset, id_cap: int = 256,
         ds.select_columns(["vec_id", "embedding"])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192),
         merge)
+
+
+def label_cohesion(ds: ray.data.Dataset, grid: float = 512.0,
+                   num_parts: int = 8) -> ray.data.Dataset:
+    """(label, n, mean_cos6, min_cos6): per-LABEL embedding cohesion —
+    each member's cosine to its label's (unnormalized) centroid sum,
+    reduced to mean and min. cluster_cohesion grades discovered kmeans
+    clusters (pyoracle-gated); this grades the GIVEN supervised labels
+    with a direct SQL oracle, via the n-cancellation trick:
+    cos(x, S/n) == cos(x, S), so the centroid never needs a float
+    division.
+
+    Determinism: components land on the integer ``grid`` lattice, so
+    per-label component sums S and all dots/norms are exact int64;
+    each member cosine lands on the exact 1e-9 grid before the integer
+    mean (cluster_cohesion's contract).
+
+    Scale plan: per-block integer component-sum partials (d x labels
+    rows) -> tiny merge builds S per label -> broadcast -> one
+    embarrassingly parallel cosine pass with a bounded combiner."""
+    from ..relational import broadcast_table, partial_groupby_agg
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64()))})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_l, out_s = [], []
+        for lb in sorted(set(lab.tolist())):
+            out_l.append(lb)
+            out_s.append(q[lab == lb].sum(axis=0))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "s": pa.array([v.tolist() for v in out_s],
+                                       pa.list_(pa.int64()))})
+
+    def sum_merge(t: pa.Table) -> pa.Table:
+        lab = t["label"].combine_chunks().to_numpy()
+        vs = np.stack(t["s"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64) \
+            if len(t) else np.empty((0, 0), np.int64)
+        out_l, out_s = [], []
+        for lb in sorted(set(lab.tolist())):
+            out_l.append(lb)
+            out_s.append(vs[lab == lb].sum(axis=0))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "s": pa.array([v.tolist() for v in out_s],
+                                       pa.list_(pa.int64()))})
+
+    sums = single_merge(
+        ds.select_columns(["label", "embedding"])
+        .map_batches(sum_partial, batch_format="pyarrow",
+                     batch_size=8192),
+        sum_merge).materialize()
+    s_ref = broadcast_table(sums, ["label", "s"])
+
+    def cos_partial(t: pa.Table) -> pa.Table:
+        st_ = ray.get(s_ref)
+        labs = st_["label"].to_numpy()
+        order = np.argsort(labs)
+        labs = labs[order]
+        S = np.stack(st_["s"].to_numpy(zero_copy_only=False))[order] \
+            .astype(np.int64)
+        if not len(t):
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64()),
+                             "q9": pa.array([], pa.int64()),
+                             "c6": pa.array([], pa.float64())})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        lab = t["label"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(labs, lab)
+        Sv = S[idx]
+        dot = np.einsum("ij,ij->i", q, Sv).astype(np.float64)
+        nx = np.einsum("ij,ij->i", q, q).astype(np.float64)
+        ns = np.einsum("ij,ij->i", Sv, Sv).astype(np.float64)
+        cos = dot / np.sqrt(nx * ns)
+        q9 = round_half_away(cos * 1e9, 0).astype(np.int64)
+        c6 = round_half_away(cos, 6)
+        g = pa.table({"label": pa.array(lab),
+                      "one": pa.array(np.ones(len(lab), np.int64)),
+                      "q9": pa.array(q9), "c6": pa.array(c6)}) \
+            .group_by("label").aggregate([("one", "sum"), ("q9", "sum"),
+                                          ("c6", "min")])
+        return g.rename_columns(["label", "one", "q9", "c6"])
+
+    g = partial_groupby_agg(
+        ds.map_batches(cos_partial, batch_format="pyarrow",
+                       batch_size=8192),
+        ["label"], [("one", "sum"), ("q9", "sum"), ("c6", "min")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["one_sum"].combine_chunks().to_numpy()
+        q9 = t["q9_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "mean_cos6": pa.array(round_half_away(
+                q9.astype(np.float64) / (n.astype(np.float64) * 1e9), 6),
+                pa.float64()),
+            "min_cos6": pc.cast(t["c6_min"], pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

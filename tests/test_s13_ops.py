@@ -687,3 +687,57 @@ def test_supplier_ship_lag_planted(ray_session):
     assert df.loc[7, "total_lag_days"] == 4
     assert df.loc[7, "mean_lag6"] == 2.0
     assert df.loc[8, "total_lag_days"] == 0
+
+
+def test_user_sync_pairs_planted(ray_session):
+    """Users 1 and 2 collide in two distinct minutes (n_shared 2, with
+    duplicate events inside a minute counted once); user 3 shares one
+    minute with 1 only."""
+    from go_osm_ray.pipelines.relq import user_sync_pairs
+    d = lambda s: np.datetime64(s, "us")  # noqa: E731
+    rows = [(1, d("1995-01-01T10:00:05")), (2, d("1995-01-01T10:00:40")),
+            (2, d("1995-01-01T10:00:59")),              # same minute dup
+            (1, d("1995-01-01T11:30:00")), (2, d("1995-01-01T11:30:30")),
+            (3, d("1995-01-01T10:00:01")),
+            (3, d("1995-01-02T09:00:00"))]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}))
+    df = user_sync_pairs(ds).to_pandas().set_index(["a", "b"])
+    assert df.loc[(1, 2), "n_shared"] == 2
+    assert df.loc[(1, 3), "n_shared"] == 1
+    assert df.loc[(2, 3), "n_shared"] == 1
+    assert len(df) == 3
+
+
+def test_label_cohesion_planted(ray_session):
+    """Label 0: two identical vectors -> every member cosine to the
+    centroid sum is 1.0 exactly; label 1: two orthogonal vectors ->
+    each member's cosine to the diagonal sum is cos 45deg."""
+    import math
+
+    from go_osm_ray.pipelines.vectors import label_cohesion
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    labs = [0, 0, 1, 1]
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(4)), pa.int64()),
+        "label": pa.array(labs, pa.int32()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    df = label_cohesion(ds).to_pandas().set_index("label")
+    assert df.loc[0, "n"] == 2
+    assert df.loc[0, "mean_cos6"] == 1.0 and df.loc[0, "min_cos6"] == 1.0
+    assert df.loc[1, "mean_cos6"] == round(math.cos(math.pi / 4), 6)
+
+
+def test_caption_id_consistency_planted(ray_session):
+    """One caption number mismatches its id suffix."""
+    from go_osm_ray.pipelines.images import caption_id_consistency
+    ds = ray.data.from_arrow(pa.table({
+        "image_id": pa.array(["img000000000007", "img000000000008"],
+                             pa.string()),
+        "caption": pa.array(["synthetic caption 7 red cat",
+                             "synthetic caption 9 blue dog"],
+                            pa.string())}))
+    df = caption_id_consistency(ds).to_pandas().iloc[0]
+    assert df["n_images"] == 2 and df["n_match"] == 1
+    assert df["n_mismatch"] == 1 and df["match6"] == 0.5
