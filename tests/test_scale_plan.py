@@ -535,3 +535,80 @@ def test_dedup_keep_static_cc_path_matches(ray_session):
                  .to_pandas()["doc_id"])
     assert got == want
     assert 1 not in got and 2 not in got and 6 not in got
+
+
+def test_way_clustering_partitioned_never_broadcasts(ray_session,
+                                                     monkeypatch):
+    """Past broadcast_threshold the LCC plan must run fully partitioned:
+    zero broadcast_table calls (no ray.put of the edge set)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import go_osm_ray.relational as R
+    from go_osm_ray.pipelines.osm import way_clustering_coef
+
+    calls = []
+    orig = R.broadcast_table
+
+    def spy(ds, columns=None):
+        calls.append(columns)
+        return orig(ds, columns)
+
+    monkeypatch.setattr(R, "broadcast_table", spy)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "refs": pa.array([[10, 11], [10, 12], [11, 12]],
+                         pa.list_(pa.int64()))}))
+    df = parity.to_pandas(way_clustering_coef(ds, broadcast_threshold=0))
+    assert set(df["lcc6"]) == {1.0}
+    assert not calls, f"partitioned plan broadcast: {calls}"
+
+
+def test_caption_edit_pairs_cap_and_template_isolation(ray_session):
+    """Ids at/above id_cap never enter the pair census; pairs never
+    cross digit-collapsed template groups even when captions are
+    within edit distance 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.images import caption_edit_pairs
+
+    rows = [
+        ("img000000000001", "alpha 1 x"),
+        ("img000000000002", "alpha 2 x"),     # same template, lev 1
+        ("img000000000003", "alphb 3 x"),     # different template, lev 1
+        ("img000000009999", "alpha 4 x"),     # above cap
+    ]
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array([r[0] for r in rows], pa.string()),
+        "caption": pa.array([r[1] for r in rows], pa.string())}))
+    df = parity.to_pandas(caption_edit_pairs(ds, max_lev=2, id_cap=100))
+    got = set(zip(df["a"], df["b"]))
+    assert got == {("img000000000001", "img000000000002")}
+
+
+def test_supplier_ship_lag_pure_copartition(ray_session, monkeypatch):
+    """The big x big orderkey join must not broadcast either fact
+    table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import go_osm_ray.relational as R
+    from go_osm_ray.pipelines.relq import supplier_ship_lag
+
+    def boom(ds, columns=None):
+        raise AssertionError("supplier_ship_lag must not broadcast")
+
+    monkeypatch.setattr(R, "broadcast_table", boom)
+    d = np.datetime64("1995-01-01T00:00:00", "us")
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([d], pa.timestamp("us"))}))
+    lineitem = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_suppkey": pa.array([5], pa.int64()),
+        "l_shipdate": pa.array([d + np.timedelta64(2, "D")],
+                               pa.timestamp("us"))}))
+    df = parity.to_pandas(supplier_ship_lag(lineitem, orders))
+    assert df.iloc[0]["total_lag_days"] == 2
