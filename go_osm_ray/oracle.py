@@ -3349,6 +3349,56 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS match6
         FROM s"""
 
+    # one Chaikin corner-cut iteration: dyadic 0.75/0.25 weights are
+    # the same IEEE sequence both sides; completeness filter mirrored
+    q["way_chaikin_smooth"] = f"""
+        WITH exp AS (SELECT id AS way_id, u.i - 1 AS pos, refs[u.i] AS ref,
+                            len(refs) AS n
+                     FROM {ways}, unnest(range(1, len(refs) + 1)) AS u(i)),
+        pt AS (SELECT e.way_id, e.pos, e.n, nd.lon, nd.lat
+               FROM exp e JOIN {nodes} nd ON nd.id = e.ref),
+        okw AS (SELECT way_id FROM pt GROUP BY way_id
+                HAVING count(*) = max(n)),
+        seg AS (SELECT pt.way_id, pos, n, lon, lat,
+                       lead(lon) OVER w AS lon2, lead(lat) OVER w AS lat2
+                FROM pt JOIN okw USING (way_id)
+                WINDOW w AS (PARTITION BY pt.way_id ORDER BY pos)),
+        outp AS (
+          SELECT way_id, CAST(0 AS BIGINT) AS pt_idx,
+                 {sql_round('lon', 7)} AS lon7,
+                 {sql_round('lat', 7)} AS lat7
+          FROM seg WHERE pos = 0
+          UNION ALL
+          SELECT way_id, CAST(2 * pos + 1 AS BIGINT),
+                 {sql_round('0.75 * lon + 0.25 * lon2', 7)},
+                 {sql_round('0.75 * lat + 0.25 * lat2', 7)}
+          FROM seg WHERE lon2 IS NOT NULL
+          UNION ALL
+          SELECT way_id, CAST(2 * pos + 2 AS BIGINT),
+                 {sql_round('0.25 * lon + 0.75 * lon2', 7)},
+                 {sql_round('0.25 * lat + 0.75 * lat2', 7)}
+          FROM seg WHERE lon2 IS NOT NULL
+          UNION ALL
+          SELECT way_id, CAST(2 * (n - 1) + 1 AS BIGINT),
+                 {sql_round('lon', 7)}, {sql_round('lat', 7)}
+          FROM seg WHERE pos = n - 1 AND n >= 2)
+        SELECT * FROM outp"""
+
+    # dead-end census: endpoint nodes referenced by exactly one way
+    q["way_dead_ends"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        deg AS (SELECT ref, CAST(count(DISTINCT way_id) AS BIGINT) AS d
+                FROM exp GROUP BY 1),
+        ep AS (SELECT id AS way_id, refs[1] AS ref FROM {ways}
+               WHERE len(refs) >= 1
+               UNION
+               SELECT id, refs[len(refs)] FROM {ways}
+               WHERE len(refs) >= 1)
+        SELECT ep.way_id, CAST(count(*) AS BIGINT) AS n_endpoints,
+               CAST(sum(CASE WHEN deg.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dead
+        FROM ep JOIN deg ON deg.ref = ep.ref GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

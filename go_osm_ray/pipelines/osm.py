@@ -4230,3 +4230,168 @@ def tag_value_cardinality(ways: ray.data.Dataset,
     return ways.select_columns(["tags"]) \
         .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
         .groupby("part").map_groups(rollup, batch_format="pyarrow")
+
+
+def way_chaikin_smooth(nodes: ray.data.Dataset, ways: ray.data.Dataset
+                       ) -> ray.data.Dataset:
+    """(way_id, pt_idx, lon7, lat7): ONE iteration of Chaikin corner
+    cutting per way — endpoints kept, each segment replaced by its
+    1/4 and 3/4 points — the geometry-smoothing companion of
+    way_simplify (subdivision instead of decimation; cartographic
+    pre-render and trajectory denoising both use it).
+
+    Determinism contract: the 0.75/0.25 weights are dyadic, so
+    0.75*a + 0.25*b is the same IEEE sequence on both sides; 7 dp
+    output rounding. Ways must have EVERY ref resolved (the SQL mirror
+    enforces the same completeness filter); pt_idx preserves original
+    segment positions (P0 -> 0, segment p -> 2p+1 and 2p+2, last
+    point -> 2(n-1)+1).
+
+    Scale plan: one node-table broadcast, zero exchanges; per-way work
+    linear in points (way_resample's shape)."""
+    from ..relational import broadcast_table
+    from ..util import round_half_away as _rnd
+
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+        refs = batch["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        wid = batch["id"].combine_chunks().to_numpy()
+        idx = np.searchsorted(nid_s, flat)
+        idx_c = np.minimum(idx, len(nid_s) - 1)
+        found = nid_s[idx_c] == flat
+        n_per = np.diff(off)
+        ok_per = np.add.reduceat(found.astype(np.int64), off[:-1]) \
+            == n_per if len(n_per) else np.empty(0, bool)
+        ok_per &= n_per >= 1
+        lon = nlon[idx_c]
+        lat = nlat[idx_c]
+        out_w, out_i, out_x, out_y = [], [], [], []
+        for w in np.flatnonzero(ok_per):
+            s, e = off[w], off[w + 1]
+            n = e - s
+            px, py = lon[s:e], lat[s:e]
+            out_w.append(np.full(1, wid[w]))
+            out_i.append(np.zeros(1, np.int64))
+            out_x.append(px[:1].copy())
+            out_y.append(py[:1].copy())
+            if n >= 2:
+                p = np.arange(n - 1, dtype=np.int64)
+                qx = 0.75 * px[:-1] + 0.25 * px[1:]
+                qy = 0.75 * py[:-1] + 0.25 * py[1:]
+                rx = 0.25 * px[:-1] + 0.75 * px[1:]
+                ry = 0.25 * py[:-1] + 0.75 * py[1:]
+                out_w.append(np.full(2 * (n - 1), wid[w]))
+                out_i.append(np.concatenate([2 * p + 1, 2 * p + 2]))
+                out_x.append(np.concatenate([qx, rx]))
+                out_y.append(np.concatenate([qy, ry]))
+                out_w.append(np.full(1, wid[w]))
+                out_i.append(np.full(1, 2 * (n - 1) + 1, np.int64))
+                out_x.append(px[-1:].copy())
+                out_y.append(py[-1:].copy())
+        if not out_w:
+            return pa.table({"way_id": pa.array([], pa.int64()),
+                             "pt_idx": pa.array([], pa.int64()),
+                             "lon7": pa.array([], pa.float64()),
+                             "lat7": pa.array([], pa.float64())})
+        return pa.table({
+            "way_id": pa.array(np.concatenate(out_w)),
+            "pt_idx": pa.array(np.concatenate(out_i)),
+            "lon7": pa.array(_rnd(np.concatenate(out_x), 7)),
+            "lat7": pa.array(_rnd(np.concatenate(out_y), 7))})
+
+    return ways.select_columns(["id", "refs"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def way_dead_ends(ways: ray.data.Dataset,
+                  num_parts: int = 16) -> ray.data.Dataset:
+    """(way_id, n_endpoints, n_dead): DEAD-END census per way — an
+    endpoint node is dead when exactly ONE distinct way references it
+    (a cul-de-sac / digitization gap), the road-network connectivity
+    QA that complements osm_ref_degree's per-node view. Closed rings
+    count their shared endpoint once.
+
+    Scale plan: per-block distinct (node, way) partials -> ONE
+    node-hash exchange computes distinct-way degrees and marks the
+    endpoint rows in the same kernel -> bounded per-way combiner
+    exchange sums the flags."""
+    from ..relational import hash_part, partial_groupby_agg
+
+    def rows(t: pa.Table) -> pa.Table:
+        refs = t["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        wid = t["id"].combine_chunks().to_numpy()
+        n = np.diff(off)
+        keep = n >= 1
+        # all (node, way) pairs, deduped block-locally (whole way in row)
+        way_all = np.repeat(wid, n)
+        o = np.lexsort((flat, way_all))
+        wa, fa = way_all[o], flat[o]
+        d = np.r_[True, (wa[1:] != wa[:-1]) | (fa[1:] != fa[:-1])] \
+            if len(wa) else np.empty(0, bool)
+        wa, fa = wa[d], fa[d]
+        # endpoint rows (first/last ref), deduped per way
+        first = flat[off[:-1][keep]]
+        last = flat[(off[1:] - 1)[keep]]
+        ew = np.concatenate([wid[keep], wid[keep]])
+        en = np.concatenate([first, last])
+        o2 = np.lexsort((en, ew))
+        ew, en = ew[o2], en[o2]
+        d2 = np.r_[True, (ew[1:] != ew[:-1]) | (en[1:] != en[:-1])] \
+            if len(ew) else np.empty(0, bool)
+        ew, en = ew[d2], en[d2]
+        return pa.table({
+            "node": pa.array(np.concatenate([fa, en])),
+            "way": pa.array(np.concatenate([wa, ew])),
+            "is_ep": pa.array(np.r_[np.zeros(len(fa), bool),
+                                    np.ones(len(ew), bool)]),
+            "part": pa.array(hash_part(
+                np.concatenate([fa, en]), num_parts))})
+
+    def degree_mark(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks().to_numpy()
+        way = t["way"].combine_chunks().to_numpy()
+        isep = t["is_ep"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = ~isep
+        o = np.lexsort((way[m], node[m]))
+        nn, ww = node[m][o], way[m][o]
+        d = np.r_[True, (nn[1:] != nn[:-1]) | (ww[1:] != ww[:-1])] \
+            if len(nn) else np.empty(0, bool)
+        nn = nn[d]
+        u, deg = np.unique(nn, return_counts=True)
+        ei = np.searchsorted(u, node[isep])
+        dead = deg[np.minimum(ei, max(len(u) - 1, 0))] == 1 \
+            if len(u) else np.zeros(int(isep.sum()), bool)
+        return pa.table({
+            "way_id": pa.array(way[isep]),
+            "ep": pa.array(np.ones(int(isep.sum()), np.int64)),
+            "dead": pa.array(dead.astype(np.int64))})
+
+    marked = ways.select_columns(["id", "refs"]) \
+        .map_batches(rows, batch_format="pyarrow", batch_size=65536) \
+        .groupby("part") \
+        .map_groups(lambda t: degree_mark(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    g = partial_groupby_agg(marked, ["way_id"],
+                            [("ep", "sum"), ("dead", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "way_id": pc.cast(t["way_id"], pa.int64()),
+            "n_endpoints": pc.cast(t["ep_sum"], pa.int64()),
+            "n_dead": pc.cast(t["dead_sum"], pa.int64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -741,3 +741,41 @@ def test_caption_id_consistency_planted(ray_session):
     df = caption_id_consistency(ds).to_pandas().iloc[0]
     assert df["n_images"] == 2 and df["n_match"] == 1
     assert df["n_mismatch"] == 1 and df["match6"] == 0.5
+
+
+def test_way_chaikin_smooth_planted(ray_session):
+    """A right-angle 3-point way cuts its corner: segment points at
+    1/4 and 3/4, endpoints kept; the corner point itself vanishes."""
+    from go_osm_ray.pipelines.osm import way_chaikin_smooth
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([0.0, 4.0, 4.0], pa.float64()),
+        "lat": pa.array([0.0, 0.0, 4.0], pa.float64())}))
+    ways = _ways_ds([(9, [1, 2, 3])])
+    df = way_chaikin_smooth(nodes, ways).to_pandas() \
+        .set_index("pt_idx").sort_index()
+    assert (df.loc[0, "lon7"], df.loc[0, "lat7"]) == (0.0, 0.0)
+    assert (df.loc[1, "lon7"], df.loc[1, "lat7"]) == (1.0, 0.0)
+    assert (df.loc[2, "lon7"], df.loc[2, "lat7"]) == (3.0, 0.0)
+    assert (df.loc[3, "lon7"], df.loc[3, "lat7"]) == (4.0, 1.0)
+    assert (df.loc[4, "lon7"], df.loc[4, "lat7"]) == (4.0, 3.0)
+    assert (df.loc[5, "lon7"], df.loc[5, "lat7"]) == (4.0, 4.0)
+    assert len(df) == 6
+    # corner (4, 0) is gone
+    assert not ((df["lon7"] == 4.0) & (df["lat7"] == 0.0)).any()
+
+
+def test_way_dead_ends_planted(ray_session):
+    """A cul-de-sac chain: way 1 shares node 11 with way 2, so each
+    has one dead end; the closed ring way 3 has one (shared) endpoint
+    node, dead because no other way touches it."""
+    from go_osm_ray.pipelines.osm import way_dead_ends
+    ds = _ways_ds([
+        (1, [10, 11]),
+        (2, [11, 12]),
+        (3, [20, 21, 22, 20]),
+    ])
+    df = way_dead_ends(ds).to_pandas().set_index("way_id")
+    assert df.loc[1, "n_endpoints"] == 2 and df.loc[1, "n_dead"] == 1
+    assert df.loc[2, "n_endpoints"] == 2 and df.loc[2, "n_dead"] == 1
+    assert df.loc[3, "n_endpoints"] == 1 and df.loc[3, "n_dead"] == 1
