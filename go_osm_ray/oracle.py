@@ -3399,6 +3399,89 @@ def build(sf: float = 0.01) -> dict[str, str]:
                    AS n_dead
         FROM ep JOIN deg ON deg.ref = ep.ref GROUP BY 1"""
 
+    # cross-corpus vocabulary overlap (docs vs captions, same tokenizer)
+    q["corpus_vocab_overlap"] = f"""
+        WITH dv AS (SELECT DISTINCT unnest({split_toks}) AS w
+                    FROM documents),
+        cv AS (SELECT DISTINCT unnest(
+                   list_filter(string_split(lower(caption), ' '),
+                               _w -> _w <> '')) AS w
+               FROM {images}),
+        s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM dv) AS nd,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cv) AS nc,
+                     (SELECT CAST(count(*) AS BIGINT)
+                      FROM dv JOIN cv USING (w)) AS ns)
+        SELECT nd AS n_doc_vocab, nc AS n_cap_vocab, ns AS n_shared,
+               {sql_round('CAST(ns AS DOUBLE) '
+                          '/ CAST(nd + nc - ns AS DOUBLE)', 6)} AS jac6
+        FROM s"""
+
+    # way-length Gini over exact integer millimetres (HUGEINT Lorenz)
+    q["way_length_gini"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref,
+                            generate_subscripts(refs, 1) AS seq,
+                            len(refs) AS np
+                     FROM {ways} WHERE len(refs) >= 2),
+        pts AS (SELECT e.way_id, e.seq, e.np, n.lon AS x, n.lat AS y
+                FROM exp e JOIN {nodes} n ON n.id = e.ref),
+        seg AS (SELECT way_id, np, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+        agg AS (SELECT way_id, max(np) AS np, count(*) AS resolved,
+                       sum(CASE WHEN x2 IS NULL THEN 0.0
+                                ELSE 2.0 * {EARTH_R_M!r}
+                                     * ASIN(SQRT({_hava})) END) AS ln
+                FROM seg GROUP BY way_id),
+        L AS (SELECT {sql_round('ln', 3)} AS len_m3 FROM agg
+              WHERE resolved = np),
+        v AS (SELECT CAST(ROUND(len_m3 * 1000) AS BIGINT) AS x FROM L),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM v),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS tot,
+                     sum(CAST(i AS HUGEINT) * x) AS s2
+              FROM r)
+        SELECT n AS n_ways, tot AS total_mm,
+               CASE WHEN n = 0 OR tot = 0 THEN 0.0 ELSE
+                 {sql_round('CAST(2 * s2 - (n + 1) * tot AS DOUBLE) '
+                            '/ CAST(CAST(n AS HUGEINT) * tot AS DOUBLE)',
+                            6)}
+               END AS gini6
+        FROM s"""
+
+    # weekly type-mix JS drift vs the global mix (ordered-term fold)
+    q["weekly_mix_drift"] = f"""
+        WITH e AS (SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                       AS week, event_type
+                   FROM events),
+        cw AS (SELECT week, event_type, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+        tw AS (SELECT week, CAST(sum(c) AS BIGINT) AS w FROM cw
+               GROUP BY 1),
+        g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS gcnt
+              FROM e GROUP BY 1),
+        tg AS (SELECT CAST(count(*) AS BIGINT) AS gt FROM e),
+        j AS (SELECT tw.week, g.event_type, tw.w, tg.gt, g.gcnt,
+                     COALESCE(cw.c, 0) AS c
+              FROM tw CROSS JOIN g
+              LEFT JOIN cw ON cw.week = tw.week
+                          AND cw.event_type = g.event_type, tg),
+        terms AS (SELECT week, event_type, w,
+                         CAST(c AS DOUBLE) / CAST(w AS DOUBLE) AS p,
+                         CAST(gcnt AS DOUBLE) / CAST(gt AS DOUBLE) AS q
+                  FROM j),
+        t2 AS (SELECT week, event_type, w,
+                      (CASE WHEN p > 0.0 THEN
+                           0.5 * (p * ln(p / (0.5 * (p + q))))
+                       ELSE 0.0 END)
+                      + (CASE WHEN q > 0.0 THEN
+                           0.5 * (q * ln(q / (0.5 * (p + q))))
+                         ELSE 0.0 END) AS term
+               FROM terms),
+        f AS (SELECT week, max(w) AS n_events,
+                     sum(term ORDER BY event_type) AS js
+              FROM t2 GROUP BY week)
+        SELECT week, n_events, {sql_round('js', 6)} AS js6 FROM f"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -5849,3 +5849,73 @@ def user_sync_pairs(events: ray.data.Dataset, min_shared: int = 1,
             "n_shared": pa.array(n[n >= min_shared].astype(np.int64))})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def weekly_mix_drift(events: ray.data.Dataset,
+                     num_parts: int = 8) -> ray.data.Dataset:
+    """(week, n_events, js6): Jensen-Shannon divergence between each
+    epoch-week's event-type mix and the GLOBAL mix — the
+    distribution-drift monitor a data pipeline reads to catch
+    instrumentation changes (src_js_divergence grades corpora by
+    source; this grades the same statistic over time).
+
+    Determinism contract: all probabilities are ratios of exact
+    integer counts; the per-week JS term sum runs in ASCENDING
+    event_type order on both sides (the ordered-aggregate contract),
+    term = 0.5*p*ln(p/m) + 0.5*q*ln(q/m), m = 0.5*(p+q), 0*ln = 0.
+
+    Scale plan: one bounded (week, type) combiner exchange; the merged
+    count table is weeks x types, so ONE task computes the global mix
+    and every week's fold."""
+    import math
+
+    from ..relational import partial_groupby_agg, single_merge
+    from ..util import round_half_away
+
+    WEEK = 604_800_000_000  # us
+
+    def pre(t: pa.Table) -> pa.Table:
+        w = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64) // WEEK
+        return pa.table({"week": pa.array(w),
+                         "event_type": t["event_type"].combine_chunks(),
+                         "c": pa.array(np.ones(len(w), np.int64))})
+
+    counts = partial_groupby_agg(
+        events.select_columns(["ts", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536),
+        ["week", "event_type"], [("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        wk = t["week"].combine_chunks().to_numpy()
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        c = t["c_sum"].combine_chunks().to_numpy()
+        types = sorted(set(et.tolist()))
+        gc = {ty: int(c[et == ty].sum()) for ty in types}
+        gt = sum(gc.values())
+        out = {"week": [], "n_events": [], "js6": []}
+        for w in sorted(set(wk.tolist())):
+            m = wk == w
+            cw = {ty: int(x) for ty, x in zip(et[m], c[m])}
+            wtot = sum(cw.values())
+            js = 0.0
+            for ty in types:
+                p = cw.get(ty, 0) / wtot
+                q = gc[ty] / gt
+                mm = 0.5 * (p + q)
+                term = 0.0
+                if p > 0.0:
+                    term += 0.5 * (p * math.log(p / mm))
+                if q > 0.0:
+                    term += 0.5 * (q * math.log(q / mm))
+                js += term
+            out["week"].append(int(w))
+            out["n_events"].append(wtot)
+            out["js6"].append(float(round_half_away(np.float64(js), 6)))
+        return pa.table({
+            "week": pa.array(out["week"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "js6": pa.array(out["js6"], pa.float64())})
+
+    return single_merge(counts, finish)

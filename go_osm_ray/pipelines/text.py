@@ -2169,3 +2169,64 @@ def doc_token_len_hist(docs: ray.data.Dataset) -> ray.data.Dataset:
         docs.select_columns(["text"])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192),
         merge)
+
+
+def corpus_vocab_overlap(docs: ray.data.Dataset,
+                         images: ray.data.Dataset,
+                         num_parts: int = 32) -> ray.data.Dataset:
+    """(n_doc_vocab, n_cap_vocab, n_shared, jac6): VOCABULARY overlap
+    between the documents corpus and the image-caption corpus (same
+    whitespace-lowercase tokenization both sides) — the cross-corpus
+    domain-shift probe a multimodal trainer reads before sharing one
+    tokenizer across text and caption towers.
+
+    Scale plan: each corpus collapses per block to distinct tokens
+    with side flags; ONE token-hash exchange (bounded by vocabulary)
+    dedups per side and counts intersections; one tiny final sum."""
+    from ..relational import hash_part, single_merge
+
+    def side(col: str, flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            _, toks = _tokens_flat(t[col].combine_chunks())
+            u = np.unique(toks.astype(str))
+            th = _crc32_map(u)
+            return pa.table({
+                "token": pa.array(u, pa.string()),
+                "side": pa.array(np.full(len(u), flag, np.int64)),
+                "part": pa.array(hash_part(th.astype(np.int64),
+                                           num_parts))})
+        return fn
+
+    def kernel(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("token") \
+            .aggregate([("side", "min"), ("side", "max")])
+        mn = g["side_min"].combine_chunks().to_numpy()
+        mx = g["side_max"].combine_chunks().to_numpy()
+        n_doc = int((mn == 1).sum())          # docs flag 1
+        n_cap = int((mx == 2).sum())          # captions flag 2
+        n_shared = int(((mn == 1) & (mx == 2)).sum())
+        return pa.table({"nd": pa.array([n_doc], pa.int64()),
+                         "nc": pa.array([n_cap], pa.int64()),
+                         "ns": pa.array([n_shared], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        nd = int(t["nd"].combine_chunks().to_numpy().sum())
+        nc = int(t["nc"].combine_chunks().to_numpy().sum())
+        ns = int(t["ns"].combine_chunks().to_numpy().sum())
+        un = nd + nc - ns
+        return pa.table({
+            "n_doc_vocab": pa.array([nd], pa.int64()),
+            "n_cap_vocab": pa.array([nc], pa.int64()),
+            "n_shared": pa.array([ns], pa.int64()),
+            "jac6": pa.array([float(round_half_away(
+                np.float64(ns / un if un else 0.0), 6))], pa.float64())})
+
+    parts = docs.select_columns(["text"]) \
+        .map_batches(side("text", 1), batch_format="pyarrow",
+                     batch_size=8192) \
+        .union(images.select_columns(["caption"])
+               .map_batches(side("caption", 2), batch_format="pyarrow",
+                            batch_size=8192)) \
+        .groupby("part").map_groups(kernel, batch_format="pyarrow")
+    return single_merge(parts, finish)

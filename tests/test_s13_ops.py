@@ -779,3 +779,57 @@ def test_way_dead_ends_planted(ray_session):
     assert df.loc[1, "n_endpoints"] == 2 and df.loc[1, "n_dead"] == 1
     assert df.loc[2, "n_endpoints"] == 2 and df.loc[2, "n_dead"] == 1
     assert df.loc[3, "n_endpoints"] == 1 and df.loc[3, "n_dead"] == 1
+
+
+def test_corpus_vocab_overlap_planted(ray_session):
+    """Docs vocab {a, b, c}; captions vocab {b, c, d}: shared 2,
+    union 4 -> jac 0.5; case folding unifies B/b."""
+    from go_osm_ray.pipelines.text import corpus_vocab_overlap
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a B c", "b c"], pa.string())}))
+    imgs = ray.data.from_arrow(pa.table({
+        "caption": pa.array(["b c d", "d"], pa.string())}))
+    df = corpus_vocab_overlap(docs, imgs).to_pandas().iloc[0]
+    assert df["n_doc_vocab"] == 3 and df["n_cap_vocab"] == 3
+    assert df["n_shared"] == 2 and df["jac6"] == 0.5
+
+
+def test_way_length_gini_closed_forms(ray_session):
+    """Two equal-length ways -> gini 0; lengths in ratio 1:3 ->
+    gini = 0.25 exactly (n=2 closed form (x2-x1)/(2(x1+x2)))."""
+    from go_osm_ray.pipelines.osm import way_length_gini
+    # equator degrees: haversine is proportional to dlon
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 10.0, 13.0], pa.float64()),
+        "lat": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64())}))
+    equal = _ways_ds([(1, [1, 2]), (2, [1, 2])])
+    df = way_length_gini(nodes, equal).to_pandas().iloc[0]
+    assert df["n_ways"] == 2 and df["gini6"] == 0.0
+    skew = _ways_ds([(1, [1, 2]), (2, [3, 4])])   # 1 deg vs 3 deg
+    df2 = way_length_gini(nodes, skew).to_pandas().iloc[0]
+    assert abs(df2["gini6"] - 0.25) < 1e-4
+
+
+def test_weekly_mix_drift_closed_forms(ray_session):
+    """Two weeks with identical mixes -> js 0 for both; a week that is
+    ALL type-a against a 50/50 global mix drifts by a positive JS."""
+    from go_osm_ray.pipelines.relq import weekly_mix_drift
+
+    def ev(day, typ, n):
+        return [(np.datetime64(day + "T12:00:00", "us"), typ)] * n
+
+    rows = ev("1995-01-02", "a", 2) + ev("1995-01-02", "b", 2) \
+        + ev("1995-01-09", "a", 2) + ev("1995-01-09", "b", 2)
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows], pa.string())}))
+    df = weekly_mix_drift(ds).to_pandas()
+    assert (df["js6"] == 0.0).all() and len(df) == 2
+
+    rows2 = ev("1995-01-02", "a", 4) + ev("1995-01-09", "b", 4)
+    ds2 = ray.data.from_arrow(pa.table({
+        "ts": pa.array([r[0] for r in rows2], pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows2], pa.string())}))
+    df2 = weekly_mix_drift(ds2).to_pandas()
+    assert (df2["js6"] > 0.3).all()   # all-or-nothing weeks drift hard
