@@ -3482,6 +3482,35 @@ def build(sf: float = 0.01) -> dict[str, str]:
               FROM t2 GROUP BY week)
         SELECT week, n_events, {sql_round('js', 6)} AS js6 FROM f"""
 
+    # order/line status-model contingency with violation flags
+    q["order_status_consistency"] = """
+        SELECT o.o_orderstatus, l.l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               ((o.o_orderstatus = 'F' AND l.l_linestatus <> 'F')
+                OR (o.o_orderstatus = 'O' AND l.l_linestatus <> 'O'))
+                   AS violation
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2"""
+
+    # event_id-vs-ts ordering audit: per-user inversion pairs
+    q["events_id_ts_inversions"] = f"""
+        WITH p AS (SELECT a.user_id,
+                          CAST(count(*) AS BIGINT) AS pairs,
+                          CAST(sum(CASE WHEN a.ts > b.ts THEN 1 ELSE 0
+                                   END) AS BIGINT) AS inv
+                   FROM events a JOIN events b
+                     ON a.user_id = b.user_id
+                    AND a.event_id < b.event_id
+                   GROUP BY 1),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(pairs) AS BIGINT) AS total_pairs,
+                     CAST(sum(inv) AS BIGINT) AS n_inversions
+              FROM p)
+        SELECT n_users, total_pairs, n_inversions,
+               {sql_round('CAST(n_inversions AS DOUBLE) '
+                          '/ CAST(total_pairs AS DOUBLE)', 6)} AS inv6
+        FROM s"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

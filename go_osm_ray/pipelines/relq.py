@@ -5919,3 +5919,149 @@ def weekly_mix_drift(events: ray.data.Dataset,
             "js6": pa.array(out["js6"], pa.float64())})
 
     return single_merge(counts, finish)
+
+
+def order_status_consistency(orders: ray.data.Dataset,
+                             lineitem: ray.data.Dataset,
+                             num_parts: int = 16) -> ray.data.Dataset:
+    """(o_orderstatus, l_linestatus, n_lines, violation): status-model
+    contingency between orders and their lines — TPC-H's contract is
+    'F' orders carry only 'F' lines and 'O' orders only 'O' lines
+    ('P' mixes); cells breaking that are flagged. The referential
+    STATE-consistency audit (osm_ref_integrity checks existence; this
+    checks agreement).
+
+    Scale plan: ONE orderkey-hash co-partition exchange (the
+    supplier_ship_lag union-tag shape) attaches each line's order
+    status; bounded (status x status) combiner rollup."""
+    from ..relational import hash_part, partial_groupby_agg
+
+    def tag_line(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].combine_chunks().to_numpy()
+        return pa.table({"orderkey": pa.array(ok),
+                         "st": t["l_linestatus"].combine_chunks(),
+                         "is_order": pa.array(np.zeros(len(ok), bool)),
+                         "part": pa.array(hash_part(ok, num_parts))})
+
+    def tag_order(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy()
+        return pa.table({"orderkey": pa.array(ok),
+                         "st": t["o_orderstatus"].combine_chunks(),
+                         "is_order": pa.array(np.ones(len(ok), bool)),
+                         "part": pa.array(hash_part(ok, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ok = t["orderkey"].combine_chunks().to_numpy()
+        st = np.asarray(t["st"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        iso = t["is_order"].combine_chunks().to_numpy(zero_copy_only=False)
+        o_k = ok[iso]
+        o_s = st[iso]
+        order = np.argsort(o_k)
+        o_k, o_s = o_k[order], o_s[order]
+        m = ~iso
+        idx = np.searchsorted(o_k, ok[m])
+        ostat = o_s[idx]
+        g = pa.table({"o_orderstatus": pa.array(ostat.tolist(),
+                                                pa.string()),
+                      "l_linestatus": pa.array(st[m].tolist(),
+                                               pa.string()),
+                      "n": pa.array(np.ones(int(m.sum()), np.int64))}) \
+            .group_by(["o_orderstatus", "l_linestatus"]) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["o_orderstatus", "l_linestatus", "n"])
+
+    joined = lineitem.select_columns(["l_orderkey", "l_linestatus"]) \
+        .map_batches(tag_line, batch_format="pyarrow", batch_size=65536) \
+        .union(orders.select_columns(["o_orderkey", "o_orderstatus"])
+               .map_batches(tag_order, batch_format="pyarrow",
+                            batch_size=65536)) \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+    g = partial_groupby_agg(joined, ["o_orderstatus", "l_linestatus"],
+                            [("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        os_ = np.asarray(t["o_orderstatus"].combine_chunks()
+                         .to_numpy(zero_copy_only=False))
+        ls = np.asarray(t["l_linestatus"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        bad = ((os_ == "F") & (ls != "F")) | ((os_ == "O") & (ls != "O"))
+        return pa.table({
+            "o_orderstatus": pa.array(os_.tolist(), pa.string()),
+            "l_linestatus": pa.array(ls.tolist(), pa.string()),
+            "n_lines": pc.cast(t["n_sum"], pa.int64()),
+            "violation": pa.array(bad, pa.bool_())})
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def events_id_ts_inversions(events: ray.data.Dataset,
+                            num_parts: int = 16) -> ray.data.Dataset:
+    """(n_users, total_pairs, n_inversions, inv6): per-user ORDERING
+    audit — among each user's event pairs, how many have event_id and
+    ts in OPPOSITE orders (late-arriving writes, clock skew, id reuse).
+    A zero-inversion stream means ids are a safe substitute sort key;
+    drift here breaks every events_* window op's tiebreak assumption.
+
+    Scale plan: ONE user-hash exchange; per-user inversion counting is
+    an O(k log k) merge count (numpy argsort + a vectorized
+    rank-inversion fold per user, k = events-per-user); single tiny
+    merge of the integer partials."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    def part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pa.array(uid),
+                         "event_id": t["event_id"].combine_chunks(),
+                         "ts": pa.array(ts),
+                         "part": pa.array(hash_part(uid, num_parts))})
+
+    def count_inv(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]) \
+            if len(uid) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(uid)]
+        n_users = len(starts)
+        tot_pairs = 0
+        inv = 0
+        for s, e in zip(starts, ends):
+            k = e - s
+            tot_pairs += k * (k - 1) // 2
+            seq = ts[s:e]
+            # pairs i<j (ascending event_id) with ts[i] > ts[j]: the
+            # vectorized k x k upper triangle is fine for bounded
+            # per-user k; strictly-greater only (equal ts not inverted)
+            inv += int(np.triu(seq[:, None] > seq[None, :], 1).sum())
+        return pa.table({
+            "n_users": pa.array([n_users], pa.int64()),
+            "total_pairs": pa.array([tot_pairs], pa.int64()),
+            "n_inversions": pa.array([inv], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        nu = int(t["n_users"].combine_chunks().to_numpy().sum())
+        tp = int(t["total_pairs"].combine_chunks().to_numpy().sum())
+        ni = int(t["n_inversions"].combine_chunks().to_numpy().sum())
+        return pa.table({
+            "n_users": pa.array([nu], pa.int64()),
+            "total_pairs": pa.array([tp], pa.int64()),
+            "n_inversions": pa.array([ni], pa.int64()),
+            "inv6": pa.array([float(round_half_away(
+                np.float64(ni / tp if tp else 0.0), 6))], pa.float64())})
+
+    return single_merge(
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(part, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(lambda t: count_inv(t.drop_columns(["part"])),
+                    batch_format="pyarrow"),
+        finish)

@@ -835,3 +835,40 @@ def test_weekly_mix_drift_closed_forms(ray_session):
     # closed form: JS((1,0) vs (.5,.5)) = 0.5*ln(4/3) + 0.25*ln(4/3)
     # + ... ~ 0.2157
     assert (df2["js6"] > 0.2).all() and (df2["js6"] < 0.25).all()
+
+
+def test_order_status_consistency_planted(ray_session):
+    """An 'F' order with one 'O' line -> that cell is a violation; the
+    agreeing cells are not; 'P' orders are exempt."""
+    from go_osm_ray.pipelines.relq import order_status_consistency
+    orders = ray.data.from_arrow(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "P"], pa.string())}))
+    lineitem = ray.data.from_arrow(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_linestatus": pa.array(["F", "O", "O", "F"], pa.string())}))
+    df = order_status_consistency(orders, lineitem).to_pandas() \
+        .set_index(["o_orderstatus", "l_linestatus"])
+    assert not bool(df.loc[("F", "F"), "violation"])
+    assert bool(df.loc[("F", "O"), "violation"])
+    assert not bool(df.loc[("O", "O"), "violation"])
+    assert not bool(df.loc[("P", "F"), "violation"])
+    assert int(df["n_lines"].sum()) == 4
+
+
+def test_events_id_ts_inversions_planted(ray_session):
+    """User 1: ids 1,2,3 with the ts of 2 and 3 swapped -> exactly one
+    inverted pair of three; equal timestamps never count."""
+    from go_osm_ray.pipelines.relq import events_id_ts_inversions
+    d0 = np.datetime64("1995-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([d0, d0 + 2 * h, d0 + h, d0, d0],
+                       pa.timestamp("us"))}))
+    df = events_id_ts_inversions(ds).to_pandas().iloc[0]
+    assert df["n_users"] == 2
+    assert df["total_pairs"] == 4      # C(3,2) + C(2,2->1)
+    assert df["n_inversions"] == 1
+    assert df["inv6"] == 0.25
