@@ -3543,6 +3543,8 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_noise_mad"] = f"SELECT image_id, ok, n_interior, mad_lap FROM read_parquet('{exp['image_noise_mad']}')"
     q["image_luma_percentiles"] = f"SELECT image_id, ok, p5, p50, p95, spread FROM read_parquet('{exp['image_luma_percentiles']}')"
     q["image_quadrant_luma"] = f"SELECT image_id, ok, sum_tl, sum_tr, sum_bl, sum_br, bright_quad, imbalance6 FROM read_parquet('{exp['image_quadrant_luma']}')"
+    q["audio_silence_ratio"] = f"SELECT media_id, n_windows, n_silent, silence6 FROM read_parquet('{exp['audio_silence_ratio']}')"
+    q["video_shot_cuts"] = f"SELECT media_id, n_cuts, max_d6 FROM read_parquet('{exp['video_shot_cuts']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"

@@ -142,3 +142,120 @@ def video_frame_sample(media: ray.data.Dataset, k: int = 4,
         batch_format="pyarrow",
         batch_size=_bytes_batch_size(avg_payload_bytes),
         concurrency=concurrency or default_pool(24))
+
+
+def _window_energies(wave: np.ndarray, win: int) -> np.ndarray:
+    """Per-window RMS energies — shared PRIMITIVE between the VAD stage
+    and the scalar pyoracle (the _band_energies precedent: identical
+    float semantics both sides)."""
+    n = (len(wave) // win) * win
+    w = wave[:n].astype(np.float64).reshape(-1, win)
+    return np.sqrt((w ** 2).mean(axis=1))
+
+
+class AudioSilenceStage:
+    """Actor-pool stage: audio bytes -> voice-activity summary
+    (n_windows, n_silent, silence6) over fixed 20 ms windows — the
+    silence-ratio curation screen (mostly-silent clips waste training
+    compute; all-silent ones are corrupt). Stubbed decode per the
+    media-stage contract; ``strict=True`` raises."""
+
+    def __init__(self, sample_rate: int = 16_000, win_ms: int = 20,
+                 threshold: float = 0.2, strict: bool = False):
+        self.sample_rate = sample_rate
+        self.win = sample_rate * win_ms // 1000
+        self.threshold = threshold
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "audio decode requires soundfile/ffmpeg (not in container)")
+        from ..util import round_half_away
+        ids = batch["media_id"].to_pylist()
+        nw, ns, ratio = [], [], []
+        for blob in batch["bytes"].to_pylist():
+            wave = _decode_audio_stub(blob, self.sample_rate)
+            e = _window_energies(wave, self.win)
+            k = len(e)
+            s = int((e < self.threshold).sum())
+            nw.append(k)
+            ns.append(s)
+            ratio.append(float(round_half_away(
+                np.float64(s / k if k else 0.0), 6)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_windows": pa.array(nw, pa.int64()),
+            "n_silent": pa.array(ns, pa.int64()),
+            "silence6": pa.array(ratio, pa.float64())})
+
+
+def audio_silence_ratio(media: ray.data.Dataset, concurrency=None,
+                        avg_payload_bytes: int = 65536,
+                        strict: bool = False) -> ray.data.Dataset:
+    """(media_id, n_windows, n_silent, silence6): VAD-style silence
+    ratio per clip — see AudioSilenceStage."""
+    from ..util import default_pool
+    return media.map_batches(
+        AudioSilenceStage, fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=_bytes_batch_size(avg_payload_bytes),
+        concurrency=concurrency or default_pool(24))
+
+
+def _frame_signature(frame: bytes, bins: int = 16) -> np.ndarray:
+    """Byte-histogram signature of a (stub-decoded) frame — shared
+    PRIMITIVE with the pyoracle. Real impl: downscaled luma histogram."""
+    if not frame:
+        return np.zeros(bins, np.float64)
+    b = np.frombuffer(frame, np.uint8) // (256 // bins)
+    h = np.bincount(b, minlength=bins).astype(np.float64)
+    return h / h.sum()
+
+
+class VideoShotCutStage:
+    """Actor-pool stage: video bytes -> shot-boundary count over k
+    sampled frames (adjacent-frame signature L1 distance above
+    ``threshold``) — the scene-cut density probe a frame-sampling
+    policy reads (one-shot clips need fewer frames). Stubbed frame
+    decode per the media-stage contract."""
+
+    def __init__(self, k: int = 8, threshold: float = 0.5,
+                 strict: bool = False):
+        self.k = k
+        self.threshold = threshold
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "video decode requires ffmpeg (not in container)")
+        from ..util import round_half_away
+        ids = batch["media_id"].to_pylist()
+        cuts, mx = [], []
+        for blob in batch["bytes"].to_pylist():
+            sigs = [_frame_signature(_decode_frame_stub(blob, f))
+                    for f in range(self.k)]
+            d = [float(np.abs(sigs[i + 1] - sigs[i]).sum())
+                 for i in range(self.k - 1)]
+            cuts.append(int(sum(1 for x in d if x > self.threshold)))
+            mx.append(float(round_half_away(
+                np.float64(max(d) if d else 0.0), 6)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "n_cuts": pa.array(cuts, pa.int64()),
+            "max_d6": pa.array(mx, pa.float64())})
+
+
+def video_shot_cuts(media: ray.data.Dataset, concurrency=None,
+                    avg_payload_bytes: int = 65536, k: int = 8,
+                    strict: bool = False) -> ray.data.Dataset:
+    """(media_id, n_cuts, max_d6): sampled-frame shot-boundary census —
+    see VideoShotCutStage."""
+    from ..util import default_pool
+    return media.map_batches(
+        VideoShotCutStage, fn_constructor_kwargs={"k": k,
+                                                  "strict": strict},
+        batch_format="pyarrow",
+        batch_size=_bytes_batch_size(avg_payload_bytes),
+        concurrency=concurrency or default_pool(24))

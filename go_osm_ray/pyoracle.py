@@ -3095,3 +3095,57 @@ def _image_quadrant_luma_table(sf: float) -> pa.Table:
 
 _BUILDERS["image_luma_percentiles"] = _image_luma_percentiles_table
 _BUILDERS["image_quadrant_luma"] = _image_quadrant_luma_table
+
+
+def _audio_silence_table(sf: float, sample_rate: int = 16_000,
+                         win_ms: int = 20,
+                         threshold: float = 0.2) -> pa.Table:
+    """Scalar reference for audio_silence_ratio: per-clip stub decode +
+    the shared window-energy primitive, silent windows counted in a
+    python loop."""
+    from .pipelines.media import _decode_audio_stub, _window_energies
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "bytes"])
+    win = sample_rate * win_ms // 1000
+    ids, nw, ns, ratio = [], [], [], []
+    for iid, b in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        e = _window_energies(_decode_audio_stub(b, sample_rate), win)
+        k = len(e)
+        s = sum(1 for x in e.tolist() if x < threshold)
+        ids.append(iid)
+        nw.append(k)
+        ns.append(s)
+        ratio.append(float(round_half_away(
+            np.float64(s / k if k else 0.0), 6)))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "n_windows": pa.array(nw, pa.int64()),
+                     "n_silent": pa.array(ns, pa.int64()),
+                     "silence6": pa.array(ratio, pa.float64())})
+
+
+def _video_shot_cuts_table(sf: float, k: int = 8,
+                           threshold: float = 0.5) -> pa.Table:
+    """Scalar reference for video_shot_cuts: shared frame-signature
+    primitive, adjacent distances in a python loop."""
+    from .pipelines.media import _decode_frame_stub, _frame_signature
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "bytes"])
+    ids, cuts, mx = [], [], []
+    for iid, b in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+        sigs = [_frame_signature(_decode_frame_stub(b, f))
+                for f in range(k)]
+        d = [float(np.abs(sigs[i + 1] - sigs[i]).sum())
+             for i in range(k - 1)]
+        ids.append(iid)
+        cuts.append(sum(1 for x in d if x > threshold))
+        mx.append(float(round_half_away(
+            np.float64(max(d) if d else 0.0), 6)))
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "n_cuts": pa.array(cuts, pa.int64()),
+                     "max_d6": pa.array(mx, pa.float64())})
+
+
+_BUILDERS["audio_silence_ratio"] = _audio_silence_table
+_BUILDERS["video_shot_cuts"] = _video_shot_cuts_table

@@ -56,3 +56,35 @@ def test_bytes_batch_sizing():
     assert _bytes_batch_size(1 << 20) == 32          # 1 MB payloads -> 32 rows
     assert _bytes_batch_size(64 << 20) == 16         # floor
     assert _bytes_batch_size(1) > 1000               # tiny payloads -> big batches
+
+
+def test_audio_silence_strict_raises(ray_session):
+    """strict=True is the honest no-codec mode."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.media import audio_silence_ratio
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(["m0"], pa.string()),
+        "bytes": pa.array([b"xx"], pa.binary())}))
+    with pytest.raises(Exception):
+        audio_silence_ratio(ds, strict=True, concurrency=1).take_all()
+
+
+def test_video_shot_cuts_deterministic(ray_session):
+    """Same payload -> identical cut counts across runs (deterministic
+    fake decode); empty payload -> zero distance everywhere."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_osm_ray.pipelines.media import video_shot_cuts
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(["a", "b"], pa.string()),
+        "bytes": pa.array([bytes(range(256)) * 4, b""], pa.binary())}))
+    r1 = video_shot_cuts(ds, concurrency=1).to_pandas() \
+        .set_index("media_id").sort_index()
+    r2 = video_shot_cuts(ds, concurrency=1).to_pandas() \
+        .set_index("media_id").sort_index()
+    assert r1.equals(r2)
+    assert r1.loc["b", "n_cuts"] == 0 and r1.loc["b", "max_d6"] == 0.0
