@@ -3511,6 +3511,48 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           '/ CAST(total_pairs AS DOUBLE)', 6)} AS inv6
         FROM s"""
 
+    # distinct quadtree cells per way (spatial-locality census)
+    q["way_cell_span"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        pt AS (SELECT e.way_id,
+                      {tiles.sql_cell_id('n.lon', 'n.lat', 11)} AS cell
+               FROM exp e JOIN {nodes} n ON n.id = e.ref)
+        SELECT way_id, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+        FROM pt GROUP BY 1"""
+
+    # tags-per-node histogram (annotation-density profile)
+    q["node_tag_hist"] = f"""
+        WITH h AS (SELECT CAST(len(tags) AS BIGINT) AS n_tags,
+                          CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM {nodes} GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS t FROM h)
+        SELECT n_tags, n_nodes,
+               {sql_round('CAST(n_nodes AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
+    # exact log2 histogram of lattice squared-norms (bit_length buckets)
+    q["embed_norm_hist"] = f"""
+        WITH qv AS (SELECT vec_id,
+                           CAST({sql_round('CAST(x AS DOUBLE) * 512.0', 0)}
+                                AS BIGINT) AS q
+                    FROM (SELECT vec_id, unnest(embedding) AS x
+                          FROM embeddings)),
+        n2 AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+               FROM qv GROUP BY 1),
+        b AS (SELECT CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(length(bin(n2)) AS BIGINT) END
+                   AS bucket
+              FROM n2),
+        h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM b GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t FROM h)
+        SELECT bucket, n_vecs,
+               {sql_round('CAST(n_vecs AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

@@ -4443,3 +4443,94 @@ def way_length_gini(nodes: ray.data.Dataset, ways: ray.data.Dataset
         lengths.select_columns(["len_m3"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         finish)
+
+
+def way_cell_span(nodes: ray.data.Dataset, ways: ray.data.Dataset,
+                  res: int = 11) -> ray.data.Dataset:
+    """(way_id, n_points, n_cells): how many DISTINCT quadtree cells a
+    way's vertices touch — the spatial-locality census behind shard
+    sizing (a way inside one cell joins locally; a span-many trunk
+    road crosses shard boundaries and pays the sharded-PIP ring
+    expansion).
+
+    Scale plan: the way_length_m zero-exchange broadcast-nodes shape;
+    per-way distinct-cell count is a block-local unique over the
+    resolved vertices (the whole way sits in one list cell)."""
+    from ..geo import tiles
+    from ..relational import broadcast_table
+
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt = ray.get(nodes_ref)
+        nid = nt["id"].to_numpy()
+        order = np.argsort(nid, kind="stable")
+        nid_s = nid[order]
+        nlon = nt["lon"].to_numpy()[order]
+        nlat = nt["lat"].to_numpy()[order]
+        refs = batch["refs"].combine_chunks()
+        off = np.asarray(refs.offsets, np.int64)
+        off = off - off[0]
+        flat = refs.flatten().to_numpy()
+        wid = batch["id"].combine_chunks().to_numpy()
+        idx = np.minimum(np.searchsorted(nid_s, flat), len(nid_s) - 1)
+        found = nid_s[idx] == flat
+        cell = tiles.cell_id(nlon[idx], nlat[idx], res)
+        way = np.repeat(wid, np.diff(off))
+        way, cell = way[found], cell[found]
+        order2 = np.lexsort((cell, way))
+        way, cell = way[order2], cell[order2]
+        if len(way):
+            newp = np.r_[True, (way[1:] != way[:-1])]
+            newc = np.r_[True, (way[1:] != way[:-1])
+                         | (cell[1:] != cell[:-1])]
+            starts = np.flatnonzero(newp)
+            npts = np.diff(np.r_[starts, len(way)])
+            ncell = np.add.reduceat(newc.astype(np.int64), starts)
+            ids = way[starts]
+        else:
+            ids = np.empty(0, np.int64)
+            npts = np.empty(0, np.int64)
+            ncell = np.empty(0, np.int64)
+        return pa.table({"way_id": pa.array(ids),
+                         "n_points": pa.array(npts.astype(np.int64)),
+                         "n_cells": pa.array(ncell.astype(np.int64))})
+
+    return ways.select_columns(["id", "refs"]) \
+        .map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def node_tag_hist(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """(n_tags, n_nodes, share6): tags-per-node histogram — the
+    annotation-density profile (how much of the corpus carries no
+    metadata at all).
+
+    Scale plan: embarrassingly parallel bounded partials, one tiny
+    merge."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        tags = t["tags"].combine_chunks()
+        off = np.asarray(tags.offsets, np.int64)
+        n = np.diff(off)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"n_tags": pa.array(u.astype(np.int64)),
+                         "n_nodes": pa.array(c.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_tags").aggregate([("n_nodes", "sum")])
+        k = g["n_tags"].combine_chunks().to_numpy()
+        order = np.argsort(k)
+        n = g["n_nodes_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "n_tags": pa.array(k[order], pa.int64()),
+            "n_nodes": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    return single_merge(
+        nodes.select_columns(["tags"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        merge)

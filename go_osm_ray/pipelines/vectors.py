@@ -840,3 +840,47 @@ def label_cohesion(ds: ray.data.Dataset, grid: float = 512.0,
             "min_cos6": pc.cast(t["c6_min"], pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def embed_norm_hist(ds: ray.data.Dataset, grid: float = 512.0
+                    ) -> ray.data.Dataset:
+    """(bucket, n_vecs, share6): log2 histogram of embedding SQUARED
+    norms on the integer lattice (bucket = bit_length of the exact
+    int64 norm^2) — the normalization audit (a normalized corpus
+    collapses to one or two buckets; stragglers flag un-normalized or
+    zero vectors). Exact integers end to end: no float log.
+
+    Scale plan: embarrassingly parallel bounded partials, one tiny
+    merge."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        n2 = np.einsum("ij,ij->i", q, q)
+        bits = np.array([int(v).bit_length() for v in n2.tolist()],
+                        np.int64)
+        u, c = np.unique(bits, return_counts=True)
+        return pa.table({"bucket": pa.array(u),
+                         "n_vecs": pa.array(c.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([("n_vecs", "sum")])
+        k = g["bucket"].combine_chunks().to_numpy()
+        order = np.argsort(k)
+        n = g["n_vecs_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "bucket": pa.array(k[order], pa.int64()),
+            "n_vecs": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    return single_merge(
+        ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        merge)

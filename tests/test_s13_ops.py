@@ -872,3 +872,43 @@ def test_events_id_ts_inversions_planted(ray_session):
     assert df["total_pairs"] == 4      # C(3,2) + C(2,2->1)
     assert df["n_inversions"] == 1
     assert df["inv6"] == 0.25
+
+
+def test_way_cell_span_planted(ray_session):
+    """A way inside one res-11 cell spans 1; a continent-hopping way
+    spans as many cells as points; duplicate vertices dedup."""
+    from go_osm_ray.pipelines.osm import way_cell_span
+    nodes = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lon": pa.array([10.0, 10.0001, 60.0, -60.0], pa.float64()),
+        "lat": pa.array([20.0, 20.0001, 40.0, -40.0], pa.float64())}))
+    ways = _ways_ds([(1, [1, 2, 1]), (2, [1, 3, 4])])
+    df = way_cell_span(nodes, ways, res=11).to_pandas() \
+        .set_index("way_id")
+    assert df.loc[1, "n_points"] == 3 and df.loc[1, "n_cells"] == 1
+    assert df.loc[2, "n_points"] == 3 and df.loc[2, "n_cells"] == 3
+
+
+def test_node_tag_hist_planted(ray_session):
+    """0/1/2-tag nodes tally exactly."""
+    from go_osm_ray.pipelines.osm import node_tag_hist
+    ds = ray.data.from_arrow(pa.table({
+        "tags": pa.array([[], [{"key": "a", "value": "x"}],
+                          [{"key": "a", "value": "x"},
+                           {"key": "b", "value": "y"}], []], TAGS_TYPE)}))
+    df = node_tag_hist(ds).to_pandas().set_index("n_tags")
+    assert df.loc[0, "n_nodes"] == 2 and df.loc[0, "share6"] == 0.5
+    assert df.loc[1, "n_nodes"] == 1 and df.loc[2, "n_nodes"] == 1
+
+
+def test_embed_norm_hist_planted(ray_session):
+    """Unit vectors land in bucket bit_length(512^2) = 19; a zero
+    vector lands in bucket 0; a double-norm vector two bits higher."""
+    from go_osm_ray.pipelines.vectors import embed_norm_hist
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0], [2.0, 0.0]]
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    df = embed_norm_hist(ds).to_pandas().set_index("bucket")
+    assert df.loc[19, "n_vecs"] == 2      # 512^2 = 2^18 -> 19 bits
+    assert df.loc[0, "n_vecs"] == 1
+    assert df.loc[21, "n_vecs"] == 1      # (1024)^2 = 2^20 -> 21 bits
