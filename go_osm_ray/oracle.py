@@ -3553,6 +3553,46 @@ def build(sf: float = 0.01) -> dict[str, str]:
                           '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
         FROM h, tot"""
 
+    # image density per OSM node per cell (cross-layer coverage)
+    q["cell_image_node_ratio"] = f"""
+        WITH {_pts_cte(images)},
+        ic AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                      CAST(count(*) AS BIGINT) AS i
+               FROM pts GROUP BY 1),
+        nc AS (SELECT {tiles.sql_cell_id('lon', 'lat', 7)} AS cell,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM {nodes} GROUP BY 1)
+        SELECT COALESCE(ic.cell, nc.cell) AS cell,
+               CAST(COALESCE(ic.i, 0) AS BIGINT) AS n_images,
+               CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_nodes,
+               CASE WHEN COALESCE(nc.n, 0) > 0 THEN
+                 {sql_round('CAST(COALESCE(ic.i, 0) AS DOUBLE) '
+                            '/ CAST(nc.n AS DOUBLE)', 6)}
+               ELSE 0.0 END AS ratio6
+        FROM ic FULL OUTER JOIN nc ON nc.cell = ic.cell"""
+
+    # tag presence vs graph connectivity crosstab
+    q["tagged_way_connectivity"] = f"""
+        WITH exp AS (SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b
+                 ON a.ref = b.ref AND a.way_id < b.way_id),
+        dd AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+               FROM (SELECT a AS v FROM ed UNION ALL SELECT b FROM ed)
+               GROUP BY 1),
+        w AS (SELECT id,
+                     (len(list_filter(tags, _t -> _t.key = 'highway'))
+                      > 0) AS tagged,
+                     CAST(COALESCE(dd.d, 0) AS BIGINT) AS d
+              FROM {ways} LEFT JOIN dd ON dd.v = id)
+        SELECT tagged, CAST(count(*) AS BIGINT) AS n_ways,
+               CAST(sum(d) AS BIGINT) AS total_deg,
+               CASE WHEN count(*) > 0 THEN
+                 {sql_round('CAST(sum(d) AS DOUBLE) '
+                            '/ CAST(count(*) AS DOUBLE)', 6)}
+               ELSE 0.0 END AS mean_deg6
+        FROM w GROUP BY 1"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

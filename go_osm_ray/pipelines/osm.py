@@ -4534,3 +4534,86 @@ def node_tag_hist(nodes: ray.data.Dataset) -> ray.data.Dataset:
         nodes.select_columns(["tags"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+def tagged_way_connectivity(ways: ray.data.Dataset, key: str = "highway",
+                            num_parts: int = 16) -> ray.data.Dataset:
+    """(tagged, n_ways, total_deg, mean_deg6): does carrying the
+    ``key`` tag correlate with graph connectivity? The tag x topology
+    crosstab (amenity-tagged ways are destinations — do they sit in
+    denser mesh?). Isolated ways count with degree 0.
+
+    Scale plan: full deduped edges -> endpoint partials -> ONE v-hash
+    exchange for degrees; way (id, tagged) rows co-partition by the
+    same hash and the kernel joins + collapses to TWO partial rows;
+    tiny final merge."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    edges = full_shared_node_edges(ways, num_parts)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t["a"].combine_chunks().to_numpy(),
+                            t["b"].combine_chunks().to_numpy()])
+        u, n = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "d": pa.array(n.astype(np.int64)),
+                         "tagged": pa.array(np.zeros(len(u), np.int64)),
+                         "is_way": pa.array(np.zeros(len(u), bool)),
+                         "part": pa.array(hash_part(u, num_parts))})
+
+    def way_rows(t: pa.Table) -> pa.Table:
+        val = tagops.value_of(t["tags"].combine_chunks(), key)
+        tagged = pc.is_valid(val).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        wid = t["id"].combine_chunks().to_numpy()
+        return pa.table({"v": pa.array(wid),
+                         "d": pa.array(np.zeros(len(wid), np.int64)),
+                         "tagged": pa.array(tagged),
+                         "is_way": pa.array(np.ones(len(wid), bool)),
+                         "part": pa.array(hash_part(wid, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        v = t["v"].combine_chunks().to_numpy()
+        d = t["d"].combine_chunks().to_numpy()
+        tg = t["tagged"].combine_chunks().to_numpy()
+        isw = t["is_way"].combine_chunks().to_numpy(zero_copy_only=False)
+        # sum partial degrees per vertex
+        uv, inv = np.unique(v, return_inverse=True)
+        dsum = np.bincount(inv, weights=d).astype(np.int64)
+        w_m = isw
+        out = {"tagged": [], "n": [], "td": []}
+        for flag in (0, 1):
+            m = w_m & (tg == flag)
+            vidx = inv[m]
+            out["tagged"].append(flag)
+            out["n"].append(int(m.sum()))
+            out["td"].append(int(dsum[vidx].sum()))
+        return pa.table({"tagged": pa.array(out["tagged"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "td": pa.array(out["td"], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("tagged").aggregate([("n", "sum"), ("td", "sum")])
+        tg = g["tagged"].combine_chunks().to_numpy()
+        order = np.argsort(tg)
+        n = g["n_sum"].combine_chunks().to_numpy()[order]
+        td = g["td_sum"].combine_chunks().to_numpy()[order]
+        keep = n > 0          # a flag class absent from the corpus
+        tg, n, td = tg[order][keep], n[keep], td[keep]
+        mean = td.astype(np.float64) / n.astype(np.float64)
+        return pa.table({
+            "tagged": pa.array((tg == 1)),
+            "n_ways": pa.array(n.astype(np.int64)),
+            "total_deg": pa.array(td.astype(np.int64)),
+            "mean_deg6": pa.array(round_half_away(mean, 6),
+                                  pa.float64())})
+
+    parts = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .union(ways.select_columns(["id", "tags"])
+               .map_batches(way_rows, batch_format="pyarrow",
+                            batch_size=65536)) \
+        .groupby("part") \
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return single_merge(parts, finish)

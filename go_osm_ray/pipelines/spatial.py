@@ -4229,3 +4229,57 @@ def cell_node_usage(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                 pa.float64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def cell_image_node_ratio(images: ray.data.Dataset,
+                          nodes: ray.data.Dataset, res: int = 7
+                          ) -> ray.data.Dataset:
+    """(cell, n_images, n_nodes, ratio6): image density per OSM node
+    per quadtree cell — the cross-layer coverage audit (cells rich in
+    map features but starved of imagery are collection targets; the
+    reverse flags geocoding drift). Cells with either layer empty
+    report the other count with ratio 0.
+
+    Scale plan: two point streams collapse to per-cell partials behind
+    ONE shared bounded combiner exchange (union-tagged columns)."""
+    from ..geo import tiles
+    from ..relational import partial_groupby_agg
+    from ..util import round_half_away
+
+    def img_partial(t: pa.Table) -> pa.Table:
+        t2 = decode_geotag(t)
+        cell = tiles.cell_id(t2["lon"].combine_chunks().to_numpy(),
+                             t2["lat"].combine_chunks().to_numpy(), res)
+        return pa.table({"cell": pa.array(cell),
+                         "i": pa.array(np.ones(len(cell), np.int64)),
+                         "n": pa.array(np.zeros(len(cell), np.int64))})
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        cell = tiles.cell_id(t["lon"].combine_chunks().to_numpy(),
+                             t["lat"].combine_chunks().to_numpy(), res)
+        return pa.table({"cell": pa.array(cell),
+                         "i": pa.array(np.zeros(len(cell), np.int64)),
+                         "n": pa.array(np.ones(len(cell), np.int64))})
+
+    g = partial_groupby_agg(
+        images.select_columns(["phash"])
+        .map_batches(img_partial, batch_format="pyarrow",
+                     batch_size=65536)
+        .union(nodes.select_columns(["lon", "lat"])
+               .map_batches(node_partial, batch_format="pyarrow",
+                            batch_size=65536)),
+        ["cell"], [("i", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["i_sum"].combine_chunks().to_numpy()
+        n = t["n_sum"].combine_chunks().to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = i.astype(np.float64) / n.astype(np.float64)
+        r = np.where(n > 0, r, 0.0)
+        return pa.table({
+            "cell": pc.cast(t["cell"], pa.int64()),
+            "n_images": pa.array(i.astype(np.int64)),
+            "n_nodes": pa.array(n.astype(np.int64)),
+            "ratio6": pa.array(round_half_away(r, 6), pa.float64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -912,3 +912,40 @@ def test_embed_norm_hist_planted(ray_session):
     assert df.loc[19, "n_vecs"] == 2      # 512^2 = 2^18 -> 19 bits
     assert df.loc[0, "n_vecs"] == 1
     assert df.loc[21, "n_vecs"] == 1      # (1024)^2 = 2^20 -> 21 bits
+
+
+def test_cell_image_node_ratio_planted(ray_session):
+    """Cell with 2 images / 1 node -> ratio 2; an images-only cell
+    reports ratio 0 by the empty-denominator convention."""
+    from go_osm_ray.geo import morton
+    from go_osm_ray.pipelines.spatial import cell_image_node_ratio
+    lon = np.array([10.0, 10.0, 90.0])
+    lat = np.array([20.0, 20.0, 40.0])
+    ph = morton.encode_phash(lon, lat, np.arange(3))
+    images = ray.data.from_arrow(pa.table({"phash": pa.array(ph)}))
+    nodes = ray.data.from_arrow(pa.table({
+        "lon": pa.array([10.0], pa.float64()),
+        "lat": pa.array([20.0], pa.float64())}))
+    df = cell_image_node_ratio(images, nodes).to_pandas() \
+        .sort_values("n_images", ascending=False).reset_index(drop=True)
+    assert df.loc[0, "n_images"] == 2 and df.loc[0, "n_nodes"] == 1
+    assert df.loc[0, "ratio6"] == 2.0
+    assert df.loc[1, "n_images"] == 1 and df.loc[1, "n_nodes"] == 0
+    assert df.loc[1, "ratio6"] == 0.0
+
+
+def test_tagged_way_connectivity_planted(ray_session):
+    """Tagged ways form a triangle (deg 2 each); the untagged way is
+    isolated (deg 0) — means 2.0 and 0.0."""
+    from go_osm_ray.pipelines.osm import tagged_way_connectivity
+    tag = [{"key": "highway", "value": "primary"}]
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "refs": pa.array([[10, 11], [10, 12], [11, 12], [99]],
+                         pa.list_(pa.int64())),
+        "tags": pa.array([tag, tag, tag, []], TAGS_TYPE)}))
+    df = tagged_way_connectivity(ds).to_pandas().set_index("tagged")
+    assert df.loc[True, "n_ways"] == 3
+    assert df.loc[True, "mean_deg6"] == 2.0
+    assert df.loc[False, "n_ways"] == 1
+    assert df.loc[False, "mean_deg6"] == 0.0
