@@ -3593,6 +3593,65 @@ def build(sf: float = 0.01) -> dict[str, str]:
                ELSE 0.0 END AS mean_deg6
         FROM w GROUP BY 1"""
 
+    # bounce rate by entry type: window-cumsum session ids (the classic
+    # gaps-and-islands over time), firsts + lengths per session
+    q["session_bounce_rate"] = f"""
+        WITH e AS (SELECT user_id, ts, event_id, event_type,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts, event_id, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess
+              FROM e),
+        per AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS len
+                FROM s GROUP BY 1, 2),
+        fs AS (SELECT user_id, sess, event_type,
+                      row_number() OVER (PARTITION BY user_id, sess
+                                         ORDER BY ts, event_id) AS rk
+               FROM s),
+        g AS (SELECT fs.event_type AS first_type,
+                     CAST(count(*) AS BIGINT) AS n_sessions,
+                     CAST(sum(CASE WHEN per.len = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bounce
+              FROM per JOIN fs ON fs.user_id = per.user_id
+                              AND fs.sess = per.sess AND fs.rk = 1
+              GROUP BY 1)
+        SELECT first_type, n_sessions, n_bounce,
+               {sql_round('CAST(n_bounce AS DOUBLE) '
+                          '/ CAST(n_sessions AS DOUBLE)', 6)} AS bounce6
+        FROM g"""
+
+    # chars-vs-tokens Pearson per language (exact HUGEINT moments)
+    q["doc_len_token_corr"] = f"""
+        WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS c,
+                          CAST(len({split_toks}) AS BIGINT) AS k
+                   FROM documents),
+        s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS sc,
+                     CAST(sum(k) AS BIGINT) AS st,
+                     sum(CAST(c AS HUGEINT) * c) AS scc,
+                     sum(CAST(k AS HUGEINT) * k) AS stt,
+                     sum(CAST(c AS HUGEINT) * k) AS sct
+              FROM d GROUP BY 1),
+        kk AS (SELECT lang, n, sc, st,
+                      CAST(n AS DOUBLE) * CAST(sct AS DOUBLE)
+                      - CAST(sc AS DOUBLE) * CAST(st AS DOUBLE) AS num,
+                      sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+                           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                          AS den
+               FROM s)
+        SELECT lang, n, sc AS sum_chars, st AS sum_tokens,
+               CASE WHEN den > 0.0 THEN {sql_round('num / den', 6)}
+                    ELSE 0.0 END AS corr6
+        FROM kk"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

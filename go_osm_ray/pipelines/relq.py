@@ -6065,3 +6065,75 @@ def events_id_ts_inversions(events: ray.data.Dataset,
         .map_groups(lambda t: count_inv(t.drop_columns(["part"])),
                     batch_format="pyarrow"),
         finish)
+
+
+def session_bounce_rate(events: ray.data.Dataset, gap_s: int = 1800,
+                        num_parts: int = 16) -> ray.data.Dataset:
+    """(first_type, n_sessions, n_bounce, bounce6): BOUNCE RATE by
+    entry event type — sessions (sessionize's gap_s split, ordered by
+    ts then event_id) grouped by their FIRST event's type, counting
+    single-event sessions. The landing-page quality readout; the SQL
+    mirror is the classic window-cumsum session id (gaps-and-islands
+    over time).
+
+    Scale plan: sessionize's ONE user-hash exchange + vectorized
+    per-partition kernel (boundaries via gap mask, firsts via segment
+    starts, lengths via reduceat), bounded (type, counts) partials,
+    tiny merge."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                         "event_id": t["event_id"].combine_chunks(),
+                         "event_type": t["event_type"].combine_chunks(),
+                         "part": pa.array(hash_part(uid, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        if not len(uid):
+            return pa.table({"first_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        new_sess = np.r_[True, (uid[1:] != uid[:-1])
+                         | ((ts[1:] - ts[:-1]) > gap_s * 1_000_000)]
+        starts = np.flatnonzero(new_sess)
+        lens = np.diff(np.r_[starts, len(uid)])
+        first = et[starts]
+        bounce = (lens == 1).astype(np.int64)
+        g = pa.table({"first_type": pa.array(first.tolist(), pa.string()),
+                      "n": pa.array(np.ones(len(first), np.int64)),
+                      "b": pa.array(bounce)}) \
+            .group_by("first_type").aggregate([("n", "sum"), ("b", "sum")])
+        return g.rename_columns(["first_type", "n", "b"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("first_type").aggregate([("n", "sum"),
+                                                ("b", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy()
+        b = g["b_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            "first_type": g["first_type"],
+            "n_sessions": pa.array(n.astype(np.int64)),
+            "n_bounce": pa.array(b.astype(np.int64)),
+            "bounce6": pa.array(round_half_away(
+                b.astype(np.float64) / n.astype(np.float64), 6),
+                pa.float64())})
+
+    return single_merge(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow"),
+        finish)

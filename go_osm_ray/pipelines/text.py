@@ -2230,3 +2230,79 @@ def corpus_vocab_overlap(docs: ray.data.Dataset,
                             batch_size=8192)) \
         .groupby("part").map_groups(kernel, batch_format="pyarrow")
     return single_merge(parts, finish)
+
+
+def doc_len_token_corr(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n, sum_chars, sum_tokens, corr6): per-language Pearson
+    correlation between document character length (the stored n_chars
+    column) and whitespace token count — the tokenizer-fertility
+    consistency audit (a language whose correlation sags has
+    mixed-script or whitespace-free contamination). price_qty_corr's
+    exact-moment contract: python-int sums, HUGEINT mirror, identical
+    cast-then-multiply float sequence.
+
+    Scale plan: embarrassingly parallel bounded per-lang moment
+    partials, one tiny merge."""
+    from ..relational import single_merge
+    from ..util import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        nch = t["n_chars"].combine_chunks().to_numpy().astype(np.int64)
+        counts, _ = _tokens_flat(t["text"].combine_chunks())
+        out = {"lang": [], "n": [], "sc": [], "st": [], "scc": [],
+               "stt": [], "sct": []}
+        for lg in sorted(set(lang.tolist())):
+            m = lang == lg
+            c = nch[m].tolist()
+            k = counts[m].tolist()
+            out["lang"].append(lg)
+            out["n"].append(len(c))
+            out["sc"].append(str(sum(c)))
+            out["st"].append(str(sum(k)))
+            out["scc"].append(str(sum(x * x for x in c)))
+            out["stt"].append(str(sum(x * x for x in k)))
+            out["sct"].append(str(sum(x * y for x, y in zip(c, k))))
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            **{kk: pa.array(out[kk], pa.string())
+               for kk in ("sc", "st", "scc", "stt", "sct")}})
+
+    def finish(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        nn = t["n"].combine_chunks().to_numpy()
+        cols = {k: [int(x) for x in t[k].to_pylist()]
+                for k in ("sc", "st", "scc", "stt", "sct")}
+        out = {"lang": [], "n": [], "sum_chars": [], "sum_tokens": [],
+               "corr6": []}
+        for lg in sorted(set(lang.tolist())):
+            m = lang == lg
+            n = int(nn[m].sum())
+            sc, st, scc, stt, sct = (
+                sum(v for v, keep in zip(cols[k], m) if keep)
+                for k in ("sc", "st", "scc", "stt", "sct"))
+            num = float(n) * float(sct) - float(sc) * float(st)
+            den = (np.sqrt(float(n) * float(scc) - float(sc) * float(sc))
+                   * np.sqrt(float(n) * float(stt)
+                             - float(st) * float(st)))
+            corr = num / den if den > 0.0 else 0.0
+            out["lang"].append(lg)
+            out["n"].append(n)
+            out["sum_chars"].append(sc)
+            out["sum_tokens"].append(st)
+            out["corr6"].append(float(round_half_away(np.float64(corr),
+                                                      6)))
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+            "sum_tokens": pa.array(out["sum_tokens"], pa.int64()),
+            "corr6": pa.array(out["corr6"], pa.float64())})
+
+    return single_merge(
+        docs.select_columns(["lang", "n_chars", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        finish)

@@ -949,3 +949,42 @@ def test_tagged_way_connectivity_planted(ray_session):
     assert df.loc[True, "mean_deg6"] == 2.0
     assert df.loc[False, "n_ways"] == 1
     assert df.loc[False, "mean_deg6"] == 0.0
+
+
+def test_session_bounce_rate_planted(ray_session):
+    """User 1: a two-event session starting with 'view' then (after a
+    2h gap) a single-event 'click' session; user 2: one 'view' bounce.
+    view: 2 sessions 1 bounce; click: 1 session 1 bounce."""
+    from go_osm_ray.pipelines.relq import session_bounce_rate
+    d0 = np.datetime64("1995-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    h = np.timedelta64(1, "h")
+    rows = [(1, d0, 1, "view"), (1, d0 + 5 * m, 2, "purchase"),
+            (1, d0 + 3 * h, 3, "click"),
+            (2, d0, 4, "view")]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string())}))
+    df = session_bounce_rate(ds).to_pandas().set_index("first_type")
+    assert df.loc["view", "n_sessions"] == 2
+    assert df.loc["view", "n_bounce"] == 1
+    assert df.loc["view", "bounce6"] == 0.5
+    assert df.loc["click", "n_sessions"] == 1
+    assert df.loc["click", "n_bounce"] == 1
+
+
+def test_doc_len_token_corr_planted(ray_session):
+    """Perfectly linear chars-per-token corpus -> corr 1.0; constant
+    token counts with varying chars -> 0 by the zero-variance rule."""
+    from go_osm_ray.pipelines.text import doc_len_token_corr
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en"] * 3 + ["de"] * 2, pa.string()),
+        "n_chars": pa.array([10, 20, 30, 7, 19], pa.int64()),
+        "text": pa.array(["a", "a b", "a b c", "x y", "p q"],
+                         pa.string())}))
+    df = doc_len_token_corr(ds).to_pandas().set_index("lang")
+    assert df.loc["en", "corr6"] == 1.0
+    assert df.loc["en", "sum_tokens"] == 6
+    assert df.loc["de", "corr6"] == 0.0
