@@ -3652,6 +3652,32 @@ def build(sf: float = 0.01) -> dict[str, str]:
                     ELSE 0.0 END AS corr6
         FROM kk"""
 
+    # per-doc type-token ratio (lexical richness)
+    q["doc_ttr"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({split_toks}) AS w
+                      FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+               {sql_round('CAST(count(DISTINCT w) AS DOUBLE) '
+                          '/ CAST(count(*) AS DOUBLE)', 6)} AS ttr6
+        FROM toks GROUP BY 1"""
+
+    # entry-to-exit journey matrix (first/last event type per user)
+    q["user_journey_endpoints"] = """
+        WITH r AS (SELECT user_id, event_type,
+                          row_number() OVER w AS rk,
+                          count(*) OVER (PARTITION BY user_id) AS n
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        fl AS (SELECT f.user_id, f.event_type AS first_type,
+                      l.event_type AS last_type
+               FROM r f JOIN r l ON l.user_id = f.user_id
+                               AND f.rk = 1 AND l.rk = l.n)
+        SELECT first_type, last_type,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM fl GROUP BY 1, 2"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

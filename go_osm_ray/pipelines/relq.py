@@ -6137,3 +6137,62 @@ def session_bounce_rate(events: ray.data.Dataset, gap_s: int = 1800,
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow"),
         finish)
+
+
+def user_journey_endpoints(events: ray.data.Dataset,
+                           num_parts: int = 16) -> ray.data.Dataset:
+    """(first_type, last_type, n_users): the JOURNEY-ENDPOINT matrix —
+    each user's first and last event type in (ts, event_id) order
+    (entry-to-exit flow: signup->purchase cells are conversions,
+    view->error cells are rage-quits).
+
+    Scale plan: ONE user-hash exchange; vectorized segment firsts/lasts
+    per partition; bounded (type x type) partials, tiny merge."""
+    from ..relational import hash_part, single_merge
+
+    def part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                         "event_id": t["event_id"].combine_chunks(),
+                         "event_type": t["event_type"].combine_chunks(),
+                         "part": pa.array(hash_part(uid, num_parts))})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        ts = t["ts"].combine_chunks().to_numpy()
+        eid = t["event_id"].combine_chunks().to_numpy()
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        if not len(uid):
+            return pa.table({"first_type": pa.array([], pa.string()),
+                             "last_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)] - 1
+        g = pa.table({"first_type": pa.array(et[starts].tolist(),
+                                             pa.string()),
+                      "last_type": pa.array(et[ends].tolist(),
+                                            pa.string()),
+                      "n": pa.array(np.ones(len(starts), np.int64))}) \
+            .group_by(["first_type", "last_type"]) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["first_type", "last_type", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["first_type", "last_type"]) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["first_type", "last_type", "n_users"]) \
+            .set_column(2, "n_users", pc.cast(g["n_sum"], pa.int64()))
+
+    return single_merge(
+        events.select_columns(["user_id", "ts", "event_id",
+                               "event_type"])
+        .map_batches(part, batch_format="pyarrow", batch_size=65536)
+        .groupby("part")
+        .map_groups(lambda t: kernel(t.drop_columns(["part"])),
+                    batch_format="pyarrow"),
+        finish)

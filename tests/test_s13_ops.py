@@ -988,3 +988,37 @@ def test_doc_len_token_corr_planted(ray_session):
     assert df.loc["en", "corr6"] == 1.0
     assert df.loc["en", "sum_tokens"] == 6
     assert df.loc["de", "corr6"] == 0.0
+
+
+def test_doc_ttr_planted(ray_session):
+    """'a a a' -> ttr 1/3; all-distinct doc -> 1.0; case folding
+    unifies A/a."""
+    from go_osm_ray.pipelines.text import doc_ttr
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a A a", "x y z", "m m n"], pa.string())}))
+    df = doc_ttr(ds).to_pandas().set_index("doc_id")
+    assert df.loc[1, "n_types"] == 1 and df.loc[1, "ttr6"] == round(1/3, 6)
+    assert df.loc[2, "ttr6"] == 1.0
+    assert df.loc[3, "n_types"] == 2
+
+
+def test_user_journey_endpoints_planted(ray_session):
+    """User 1 starts 'signup' ends 'purchase'; the single-event user's
+    first == last."""
+    from go_osm_ray.pipelines.relq import user_journey_endpoints
+    d0 = np.datetime64("1995-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rows = [(1, d0, 1, "signup"), (1, d0 + s, 2, "view"),
+            (1, d0 + 2 * s, 3, "purchase"),
+            (2, d0, 4, "error")]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string())}))
+    df = user_journey_endpoints(ds).to_pandas() \
+        .set_index(["first_type", "last_type"])["n_users"]
+    assert df.loc[("signup", "purchase")] == 1
+    assert df.loc[("error", "error")] == 1
+    assert len(df) == 2
