@@ -3678,6 +3678,45 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_users
         FROM fl GROUP BY 1, 2"""
 
+    # component-size histogram on the way_components recursive oracle
+    q["component_size_hist"] = f"""
+        WITH RECURSIVE exp AS (
+          SELECT id AS way_id, unnest(refs) AS ref FROM {ways}),
+        ed AS (SELECT DISTINCT a.way_id AS a, b.way_id AS b
+               FROM exp a JOIN exp b ON a.ref = b.ref
+               WHERE a.way_id <> b.way_id),
+        reach(way_id, lbl) AS (
+          SELECT id, id FROM {ways}
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN ed e ON e.a = r.way_id),
+        comp AS (SELECT way_id, min(lbl) AS c FROM reach GROUP BY 1),
+        sz AS (SELECT c, CAST(count(*) AS BIGINT) AS size
+               FROM comp GROUP BY 1),
+        h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_components
+              FROM sz GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_components) AS BIGINT) AS t FROM h)
+        SELECT size, n_components,
+               {sql_round('CAST(n_components AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
+    # exact-duplicate census on the integer lattice (list group-by)
+    q["embed_exact_dupes"] = f"""
+        WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                          unnest(range(1, len(embedding) + 1)) AS i
+                   FROM embeddings),
+        qv AS (SELECT vec_id,
+                      list(CAST({sql_round('CAST(x AS DOUBLE) * 512.0', 0)}
+                                AS BIGINT) ORDER BY i) AS q
+               FROM e GROUP BY vec_id),
+        g AS (SELECT q, CAST(count(*) AS BIGINT) AS c
+              FROM qv GROUP BY q)
+        SELECT CAST(sum(c) AS BIGINT) AS n_vecs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c) - count(*) AS BIGINT) AS n_dupes,
+               CAST(max(c) AS BIGINT) AS max_group
+        FROM g"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.

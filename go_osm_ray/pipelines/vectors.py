@@ -884,3 +884,68 @@ def embed_norm_hist(ds: ray.data.Dataset, grid: float = 512.0
         ds.select_columns(["embedding"])
         .map_batches(partial, batch_format="pyarrow", batch_size=8192),
         merge)
+
+
+def embed_exact_dupes(ds: ray.data.Dataset, grid: float = 512.0,
+                      num_parts: int = 16) -> ray.data.Dataset:
+    """(n_vecs, n_distinct, n_dupes, max_group): EXACT-duplicate census
+    of embeddings on the integer lattice (identical quantized vectors)
+    — the cheap first tier of the vector-dedup funnel (semdedup /
+    embed_neardup catch near-dups; byte-identical re-ingests are this
+    one's job). Zero dupes is a healthy answer, not an empty one.
+
+    Scale plan: per-block lattice-hash partials -> ONE hash exchange
+    (full quantized vector carried for exactness, grouped by a
+    mixed-hash partition) -> per-partition group census -> tiny merge."""
+    from ..relational import hash_part, single_merge
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int64()))})
+        x = _stack(t, "embedding")
+        q = round_half_away(x * grid, 0).astype(np.int64)
+        # deterministic row hash: golden-mix fold over components
+        h = np.zeros(len(q), np.uint64)
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for j in range(q.shape[1]):
+                h = (h ^ q[:, j].astype(np.uint64)) * GOLD
+        return pa.table({
+            "h": pa.array(h.astype(np.int64)),
+            "q": pa.array(list(q), pa.list_(pa.int64())),
+            "part": pa.array(hash_part(h.astype(np.int64), num_parts))})
+
+    def census(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        q = np.stack(t["q"].combine_chunks()
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        view = np.ascontiguousarray(q).view(
+            [("", np.int64)] * q.shape[1]).ravel()
+        _, counts = np.unique(view, return_counts=True)
+        return pa.table({
+            "n": pa.array([int(counts.sum())], pa.int64()),
+            "d": pa.array([len(counts)], pa.int64()),
+            "mx": pa.array([int(counts.max())], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = int(t["n"].combine_chunks().to_numpy().sum())
+        d = int(t["d"].combine_chunks().to_numpy().sum())
+        mx = int(t["mx"].combine_chunks().to_numpy().max()) if len(t) \
+            else 0
+        return pa.table({
+            "n_vecs": pa.array([n], pa.int64()),
+            "n_distinct": pa.array([d], pa.int64()),
+            "n_dupes": pa.array([n - d], pa.int64()),
+            "max_group": pa.array([mx], pa.int64())})
+
+    parts = ds.select_columns(["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=8192) \
+        .groupby("part") \
+        .map_groups(lambda t: census(t.drop_columns(["part"])
+                                     .drop_columns(["h"])),
+                    batch_format="pyarrow")
+    return single_merge(parts, finish)

@@ -1022,3 +1022,35 @@ def test_user_journey_endpoints_planted(ray_session):
     assert df.loc[("signup", "purchase")] == 1
     assert df.loc[("error", "error")] == 1
     assert len(df) == 2
+
+
+def test_component_size_hist_planted(ray_session):
+    """A 3-way chain + a 2-way pair + an isolated way -> sizes
+    {3: 1, 2: 1, 1: 1}."""
+    from go_osm_ray.pipelines.osm import component_size_hist
+    ds = _ways_ds([
+        (1, [10, 11]), (2, [11, 12]), (3, [12, 13]),
+        (4, [20, 21]), (5, [21, 22]),
+        (9, [99]),
+    ])
+    df = component_size_hist(ds).to_pandas().set_index("size")
+    assert df.loc[3, "n_components"] == 1
+    assert df.loc[2, "n_components"] == 1
+    assert df.loc[1, "n_components"] == 1
+    assert abs(df["share6"].sum() - 1.0) < 1e-9
+
+
+def test_embed_exact_dupes_planted(ray_session):
+    """Two identical vectors + one lattice-distinct vector -> one dup;
+    sub-half-grid jitter (< 1/1024) quantizes identical and counts as
+    a dup too."""
+    from go_osm_ray.pipelines.vectors import embed_exact_dupes
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0],
+            [1.0 + 0.0001, 0.0]]     # rounds to the same lattice point
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}))
+    df = embed_exact_dupes(ds).to_pandas().iloc[0]
+    assert df["n_vecs"] == 4
+    assert df["n_distinct"] == 2
+    assert df["n_dupes"] == 2
+    assert df["max_group"] == 3
