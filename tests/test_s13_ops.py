@@ -1037,7 +1037,8 @@ def test_component_size_hist_planted(ray_session):
     assert df.loc[3, "n_components"] == 1
     assert df.loc[2, "n_components"] == 1
     assert df.loc[1, "n_components"] == 1
-    assert abs(df["share6"].sum() - 1.0) < 1e-9
+    # shares are 6dp-rounded thirds: sum = 0.999999
+    assert abs(df["share6"].sum() - 1.0) < 2e-6
 
 
 def test_embed_exact_dupes_planted(ray_session):
