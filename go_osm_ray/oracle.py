@@ -3717,6 +3717,23 @@ def build(sf: float = 0.01) -> dict[str, str]:
                CAST(max(c) AS BIGINT) AS max_group
         FROM g"""
 
+    # per-user error-share decile histogram (exact integer deciles)
+    q["user_error_profile"] = f"""
+        WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CASE WHEN event_type = 'error'
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS e
+                   FROM events GROUP BY 1),
+        d AS (SELECT LEAST((10 * e) // GREATEST(n, 1), 9) AS decile
+              FROM u),
+        h AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users
+              FROM d GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM h)
+        SELECT CAST(decile AS BIGINT) AS decile, n_users,
+               {sql_round('CAST(n_users AS DOUBLE) '
+                          '/ CAST(tot.t AS DOUBLE)', 6)} AS share6
+        FROM h, tot"""
+
     # ---- python-oracle parquet gates (non-SQL-expressible ops) -----------
     # pyoracle.py computes these by a deliberately different plan (scalar
     # per-row loops / O(n^2) brute force); the SQL just reads the file.
@@ -3751,6 +3768,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["image_quadrant_luma"] = f"SELECT image_id, ok, sum_tl, sum_tr, sum_bl, sum_br, bright_quad, imbalance6 FROM read_parquet('{exp['image_quadrant_luma']}')"
     q["audio_silence_ratio"] = f"SELECT media_id, n_windows, n_silent, silence6 FROM read_parquet('{exp['audio_silence_ratio']}')"
     q["video_shot_cuts"] = f"SELECT media_id, n_cuts, max_d6 FROM read_parquet('{exp['video_shot_cuts']}')"
+    q["image_colorfulness"] = f"SELECT image_id, ok, n_px, spread_sum, mean_spread6 FROM read_parquet('{exp['image_colorfulness']}')"
     q["cluster_cohesion"] = f"SELECT cluster, n, mean_cos6, min_cos6 FROM read_parquet('{exp['cluster_cohesion']}')"
     q["user_survival"] = f"SELECT day, n_risk, n_events, km6 FROM read_parquet('{exp['user_survival']}')"
     q["embed_hard_negatives"] = f"SELECT query_id, pos_id, neg_id, pos6, neg6, margin6 FROM read_parquet('{exp['embed_hard_negatives']}')"

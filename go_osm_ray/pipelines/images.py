@@ -2215,3 +2215,52 @@ def caption_id_consistency(images: ray.data.Dataset) -> ray.data.Dataset:
         images.select_columns(["image_id", "caption"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536),
         merge)
+
+
+class ImageColorfulness:
+    """Actor-pool stage: decode -> exact integer per-pixel channel
+    spread (max(R,G,B) - min(R,G,B)) summed over the image — the
+    saturation/colorfulness screen (0 = pure grayscale; high = vivid),
+    complementing image_channel_balance's global cast detection with
+    per-pixel chroma."""
+
+    def __init__(self):
+        self.registry = codecs.FORMATS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import round_half_away
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ok, npx, ss, m6 = [], [], [], []
+        for f, b in zip(fmts, blobs):
+            try:
+                px = codecs.decode(b, f).astype(np.int64)
+                spread = px.max(axis=2) - px.min(axis=2)
+                n = int(spread.size)
+                s = int(spread.sum())
+                ok.append(True)
+                npx.append(n)
+                ss.append(s)
+                m6.append(float(round_half_away(np.float64(s / n), 6)))
+            except Exception:
+                ok.append(False)
+                npx.append(0)
+                ss.append(0)
+                m6.append(0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ok": pa.array(ok, pa.bool_()),
+            "n_px": pa.array(npx, pa.int64()),
+            "spread_sum": pa.array(ss, pa.int64()),
+            "mean_spread6": pa.array(m6, pa.float64())})
+
+
+def image_colorfulness(images: ray.data.Dataset, concurrency=None,
+                       batch_size: int = 1024) -> ray.data.Dataset:
+    """(image_id, ok, n_px, spread_sum, mean_spread6): per-pixel channel
+    spread — see ImageColorfulness."""
+    from ..util import default_pool
+    return images.map_batches(ImageColorfulness, batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency or default_pool(24))

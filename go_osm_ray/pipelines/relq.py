@@ -6196,3 +6196,60 @@ def user_journey_endpoints(events: ray.data.Dataset,
         .map_groups(lambda t: kernel(t.drop_columns(["part"])),
                     batch_format="pyarrow"),
         finish)
+
+
+def user_error_profile(events: ray.data.Dataset,
+                       num_parts: int = 16) -> ray.data.Dataset:
+    """(decile, n_users, share6): histogram of per-user ERROR-event
+    share in exact integer deciles (decile = (10*errors)//events,
+    clipped to 9) — the user-health mix (a fat high-decile tail means
+    a broken client cohort). All integer until the final share
+    division.
+
+    Scale plan: per-block Acero (user, n, err) partials -> ONE
+    user-hash combiner exchange -> per-partition decile partials ->
+    tiny merge."""
+    from ..relational import hash_part, single_merge
+    from ..util import round_half_away
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks().to_numpy()
+        et = np.asarray(t["event_type"].combine_chunks()
+                        .to_numpy(zero_copy_only=False))
+        g = pa.table({"user_id": pa.array(uid),
+                      "n": pa.array(np.ones(len(uid), np.int64)),
+                      "e": pa.array((et == "error").astype(np.int64))}) \
+            .group_by("user_id").aggregate([("n", "sum"), ("e", "sum")])
+        uid2 = g["user_id"].combine_chunks().to_numpy()
+        return pa.table({"user_id": pa.array(uid2),
+                         "n": pc.cast(g["n_sum"], pa.int64()),
+                         "e": pc.cast(g["e_sum"], pa.int64()),
+                         "part": pa.array(hash_part(uid2, num_parts))})
+
+    def deciles(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["part"]).group_by("user_id") \
+            .aggregate([("n", "sum"), ("e", "sum")])
+        n = g["n_sum"].combine_chunks().to_numpy()
+        e = g["e_sum"].combine_chunks().to_numpy()
+        d = np.minimum((10 * e) // np.maximum(n, 1), 9)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"decile": pa.array(u.astype(np.int64)),
+                         "n_users": pa.array(c.astype(np.int64))})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("decile").aggregate([("n_users", "sum")])
+        k = g["decile"].combine_chunks().to_numpy()
+        order = np.argsort(k)
+        n = g["n_users_sum"].combine_chunks().to_numpy()[order]
+        tot = int(n.sum())
+        return pa.table({
+            "decile": pa.array(k[order], pa.int64()),
+            "n_users": pa.array(n.astype(np.int64)),
+            "share6": pa.array(round_half_away(
+                n.astype(np.float64) / float(tot), 6), pa.float64())})
+
+    return single_merge(
+        events.select_columns(["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", batch_size=65536)
+        .groupby("part").map_groups(deciles, batch_format="pyarrow"),
+        merge)

@@ -3149,3 +3149,50 @@ def _video_shot_cuts_table(sf: float, k: int = 8,
 
 _BUILDERS["audio_silence_ratio"] = _audio_silence_table
 _BUILDERS["video_shot_cuts"] = _video_shot_cuts_table
+
+
+def _image_colorfulness_table(sf: float) -> pa.Table:
+    """Scalar reference for image_colorfulness: per-pixel max/min via
+    explicit channel comparisons accumulated row by row in python."""
+    from . import codecs
+    from .util import round_half_away
+
+    t = _images_rows(sf, ["image_id", "fmt", "bytes"])
+    out = {"image_id": [], "ok": [], "n_px": [], "spread_sum": [],
+           "mean_spread6": []}
+    for iid, f, b in zip(t["image_id"].to_pylist(), t["fmt"].to_pylist(),
+                         t["bytes"].to_pylist()):
+        out["image_id"].append(iid)
+        try:
+            px = codecs.decode(b, f).astype(np.int64)
+            h, w, _ = px.shape
+            s = 0
+            for y in range(h):
+                r, g, bl = (px[y, :, 0].tolist(), px[y, :, 1].tolist(),
+                            px[y, :, 2].tolist())
+                for rv, gv, bv in zip(r, g, bl):
+                    mx = rv if rv >= gv else gv
+                    mx = mx if mx >= bv else bv
+                    mn = rv if rv <= gv else gv
+                    mn = mn if mn <= bv else bv
+                    s += mx - mn
+            n = h * w
+            out["ok"].append(True)
+            out["n_px"].append(n)
+            out["spread_sum"].append(s)
+            out["mean_spread6"].append(float(round_half_away(
+                np.float64(s / n), 6)))
+        except Exception:
+            out["ok"].append(False)
+            out["n_px"].append(0)
+            out["spread_sum"].append(0)
+            out["mean_spread6"].append(0.0)
+    return pa.table({
+        "image_id": pa.array(out["image_id"], pa.string()),
+        "ok": pa.array(out["ok"], pa.bool_()),
+        "n_px": pa.array(out["n_px"], pa.int64()),
+        "spread_sum": pa.array(out["spread_sum"], pa.int64()),
+        "mean_spread6": pa.array(out["mean_spread6"], pa.float64())})
+
+
+_BUILDERS["image_colorfulness"] = _image_colorfulness_table

@@ -1055,3 +1055,34 @@ def test_embed_exact_dupes_planted(ray_session):
     assert df["n_distinct"] == 2
     assert df["n_dupes"] == 2
     assert df["max_group"] == 3
+
+
+def test_user_error_profile_planted(ray_session):
+    """User with 1/2 errors -> decile 5; all-error user clips to 9;
+    error-free user decile 0."""
+    from go_osm_ray.pipelines.relq import user_error_profile
+    rows = [(1, "error"), (1, "view"),
+            (2, "error"), (2, "error"),
+            (3, "view")]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string())}))
+    df = user_error_profile(ds).to_pandas().set_index("decile")
+    assert df.loc[5, "n_users"] == 1
+    assert df.loc[9, "n_users"] == 1
+    assert df.loc[0, "n_users"] == 1
+
+
+def test_image_colorfulness_planted(ray_session):
+    """Grayscale image -> spread 0; pure red -> spread = R at every
+    pixel."""
+    from go_osm_ray.pipelines.images import image_colorfulness
+    gray = np.full((8, 8, 3), 123, np.uint8)
+    red = np.zeros((8, 8, 3), np.uint8)
+    red[:, :, 0] = 200
+    df = image_colorfulness(_img_ds([gray, red]),
+                            concurrency=1).to_pandas() \
+        .set_index("image_id")
+    assert df.loc["t000", "spread_sum"] == 0
+    assert df.loc["t000", "mean_spread6"] == 0.0
+    assert df.loc["t001", "mean_spread6"] == 200.0
