@@ -419,8 +419,9 @@ def build(sf: float = 0.01) -> dict[str, str]:
     # connected components of ways joined by shared node refs; label
     # closure via recursive reachability (components are small by
     # construction, so the closure is cheap — embed_neardup_keep pattern)
-    # conflation closure over the frechet pyoracle pairs (the pair
-    # values themselves are gated by way_frechet); min-label reach
+    # conflation closure over the pyoracle CANDIDATE pairs (shared-node
+    # UNION grid-bucketed geometric candidates, scalar Frechet values —
+    # mirrors conflate_candidate_edges exactly); min-label reach
     q["way_conflate"] = f"""
         WITH RECURSIVE e AS (
           SELECT a, b FROM read_parquet('__EXP_WAY_FRECHET__')
@@ -3743,7 +3744,7 @@ def build(sf: float = 0.01) -> dict[str, str]:
     q["detect_nms"] = f"SELECT image_id, n_kept, keep_mask FROM read_parquet('{exp['detect_nms']}')"
     q["way_frechet"] = f"SELECT a, b, frechet3 FROM read_parquet('{exp['way_frechet']}')"
     q["way_conflate"] = q["way_conflate"].replace(
-        "__EXP_WAY_FRECHET__", exp["way_frechet"])
+        "__EXP_WAY_FRECHET__", exp["way_conflate_pairs"])
     q["way_rasterize"] = f"SELECT tile_x, tile_y, n_px, visits FROM read_parquet('{exp['way_rasterize']}')"
     q["mmr_select"] = f"SELECT query_id, rank, vec_id, mmr6 FROM read_parquet('{exp['mmr_select']}')"
     q["way_pseudo_diameter"] = f"SELECT component, n_ways, diameter FROM read_parquet('{exp['way_pseudo_diameter']}')"

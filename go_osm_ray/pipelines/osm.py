@@ -2256,7 +2256,8 @@ def cell_orientation_entropy(ways: ray.data.Dataset,
 
 def way_frechet(ways: ray.data.Dataset, nodes: ray.data.Dataset,
                 num_parts: int = 16,
-                chunk_pairs: int = 2048) -> ray.data.Dataset:
+                chunk_pairs: int = 2048,
+                edges: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """(a, b, frechet3): DISCRETE Frechet distance (meters, haversine
     on the EARTH_R_M sphere, every vertex-pair distance rounded
     half-away at 3 dp BEFORE the DP lattice so the scalar oracle is
@@ -2273,12 +2274,18 @@ def way_frechet(ways: ray.data.Dataset, nodes: ray.data.Dataset,
     recurrence iterates maxA x maxB times but each step is vectorized
     across the chunk, so per-pair work is numpy, not python.  Ways are
     short by construction (p99 ~13 vertices); chunk_pairs bounds the
-    tensor at roughly chunk_pairs x maxlen^2 x 8 B."""
+    tensor at roughly chunk_pairs x maxlen^2 x 8 B.
+
+    ``edges`` overrides the candidate pair set (schema (a, b) int64,
+    a < b, deduped) — way_conflate passes the shared-node ∪ geometric
+    grid-candidate union so truly disjoint duplicate geometries are
+    scored too."""
     from ..relational import hash_part
 
     pts = join_refs_to_coords(ways, nodes) \
         .select_columns(["way_id", "pos", "lon", "lat"])
-    edges = full_shared_node_edges(ways, num_parts)
+    if edges is None:
+        edges = full_shared_node_edges(ways, num_parts)
     d2r = np.pi / 180.0
 
     def tag_edge1(t: pa.Table) -> pa.Table:
@@ -2731,6 +2738,165 @@ def way_turn_stats(ways: ray.data.Dataset, nodes: ray.data.Dataset,
                         batch_format="pyarrow"))
 
 
+#: Conflation geometric-candidate grid: cell edge in degrees (~278 m of
+#: latitude — >= the default eps_m=250), the skew cap on ways
+#: considered per cell (minhash MAX_BUCKET house pattern: ascending-id
+#: truncation so the cap is deterministic and oracle-mirrorable), and
+#: the signature-alignment prune: grid pairs survive only if the MAX
+#: haversine over the k arc-length-ALIGNED resample points (each 3 dp
+#: rounded — the house scalar-exact grid) is <= CONFLATE_SIG_GATE_M.
+#: 2x eps_m leaves generous recall margin (a Frechet<=250 m duplicate
+#: has aligned-signature distance ~ the jitter, far under 500 m) while
+#: pruning the dense-cell false candidates that would otherwise feed
+#: the quadratic Frechet DP.
+CONFLATE_GRID_DEG = 0.0025
+CONFLATE_MAX_CELL = 4096
+CONFLATE_SIG_GATE_M = 500.0
+
+
+def conflate_candidate_edges(ways: ray.data.Dataset,
+                             nodes: ray.data.Dataset,
+                             num_parts: int = 16) -> ray.data.Dataset:
+    """Globally deduped (a < b) conflation candidate pairs: the
+    shared-node clique edges UNION cell-bucketed geometric candidates,
+    so truly disjoint duplicate geometries (separate imports of the
+    same corridor share zero node ids) still become candidates —
+    VERDICT r4 next #3.
+
+    Geometric rule (LSH-style, recall documented not proven, exactly
+    mirrored by the pyoracle gate): each way's k=8 equal-arclength
+    resample signature (way_resample — already driver-gated bit-equal
+    at 6 dp) contributes its MIDPOINT (pt_idx = k//2); the midpoint is
+    quantized to a CONFLATE_GRID_DEG grid and emitted into its home
+    cell plus the 8 neighbors; every distinct way pair co-emitted into
+    a cell whose aligned-signature distance (max 3 dp haversine over
+    the k aligned resample points) is <= CONFLATE_SIG_GATE_M is a
+    candidate — any pair whose midpoints lie within 2 grid cells
+    (~556 m) Chebyshev is bucketed, comfortably covering eps_m=250
+    midpoint separations, and the signature prune (measured: 682k ->
+    ~shared-scale pairs at sf0.1) keeps the downstream Frechet DP off
+    dense-cell false candidates.  Per-cell skew is capped at
+    CONFLATE_MAX_CELL ascending ids (the minhash hot-bucket pattern).
+
+    Physical plan: the signature build FUSES into the way scan (the
+    _resample_wide kernel + broadcast nodes — zero exchanges, 1 wide
+    row/way, 16 doubles); 9x cell emission then ONE hash(cell)
+    exchange generates and signature-filters pairs, and ONE hash(a)
+    exchange globally dedups against the shared-node edges — no
+    all-pairs, no driver materialization."""
+    from ..relational import broadcast_table, hash_part
+    from ..util import round_half_away as _rnd
+
+    shared = full_shared_node_edges(ways, num_parts)
+    nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
+    k = RESAMPLE_K
+    half_k = k // 2
+    d2r = np.pi / 180.0
+
+    def emit_cells(batch: pa.Table) -> pa.Table:
+        """Fused resample-signature + 9-cell-neighborhood emission,
+        keyed by the quantized midpoint."""
+        wid, lon_m, lat_m = _resample_wide(batch, ray.get(nodes_ref), k)
+        cx = np.floor(lon_m[:, half_k] / CONFLATE_GRID_DEG).astype(np.int64)
+        cy = np.floor(lat_m[:, half_k] / CONFLATE_GRID_DEG).astype(np.int64)
+        off = np.arange(-1, 2, dtype=np.int64)
+        dx = np.tile(np.repeat(off, 3), len(wid))
+        dy = np.tile(np.tile(off, 3), len(wid))
+        cell = ((np.repeat(cx, 9) + dx + 200_000) * 1_000_000
+                + (np.repeat(cy, 9) + dy + 200_000))
+        rep = np.repeat(np.arange(len(wid), dtype=np.int64), 9)
+        return pa.table({
+            "cell": pa.array(cell), "way_id": pa.array(wid[rep]),
+            "sig_lon": pa.FixedSizeListArray.from_arrays(
+                pa.array(lon_m[rep].ravel()), k),
+            "sig_lat": pa.FixedSizeListArray.from_arrays(
+                pa.array(lat_m[rep].ravel()), k),
+            "part": pa.array(hash_part(cell, num_parts))})
+
+    def _sig_dist(alon, alat, blon, blat) -> np.ndarray:
+        """Max 3dp-rounded haversine over aligned points; (P, k) in."""
+        p1, p2 = alat * d2r, blat * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((blon - alon) * d2r / 2.0)
+        aa = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2) * sdl * sdl,
+                        1.0)
+        d = _rnd(2.0 * EARTH_R_M * np.arcsin(np.sqrt(aa)), 3)
+        return d.max(axis=1)
+
+    def cell_pairs(t: pa.Table) -> pa.Table:
+        """Vectorized grouped pair generation (the clique_pairs
+        rep/cumsum trick) + one batched signature-distance gate."""
+        c = t["cell"].combine_chunks().to_numpy()
+        w = t["way_id"].combine_chunks().to_numpy()
+        slon = t["sig_lon"].combine_chunks().flatten().to_numpy() \
+            .reshape(-1, k)
+        slat = t["sig_lat"].combine_chunks().flatten().to_numpy() \
+            .reshape(-1, k)
+        order = np.lexsort((w, c))
+        c, w = c[order], w[order]
+        slon, slat = slon[order], slat[order]
+        if not len(c):
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        counts = np.diff(np.r_[starts, len(c)])
+        # per-cell ascending-id truncation at the skew cap
+        pos = np.arange(len(c), dtype=np.int64) - np.repeat(starts, counts)
+        inside = pos < CONFLATE_MAX_CELL
+        c, w = c[inside], w[inside]
+        slon, slat = slon[inside], slat[inside]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) \
+            if len(c) else np.empty(0, np.int64)
+        counts = np.diff(np.r_[starts, len(c)]) if len(c) \
+            else np.empty(0, np.int64)
+        pos = np.arange(len(w), dtype=np.int64)
+        rep = np.repeat(counts, counts) - (pos - np.repeat(starts,
+                                                           counts)) - 1
+        first_idx = np.repeat(pos, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        second_idx = first_idx + 1 + (np.arange(rep.sum(),
+                                                dtype=np.int64) - base)
+        dist = _sig_dist(slon[first_idx], slat[first_idx],
+                         slon[second_idx], slat[second_idx])
+        keep = dist <= CONFLATE_SIG_GATE_M
+        a, b = w[first_idx[keep]], w[second_idx[keep]]
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            kp = np.ones(len(a), bool)
+            kp[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[kp], b[kp]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    def part_by_a(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        return t.append_column("part", pa.array(hash_part(a, num_parts)))
+
+    def dedup(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy()
+        b = t["b"].combine_chunks().to_numpy()
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.ones(len(a), bool)
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[keep], b[keep]
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    grid = ways.select_columns(["id", "refs"]) \
+        .map_batches(emit_cells, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: cell_pairs(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    return shared.union(grid) \
+        .map_batches(part_by_a, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: dedup(t.drop_columns(["part"])),
+                    batch_format="pyarrow")
+
+
 def way_conflate(ways: ray.data.Dataset, nodes: ray.data.Dataset,
                  eps_m: float = 250.0,
                  num_parts: int = 16) -> ray.data.Dataset:
@@ -2741,15 +2907,17 @@ def way_conflate(ways: ray.data.Dataset, nodes: ray.data.Dataset,
     dedup family runs on documents, applied to the way model: a map
     built from overlapping imports keeps one rendition per corridor.
 
-    Scale plan: candidate pairs are way_frechet's (already bounded by
-    the shared-node edge set — truly disjoint duplicate geometries
-    don't share nodes and would need a cell-bucketed candidate stage,
-    documented limitation); the filtered pair graph plus self-edges
+    Scale plan: candidate pairs are conflate_candidate_edges' —
+    shared-node clique edges UNION the cell-bucketed geometric
+    candidates (resample-midpoint grid LSH, CONFLATE_MAX_CELL skew
+    cap), so disjoint duplicate geometries — the actual conflation use
+    case — are scored too; the filtered pair graph plus self-edges
     runs the static-shard pointer-jumping components BSP, so the
     closure exchanges only labels."""
     from .text import min_label_components_static
 
-    pairs = way_frechet(ways, nodes, num_parts=num_parts)
+    cand = conflate_candidate_edges(ways, nodes, num_parts=num_parts)
+    pairs = way_frechet(ways, nodes, num_parts=num_parts, edges=cand)
 
     def close_pairs(t: pa.Table) -> pa.Table:
         keep = pc.less_equal(t["frechet3"], eps_m)
@@ -2762,8 +2930,16 @@ def way_conflate(ways: ray.data.Dataset, nodes: ray.data.Dataset,
 
     graph = pairs.map_batches(close_pairs, batch_format="pyarrow").union(
         ways.select_columns(["id"])
-        .map_batches(self_edges, batch_format="pyarrow"))
-    comps = min_label_components_static(graph, num_parts=num_parts)
+        .map_batches(self_edges, batch_format="pyarrow")).materialize()
+    # dedup_keep's scale switch, identical output: the filtered pair
+    # graph + self-edges is tiny after the Frechet gate, so the
+    # one-guarded-task union-find skips the BSP actor spin-up; past the
+    # guard the static-edge pointer-jumping BSP takes over.
+    if graph.count() > 2_000_000:
+        comps = min_label_components_static(graph, num_parts=num_parts)
+    else:
+        from .text import dedup_groups
+        comps = dedup_groups(graph)
 
     def finish(t: pa.Table) -> pa.Table:
         w = t["doc_id"].combine_chunks().to_numpy()
@@ -2873,6 +3049,73 @@ def way_adamic_adar(ways: ray.data.Dataset,
 RESAMPLE_K = 8
 
 
+def _resample_wide(batch: pa.Table, nt, k: int):
+    """Shared per-batch resample kernel (way_resample's exact scalar
+    sequence — any change here changes the gated resample values):
+    returns (way_ids, lon6 (n, k), lat6 (n, k)) for every way with >= 2
+    fully-resolved points and 3 dp length > 0."""
+    from ..util import round_half_away as _rnd
+    d2r = np.pi / 180.0
+    nid = nt["id"].to_numpy()
+    order = np.argsort(nid, kind="stable")
+    nid_s = nid[order]
+    nlon = nt["lon"].to_numpy()[order]
+    nlat = nt["lat"].to_numpy()[order]
+
+    refs = batch["refs"].combine_chunks()
+    offsets = np.asarray(refs.offsets, np.int64)
+    flat = refs.flatten().to_numpy()
+    wids = batch["id"].combine_chunks().to_numpy()
+
+    jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
+    found = nid_s[jj] == flat if len(nid_s) \
+        else np.zeros(len(flat), bool)
+    x = np.where(found, nlon[jj], 0.0)
+    y = np.where(found, nlat[jj], 0.0)
+
+    # 3dp-rounded per-segment haversine (shared scalar-exact grid)
+    if len(flat) >= 2:
+        p1, p2 = y[:-1] * d2r, y[1:] * d2r
+        sdp = np.sin((p2 - p1) / 2.0)
+        sdl = np.sin((x[1:] - x[:-1]) * d2r / 2.0)
+        a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2)
+                       * sdl * sdl, 1.0)
+        seg = _rnd(2.0 * EARTH_R_M * np.arcsin(np.sqrt(a)), 3)
+    else:
+        seg = np.zeros(0, np.float64)
+
+    out_w, out_lon, out_lat = [], [], []
+    nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
+        if len(flat) else np.zeros(0, np.int64)
+    for w in range(len(wids)):
+        lo, hi = offsets[w], offsets[w + 1]
+        m = hi - lo
+        if m < 2 or nf[w] != m:
+            continue
+        s = seg[lo:hi - 1]
+        cum = np.concatenate([[0.0], np.cumsum(s)])
+        L = cum[-1]
+        if _rnd(np.float64(L), 3) <= 0.0:
+            continue
+        wx, wy = x[lo:hi], y[lo:hi]
+        row_lon, row_lat = [], []
+        for j in range(k):
+            t = j * L / (k - 1)
+            i = int(np.searchsorted(cum, t, side="right")) - 1
+            i = min(max(i, 0), m - 2)
+            f = (t - cum[i]) / s[i] if s[i] > 0.0 else 0.0
+            row_lon.append(float(_rnd(
+                np.float64(wx[i] + f * (wx[i + 1] - wx[i])), 6)))
+            row_lat.append(float(_rnd(
+                np.float64(wy[i] + f * (wy[i + 1] - wy[i])), 6)))
+        out_w.append(int(wids[w]))
+        out_lon.append(row_lon)
+        out_lat.append(row_lat)
+    return (np.asarray(out_w, np.int64),
+            np.asarray(out_lon, np.float64).reshape(-1, k),
+            np.asarray(out_lat, np.float64).reshape(-1, k))
+
+
 def way_resample(nodes: ray.data.Dataset, ways: ray.data.Dataset,
                  k: int = RESAMPLE_K) -> ray.data.Dataset:
     """(way_id, pt_idx, lon6, lat6): each way's polyline resampled to
@@ -2890,73 +3133,19 @@ def way_resample(nodes: ray.data.Dataset, ways: ray.data.Dataset,
 
     Scale plan: same one-pass broadcast-nodes shape as way_length_m —
     zero exchanges past the node-table broadcast; per-way work is
-    linear in points and k."""
+    linear in points and k.  The kernel itself lives in _resample_wide
+    (shared with conflate_candidate_edges' fused signature stage)."""
     from ..relational import broadcast_table
-    from ..util import round_half_away as _rnd
     nodes_ref = broadcast_table(nodes, ["id", "lon", "lat"])
-    d2r = np.pi / 180.0
 
     def fn(batch: pa.Table) -> pa.Table:
-        nt = ray.get(nodes_ref)
-        nid = nt["id"].to_numpy()
-        order = np.argsort(nid, kind="stable")
-        nid_s = nid[order]
-        nlon = nt["lon"].to_numpy()[order]
-        nlat = nt["lat"].to_numpy()[order]
-
-        refs = batch["refs"].combine_chunks()
-        offsets = np.asarray(refs.offsets, np.int64)
-        flat = refs.flatten().to_numpy()
-        wids = batch["id"].combine_chunks().to_numpy()
-        n = np.diff(offsets)
-
-        jj = np.searchsorted(nid_s, flat).clip(max=max(len(nid_s) - 1, 0))
-        found = nid_s[jj] == flat if len(nid_s) \
-            else np.zeros(len(flat), bool)
-        x = np.where(found, nlon[jj], 0.0)
-        y = np.where(found, nlat[jj], 0.0)
-
-        # 3dp-rounded per-segment haversine (shared scalar-exact grid)
-        if len(flat) >= 2:
-            p1, p2 = y[:-1] * d2r, y[1:] * d2r
-            sdp = np.sin((p2 - p1) / 2.0)
-            sdl = np.sin((x[1:] - x[:-1]) * d2r / 2.0)
-            a = np.minimum(sdp * sdp + np.cos(p1) * np.cos(p2)
-                           * sdl * sdl, 1.0)
-            seg = _rnd(2.0 * EARTH_R_M * np.arcsin(np.sqrt(a)), 3)
-        else:
-            seg = np.zeros(0, np.float64)
-
-        out = {"way_id": [], "pt_idx": [], "lon6": [], "lat6": []}
-        nf = np.add.reduceat(found.astype(np.int64), offsets[:-1]) \
-            if len(flat) else np.zeros(0, np.int64)
-        for w in range(len(wids)):
-            lo, hi = offsets[w], offsets[w + 1]
-            m = hi - lo
-            if m < 2 or nf[w] != m:
-                continue
-            s = seg[lo:hi - 1]
-            cum = np.concatenate([[0.0], np.cumsum(s)])
-            L = cum[-1]
-            if _rnd(np.float64(L), 3) <= 0.0:
-                continue
-            wx, wy = x[lo:hi], y[lo:hi]
-            for j in range(k):
-                t = j * L / (k - 1)
-                i = int(np.searchsorted(cum, t, side="right")) - 1
-                i = min(max(i, 0), m - 2)
-                f = (t - cum[i]) / s[i] if s[i] > 0.0 else 0.0
-                out["way_id"].append(int(wids[w]))
-                out["pt_idx"].append(j)
-                out["lon6"].append(float(_rnd(
-                    np.float64(wx[i] + f * (wx[i + 1] - wx[i])), 6)))
-                out["lat6"].append(float(_rnd(
-                    np.float64(wy[i] + f * (wy[i + 1] - wy[i])), 6)))
+        wid, lon_m, lat_m = _resample_wide(batch, ray.get(nodes_ref), k)
         return pa.table({
-            "way_id": pa.array(out["way_id"], pa.int64()),
-            "pt_idx": pa.array(out["pt_idx"], pa.int64()),
-            "lon6": pa.array(out["lon6"], pa.float64()),
-            "lat6": pa.array(out["lat6"], pa.float64())})
+            "way_id": pa.array(np.repeat(wid, k)),
+            "pt_idx": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                       len(wid))),
+            "lon6": pa.array(lon_m.ravel()),
+            "lat6": pa.array(lat_m.ravel())})
 
     return ways.map_batches(fn, batch_format="pyarrow")
 

@@ -1707,16 +1707,8 @@ def _detect_nms_table(sf: float, k: int = 6,
                      "keep_mask": pa.array(out_m, pa.int64())})
 
 
-def _way_frechet_table(sf: float) -> pa.Table:
-    """Scalar reference for way_frechet: python-dict shared-node pair
-    enumeration and the textbook per-pair O(n*m) discrete-Frechet DP
-    with scalar math.* haversine — shares only EARTH_R_M and the 3 dp
-    half-away rounding convention with the engine's padded-tensor
-    batched DP."""
-    from collections import defaultdict
-
-    from .pipelines.osm import EARTH_R_M
-    from .util import round_half_away
+def _osm_refs_coord(sf: float):
+    """(refs_of, coord) dicts for the scalar way-geometry oracles."""
     d = datagen.scale_dir(sf)
     nt = pq.read_table(str(d / "osm_nodes.parquet"),
                        columns=["id", "lon", "lat"])
@@ -1725,6 +1717,11 @@ def _way_frechet_table(sf: float) -> pa.Table:
                  nt["lat"].to_pylist())}
     wt = pq.read_table(str(d / "osm_ways.parquet"), columns=["id", "refs"])
     refs_of = dict(zip(wt["id"].to_pylist(), wt["refs"].to_pylist()))
+    return refs_of, coord
+
+
+def _scalar_shared_node_pairs(refs_of) -> set[tuple[int, int]]:
+    from collections import defaultdict
     byref: dict[int, list[int]] = defaultdict(list)
     for wid, refs in refs_of.items():
         for r in set(refs):
@@ -1735,6 +1732,15 @@ def _way_frechet_table(sf: float) -> pa.Table:
         for x in range(len(ms)):
             for y in range(x + 1, len(ms)):
                 pairs.add((ms[x], ms[y]))
+    return pairs
+
+
+def _scalar_frechet_pairs(pairs, refs_of, coord) -> pa.Table:
+    """Textbook per-pair O(n*m) discrete-Frechet DP with scalar math.*
+    haversine — shares only EARTH_R_M and the 3 dp half-away rounding
+    convention with the engine's padded-tensor batched DP."""
+    from .pipelines.osm import EARTH_R_M
+    from .util import round_half_away
 
     d2r = math.pi / 180.0
 
@@ -1769,6 +1775,75 @@ def _way_frechet_table(sf: float) -> pa.Table:
     return pa.table({"a": pa.array(rows["a"], pa.int64()),
                      "b": pa.array(rows["b"], pa.int64()),
                      "frechet3": pa.array(rows["frechet3"], pa.float64())})
+
+
+def _way_frechet_table(sf: float) -> pa.Table:
+    """Scalar reference for way_frechet: python-dict shared-node pair
+    enumeration + the scalar Frechet DP."""
+    refs_of, coord = _osm_refs_coord(sf)
+    return _scalar_frechet_pairs(_scalar_shared_node_pairs(refs_of),
+                                 refs_of, coord)
+
+
+def _way_conflate_pairs_table(sf: float) -> pa.Table:
+    """Scalar reference for way_conflate's candidate pair set
+    (shared-node pairs UNION the grid-bucketed geometric candidates)
+    with their Frechet values.  Mirrors conflate_candidate_edges
+    exactly but by a python-dict plan: each way's signature comes from
+    the already-gated way_resample oracle rows, the MIDPOINT
+    (pt_idx = k//2) is floored onto the CONFLATE_GRID_DEG grid and
+    emitted into the 3x3 cell neighborhood; a distinct co-emitted pair
+    is a candidate iff the max 3 dp haversine over the k ALIGNED
+    signature points is <= CONFLATE_SIG_GATE_M, with per-cell
+    ascending-id truncation at CONFLATE_MAX_CELL."""
+    from collections import defaultdict
+
+    from .pipelines.osm import (CONFLATE_GRID_DEG, CONFLATE_MAX_CELL,
+                                CONFLATE_SIG_GATE_M, EARTH_R_M,
+                                RESAMPLE_K)
+    from .util import round_half_away
+
+    refs_of, coord = _osm_refs_coord(sf)
+    pairs = _scalar_shared_node_pairs(refs_of)
+
+    rs = _way_resample_table(sf)
+    sig: dict[int, list[tuple[float, float]]] = defaultdict(list)
+    for wid, pi, lo, la in zip(rs["way_id"].to_pylist(),
+                               rs["pt_idx"].to_pylist(),
+                               rs["lon6"].to_pylist(),
+                               rs["lat6"].to_pylist()):
+        sig[wid].append((lo, la))  # pt_idx-ordered by construction
+    bycell: dict[int, set[int]] = defaultdict(set)
+    for wid, pts in sig.items():
+        lo, la = pts[RESAMPLE_K // 2]
+        cx = int(math.floor(lo / CONFLATE_GRID_DEG))
+        cy = int(math.floor(la / CONFLATE_GRID_DEG))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = (cx + dx + 200_000) * 1_000_000 \
+                    + (cy + dy + 200_000)
+                bycell[cell].add(wid)
+
+    d2r = math.pi / 180.0
+
+    def hav3(lo1, la1, lo2, la2) -> float:
+        p1, p2 = la1 * d2r, la2 * d2r
+        sdp = math.sin((p2 - p1) / 2.0)
+        sdl = math.sin((lo2 - lo1) * d2r / 2.0)
+        aa = min(sdp * sdp + math.cos(p1) * math.cos(p2) * sdl * sdl, 1.0)
+        return float(round_half_away(
+            np.float64(2.0 * EARTH_R_M * math.asin(math.sqrt(aa))), 3))
+
+    for members in bycell.values():
+        ms = sorted(members)[:CONFLATE_MAX_CELL]
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                sa, sb = sig[ms[x]], sig[ms[y]]
+                dmax = max(hav3(a[0], a[1], b[0], b[1])
+                           for a, b in zip(sa, sb))
+                if dmax <= CONFLATE_SIG_GATE_M:
+                    pairs.add((ms[x], ms[y]))
+    return _scalar_frechet_pairs(pairs, refs_of, coord)
 
 
 def _way_rasterize_table(sf: float, z_px: int = 18,
@@ -2555,6 +2630,7 @@ _BUILDERS = {
     "hilbert_order": _hilbert_order_table,
     "detect_nms": _detect_nms_table,
     "way_frechet": _way_frechet_table,
+    "way_conflate_pairs": _way_conflate_pairs_table,
     "way_rasterize": _way_rasterize_table,
     "mmr_select": _mmr_select_table,
     "way_pseudo_diameter": _way_pseudo_diameter_table,
