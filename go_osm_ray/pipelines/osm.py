@@ -587,48 +587,34 @@ PAGERANK_ITERS = 10
 def way_pagerank(ways: ray.data.Dataset, damping: float = PAGERANK_DAMPING,
                  iters: int = PAGERANK_ITERS,
                  num_parts: int = 8) -> ray.data.Dataset:
-    """PageRank over the STAR-REDUCED shared-node way graph — the
-    iterative-numeric sibling of way_components on the same static edge
-    shards. NOTE the graph: per shared node, members wire only to the
-    ref group's minimum way id (the k-1 star reduction way_components
-    uses), which is connectivity-equivalent to the full shared-node
-    adjacency but NOT rank-equivalent — ranks and deg are those of the
-    star graph (the scalar oracle mirrors the same reduction). Keeping
-    the reduction is deliberate: the full pairwise edge set is k^2 per
-    hot node, the exact blow-up the hot-bucket cap exists to avoid.
+    """PageRank over the TRUE shared-node way graph — the deduped full
+    pairwise (a < b) edge set way_components' SQL oracle defines: two
+    ways are adjacent iff they share >= 1 node, and deg is the count of
+    distinct adjacent ways.  (Rounds 1-4 ranked the k-1 star-reduced
+    proxy, which is connectivity-equivalent but NOT rank-equivalent —
+    VERDICT r4 next #4; the star reduction remains the documented fast
+    path for connectivity-only callers like way_components.)  Per-node
+    emission is quadratic in the k ways sharing it — the way_triangles
+    hot-node cap discussion applies at planet scale, and the same
+    full_shared_node_edges build already feeds triangles / k-core /
+    jaccard / adamic-adar.
 
-    Physical plan: star edges -> one hash(a) exchange for GLOBAL pair
-    dedup (parallel edges are idempotent for min-label but WRONG for
-    rank sums) -> both-direction edge shards + way-id node markers
-    written once (shard_static_edges) -> resident BSP actors
-    (state.bsp._PageRankPart): degree is counted locally from the shard,
-    each of the ``iters`` rounds is one actor RPC exchanging only
-    (dst, pr/deg) contribution payloads through the object store.
-    Isolated ways (no shared node) hold the dangling rank (1-d)/N
-    throughout; dangling mass is not redistributed (documented
-    simplification, mirrored exactly by the scalar oracle). Emits
-    (way_id, deg, pr9)."""
-    from ..relational import hash_part
+    Physical plan: full_shared_node_edges (clique pairs per ref group,
+    partition dedup, one hash(a) exchange for GLOBAL dedup — parallel
+    edges are idempotent for min-label but WRONG for rank sums, so the
+    global dedup is load-bearing) -> both-direction edge shards +
+    way-id node markers written once (shard_static_edges) -> resident
+    BSP actors (state.bsp._PageRankPart): degree is counted locally
+    from the shard, each of the ``iters`` rounds is one actor RPC
+    exchanging only (dst, pr/deg) contribution payloads through the
+    object store.  Isolated ways (no shared node) hold the dangling
+    rank (1-d)/N throughout; dangling mass is not redistributed
+    (documented simplification, mirrored exactly by the scalar
+    oracle). Emits (way_id, deg, pr9)."""
     from ..state.bsp import run_pagerank
     from .text import shard_static_edges
 
-    def pair_part(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        return t.append_column("part", pa.array(hash_part(a, num_parts)))
-
-    def pair_dedup(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        b = t["b"].combine_chunks().to_numpy()
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), bool)
-        if len(a):
-            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    pairs = shared_node_star_edges(ways, num_parts) \
-        .map_batches(pair_part, batch_format="pyarrow") \
-        .groupby("part").map_groups(pair_dedup, batch_format="pyarrow")
+    pairs = full_shared_node_edges(ways, num_parts)
     d, has_shard, owned = shard_static_edges(
         pairs, num_parts, extra_nodes=ways.select_columns(["id"]))
     return run_pagerank(d, has_shard, num_parts, iters, damping,

@@ -905,10 +905,11 @@ def _simplify_ways_table(sf: float) -> pa.Table:
 
 
 def _way_pagerank_table(sf: float) -> pa.Table:
-    """Scalar PageRank reference for way_pagerank: python-dict star-edge
-    graph, per-node float sums in plain loops — shares only the damping
-    / iteration constants and the rank formula with the engine's
-    static-shard exchange."""
+    """Scalar PageRank reference for way_pagerank: python-dict TRUE
+    shared-node pairwise graph (every clique pair per ref group — the
+    way_components oracle's adjacency), per-node float sums in plain
+    loops — shares only the damping / iteration constants and the rank
+    formula with the engine's static-shard exchange."""
     from collections import defaultdict
 
     from .pipelines.osm import PAGERANK_DAMPING, PAGERANK_ITERS
@@ -922,10 +923,10 @@ def _way_pagerank_table(sf: float) -> pa.Table:
             byref[r].append(wid)
     pairs: set[tuple[int, int]] = set()
     for ws in byref.values():
-        hub = min(ws)
-        for w in ws:
-            if w != hub:
-                pairs.add((hub, w))
+        ms = sorted(ws)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                pairs.add((ms[x], ms[y]))
     deg: dict[int, int] = defaultdict(int)
     for a, b in pairs:
         deg[a] += 1
