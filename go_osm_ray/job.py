@@ -357,7 +357,25 @@ def _write_output(uri: str, fmt: str, out: dict, nodes, ways,
                   rels=None, nodes_full=None) -> dict:
     from .sources.uri import open_output, split_uri
     if fmt == "summary":
-        return {"rows": int(nodes.count()) if nodes is not None else 0}
+        res = {"rows": int(nodes.count()) if nodes is not None else 0}
+        keys = out.get("summarize_keys")
+        if keys:
+            # -summarize_keys parity (cmd/osm/main.go:186,
+            # osm/Planet.go:418-453): per requested key, how many
+            # nodes/ways/relations carry it; absent element classes
+            # count as empty.
+            import pyarrow as _pa
+            import ray.data as _rd
+            from .pipelines.osm import per_key_counts
+            tags_t = _pa.list_(_pa.struct([("key", _pa.string()),
+                                           ("value", _pa.string())]))
+            def _or_empty(ds):
+                return ds if ds is not None else _rd.from_arrow(
+                    _pa.table({"tags": _pa.array([], tags_t)}))
+            kdf = per_key_counts(_or_empty(nodes), _or_empty(ways),
+                                 _or_empty(rels), list(keys))
+            res["keys"] = kdf.to_dict("records")
+        return res
     if split_uri(uri)[0] in ("stdout", "stderr"):
         # std-stream feature sink (reference Output supports stdout;
         # driver-side by nature — small outputs only)

@@ -792,7 +792,11 @@ def per_key_counts(nodes: ray.data.Dataset, ways: ray.data.Dataset,
         from ray.data.aggregate import Sum
         agg = ds.map_batches(fn, batch_format="pyarrow") \
                 .groupby("key").aggregate(Sum("pn", alias_name="n"))
-        return agg.to_pandas()
+        df = agg.to_pandas()
+        if "key" not in df.columns:  # empty element class -> no schema
+            df = pd.DataFrame({"key": pd.Series([], dtype=str),
+                               "n": pd.Series([], dtype=np.int64)})
+        return df
 
     out = pd.DataFrame({"key": sorted(keyset)})
     for name, ds in (("nodes_n", nodes), ("ways_n", ways), ("rels_n", relations)):

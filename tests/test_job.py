@@ -182,3 +182,80 @@ def test_xml_output_semi_join_retention(ray_session, tmp_path):
     assert got == sorted(pass_nodes | ref_ids)
     # the bypass must actually fire: some referenced nodes fail the filter
     assert ref_ids - pass_nodes
+
+
+# ---------------------------------------------------- round-5 CLI flag parity
+
+
+def _parse(argv):
+    from go_osm_ray.cli import build_spec, make_parser
+    return build_spec(make_parser().parse_args(argv))
+
+
+def test_cli_drop_convenience_list():
+    """-drop 'ways,author,version' (main.go:165-176): element classes map
+    to drop_ways/drop_relations, attrs to drop_attrs, author = uid+user."""
+    spec = _parse(["--input-uri", "n.parquet",
+                   "--drop", "ways,author,version"])
+    g = spec["globals"]
+    assert g["drop_ways"] is True
+    assert "drop_relations" not in g
+    assert g["drop_attrs"] == ["uid", "user", "version"]
+
+
+def test_cli_drop_attr_flags():
+    spec = _parse(["--input-uri", "n.parquet", "--drop-timestamp",
+                   "--drop-changeset", "--drop-author"])
+    assert spec["globals"]["drop_attrs"] == ["changeset", "timestamp",
+                                             "uid", "user"]
+
+
+def test_cli_drop_unknown_item_rejected():
+    with pytest.raises(ValueError, match="unknown -drop item"):
+        _parse(["--input-uri", "n.parquet", "--drop", "bogus"])
+
+
+def test_cli_uri_separators():
+    """-input_uri_separator / -output_uri_separator (main.go:149,180):
+    one flag value packs several uris; default is no splitting."""
+    spec = _parse(["--input-uri", "a.parquet:b.parquet",
+                   "--input-uri-separator", ":",
+                   "--output-uri", "x.geojsonl;y.geojsonl",
+                   "--output-uri-separator", ";"])
+    assert [i["uri"] for i in spec["inputs"]] == ["a.parquet", "b.parquet"]
+    assert [o["uri"] for o in spec["outputs"]] == ["x.geojsonl",
+                                                  "y.geojsonl"]
+    spec2 = _parse(["--input-uri", "a.parquet:b.parquet"])
+    assert [i["uri"] for i in spec2["inputs"]] == ["a.parquet:b.parquet"]
+
+
+def test_cli_pretty_flows_to_outputs():
+    spec = _parse(["--input-uri", "n.parquet", "--output-uri", "o.osm",
+                   "--pretty"])
+    assert spec["outputs"][0]["pretty"] is True
+    assert spec["globals"]["pretty"] is True
+
+
+def test_summary_output_with_summarize_keys(ray_session, tmp_path):
+    """-summarize_keys through the job runner: per-key per-class counts
+    against a pure-python oracle over the generated tables."""
+    import pyarrow.parquet as pq
+    paths = _gen()
+    out = str(tmp_path / "sumk")
+    res = run_job({
+        "inputs": [{"uri": paths["osm_nodes"], "kind": "nodes"},
+                   {"uri": paths["osm_ways"], "kind": "ways"}],
+        "outputs": [{"uri": out, "format": "summary",
+                     "summarize_keys": ["amenity", "highway", "name"]}],
+    })
+    got = {r["key"]: (r["nodes_n"], r["ways_n"], r["rels_n"])
+           for r in res[out]["keys"]}
+
+    def count(path, key):
+        t = pq.read_table(path, columns=["tags"])
+        return sum(1 for tags in t["tags"].to_pylist()
+                   if any(kv["key"] == key for kv in tags))
+
+    for key in ("amenity", "highway", "name"):
+        assert got[key] == (count(paths["osm_nodes"], key),
+                            count(paths["osm_ways"], key), 0)
