@@ -72,10 +72,16 @@ def _run_flagship(sf_dir: str, rep: int = 1, pool: int | None = None):
     # tasks (25 x rep) pay scheduling overhead that skews the 32-cpu run
     kw = {"override_num_blocks": max(rep, 32)} if rep > 1 else {}
     images = rd.read_parquet(files * rep, columns=["image_id", "phash"], **kw)
+    # finest_only (round 5): emit cell_r11 + tile14 only — every coarser
+    # level is an exact bit-derivation (cell_parent / x >> k, proven in
+    # test_geo), so the headline ships the 100 TB-correct layout instead
+    # of 4 redundant int64 + 4 int32 columns per row (output-block build
+    # was the measured DRAM-bound term at 24 actors; BASELINE.md r4/r5)
     n = flagship(images, idx_ref, feats_ref, pip_concurrency=pool,
-                 prepartition=None).count()  # auto: the images part-dir
-    # has ~25 files (datagen.FILE_ROWS), enough to feed the pool without
-    # the repartition barrier; replicated dir lists dedupe to the same
+                 prepartition=None, finest_only=True).count()
+    # prepartition auto: the images part-dir has ~25 files
+    # (datagen.FILE_ROWS), enough to feed the pool without the
+    # repartition barrier; replicated dir lists dedupe to the same
     return n, time.perf_counter() - t0
 
 
@@ -157,6 +163,82 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _retention_worker(secs: float, out_q) -> None:
+    """One isolated process: run the flagship kernel on the prebuilt
+    batch in a closed loop for ``secs``; report rows/s.  State arrives
+    via fork-COW globals (_RET_STATE) — no Ray, no object store, so the
+    measurement isolates kernel + output-block DRAM behavior."""
+    import time as _t
+    batch, index, knn, assign_cells, assign_tiles = _RET_STATE
+    from go_osm_ray.pipelines.images import flagship_kernel
+    flagship_kernel(batch, index, knn, assign_cells, assign_tiles)  # warm
+    n = 0
+    t0 = _t.perf_counter()
+    while _t.perf_counter() - t0 < secs:
+        out = flagship_kernel(batch, index, knn, assign_cells, assign_tiles)
+        n += out.num_rows
+    out_q.put(n / (_t.perf_counter() - t0))
+
+
+_RET_STATE = None
+
+
+def run_retention(sf_dir: str, procs=(6, 24), secs: float = 6.0,
+                  batch_rows: int = 200_000) -> dict:
+    """Isolated-kernel retention: per-process flagship-kernel throughput
+    at len(procs) concurrency levels WITHOUT Ray (fork-shared read-only
+    state, one pure-python/numpy loop per process).  This is the
+    north-rule per-node predictor BASELINE.md documents: each node of a
+    real N->4N cluster brings its own DRAM, so per-process retention on
+    one box bounds what co-located actors can lose to shared memory —
+    automated here (VERDICT r4 next #2) instead of living in ad-hoc
+    session scripts."""
+    global _RET_STATE
+    import multiprocessing as mp
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_osm_ray import datagen
+    from go_osm_ray.pipelines.spatial import (NearestFeature,
+                                              feature_layer_from_path,
+                                              polygon_index_from_paths)
+    from go_osm_ray.oracle import KNN_FEATURE_KEY
+    from go_osm_ray.pipelines.images import make_cell_assigner, \
+        make_tile_assigner
+    paths = datagen.ensure_tables_for_dir(sf_dir)
+    index = polygon_index_from_paths(paths["osm_nodes"], paths["osm_ways"])
+    knn = NearestFeature(feature_layer_from_path(paths["osm_nodes"],
+                                                 KNN_FEATURE_KEY))
+    t = pq.read_table(paths["images"], columns=["image_id", "phash"])
+    reps = int(np.ceil(batch_rows / max(t.num_rows, 1)))
+    import pyarrow as pa
+    batch = pa.concat_tables([t] * reps).slice(0, batch_rows) \
+        .combine_chunks()
+    assign_cells = make_cell_assigner((11,))
+    assign_tiles = make_tile_assigner((14,), dtype=np.int32)
+    _RET_STATE = (batch, index, knn, assign_cells, assign_tiles)
+
+    ctx = mp.get_context("fork")
+    rates: dict[int, float] = {}
+    for p in procs:
+        q = ctx.Queue()
+        ws = [ctx.Process(target=_retention_worker, args=(secs, q))
+              for _ in range(p)]
+        for w in ws:
+            w.start()
+        vals = [q.get() for _ in ws]
+        for w in ws:
+            w.join()
+        rates[p] = sum(vals) / len(vals)
+    _RET_STATE = None
+    lo, hi = min(procs), max(procs)
+    return {"procs": list(procs),
+            "rows_per_sec_per_proc": {str(p): round(rates[p], 1)
+                                      for p in procs},
+            "isolated_kernel_retention": round(rates[hi] / rates[lo], 3)}
+
+
 def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     """One fresh-process headline measurement (used by --scaling)."""
     out = subprocess.run(
@@ -194,6 +276,9 @@ def main():
     if "--headline-only" in sys.argv:
         print(json.dumps(run_headline_only(sf_dir, num_cpus)))
         return
+    if "--retention" in sys.argv:
+        print(json.dumps(run_retention(sf_dir)))
+        return
     if "--scaling" in sys.argv:
         from go_osm_ray import datagen
         datagen.ensure_tables_for_dir(sf_dir)
@@ -222,6 +307,9 @@ def main():
         lo, hi = max(pairs,
                      key=lambda p: p[0]["value"] / p[1]["value"])
         eff = (lo["value"] / hi["value"]) / (32 / 8)
+        # per-node predictor, automated (VERDICT r4 #2): isolated-kernel
+        # retention at 6 vs 24 processes, no Ray — see run_retention
+        retention = run_retention(sf_dir)
         import statistics
         all_effs = [round((a["value"] / b["value"]) / 4, 3)
                     for a, b in pairs]
@@ -235,6 +323,9 @@ def main():
             "scaling_efficiency_median": round(
                 statistics.median(all_effs), 3),
             "rows": hi["rows"],
+            "isolated_kernel_retention":
+                retention["isolated_kernel_retention"],
+            "retention_detail": retention,
             "input_rep": int(os.environ["GRAFT_SCALE_REP"]),
             "pairs": [{"sec_8": a["value"], "sec_32": b["value"],
                        "eff": round((a["value"] / b["value"]) / 4, 3)}

@@ -200,12 +200,50 @@ def patch_extract(images: ray.data.Dataset, patch: int = 16,
         batch_format="pyarrow", batch_size=batch_size, concurrency=pool)
 
 
+def flagship_kernel(batch: pa.Table, index, knn, assign_cells,
+                    assign_tiles, decode_stats: bool = False) -> pa.Table:
+    """The flagship per-batch kernel (decode-geotag -> cells -> tiles ->
+    PIP tag -> kNN), shared by the actor-pool stage AND the no-Ray
+    isolated-retention harness (bench.py --scaling) so both measure the
+    IDENTICAL code path including the output-block build."""
+    mean6 = None
+    if decode_stats and "bytes" in batch.column_names:
+        mean = []
+        for f, b in zip(batch["fmt"].to_pylist(),
+                        batch["bytes"].to_pylist()):
+            px = codecs.decode(b, f)
+            mean.append(round(float(px.mean()), 6))
+        mean6 = pa.array(mean, pa.float64())
+        batch = batch.drop_columns(
+            [c for c in ("bytes", "fmt") if c in batch.column_names])
+    batch = assign_tiles(assign_cells(decode_geotag(batch)))
+    px = batch["lon"].combine_chunks().to_numpy()
+    py = batch["lat"].combine_chunks().to_numpy()
+    pi, fids = index.query(px, py)
+    feat = np.full(len(batch), -1, np.int64)
+    if len(pi):  # smallest feature id wins when multiple contain
+        order = np.lexsort((fids, pi))[::-1]
+        feat[pi[order]] = fids[order]
+    batch = batch.append_column("pip_feature_id", pa.array(feat))
+    if knn is not None:
+        near = knn.nearest(px, py)
+        batch = batch.append_column("knn_feature_id", pa.array(near))
+    if mean6 is not None:
+        batch = batch.append_column("mean_px6", mean6)
+    if "phash" in batch.column_names:
+        # lon/lat carry the decoded geotag; re-shipping the spent
+        # 8 B/row hash through every downstream block is waste
+        batch = batch.drop_columns(["phash"])
+    return batch
+
+
 def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
              knn_feats_ref: ray.ObjectRef | None = None,
              resolutions=(7, 8, 9, 10, 11), zooms=(10, 12, 14),
              pip_concurrency=None, batch_size: int = 4096,
              prepartition: bool | None = None,
-             decode_stats: bool = False) -> ray.data.Dataset:
+             decode_stats: bool = False,
+             finest_only: bool = False) -> ray.data.Dataset:
     """The headline spatial-join + tiling pipeline (BASELINE.json metric):
     geotag decode -> H-cell + S2-analog + slippy-tile assignment ->
     point-in-polygon tagging (left join: every image kept,
@@ -225,17 +263,31 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
     decode/index actors run in actor pools"): the byte payload is
     decoded once per row, summarized (mean_px6), and DROPPED before the
     batch flows on — pixels never transit a second operator boundary.
-    Pass the byte-heavy input with a small ``batch_size``."""
+    Pass the byte-heavy input with a small ``batch_size``.
+
+    ``finest_only=True`` emits ONLY the finest cell and tile columns
+    (cell_r{max(resolutions)}, tile{max(zooms)}_x/y): every coarser
+    level is an exact bit-derivation of the finest (geo.tiles
+    cell_parent — prefix truncation; tile x/y at z-k = x >> k), so
+    consumers derive parents on read instead of shipping 4 redundant
+    int64 + 4 int32 columns through the object store per row.  At
+    10^12 rows that redundancy is the dominant output-DRAM term
+    (BASELINE.md round-4 rows measured output-block construction at
+    ~25% of in-actor time at 24 actors); the round-5 scaling runs use
+    this layout and BASELINE.md records the effect.  Default False —
+    the driver contract and the gated queries keep the full layout."""
     from ..geo.pip import PolygonIndex
     from ..util import default_pool
 
-    assign_cells = make_cell_assigner(resolutions)
+    assign_cells = make_cell_assigner(
+        (max(resolutions),) if finest_only else resolutions)
     # int32 tile coords + dropping the spent phash shrink the fused
     # pass's output rows ~22% (147 -> ~115 B/row) — output-block build
     # is the measured DRAM-bound term at high actor counts (BASELINE.md
     # round-4 rows), so narrower blocks lift BOTH the absolute rate and
     # the shared-DRAM 8->32 scaling ratio
-    assign_tiles = make_tile_assigner(zooms, dtype=np.int32)
+    assign_tiles = make_tile_assigner(
+        (max(zooms),) if finest_only else zooms, dtype=np.int32)
 
     class FlagshipStage:
         def __init__(self):
@@ -245,35 +297,9 @@ def flagship(images: ray.data.Dataset, pip_index_ref: ray.ObjectRef,
                         if knn_feats_ref is not None else None)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mean6 = None
-            if decode_stats and "bytes" in batch.column_names:
-                mean = []
-                for f, b in zip(batch["fmt"].to_pylist(),
-                                batch["bytes"].to_pylist()):
-                    px = codecs.decode(b, f)
-                    mean.append(round(float(px.mean()), 6))
-                mean6 = pa.array(mean, pa.float64())
-                batch = batch.drop_columns(
-                    [c for c in ("bytes", "fmt") if c in batch.column_names])
-            batch = assign_tiles(assign_cells(decode_geotag(batch)))
-            px = batch["lon"].combine_chunks().to_numpy()
-            py = batch["lat"].combine_chunks().to_numpy()
-            pi, fids = self.index.query(px, py)
-            feat = np.full(len(batch), -1, np.int64)
-            if len(pi):  # smallest feature id wins when multiple contain
-                order = np.lexsort((fids, pi))[::-1]
-                feat[pi[order]] = fids[order]
-            batch = batch.append_column("pip_feature_id", pa.array(feat))
-            if self.knn is not None:
-                near = self.knn.nearest(px, py)
-                batch = batch.append_column("knn_feature_id", pa.array(near))
-            if mean6 is not None:
-                batch = batch.append_column("mean_px6", mean6)
-            if "phash" in batch.column_names:
-                # lon/lat carry the decoded geotag; re-shipping the spent
-                # 8 B/row hash through every downstream block is waste
-                batch = batch.drop_columns(["phash"])
-            return batch
+            return flagship_kernel(batch, self.index, self.knn,
+                                   assign_cells, assign_tiles,
+                                   decode_stats=decode_stats)
 
     pool = pip_concurrency or default_pool(24)
     # Repartition only when the input can't already feed the pool: it is

@@ -431,9 +431,12 @@ class NearestFeature:
     scan (_exact_scan), which is also the per-candidate kernel of the
     sharded ring path."""
 
-    def __init__(self, feats_ref: ray.ObjectRef, id_col: str = "image_id",
+    def __init__(self, feats_ref, id_col: str = "image_id",
                  feat_chunk: int = 256, row_chunk: int = 128):
-        t: pa.Table = ray.get(feats_ref)
+        # accepts an ObjectRef (actor-pool path) or a plain pa.Table
+        # (the no-Ray retention harness)
+        t: pa.Table = ray.get(feats_ref) \
+            if isinstance(feats_ref, ray.ObjectRef) else feats_ref
         fid = t["id"].to_numpy()
         order = np.argsort(fid, kind="stable")
         self.fid = fid[order]
@@ -1425,44 +1428,52 @@ def build_polygon_index_task(nodes_path: str, ways_path: str,
     build_polygon_shards remains the at-scale sharded form."""
     @ray.remote(num_cpus=1)
     def _build(np_: str, wp: str, gr):
-        import pyarrow.parquet as pq2
-        nt = pq2.read_table(np_, columns=["id", "lon", "lat"])
-        wt = pq2.read_table(wp, columns=["id", "refs"])
-        refs = wt["refs"].combine_chunks()
-        offsets = np.asarray(refs.offsets, np.int64)
-        flat = refs.flatten().to_numpy()
-        n = np.diff(offsets)
-        if len(flat):
-            first = flat[offsets[:-1].clip(max=len(flat) - 1)]
-            last = flat[(offsets[1:] - 1).clip(min=0)]
-        else:
-            first = last = np.empty(0, np.int64)
-        cidx = np.flatnonzero((n >= 4) & (first == last))
-        counts = n[cidx]
-        wids = np.repeat(wt["id"].combine_chunks().to_numpy()[cidx], counts)
-        pos = _ragged_arange(counts)
-        tak = np.repeat(offsets[cidx], counts) + pos
-        r = flat[tak]
-        ids = nt["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        sorted_ids = ids[order]
-        lon = nt["lon"].to_numpy()[order]
-        lat = nt["lat"].to_numpy()[order]
-        j = np.searchsorted(sorted_ids, r)
-        j = np.clip(j, 0, max(len(sorted_ids) - 1, 0))
-        found = sorted_ids[j] == r if len(sorted_ids) \
-            else np.zeros(len(r), bool)
-        wids, pos, j = wids[found], pos[found], j[found]
-        x, y = lon[j], lat[j]
-        order2 = np.lexsort((pos, wids))
-        wid_s, lon_s, lat_s = wids[order2], x[order2], y[order2]
-        fids, starts = np.unique(wid_s, return_index=True)
-        bounds = np.append(starts, len(wid_s))
-        xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
-        ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
-        return PolygonIndex(fids.astype(np.int64), xs, ys, grid_res=gr)
+        return polygon_index_from_paths(np_, wp, gr)
 
     return _build.remote(nodes_path, ways_path, grid_res)
+
+
+def polygon_index_from_paths(np_: str, wp: str,
+                             gr: int | None = None) -> "PolygonIndex":
+    """Plain (no-Ray) polygon-index build from parquet paths — the body
+    of build_polygon_index_task, also used directly by the bench
+    isolated-retention harness."""
+    import pyarrow.parquet as pq2
+    nt = pq2.read_table(np_, columns=["id", "lon", "lat"])
+    wt = pq2.read_table(wp, columns=["id", "refs"])
+    refs = wt["refs"].combine_chunks()
+    offsets = np.asarray(refs.offsets, np.int64)
+    flat = refs.flatten().to_numpy()
+    n = np.diff(offsets)
+    if len(flat):
+        first = flat[offsets[:-1].clip(max=len(flat) - 1)]
+        last = flat[(offsets[1:] - 1).clip(min=0)]
+    else:
+        first = last = np.empty(0, np.int64)
+    cidx = np.flatnonzero((n >= 4) & (first == last))
+    counts = n[cidx]
+    wids = np.repeat(wt["id"].combine_chunks().to_numpy()[cidx], counts)
+    pos = _ragged_arange(counts)
+    tak = np.repeat(offsets[cidx], counts) + pos
+    r = flat[tak]
+    ids = nt["id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    lon = nt["lon"].to_numpy()[order]
+    lat = nt["lat"].to_numpy()[order]
+    j = np.searchsorted(sorted_ids, r)
+    j = np.clip(j, 0, max(len(sorted_ids) - 1, 0))
+    found = sorted_ids[j] == r if len(sorted_ids) \
+        else np.zeros(len(r), bool)
+    wids, pos, j = wids[found], pos[found], j[found]
+    x, y = lon[j], lat[j]
+    order2 = np.lexsort((pos, wids))
+    wid_s, lon_s, lat_s = wids[order2], x[order2], y[order2]
+    fids, starts = np.unique(wid_s, return_index=True)
+    bounds = np.append(starts, len(wid_s))
+    xs = [lon_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    ys = [lat_s[bounds[i]:bounds[i + 1]] for i in range(len(fids))]
+    return PolygonIndex(fids.astype(np.int64), xs, ys, grid_res=gr)
 
 
 def feature_layer_task(nodes_path: str, key: str) -> ray.ObjectRef:
@@ -1470,16 +1481,23 @@ def feature_layer_task(nodes_path: str, key: str) -> ray.ObjectRef:
     ONE Ray task over a direct pyarrow read — same instant-ObjectRef
     overlap trick as build_polygon_index_task; content identical to the
     Dataset path (pytest-asserted)."""
-    from ..stages.filters import make_key_filter
-
     @ray.remote(num_cpus=1)
     def _build(np_: str, k: str) -> pa.Table:
-        import pyarrow.parquet as pq2
-        t = pq2.read_table(np_, columns=["id", "lon", "lat", "tags"])
-        t = make_key_filter(keep=[k])(t)
-        return t.select(["id", "lon", "lat"]).combine_chunks()
+        return feature_layer_from_path(np_, k)
 
     return _build.remote(nodes_path, key)
+
+
+def feature_layer_from_path(np_: str, k: str) -> pa.Table:
+    """Plain (no-Ray) kNN feature-layer build from a parquet path — the
+    body of feature_layer_task, also used by the bench retention
+    harness."""
+    import pyarrow.parquet as pq2
+
+    from ..stages.filters import make_key_filter
+    t = pq2.read_table(np_, columns=["id", "lon", "lat", "tags"])
+    t = make_key_filter(keep=[k])(t)
+    return t.select(["id", "lon", "lat"]).combine_chunks()
 
 
 # ------------------------------------------------------ bbox overlap join

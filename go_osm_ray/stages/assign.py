@@ -27,12 +27,29 @@ def decode_geotag(batch: pa.Table, phash_col: str = "phash") -> pa.Table:
 
 def make_cell_assigner(resolutions: tuple[int, ...] = (7, 8, 9, 10, 11),
                        lon_col: str = "lon", lat_col: str = "lat"):
-    """Closure adding one ``cell_r{r}`` int64 column per resolution."""
+    """Closure adding one ``cell_r{r}`` int64 column per resolution.
+
+    Derive-from-finest (round 5): ONE mercator transform at
+    max(resolutions), every coarser cell by prefix shift.  Bit-identical
+    to per-resolution cell_id — floor(v * 2^r) == floor(v * 2^rmax) >>
+    (rmax - r) exactly, because power-of-two float scaling is exact and
+    the clamp commutes with the shift at both edges (proof in
+    tests/test_geo.py::test_derived_cells_tiles_bit_equal) — while
+    cutting the per-row trig from one transform per resolution to one
+    total."""
+    rmax = max(resolutions)
+    rs = np.int64(tiles.RES_SHIFT)
+    xb = np.int64(tiles.XY_BITS)
+
     def assign(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].combine_chunks().to_numpy()
         lat = batch[lat_col].combine_chunks().to_numpy()
+        x, y = tiles.tile_xy(lon, lat, rmax)
         for r in resolutions:
-            batch = batch.append_column(f"cell_r{r}", pa.array(tiles.cell_id(lon, lat, r)))
+            s = np.int64(rmax - r)
+            batch = batch.append_column(
+                f"cell_r{r}",
+                pa.array((np.int64(r) << rs) | ((x >> s) << xb) | (y >> s)))
         return batch
     return assign
 
@@ -46,12 +63,20 @@ def make_tile_assigner(zooms: tuple[int, ...] = (10, 12, 14),
     ``dtype=np.int32`` narrows the emitted columns (tile coords fit
     int32 for every zoom <= 29) — the fused flagship pass uses it to cut
     object-store output traffic; gated queries keep the default int64 so
-    their DuckDB schema compare is untouched."""
+    their DuckDB schema compare is untouched.
+
+    Derive-from-finest (round 5): one transform at max(zooms), coarser
+    tiles by right-shift — bit-identical to direct tile_xy per zoom
+    (see make_cell_assigner)."""
+    zmax = max(zooms)
+
     def assign(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].combine_chunks().to_numpy()
         lat = batch[lat_col].combine_chunks().to_numpy()
+        xm, ym = tiles.tile_xy(lon, lat, zmax)
         for z in zooms:
-            x, y = tiles.tile_xy(lon, lat, z)
+            s = np.int64(zmax - z)
+            x, y = xm >> s, ym >> s
             if dtype is not None:
                 x, y = x.astype(dtype), y.astype(dtype)
             batch = batch.append_column(f"tile{z}_x", pa.array(x))

@@ -167,3 +167,33 @@ def test_raster_and_mixture_partition_invariant(ray_session):
         mix.append(parity.canonicalize(mixture_sample(
             ds, {"a": 0.7, "b": 0.3}, 0.25).to_pandas()))
     pd.testing.assert_frame_equal(mix[0], mix[1])
+
+
+def test_derived_cells_tiles_bit_equal():
+    """Round-5 derive-from-finest contract: cells/tiles at coarser
+    levels derived by shift from the finest level are BIT-identical to
+    direct per-level computation, including the clamp edges (|lon|=180,
+    |lat| past the mercator clip) — floor(v*2^z) >> k == floor(v*2^(z-k))
+    exactly because power-of-two float scaling is exact."""
+    import numpy as np
+
+    from go_osm_ray.geo import tiles
+    rng = np.random.RandomState(7)
+    lon = np.concatenate([rng.uniform(-180, 180, 20000),
+                          np.array([-180.0, 180.0, 0.0, -1e-12, 179.999999])])
+    lat = np.concatenate([rng.uniform(-89.9, 89.9, 20000),
+                          np.array([85.0511, -85.0511, 89.9, -89.9, 0.0])])
+    for zmax in (11, 14, 29):
+        xm, ym = tiles.tile_xy(lon, lat, zmax)
+        for z in range(0, zmax + 1, 3):
+            x, y = tiles.tile_xy(lon, lat, z)
+            s = zmax - z
+            assert np.array_equal(x, xm >> np.int64(s))
+            assert np.array_equal(y, ym >> np.int64(s))
+    xm, ym = tiles.tile_xy(lon, lat, 11)
+    for r in (7, 8, 9, 10, 11):
+        direct = tiles.cell_id(lon, lat, r)
+        s = np.int64(11 - r)
+        derived = ((np.int64(r) << np.int64(tiles.RES_SHIFT))
+                   | ((xm >> s) << np.int64(tiles.XY_BITS)) | (ym >> s))
+        assert np.array_equal(direct, derived)
