@@ -72,13 +72,15 @@ def _run_flagship(sf_dir: str, rep: int = 1, pool: int | None = None):
     # tasks (25 x rep) pay scheduling overhead that skews the 32-cpu run
     kw = {"override_num_blocks": max(rep, 32)} if rep > 1 else {}
     images = rd.read_parquet(files * rep, columns=["image_id", "phash"], **kw)
-    # finest_only (round 5): emit cell_r11 + tile14 only — every coarser
-    # level is an exact bit-derivation (cell_parent / x >> k, proven in
-    # test_geo), so the headline ships the 100 TB-correct layout instead
-    # of 4 redundant int64 + 4 int32 columns per row (output-block build
-    # was the measured DRAM-bound term at 24 actors; BASELINE.md r4/r5)
+    # Round-5 A/B (BASELINE.md): flagship(finest_only=True) — emitting
+    # only cell_r11 + tile14 with coarser levels as exact bit-derivations
+    # — measured ~2% SLOWER at 32 cpus than the full layout, i.e. after
+    # the derive-from-finest compute cut the single-box output-block
+    # build is no longer the binding term (plasma is local; on a real
+    # cluster the slim layout still wins network bytes).  The headline
+    # keeps the full r1-r4-comparable layout.
     n = flagship(images, idx_ref, feats_ref, pip_concurrency=pool,
-                 prepartition=None, finest_only=True).count()
+                 prepartition=None).count()
     # prepartition auto: the images part-dir has ~25 files
     # (datagen.FILE_ROWS), enough to feed the pool without the
     # repartition barrier; replicated dir lists dedupe to the same
@@ -239,6 +241,45 @@ def run_retention(sf_dir: str, procs=(6, 24), secs: float = 6.0,
             "isolated_kernel_retention": round(rates[hi] / rates[lo], 3)}
 
 
+def _spin_worker(secs: float, q) -> None:
+    import time as _t
+    t0 = _t.perf_counter()
+    x = 0
+    while _t.perf_counter() - t0 < secs:
+        x += 1
+    q.put(x / (_t.perf_counter() - t0))
+
+
+def run_spin_retention(procs=(6, 24), secs: float = 5.0) -> dict:
+    """Pure-arithmetic per-core retention control: a counter spin loop
+    (no memory traffic beyond L1) at the same process counts as the
+    kernel retention harness.  On this box it measures the ALL-CORE
+    TURBO clock reduction (round-5 finding: 6 -> 24 procs lose ~13%
+    per-core with zero /proc/stat steal — a hardware frequency
+    ceiling, not an engine property).  Any single-box 8->32 efficiency
+    is bounded by this number; the north rule's real N->4N clusters
+    add NODES at constant per-node clocks, so the term vanishes
+    there."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    rates = {}
+    for p in procs:
+        q = ctx.Queue()
+        ws = [ctx.Process(target=_spin_worker, args=(secs, q))
+              for _ in range(p)]
+        for w in ws:
+            w.start()
+        vals = [q.get() for _ in ws]
+        for w in ws:
+            w.join()
+        rates[p] = sum(vals) / len(vals)
+    lo, hi = min(procs), max(procs)
+    return {"procs": list(procs),
+            "iters_per_sec_per_proc": {str(p): round(rates[p], 0)
+                                       for p in procs},
+            "all_core_clock_retention": round(rates[hi] / rates[lo], 3)}
+
+
 def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     """One fresh-process headline measurement (used by --scaling)."""
     out = subprocess.run(
@@ -308,8 +349,11 @@ def main():
                      key=lambda p: p[0]["value"] / p[1]["value"])
         eff = (lo["value"] / hi["value"]) / (32 / 8)
         # per-node predictor, automated (VERDICT r4 #2): isolated-kernel
-        # retention at 6 vs 24 processes, no Ray — see run_retention
+        # retention at 6 vs 24 processes, no Ray — see run_retention —
+        # plus the pure-arithmetic clock control that bounds ANY
+        # single-box ratio (all-core turbo reduction, run_spin_retention)
         retention = run_retention(sf_dir)
+        spin = run_spin_retention()
         import statistics
         all_effs = [round((a["value"] / b["value"]) / 4, 3)
                     for a, b in pairs]
@@ -326,6 +370,15 @@ def main():
             "isolated_kernel_retention":
                 retention["isolated_kernel_retention"],
             "retention_detail": retention,
+            "all_core_clock_retention":
+                spin["all_core_clock_retention"],
+            "clock_detail": spin,
+            # efficiency with the hardware clock ceiling divided out —
+            # the box's all-core turbo reduction applies equally to any
+            # code on this host and is absent on real N->4N clusters
+            # (nodes scale at constant per-node clocks)
+            "scaling_efficiency_clock_normalized": round(
+                min(eff / spin["all_core_clock_retention"], 1.0), 3),
             "input_rep": int(os.environ["GRAFT_SCALE_REP"]),
             "pairs": [{"sec_8": a["value"], "sec_32": b["value"],
                        "eff": round((a["value"] / b["value"]) / 4, 3)}
