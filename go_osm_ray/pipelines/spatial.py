@@ -562,9 +562,14 @@ class NearestFeature:
             done = has & (dmin < out_d2)
             best[u[done]] = win[done]
             u = u[~done]
-            if len(u) and k >= g:
-                # safety valve: anything still unresolved at a full-grid
-                # region gets the exact tiled scan (NaN coords etc.)
+            if len(u) and 4 * k + 1 >= g // 2:
+                # Early tail escalation (round-5, mirrors _topk_grid):
+                # once the next doubled region would span >= half the
+                # grid, the ragged gather approaches all-m candidates per
+                # unfinished point; the exact tiled scan is O(m) per
+                # point with cache-resident tiles and identical
+                # (d2, id) semantics. Also the safety valve for
+                # unresolvable points (NaN coords etc.).
                 best[u] = _exact_scan(px[u], py[u], self.fid,
                                       self.fx, self.fy,
                                       self.feat_chunk, self.row_chunk)
@@ -2111,7 +2116,16 @@ class KnnVoteClassify:
                 out[u[pt_s[take & (rank == 0)]], :] = \
                     f_s[take].reshape(-1, kk)
             u = u[~done]
-            if len(u) and reg >= g:
+            # Early tail escalation (round-5 sf1 rehearsal finding): once
+            # the NEXT doubled region would span >= half the grid, its
+            # ragged gather collects a large fraction of ALL m features
+            # per unfinished point and lexsorts them — measured 5.3 s per
+            # 4096-pt batch at sf1 vs 0.4 s for sending the ~10-20 % tail
+            # (points in feature-sparse margins) straight to the exact
+            # argpartition brute path, which is O(m) per point with no
+            # sort. Identical output: both paths honor the (d2 asc,
+            # id asc) contract.
+            if len(u) and 4 * reg + 1 >= g // 2:
                 out[u] = self._topk_brute(px[u], py[u])
                 break
             reg *= 2

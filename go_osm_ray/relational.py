@@ -29,7 +29,14 @@ import ray.data
 
 
 def broadcast_table(ds: ray.data.Dataset | pa.Table, columns: Sequence[str] | None = None) -> ray.ObjectRef:
-    """ray.put a small table (or the selected columns of a small Dataset)."""
+    """ray.put a small table (or the selected columns of a small Dataset).
+
+    ROW ORDER IS NOT A CONTRACT: the streaming executor may hand back
+    blocks in completion order, so the concatenated table's row order
+    can vary run to run. Every consumer must (and does) either sort by
+    its key (argsort-by-id in the kNN/PIP/resample kernels) or treat
+    the table as a set (membership filters); never index it
+    positionally."""
     if isinstance(ds, ray.data.Dataset):
         if columns:
             ds = ds.select_columns(list(columns))

@@ -121,4 +121,9 @@ def test_feature_layer_task_matches_dataset_build(ray_session):
     a = ray.get(broadcast_table(tagged_nodes(nodes, KNN_FEATURE_KEY),
                                 ["id", "lon", "lat"]))
     b = ray.get(feature_layer_task(paths["osm_nodes"], KNN_FEATURE_KEY))
-    assert a.equals(b)
+    # ROW-SET equality, not row-order: broadcast_table concatenates
+    # blocks in streaming-completion order (documented contract — every
+    # consumer sorts by id or does membership); a.equals(b) was flaky.
+    sa = a.sort_by([("id", "ascending"), ("lon", "ascending")])
+    sb = b.sort_by([("id", "ascending"), ("lon", "ascending")])
+    assert sa.equals(sb)
