@@ -2300,7 +2300,12 @@ def way_frechet(ways: ray.data.Dataset, nodes: ray.data.Dataset,
             "part": pa.array(hash_part(w, num_parts))})
 
     def attach_a(t: pa.Table) -> pa.Table:
-        """Replicate each edge once per ORDERED a-side vertex."""
+        """Replicate each edge once per ORDERED a-side vertex.  Edge
+        pairs are DEDUPED here first: the stage is partitioned by
+        hash(a), so every copy of an (a, b) pair lands in this kernel —
+        callers (way_conflate's shared ∪ grid union) may therefore feed
+        a pair stream with duplicates and skip their own dedup
+        exchange; already-unique streams pass through unchanged."""
         is_pt = t["_is_pt"].combine_chunks().to_numpy(zero_copy_only=False)
         ptt = t.filter(pa.array(is_pt))
         ett = t.filter(pa.array(~is_pt))
@@ -2317,6 +2322,12 @@ def way_frechet(ways: ray.data.Dataset, nodes: ray.data.Dataset,
             else np.empty(0, np.int64)
         ea = ett["a"].combine_chunks().to_numpy()
         eb = ett["b"].combine_chunks().to_numpy()
+        if len(ea):
+            eorder = np.lexsort((eb, ea))
+            ea, eb = ea[eorder], eb[eorder]
+            ekeep = np.ones(len(ea), bool)
+            ekeep[1:] = (ea[1:] != ea[:-1]) | (eb[1:] != eb[:-1])
+            ea, eb = ea[ekeep], eb[ekeep]
         ei = np.searchsorted(uniq, ea)
         ok = (ei < len(uniq))
         ok[ok] &= uniq[ei[ok]] == ea[ok]
@@ -2747,11 +2758,13 @@ CONFLATE_SIG_GATE_M = 500.0
 def conflate_candidate_edges(ways: ray.data.Dataset,
                              nodes: ray.data.Dataset,
                              num_parts: int = 16) -> ray.data.Dataset:
-    """Globally deduped (a < b) conflation candidate pairs: the
-    shared-node clique edges UNION cell-bucketed geometric candidates,
-    so truly disjoint duplicate geometries (separate imports of the
-    same corridor share zero node ids) still become candidates —
-    VERDICT r4 next #3.
+    """(a < b) conflation candidate pairs: the shared-node clique edges
+    UNION cell-bucketed geometric candidates, so truly disjoint
+    duplicate geometries (separate imports of the same corridor share
+    zero node ids) still become candidates — VERDICT r4 next #3.  The
+    stream may carry cross-source/cross-partition duplicates; the
+    consumer (way_frechet's hash(a)-partitioned attach_a kernel)
+    performs the global dedup, saving a dedicated exchange.
 
     Geometric rule (LSH-style, recall documented not proven, exactly
     mirrored by the pyoracle gate): each way's k=8 equal-arclength
@@ -2859,32 +2872,15 @@ def conflate_candidate_edges(ways: ray.data.Dataset,
         return pa.table({"a": pa.array(a, pa.int64()),
                          "b": pa.array(b, pa.int64())})
 
-    def part_by_a(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        return t.append_column("part", pa.array(hash_part(a, num_parts)))
-
-    def dedup(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks().to_numpy()
-        b = t["b"].combine_chunks().to_numpy()
-        if len(a):
-            order = np.lexsort((b, a))
-            a, b = a[order], b[order]
-            keep = np.ones(len(a), bool)
-            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            a, b = a[keep], b[keep]
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64())})
-
     grid = ways.select_columns(["id", "refs"]) \
         .map_batches(emit_cells, batch_format="pyarrow") \
         .groupby("part") \
         .map_groups(lambda t: cell_pairs(t.drop_columns(["part"])),
                     batch_format="pyarrow")
-    return shared.union(grid) \
-        .map_batches(part_by_a, batch_format="pyarrow") \
-        .groupby("part") \
-        .map_groups(lambda t: dedup(t.drop_columns(["part"])),
-                    batch_format="pyarrow")
+    # No dedup exchange here: way_frechet's attach_a kernel (partitioned
+    # by hash(a)) globally dedups the pair stream, so the shared ∪ grid
+    # union may carry cross-source duplicates — one exchange saved.
+    return shared.union(grid)
 
 
 def way_conflate(ways: ray.data.Dataset, nodes: ray.data.Dataset,
