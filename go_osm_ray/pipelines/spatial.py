@@ -2031,9 +2031,23 @@ class KnnVoteClassify:
                 cand = np.sort(np.argpartition(d2, m - 1, axis=1)[:, :m],
                                axis=1)
                 rows_m = np.arange(e - s)[:, None]
-                sub = np.argsort(d2[rows_m, cand], axis=1,
+                pool_d2 = d2[rows_m, cand]
+                sub = np.argsort(pool_d2, axis=1,
                                  kind="stable")[:, :self.k]
                 out[s:e] = cand[rows_m, sub]
+                # Tie-closure guard (round-5 hardening): argpartition is
+                # unstable among EQUAL d2 at the pool boundary, so if a
+                # row's k-th distance equals the pool maximum, a tied
+                # smaller-id feature could sit OUTSIDE the pool and the
+                # (d2 asc, id asc) contract would pick wrong. Such rows
+                # (coincident-feature ties only — never seen on real
+                # layers) fall back to the full stable argsort.
+                kth = np.take_along_axis(pool_d2, sub[:, -1:], axis=1)
+                risky = (kth >= pool_d2.max(axis=1, keepdims=True)).ravel()
+                if risky.any():
+                    rr = np.flatnonzero(risky)
+                    out[s + rr] = np.argsort(d2[rr], axis=1,
+                                             kind="stable")[:, :self.k]
             else:
                 out[s:e] = np.argsort(d2, axis=1,
                                       kind="stable")[:, :self.k]

@@ -77,3 +77,23 @@ def test_way_conflate_far_jitter_does_not_merge(ray_session):
            for r in way_conflate(w, n, num_parts=4).take_all()}
     assert out[1] == (1, False)
     assert out[2] == (2, False)
+
+
+def test_topk_brute_coincident_tie_closure(ray_session):
+    """600 features at the SAME coordinate: argpartition's pool boundary
+    splits the all-equal-d2 tie arbitrarily, so the round-5 tie-closure
+    guard must fall back to the full stable sort and return the k
+    smallest ids (positions 0..k-1 after the id-ascending init sort)."""
+    import numpy as np
+    import ray
+
+    from go_osm_ray.pipelines.spatial import KnnVoteClassify
+    n = 600
+    ids = np.arange(1000, 1000 + n)[::-1].copy()
+    t = pa.table({
+        "id": pa.array(ids),
+        "lon": pa.array(np.zeros(n)), "lat": pa.array(np.zeros(n)),
+        "label": pa.array([f"L{v % 7}" for v in ids], pa.string())})
+    kc = KnnVoteClassify(ray.put(t))
+    idx = kc._topk_brute(np.array([0.5]), np.array([0.5]))
+    assert idx[0].tolist() == [0, 1, 2, 3, 4]
